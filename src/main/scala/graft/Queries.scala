@@ -1,0 +1,502 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.schema.Tables
+
+/**
+ * Driver-contract query registry, part 1: the reference's relational operator
+ * inventory (SURVEY.md §2) expressed over the driver testdata.
+ *
+ * Mapping convention (FIXTURES.md §2): events.user_id ↔ transactions.user_id,
+ * event_type ↔ mcc_code (categorical key), value ↔ transaction_amt, ts ↔
+ * transaction_dttm. The testdata's `value` is all-positive, so a deterministic
+ * signed view (`sval`: error/view rows negated) stands in for the reference's
+ * signed amounts — both engines derive it identically.
+ *
+ * Float-determinism policy for the DuckDB-hash oracle: integer outputs stay
+ * integer (cast to BIGINT on both sides); money-scale sums round to 2 dp
+ * (accumulation-order noise << 5e-3); small per-group stats round to 6 dp;
+ * ratios guard their denominator on a 2-dp grid before dividing so a
+ * float-noise "zero" can never explode.
+ */
+object Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val vocab = Tables.eventTypeVocab // click, error, purchase, signup, view
+
+  /** Signed amount view (deterministic in both engines). */
+  private def sval: Column =
+    when(col("event_type").isin("error", "view"), -col("value"))
+      .otherwise(col("value"))
+  private val svalSql =
+    "CASE WHEN event_type IN ('error','view') THEN -value ELSE value END"
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private val ord: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  // ---------------------------------------------------------------- P4/P5
+  private val q01: (String, QFn, Option[String]) = ("q01_time_attrs",
+    (s, d) => ev(s, d).select(
+      col("event_id"), col("user_id"),
+      hour(col("ts")).cast("long").as("hour_of_day"),
+      TimeFeatures.dayOfWeekMon0(col("ts")).cast("long").as("day_of_week"),
+      dayofmonth(col("ts")).cast("long").as("day_of_month"),
+      month(col("ts")).cast("long").as("month"),
+      TimeFeatures.secondsSinceMidnight(col("ts")).cast("long").as("time_day")),
+    Some("""SELECT event_id, user_id, hour(ts) AS hour_of_day,
+      | isodow(ts) - 1 AS day_of_week, day(ts) AS day_of_month,
+      | month(ts) AS month,
+      | hour(ts)*3600 + minute(ts)*60 + second(ts) AS time_day
+      |FROM events""".stripMargin))
+
+  // ------------------------------------------------------------------ P7/P9
+  private val q02: (String, QFn, Option[String]) = ("q02_signed_split",
+    (s, d) => {
+      val sv = sval
+      ev(s, d).select(col("event_id"), sv.as("sval"),
+        coalesce(DebitCredit.debit(sv), lit(0.0)).as("debit"),
+        coalesce(DebitCredit.credit(sv), lit(0.0)).as("credit"))
+    },
+    Some(s"""SELECT event_id, $svalSql AS sval,
+      | CASE WHEN $svalSql > 0 THEN $svalSql ELSE 0 END AS debit,
+      | CASE WHEN $svalSql < 0 THEN $svalSql ELSE 0 END AS credit
+      |FROM events""".stripMargin))
+
+  // ------------------------------------------------------------------ P2/P3
+  private val q03: (String, QFn, Option[String]) = ("q03_filter",
+    (s, d) => ev(s, d)
+      .filter(col("value").isNotNull && col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+      |WHERE value IS NOT NULL AND event_type <> 'error'""".stripMargin))
+
+  // -------------------------------------------------------------- A1 + P8
+  private def freqCols: Seq[String] = vocab.map(v => s"freq_$v")
+  private def pivotCountSql(valueExpr: String = "count(value)",
+                            prefix: String = "freq"): String =
+    vocab.map(v =>
+      s"$valueExpr FILTER (WHERE event_type = '$v') AS ${prefix}_$v")
+      .mkString(", ")
+
+  private val q04: (String, QFn, Option[String]) = ("q04_pivot_count",
+    (s, d) => Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab,
+      "value", "freq"),
+    Some(s"SELECT user_id, ${pivotCountSql()} FROM events GROUP BY user_id"))
+
+  // -------------------------------------------------------------- A2/A3
+  private val q05: (String, QFn, Option[String]) = ("q05_pivot_sums",
+    (s, d) => {
+      val e = ev(s, d).withColumn("sv", sval)
+        .withColumn("deb", DebitCredit.debit(col("sv")))
+        .withColumn("cred", DebitCredit.credit(col("sv")))
+      val p = e.groupBy(col("user_id")).pivot("event_type", vocab)
+        .agg(sum(col("sv")).as("proc"), sum(col("deb")).as("deb"),
+          sum(col("cred")).as("cred"))
+      val outCols = for (f <- Seq("proc", "deb", "cred"); v <- vocab)
+        yield round(coalesce(col(s"${v}_$f"), lit(0.0)), 6).as(s"${f}_$v")
+      p.select(col("user_id") +: outCols: _*)
+    },
+    Some {
+      val frags = for (f <- Seq("proc", "deb", "cred"); v <- vocab) yield {
+        val base = f match {
+          case "proc" => svalSql
+          case "deb" => s"CASE WHEN $svalSql > 0 THEN $svalSql END"
+          case "cred" => s"CASE WHEN $svalSql < 0 THEN $svalSql END"
+        }
+        s"round(COALESCE(sum($base) FILTER (WHERE event_type = '$v'), 0), 6) AS ${f}_$v"
+      }
+      s"SELECT user_id, ${frags.mkString(", ")} FROM events GROUP BY user_id"
+    })
+
+  // ------------------------------------------------------------------ A4
+  private val q06: (String, QFn, Option[String]) = ("q06_pivot_dow",
+    (s, d) => Pivots.pivotCount(
+      ev(s, d).withColumn("dow", TimeFeatures.dayOfWeekMon0(col("ts"))),
+      "user_id", "dow", (0 to 6), "value", "dow"),
+    Some(s"""SELECT user_id, ${(0 to 6).map(i =>
+        s"count(value) FILTER (WHERE isodow(ts) - 1 = $i) AS dow_$i")
+        .mkString(", ")}
+      |FROM events GROUP BY user_id""".stripMargin))
+
+  // ------------------------------------------------------------------ P10
+  private val q07: (String, QFn, Option[String]) = ("q07_floor_div",
+    (s, d) => Pivots.floorDiv(
+      Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab, "value",
+        "freq"), freqCols, 5),
+    Some(s"""SELECT user_id, ${vocab.map(v =>
+        s"count(value) FILTER (WHERE event_type = '$v') // 5 AS freq_$v")
+        .mkString(", ")}
+      |FROM events GROUP BY user_id""".stripMargin))
+
+  // ---------------------------------------------------------- A9/A11/A12
+  private val q08: (String, QFn, Option[String]) = ("q08_row_norm",
+    (s, d) => {
+      val pv = Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab,
+        "value", "freq")
+      val normed = RowNorm.rowNormalize(pv, freqCols, "freq_sum")
+      val rounded = normed.select(
+        col("user_id") +:
+          freqCols.map(c => round(col(c), 6).as(c)) :+
+          col("freq_sum").cast("long").as("freq_sum"): _*)
+      val e = ev(s, d).withColumn("sv", sval)
+      val shares = e.groupBy(col("user_id")).agg(
+        coalesce(sum(DebitCredit.debit(col("sv"))), lit(0.0)).as("ds"),
+        coalesce(sum(DebitCredit.credit(col("sv"))), lit(0.0)).as("cs"))
+      val den = round(col("ds") + col("cs"), 2)
+      val sharesOut = shares.select(col("user_id"),
+        when(den === 0, lit(0.0)).otherwise(round(col("ds") / den, 6))
+          .as("deb_share"),
+        when(den === 0, lit(0.0)).otherwise(round(col("cs") / den, 6))
+          .as("cred_share"))
+      rounded.join(sharesOut, Seq("user_id"))
+    },
+    Some {
+      val norms = vocab.map(v =>
+        s"round((count(value) FILTER (WHERE event_type = '$v')) / count(value), 6) AS freq_$v")
+      val ds = s"COALESCE(sum(CASE WHEN $svalSql > 0 THEN $svalSql END), 0)"
+      val cs = s"COALESCE(sum(CASE WHEN $svalSql < 0 THEN $svalSql END), 0)"
+      val den = s"round($ds + $cs, 2)"
+      s"""SELECT user_id, ${norms.mkString(", ")},
+        | count(value) AS freq_sum,
+        | CASE WHEN $den = 0 THEN 0 ELSE round($ds / $den, 6) END AS deb_share,
+        | CASE WHEN $den = 0 THEN 0 ELSE round($cs / $den, 6) END AS cred_share
+        |FROM events GROUP BY user_id""".stripMargin
+    })
+
+  // ------------------------------------------------------------------ A5
+  private val q09: (String, QFn, Option[String]) = ("q09_group_stats",
+    (s, d) => {
+      val e = ev(s, d).withColumn("time_day",
+        TimeFeatures.secondsSinceMidnight(col("ts")))
+      GroupStats.stats(e, Seq("user_id"), "time_day", "td").select(
+        col("user_id"), col("td_count"),
+        round(col("td_mean"), 6).as("td_mean"),
+        round(col("td_std"), 6).as("td_std"),
+        col("td_min").cast("long").as("td_min"),
+        col("td_max").cast("long").as("td_max"),
+        round(col("td_median"), 6).as("td_median"),
+        round(col("td_sem"), 6).as("td_sem"),
+        round(col("td_skew"), 6).as("td_skew"),
+        round(col("td_var"), 2).as("td_var"),
+        col("td_sum").cast("long").as("td_sum"),
+        col("td_amplitude").cast("long").as("td_amplitude"))
+    },
+    Some("""WITH t AS (SELECT user_id,
+      |  hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events)
+      |SELECT user_id, count(td) AS td_count, round(avg(td), 6) AS td_mean,
+      | round(stddev_samp(td), 6) AS td_std, min(td) AS td_min,
+      | max(td) AS td_max, round(median(td), 6) AS td_median,
+      | round(stddev_samp(td) / sqrt(count(td)), 6) AS td_sem,
+      | round(skewness(td), 6) AS td_skew, round(var_samp(td), 2) AS td_var,
+      | sum(td)::BIGINT AS td_sum, (max(td) - min(td))::BIGINT AS td_amplitude
+      |FROM t GROUP BY user_id""".stripMargin))
+
+  // ------------------------------------------------------------------ W1
+  private val q10: (String, QFn, Option[String]) = ("q10_trim",
+    (s, d) => Trim.headTail(ev(s, d), 20, Seq("user_id"), ord)
+      .select(col("event_id"), col("user_id")),
+    Some("""WITH r AS (SELECT event_id, user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS cnt FROM events)
+      |SELECT event_id, user_id FROM r WHERE rn > 20 AND rn <= cnt - 20"""
+      .stripMargin))
+
+  // ------------------------------------------------------- J3/J4/U1/A14/O1
+  // Trim depth 25 so the sf0.01 minimum-activity users (49 rows) vanish and
+  // re-enter through the max-score fallback — both branches exercised.
+  private val q11: (String, QFn, Option[String]) = ("q11_vanished_fallback",
+    (s, d) => {
+      val e = ev(s, d)
+      val trimmed = Trim.headTail(e, 25, Seq("user_id"), ord)
+      val scores = trimmed.groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("target"))
+      val vanished = Trim.vanishedKeys(e, trimmed, Seq("user_id"))
+      val fallback = vanished.crossJoin(
+        broadcast(scores.agg(max(col("target")).as("target"))))
+      scores.unionByName(fallback)
+    },
+    Some("""WITH r AS (SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS cnt FROM events),
+      |s AS (SELECT user_id, round(avg(value), 6) AS target FROM r
+      |      WHERE rn > 25 AND rn <= cnt - 25 GROUP BY user_id),
+      |v AS (SELECT DISTINCT user_id FROM events
+      |      EXCEPT SELECT user_id FROM s)
+      |SELECT user_id, target FROM s
+      |UNION ALL SELECT user_id, (SELECT max(target) FROM s) FROM v"""
+      .stripMargin))
+
+  // ------------------------------------------------- A6/A7/A8 + W6/W7
+  private val q12: (String, QFn, Option[String]) = ("q12_repair",
+    (s, d) => {
+      val in = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), sval.as("amt"))
+      Repair(in, "user_id", "event_type", "amt", nAmt = 10, nMcc = 10)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("amt"), 6).as("amt"))
+    },
+    Some {
+      // exact np.percentile interpolation over the sorted group array —
+      // identical expression tree to Repair.interpPercentile
+      def interp(q: String) =
+        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
+           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
+           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
+           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH sv AS (SELECT event_id, user_id, event_type AS code,
+        |  $svalSql AS amt FROM events),
+        |g AS (SELECT user_id, code, count(*) AS cnt,
+        |      list_sort(list(amt)) AS arr FROM sv GROUP BY user_id, code),
+        |g2 AS (SELECT user_id, code, cnt, arr,
+        |       least(1.0, 10.0/cnt) AS p FROM g),
+        |b AS (SELECT user_id, code, cnt,
+        |      ${interp("p")} AS lo,
+        |      ${interp("1.0 - p")} AS hi,
+        |      ${interp("0.5")} AS med FROM g2),
+        |b2 AS (SELECT b.*, max(cnt) OVER (PARTITION BY user_id) AS mx FROM b),
+        |m1 AS (SELECT user_id, min(code) AS modal_code FROM b2
+        |       WHERE cnt = mx GROUP BY user_id),
+        |m2 AS (SELECT m1.user_id, m1.modal_code, b.med AS modal_med
+        |       FROM m1 JOIN b ON b.user_id = m1.user_id
+        |        AND b.code = m1.modal_code)
+        |SELECT sv.event_id, sv.user_id,
+        | CASE WHEN b.cnt > 10 THEN sv.code ELSE m2.modal_code END
+        |   AS event_type,
+        | round(CASE WHEN b.cnt > 10 THEN
+        |   (CASE WHEN sv.amt > b.hi OR sv.amt < b.lo THEN b.med
+        |    ELSE sv.amt END) ELSE m2.modal_med END, 6) AS amt
+        |FROM sv JOIN b ON sv.user_id = b.user_id AND sv.code = b.code
+        | JOIN m2 ON sv.user_id = m2.user_id""".stripMargin
+    })
+
+  // ------------------------------------------------------------------ W2
+  private val q13: (String, QFn, Option[String]) = ("q13_last_n",
+    (s, d) => Sequences.lastN(ev(s, d), 5, Seq("user_id"), ord)
+      .select(col("user_id"), col("pos").cast("long").as("pos"),
+        col("event_id")),
+    Some("""WITH r AS (SELECT user_id, event_id, row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS pos
+      |  FROM events)
+      |SELECT user_id, pos, event_id FROM r WHERE pos <= 5""".stripMargin))
+
+  // ------------------------------------------------------------ W3/W4/W5/P6
+  private val q14: (String, QFn, Option[String]) = ("q14_seq_scalars",
+    (s, d) => {
+      val e = ev(s, d)
+      val withRef = e.crossJoin(broadcast(
+        e.agg(min(unix_micros(col("ts"))).as("_e0"))))
+        .withColumn("sv", sval)
+      val td = TimeFeatures.hoursSince(col("ts"), col("_e0"))
+      withRef.select(col("event_id"),
+        round(Sequences.cumSum(col("sv"), Seq("user_id"), ord), 6)
+          .as("cum_amt"),
+        round(Sequences.zScorePop(col("value"), Seq("user_id")), 6)
+          .as("z_value"),
+        Sequences.rebaseToFirst(td, Seq("user_id"), ord).cast("long")
+          .as("td_rebased"))
+    },
+    Some(s"""WITH sv AS (SELECT event_id, user_id, ts, value,
+      |  $svalSql AS amt FROM events),
+      |r AS (SELECT min(epoch_us(ts)) AS e0 FROM events)
+      |SELECT event_id,
+      | round(sum(amt) OVER w, 6) AS cum_amt,
+      | round(CASE WHEN stddev_pop(value) OVER p = 0
+      |         OR stddev_pop(value) OVER p IS NULL THEN 0
+      |       ELSE (value - avg(value) OVER p) / (stddev_pop(value) OVER p)
+      |       END, 6) AS z_value,
+      | (floor((epoch_us(ts) - e0) / 3600000000)
+      |  - first_value(floor((epoch_us(ts) - e0) / 3600000000)) OVER w2)
+      |  ::BIGINT AS td_rebased
+      |FROM sv, r
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS UNBOUNDED PRECEDING),
+      | p AS (PARTITION BY user_id),
+      | w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
+
+  // ------------------------------------------------------------------ E1
+  private val q15: (String, QFn, Option[String]) = ("q15_one_hot",
+    (s, d) => {
+      val oh = OneHot.withOneHot(ev(s, d), "event_type", vocab, "et")
+      oh.select(col("event_id") +:
+        vocab.map(v => col(s"et_$v").cast("long").as(s"et_$v")): _*)
+    },
+    Some(s"""SELECT event_id, ${vocab.map(v =>
+        s"(CASE WHEN event_type = '$v' THEN 1 ELSE 0 END)::BIGINT AS et_$v")
+        .mkString(", ")} FROM events""".stripMargin))
+
+  // ------------------------------------------------------------------ P11
+  private val binEdges = Seq(0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
+  private val q16: (String, QFn, Option[String]) = ("q16_bucketize",
+    (s, d) => ev(s, d).select(col("event_id"),
+      Bucketize(col("value"), binEdges).cast("long").as("bin")),
+    Some {
+      val whens = binEdges.sliding(2).zipWithIndex.map {
+        case (Seq(lo, hi), i) => s"WHEN value > $lo AND value <= $hi THEN $i"
+        case _ => ""
+      }.mkString(" ")
+      s"SELECT event_id, (CASE $whens ELSE NULL END)::BIGINT AS bin FROM events"
+    })
+
+  // ------------------------------------------------------------------ E2
+  // Tensor assembly: array<array<double>> output — not hash-comparable via
+  // the SQL oracle (rows-only check); semantics pinned by SequencesSpec.
+  private val q17: (String, QFn, Option[String]) = ("q17_sequences",
+    (s, d) => Sequences.assembleSequences(
+      ev(s, d).withColumn("sv", sval), 5, Seq("user_id"),
+      struct(col("ts"), col("event_id")), Seq("value", "sv")),
+    None)
+
+  // -------------------------------------------------------------- J2/P12
+  private val q18: (String, QFn, Option[String]) = ("q18_feature_matrix",
+    (s, d) => {
+      val e = ev(s, d)
+      val pv = Pivots.pivotCount(e, "user_id", "event_type", vocab, "value",
+        "freq")
+      val sums = {
+        val p = e.withColumn("sv", sval).groupBy(col("user_id"))
+          .pivot("event_type", vocab).agg(sum(col("sv")))
+        p.select(col("user_id") +: vocab.map(v =>
+          round(coalesce(col(v), lit(0.0)), 6).as(s"proc_$v")): _*)
+      }
+      val st = GroupStats.stats(
+        e.withColumn("time_day", TimeFeatures.secondsSinceMidnight(col("ts"))),
+        Seq("user_id"), "time_day", "td")
+        .select(col("user_id"), round(col("td_mean"), 6).as("td_mean"),
+          round(col("td_std"), 6).as("td_std"))
+      val joined = pv.join(sums, Seq("user_id"), "outer")
+        .join(st, Seq("user_id"), "outer")
+        .na.fill(0.0)
+      // P12: model-demanded column absent from the data → zero column
+      joined.withColumn("nn_predict", lit(0.0))
+    },
+    Some(s"""SELECT user_id, ${pivotCountSql()},
+      | ${vocab.map(v => s"round(COALESCE(sum($svalSql) FILTER (WHERE event_type = '$v'), 0), 6) AS proc_$v").mkString(", ")},
+      | round(avg(hour(ts)*3600 + minute(ts)*60 + second(ts)), 6) AS td_mean,
+      | round(stddev_samp(hour(ts)*3600 + minute(ts)*60 + second(ts)), 6)
+      |   AS td_std,
+      | 0.0 AS nn_predict
+      |FROM events GROUP BY user_id""".stripMargin))
+
+  // -------------------------------------------------------------- A13/U1
+  private val q19: (String, QFn, Option[String]) = ("q19_ensemble_mean",
+    (s, d) => {
+      val e = ev(s, d)
+      val run0 = e.select(col("user_id"), col("value").as("v"))
+      val run1 = e.select(col("user_id"), (col("value") * 0.5).as("v"))
+      run0.unionByName(run1).groupBy(col("user_id"))
+        .agg(round(avg(col("v")), 6).as("target"))
+    },
+    Some("""SELECT user_id, round(avg(v), 6) AS target FROM (
+      |  SELECT user_id, value AS v FROM events
+      |  UNION ALL SELECT user_id, value * 0.5 AS v FROM events)
+      |GROUP BY user_id""".stripMargin))
+
+  // ------------------------------------------------------------------ E3
+  // Bootstrap sampling is seed-deterministic in Spark but not reproducible
+  // in DuckDB — rows-only check (SURVEY.md §2.8 E3).
+  private val q20: (String, QFn, Option[String]) = ("q20_bootstrap",
+    (s, d) => Sampling.bootstrapRuns(ev(s, d), 3, 0.95, 42L)
+      .groupBy(col("run_id"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value")),
+    None)
+
+  // ------------------------------------------- TPC-H-style scan/join/agg
+  private val q21: (String, QFn, Option[String]) = ("q21_pricing_summary",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+      |   AS sum_charge,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_extendedprice), 6) AS avg_price,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  // small dims explicitly broadcast: map-side join, zero shuffle of customer
+  private val q22: (String, QFn, Option[String]) = ("q22_join_broadcast",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("num_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal")),
+    Some("""SELECT r_name, count(*) AS num_customers,
+      | round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin))
+
+  // big-big shuffle join (AQE picks the strategy) + distinct aggregate
+  private val q23: (String, QFn, Option[String]) = ("q23_join_bigbig",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue")),
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+      | count(DISTINCT o_orderkey) AS n_orders,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin))
+
+  // ------------------------------------------------------- O-family top-k
+  private val q24: (String, QFn, Option[String]) = ("q24_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          col("o_totalprice"))
+    },
+    Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+      |SELECT o_custkey, o_orderkey, rk, o_totalprice FROM r WHERE rk <= 3"""
+      .stripMargin))
+
+  // ---------------------------------------- event-time tumbling window
+  // Batch analog of the Structured Streaming aggregation (SURVEY.md §2.10);
+  // the same groupBy(window(...)) plan runs unchanged under readStream.
+  private val q25: (String, QFn, Option[String]) = ("q25_hourly_window",
+    (s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value")),
+    Some("""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT
+      |   AS hour_start,
+      | event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}

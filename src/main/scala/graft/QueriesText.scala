@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.schema.Tables
+
+/**
+ * Driver-contract query registry, part 2: training-data-pipeline operators
+ * (dedup, similarity search, text analysis, multimodal plumbing) over the
+ * `documents` and `embeddings` tables.
+ *
+ * MinHash/SimHash use the md5-derived hash family so the DuckDB oracle can
+ * reproduce signatures bit-for-bit (Dedup.md5Hash); integer signature
+ * arithmetic keeps every comparison exact. The xxhash64 family is the
+ * production path (see Dedup docs).
+ */
+object QueriesText {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  // word 3-gram shingle list over the token array (empty when < 3 tokens)
+  private val shingleListSql =
+    s"""list_transform(range(1, greatest(len($tokSql) - 1, 1)),
+       | i -> array_to_string(list_slice($tokSql, i, i + 2), ' '))"""
+      .stripMargin.replaceAll("\n", "")
+  private val shCte =
+    s"""toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+       |  FROM toks))""".stripMargin
+  private def md5HashSql(expr: String) =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------- exact dedup
+  private val d01: (String, QFn, Option[String]) = ("d01_exact_dedup",
+    (s, d) => Dedup.exact(docs(s, d), "doc_id", md5(col("text"))),
+    Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+      | count(*) AS dup_count
+      |FROM documents GROUP BY md5(text)""".stripMargin))
+
+  // ----------------------------------------------------- token counting
+  private val d02: (String, QFn, Option[String]) = ("d02_token_counts",
+    (s, d) => TextOps.withTokenCounts(docs(s, d), "text")
+      .select(col("doc_id"), col("n_tokens_regex"), col("n_tokens_ws"),
+        col("n_distinct_tokens")),
+    Some(s"""SELECT doc_id, len($tokSql) AS n_tokens_regex,
+      | len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+      |   AS n_tokens_ws,
+      | len(list_distinct($tokSql)) AS n_distinct_tokens
+      |FROM documents""".stripMargin))
+
+  // ----------------------------------------------------- quality scoring
+  private val d03: (String, QFn, Option[String]) = ("d03_quality_score",
+    (s, d) => {
+      val t = docs(s, d)
+      t.select(col("doc_id") +:
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))): _*)
+    },
+    Some {
+      val stopList = TextOps.langStopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      val t = tokSql
+      val nToks = s"len($t)"
+      val meanLen = s"CASE WHEN $nToks > 0 THEN " +
+        s"list_sum(list_transform($t, x -> len(x))) / $nToks ELSE 0 END"
+      val stopRatio = s"CASE WHEN $nToks > 0 THEN " +
+        s"len(list_filter($t, x -> list_contains([$stopList], x))) / $nToks ELSE 0 END"
+      val ttr = s"CASE WHEN $nToks > 0 THEN " +
+        s"len(list_distinct($t)) / $nToks ELSE 0 END"
+      val digitRatio = s"CASE WHEN length(text) > 0 THEN " +
+        s"len(regexp_extract_all(text, '[0-9]')) / length(text) ELSE 0 END"
+      s"""SELECT doc_id,
+        | length(text)::BIGINT AS n_chars_calc,
+        | len($t)::BIGINT AS n_tokens,
+        | len(list_distinct($t))::BIGINT AS n_distinct_tokens,
+        | round($meanLen, 6) AS mean_token_len,
+        | round($stopRatio, 6) AS stopword_ratio,
+        | round($ttr, 6) AS type_token_ratio,
+        | round($digitRatio, 6) AS digit_ratio,
+        | round(0.35 * ($ttr) + 0.35 * ($stopRatio)
+        |   + 0.2 * (1.0 - ($digitRatio))
+        |   + 0.1 * least(($meanLen) / 10.0, 1.0), 6) AS quality_score
+        |FROM documents""".stripMargin
+    })
+
+  // --------------------------------------------------------- language ID
+  private val d04: (String, QFn, Option[String]) = ("d04_lang_id",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
+    Some {
+      val langs = TextOps.langStopwords
+      def score(l: String) = s"s_$l"
+      val scoreDefs = langs.map { case (l, sw) =>
+        val list = sw.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($tokSql, x -> list_contains([$list], x))) AS s_$l"
+      }.mkString(", ")
+      val whens = langs.map { case (l, _) =>
+        val others = langs.collect { case (o, _) if o != l =>
+          s"${score(l)} >= ${score(o)}" }.mkString(" AND ")
+        s"WHEN ${score(l)} > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, $scoreDefs FROM documents)
+        |SELECT doc_id, CASE $whens ELSE 'und' END AS lang_pred FROM sc"""
+        .stripMargin
+    })
+
+  // --------------------------------------------- n-gram Jaccard near-dup
+  private val d05: (String, QFn, Option[String]) = ("d05_ngram_jaccard",
+    (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+      threshold = 0.2),
+    Some(s"""WITH $shCte,
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.2""".stripMargin))
+
+  // --------------------------------------------------------- MinHash+LSH
+  private val MINHASH_K = 16
+  private val MINHASH_BANDS = 4
+  private val d06: (String, QFn, Option[String]) = ("d06_minhash_lsh",
+    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS),
+    Some(s"""WITH $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id)
+      |SELECT c.a, c.b,
+      | round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |   / ${MINHASH_K.toDouble}, 6) AS est_jaccard
+      |FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |GROUP BY c.a, c.b""".stripMargin))
+
+  // ------------------------------------------------------------ SimHash
+  private val SIMHASH_BITS = 16
+  private val d07: (String, QFn, Option[String]) = ("d07_simhash",
+    (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text", SIMHASH_BITS)
+      .select(col("doc").as("doc_id"), col("simhash")),
+    Some {
+      val bitSums = (0 until SIMHASH_BITS)
+        .map(i => s"sum((hv >> $i) & 1) AS b$i").mkString(", ")
+      val hash = (0 until SIMHASH_BITS)
+        .map(i => s"CASE WHEN b$i * 2 > n THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokSql)) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, ${md5HashSql("w || '#0'")} AS hv FROM tok),
+        |agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h
+        |  GROUP BY doc_id)
+        |SELECT doc_id, ($hash)::BIGINT AS simhash FROM agg""".stripMargin
+    })
+
+  private val d08: (String, QFn, Option[String]) = ("d08_simhash_pairs",
+    (s, d) => Dedup.simhashPairs(
+      Dedup.simhash(docs(s, d), "doc_id", "text", SIMHASH_BITS), maxDist = 4),
+    Some {
+      val simhashSql = d07._3.get
+      s"""WITH s AS ($simhashSql)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        | bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4""".stripMargin
+    })
+
+  // ------------------------------------------------------ fingerprinting
+  private val d09: (String, QFn, Option[String]) = ("d09_fingerprint",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin))
+
+  // ------------------------------------------------- brute-force cosine KNN
+  private val e01: (String, QFn, Option[String]) = ("e01_knn_brute",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.bruteKnn(e.filter(col("id") < 20), e, 5)
+    },
+    Some("""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  round(list_dot_product(q.v, c.v)
+      |    / (sqrt(list_dot_product(q.v, q.v))
+      |       * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+      |ranked AS (SELECT qid, nid, sim, row_number() OVER
+      |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+      |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+      .stripMargin))
+
+  // -------------------------------------------- LSH-bucketed approximate NN
+  // Bucketing depends on Spark-side fold order inside the signature — the
+  // recall/structure is pinned by SimilaritySpec; rows-only check here.
+  private val e02: (String, QFn, Option[String]) = ("e02_knn_lsh",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.lshKnn(e.filter(col("id") < 20), e, 5)
+    },
+    None)
+
+  // ------------------------------------------------- multimodal plumbing
+  private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",
+    (s, d) => Multimodal.withPayloadMeta(
+      docs(s, d).withColumn("payload", col("text").cast("binary")), "payload")
+      .select(col("doc_id"), col("n_bytes"), col("digest")),
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      | md5(text) AS digest FROM documents""".stripMargin))
+
+  // Stubbed decode + frame sampling + per-partition batch path — array
+  // outputs and RDD stage are not SQL-expressible; rows-only check, with
+  // MultimodalSpec pinning determinism.
+  private val m02: (String, QFn, Option[String]) = ("m02_decode_stub",
+    (s, d) => {
+      val withPayload = docs(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.decodePartitioned(withPayload, "payload")
+        .withColumn("frames", Multimodal.sampleFramesStub(col("payload"), 4))
+        .select(col("doc_id"), col("features"), col("frames"))
+    },
+    None)
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, m01, m02)
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * A6/A7/A8 + W6/W7: adversarial-defense value/key repair
+ * (reference `run.py:25-79`).
+ *
+ * Reference semantics, decomposed relationally (the reference runs an
+ * O(users) Python loop with nested per-row scans; here it is one
+ * groupBy(user, code) + one groupBy(user) + two joins back — two shuffles on
+ * keys the rest of the pipeline already partitions by):
+ *
+ *  - per (user, code): count; codes with count > nMcc are "frequent" (A6);
+ *  - per frequent (user, code), from the ORIGINAL amounts (the loop
+ *    snapshots `amt_f_mcc` before mutating): p = min(100, 100*nAmt/count)
+ *    percentile bounds lo = P(p), hi = P(100-p), and the median (A7);
+ *  - per user: modal code = argmax of count over ALL codes, numpy tie order
+ *    = first in sorted-unique order = smallest code (A8), and the median
+ *    amount of that modal code;
+ *  - W6: rows of frequent codes with amt > hi or amt < lo get the group
+ *    median;
+ *  - W7: rows of rare codes (count <= nMcc) get (modal code, modal median).
+ *
+ * `np.percentile` is exact linear interpolation; the percentile fraction
+ * varies per group, and Spark's `percentile` needs a foldable fraction, so
+ * we interpolate over the group's sorted amounts ourselves
+ * (`Repair.interpPercentile`). Group = one user's rows for one code —
+ * bounded size, so the collected array is small regardless of total data
+ * scale.
+ */
+object Repair {
+
+  /** Exact linear-interpolated percentile (np.percentile / quantile_cont
+    * semantics) over a pre-sorted array, fraction in [0,1]. */
+  def interpPercentile(sortedArr: Column, frac: Column): Column = {
+    val n = size(sortedArr)
+    val idx = frac * (n.cast("double") - 1) // 0-based fractional rank
+    val lo = floor(idx).cast("int")
+    val hi = ceil(idx).cast("int")
+    val vLo = element_at(sortedArr, lo + 1)
+    val vHi = element_at(sortedArr, hi + 1)
+    when(n === 0, lit(null)).otherwise(vLo + (idx - lo.cast("double")) * (vHi - vLo))
+  }
+
+  /** Per-(user, code) stats frame: cnt, lo, hi, med (A6/A7). */
+  def groupBounds(df: DataFrame, user: String, code: String, amt: String,
+                  nAmt: Int): DataFrame = {
+    val sorted = array_sort(collect_list(col(amt).cast("double")))
+    val cnt = count(lit(1))
+    df.groupBy(col(user), col(code))
+      .agg(cnt.as("_cnt"), sorted.as("_sorted"))
+      .withColumn("_p", least(lit(1.0), lit(nAmt.toDouble) / col("_cnt")))
+      .withColumn("_lo", interpPercentile(col("_sorted"), col("_p")))
+      .withColumn("_hi", interpPercentile(col("_sorted"), lit(1.0) - col("_p")))
+      .withColumn("_med", interpPercentile(col("_sorted"), lit(0.5)))
+      .drop("_sorted", "_p")
+  }
+
+  /** Per-user modal code (+ its median amount): A8, numpy tie order — among
+    * max-count codes take the SMALLEST (np.unique returns codes sorted, and
+    * argmax picks the first maximum). */
+  def modal(bounds: DataFrame, user: String, code: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col(user))
+    bounds
+      .withColumn("_mx", max(col("_cnt")).over(byUser))
+      .filter(col("_cnt") === col("_mx"))
+      .groupBy(col(user))
+      .agg(min(col(code)).as("_modal_code"),
+        min_by(col("_med"), col(code)).as("_modal_med"))
+  }
+
+  /** Full W6+W7 repair: returns `df` with `code` and `amt` replaced by their
+    * repaired values (same column names). */
+  def apply(df: DataFrame, user: String, code: String, amt: String,
+            nAmt: Int = 10, nMcc: Int = 10): DataFrame = {
+    val bounds = groupBounds(df, user, code, amt, nAmt)
+    val modals = modal(bounds, user, code)
+    val passthrough = df.columns.filterNot(c => c == code || c == amt).map(col).toSeq
+    df.join(bounds, Seq(user, code), "left")
+      .join(modals, Seq(user), "left")
+      .select(passthrough ++ Seq(
+        when(col("_cnt") > nMcc, col(code)).otherwise(col("_modal_code")).as(code),
+        when(col("_cnt") > nMcc,
+          when(col(amt) > col("_hi") || col(amt) < col("_lo"), col("_med"))
+            .otherwise(col(amt)))
+          .otherwise(col("_modal_med")).as(amt)): _*)
+  }
+}

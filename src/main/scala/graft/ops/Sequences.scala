@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * W2-W5 + E2: per-group ordered-sequence operators
+ * (reference `run.py:110-126`, `model.py:185-196`).
+ *
+ * The reference does all of this in an O(users) Python loop slicing one
+ * DataFrame per user; here each op is a single Window/groupBy over
+ * `partitionBy(user)` — one shuffle, co-partitioned with every other
+ * per-user stage, so Catalyst reuses the exchange across the pipeline.
+ */
+object Sequences {
+
+  private def w(partCols: Seq[String], orderCols: Seq[Column]) =
+    Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+
+  private def wFull(partCols: Seq[String]) =
+    Window.partitionBy(partCols.map(col): _*)
+
+  /** W3: running (cumulative) sum in event order (`run.py:116-118`). */
+  def cumSum(c: Column, partCols: Seq[String], orderCols: Seq[Column]): Column =
+    sum(c).over(w(partCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W4: rebase to the group's first value in event order
+    * (`timediff - timediff.iloc[0]`, `run.py:120`). */
+  def rebaseToFirst(c: Column, partCols: Seq[String], orderCols: Seq[Column]): Column =
+    c - first(c).over(w(partCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W5: per-group z-score with POPULATION std (sklearn StandardScaler,
+    * ddof=0, `run.py:113-115`); sklearn maps sigma=0 to divide-by-1, and the
+    * numerator is 0 there, so zero-variance groups z-score to 0. */
+  def zScorePop(c: Column, partCols: Seq[String]): Column = {
+    val full = wFull(partCols)
+    val sd = stddev_pop(c).over(full)
+    when(sd === 0 || sd.isNull, lit(0.0)).otherwise((c - avg(c).over(full)) / sd)
+  }
+
+  /** W2 (relational form): keep the last `n` rows of each group in event
+    * order (`model.py:185-191` keeps the last 300 transactions). Emits
+    * `posCol` = 1 for the newest row, n for the oldest kept. */
+  def lastN(df: DataFrame, n: Int, partCols: Seq[String],
+            orderCols: Seq[Column], posCol: String = "pos"): DataFrame = {
+    val wDesc = w(partCols, orderCols.map(_.desc))
+    df.withColumn(posCol, row_number().over(wDesc)).filter(col(posCol) <= n)
+  }
+
+  /** W2+E2 (tensor form): per group, the last `n` events as a time-ordered
+    * array of feature vectors, LEFT-padded with zero vectors to exactly `n`
+    * (`model.py:188-196`). One groupBy + array ops; no per-user driver loop.
+    * Output: partCols ++ (seqCol: array<array<double>>). */
+  def assembleSequences(df: DataFrame, n: Int, partCols: Seq[String],
+                        orderCol: Column, featureCols: Seq[String],
+                        seqCol: String = "seq"): DataFrame = {
+    val features = array(featureCols.map(c => col(c).cast("double")): _*)
+    val grouped = df
+      .select(partCols.map(col) :+
+        struct(orderCol.as("_o"), features.as("_f")).as("_row"): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(collect_list(col("_row")).as("_rows"))
+    val ordered = transform(array_sort(col("_rows")), r => r.getField("_f"))
+    val lastSlice = slice(ordered, lit(-n), lit(n))
+    val zeroVec = array(featureCols.map(_ => lit(0.0)): _*)
+    val padded = concat(
+      array_repeat(zeroVec, lit(n) - size(lastSlice)), lastSlice)
+    grouped.withColumn(seqCol, padded).drop("_rows")
+  }
+}

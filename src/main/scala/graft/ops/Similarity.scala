@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, and an LSH-bucketed (random-hyperplane)
+ * approximate variant as the scale path.
+ *
+ * Scale design: brute force is O(Q x N) — fine when the query side is small
+ * enough to broadcast (it is here: queries x dim floats). At corpus scale the
+ * LSH variant turns the crossJoin into an equi-join on bucket signatures, so
+ * the shuffle moves only (id, bucket, vector) rows and each bucket is a tiny
+ * local top-k. Dot products use `zip_with` + `aggregate` (codegen'd
+ * higher-order functions) — a strict left-to-right fold, which also makes the
+ * result bit-reproducible against sequential engines.
+ */
+object Similarity {
+
+  /** Strict left-fold dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; zero-norm vectors → null (guard, never NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d)
+  }
+
+  /** Exact top-k cosine neighbors of each query vector over the corpus.
+    * `queries`/`corpus`: (id, vec). Ranking is on the ROUNDED similarity
+    * (6 dp) with id tiebreak — deterministic under float noise. The query
+    * side is broadcast: the join is a map-side nested loop, no shuffle of
+    * the corpus. */
+  def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"))
+    val scored = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from md5(plane, dim) so signatures are reproducible across engines and
+    * runs (no RNG state; same trick as Dedup.md5Hash). */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (Dedup.md5Hash(lit(s"plane$plane"), d).cast("double")
+      / lit(math.pow(2, 59))) - lit(1.0)
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
+    * Cosine-similar vectors agree on most sign bits. */
+  def lshSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates = corpus vectors sharing an LSH band with
+    * the query (bands of `planes/bands` sign bits), then exact cosine rank
+    * within candidates. Join is equi on (band, bandBits) — no crossJoin, so
+    * the corpus side scales out; recall is tunable via planes/bands. */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = planes / bands
+    val mask = (1L << rows) - 1
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val sig = lshSignature(col("vec"), planes)
+      df.select(col("id").as(idAs), col("vec").as(vecAs), sig.as("sig"))
+        .select(col(idAs), col(vecAs),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
+                .as("bits"))): _*)).as("bb"))
+        .select(col(idAs), col(vecAs),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+    }
+    val qb = broadcast(banded(queries, "qid", "qv"))
+    val cb = banded(corpus, "nid", "nv")
+    val cand = qb.join(cb, Seq("band", "bits"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+}

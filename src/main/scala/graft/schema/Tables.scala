@@ -1,0 +1,84 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Table loaders + declared schemas.
+ *
+ * The engine's primary event-series abstraction mirrors the reference's
+ * `transactions` table (reference `model.py:208-212`: user_id, mcc_code,
+ * currency_rk, transaction_amt, transaction_dttm). On the driver's testdata
+ * the natural stand-in is `events` (user_id, ts, event_type, value) — see
+ * FIXTURES.md §2 for the column mapping convention.
+ *
+ * Schemas are DECLARED, never inferred (reference declares dtypes at read
+ * time, `model.py:212`); at 100 TB an inference pass over the input is an
+ * extra full scan and a correctness hazard.
+ */
+object Tables {
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects unless nanos are read as raw longs. Convert with integer
+    * division (`DIV 1000`) — a double division at 1.7e18 ns magnitude is
+    * above 2^53 and would corrupt the microseconds. Sub-microsecond parts in
+    * the testdata are zero (verified), so this is lossless here. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Fixed event-type vocabulary — the closed-world column list of the
+    * driver testdata, mirroring the reference's hardcoded MCC vocabularies
+    * (`run.py:105,243`): pivots/one-hots project to this list and zero-fill,
+    * so unseen categories are dropped and absent ones become zero columns.
+    * Passing the list to `pivot(col, values)` also skips Spark's extra
+    * distinct-values job — one fewer scan at 100 TB. */
+  val eventTypeVocab: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Reference input schema (`model.py:208-212`), for CSV ingestion parity
+    * (operator S1). */
+  val transactionsSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("mcc_code", LongType, nullable = true),
+    StructField("currency_rk", LongType, nullable = true),
+    StructField("transaction_amt", DoubleType, nullable = true),
+    StructField("transaction_dttm", TimestampType, nullable = true)))
+
+  /** S1: CSV scan with declared schema + timestamp parsing
+    * (`model.py:208-212`, `run.py:29,90`). */
+  def readTransactionsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(transactionsSchema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** S2: CSV sink, header, no index column (`run.py:85,486`). `coalesce(1)`
+    * only when a single file is demanded (submission-style outputs); at scale
+    * leave partitioned. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+}

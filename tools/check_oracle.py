@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run each
+SparkEntry.oracleSql in DuckDB over the same parquet tables and compare with
+the parquet that graft.Verify dumped. Usage:
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cmp(name, spark_df, duck_df):
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"SCHEMA spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+    a, b = canon(spark_df), canon(duck_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        for i, (x, y) in enumerate(zip(av, bv)):
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            yn = y is None or (isinstance(y, float) and math.isnan(y))
+            if xn and yn:
+                continue
+            if xn != yn:
+                return f"NULLDIFF col={col} row={i} spark={x} duck={y}"
+            if isinstance(x, float) or isinstance(y, float):
+                if float(x) != float(y):
+                    return f"VAL col={col} row={i} spark={x!r} duck={y!r}"
+            elif str(x) != str(y):
+                return f"VAL col={col} row={i} spark={x!r} duck={y!r}"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not pq:
+            results[name] = "MISSING spark output"
+            continue
+        try:
+            duck_df = con.sql(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"DUCKDB ERROR {str(e)[:200]}"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in pq])
+        results[name] = cmp(name, spark_df, duck_df)
+    # queries without oracle: rows-only
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        pq = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in pq) if pq else 0
+        results[name] = None if n > 0 else "EMPTY (rows-only check)"
+    npass = sum(1 for v in results.values() if v is None)
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v is None else 'FAIL'} {name}" + (f" :: {v}" if v else ""))
+    print(f"\n{npass}/{len(results)} pass")
+    sys.exit(0 if npass == len(results) else 1)
+
+main()
