@@ -64,7 +64,10 @@ object Sequences {
       .groupBy(partCols.map(col): _*)
       .agg(collect_list(col("_row")).as("_rows"))
     val ordered = transform(array_sort(col("_rows")), r => r.getField("_f"))
-    val lastSlice = slice(ordered, lit(-n), lit(n))
+    // Python's arr[-n:] keeps everything when len < n; Spark's
+    // slice(arr, -n, n) returns EMPTY there — clamp the start index.
+    val lastSlice = slice(ordered,
+      greatest(size(ordered) - (n - 1), lit(1)), lit(n))
     val zeroVec = array(featureCols.map(_ => lit(0.0)): _*)
     val padded = concat(
       array_repeat(zeroVec, lit(n) - size(lastSlice)), lastSlice)

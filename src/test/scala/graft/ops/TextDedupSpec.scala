@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup + similarity operator specs: shingles, fingerprint
+  * robustness, MinHash/LSH recall vs exact Jaccard, SimHash locality,
+  * KNN correctness and LSH-ANN recall, multimodal stub determinism. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles: regex tokens, word n-grams, short docs empty") {
+    val df = Seq("The quick brown fox,  jumps!", "a b").toDF("text")
+    val got = df.select(TextOps.shingles(TextOps.tokens($"text"), 3))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("the quick brown", "quick brown fox",
+      "brown fox jumps"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("fingerprint is robust to case/punctuation/whitespace edits") {
+    val df = Seq("Hello,  World!", "hello world", "hello  world.",
+      "different doc").toDF("text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(df, "doc_id", md5($"text")).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds the overlapping pair with the exact score") {
+    val a = "w1 w2 w3 w4 w5"            // shingles: 123,234,345
+    val b = "w1 w2 w3 w4 zz"            // shingles: 123,234,34z
+    val c = "x1 x2 x3 x4 x5"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // 2 shared / 4 union
+  }
+
+  test("minhashLsh surfaces true near-duplicates with sane estimates") {
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val near2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val far = "one two three four five six seven eight"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(df, "doc_id", "text", n = 3, k = 16, bands = 8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val df = Seq(
+      (1L, "spark engine query plan shuffle partition broadcast join"),
+      (2L, "spark engine query plan shuffle partition broadcast agg"),
+      (3L, "completely different words about cooking pasta tonight"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simhash(df, "doc_id", "text", 32)
+    val pairs = Dedup.simhashPairs(hashes, maxDist = 10)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("bruteKnn ranks by cosine with deterministic tiebreak") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val r = Similarity.bruteKnn(vecs.filter($"id" === 0), vecs, 3)
+      .orderBy("rank").select("nid").as[Long].collect()
+    assert(r.toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("lshKnn achieves high recall vs brute force on clustered vectors") {
+    // two tight clusters: recall of top-3 within the query's own cluster
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec)
+    }
+    val df = base.toDF("id", "vec")
+    val q = df.filter($"id" < 4)
+    val brute = Similarity.bruteKnn(q, df, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(q, df, 3, planes = 8, bands = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val df = Seq("the cat and the dog is in a house",
+      "der hund und die katze ist nicht da",
+      "xyzzy qwerty asdf").toDF("text")
+    val got = df.select(TextOps.langId(TextOps.tokens($"text")))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("decodePartitioned emits deterministic stub features per payload") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val r = Multimodal.decodePartitioned(df, "payload")
+      .orderBy("doc_id").select("features").as[Seq[Double]].collect()
+    assert(r(0).length == 4)
+    assert(r(0)(1) == 'a'.toDouble && r(0)(2) == 'c'.toDouble)
+    assert(r(1) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+}
