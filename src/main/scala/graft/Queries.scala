@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.pipeline.{LinearScorer, Pipeline}
 import graft.schema.Tables
 
 /**
@@ -230,48 +231,52 @@ object Queries {
       .stripMargin))
 
   // ------------------------------------------------- A6/A7/A8 + W6/W7
+  /** Shared repair CTE chain: exact np.percentile interpolation over the
+    * sorted group array — identical expression tree to
+    * Repair.interpPercentile. Final CTE `rep` = repaired rows, unrounded. */
+  private def repairCtesSql: String = {
+    def interp(q: String) =
+      s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
+         | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
+         |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
+         |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
+        .stripMargin.replaceAll("\n", "")
+    s"""sv AS (SELECT event_id, user_id, ts, event_type AS code,
+      |  $svalSql AS amt FROM events),
+      |g AS (SELECT user_id, code, count(*) AS cnt,
+      |      list_sort(list(amt)) AS arr FROM sv GROUP BY user_id, code),
+      |g2 AS (SELECT user_id, code, cnt, arr,
+      |       least(1.0, 10.0/cnt) AS p FROM g),
+      |b AS (SELECT user_id, code, cnt,
+      |      ${interp("p")} AS lo,
+      |      ${interp("1.0 - p")} AS hi,
+      |      ${interp("0.5")} AS med FROM g2),
+      |b2 AS (SELECT b.*, max(cnt) OVER (PARTITION BY user_id) AS mx FROM b),
+      |m1 AS (SELECT user_id, min(code) AS modal_code FROM b2
+      |       WHERE cnt = mx GROUP BY user_id),
+      |m2 AS (SELECT m1.user_id, m1.modal_code, b.med AS modal_med
+      |       FROM m1 JOIN b ON b.user_id = m1.user_id
+      |        AND b.code = m1.modal_code),
+      |rep AS (SELECT sv.event_id, sv.user_id, sv.ts,
+      | CASE WHEN b.cnt > 10 THEN sv.code ELSE m2.modal_code END AS code,
+      | CASE WHEN b.cnt > 10 THEN
+      |   (CASE WHEN sv.amt > b.hi OR sv.amt < b.lo THEN b.med
+      |    ELSE sv.amt END) ELSE m2.modal_med END AS amt
+      |FROM sv JOIN b ON sv.user_id = b.user_id AND sv.code = b.code
+      | JOIN m2 ON sv.user_id = m2.user_id)""".stripMargin
+  }
+
   private val q12: (String, QFn, Option[String]) = ("q12_repair",
     (s, d) => {
-      val in = ev(s, d).select(col("event_id"), col("user_id"),
+      val in = ev(s, d).select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), sval.as("amt"))
       Repair(in, "user_id", "event_type", "amt", nAmt = 10, nMcc = 10)
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("amt"), 6).as("amt"))
     },
-    Some {
-      // exact np.percentile interpolation over the sorted group array —
-      // identical expression tree to Repair.interpPercentile
-      def interp(q: String) =
-        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
-           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
-           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
-           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
-          .stripMargin.replaceAll("\n", "")
-      s"""WITH sv AS (SELECT event_id, user_id, event_type AS code,
-        |  $svalSql AS amt FROM events),
-        |g AS (SELECT user_id, code, count(*) AS cnt,
-        |      list_sort(list(amt)) AS arr FROM sv GROUP BY user_id, code),
-        |g2 AS (SELECT user_id, code, cnt, arr,
-        |       least(1.0, 10.0/cnt) AS p FROM g),
-        |b AS (SELECT user_id, code, cnt,
-        |      ${interp("p")} AS lo,
-        |      ${interp("1.0 - p")} AS hi,
-        |      ${interp("0.5")} AS med FROM g2),
-        |b2 AS (SELECT b.*, max(cnt) OVER (PARTITION BY user_id) AS mx FROM b),
-        |m1 AS (SELECT user_id, min(code) AS modal_code FROM b2
-        |       WHERE cnt = mx GROUP BY user_id),
-        |m2 AS (SELECT m1.user_id, m1.modal_code, b.med AS modal_med
-        |       FROM m1 JOIN b ON b.user_id = m1.user_id
-        |        AND b.code = m1.modal_code)
-        |SELECT sv.event_id, sv.user_id,
-        | CASE WHEN b.cnt > 10 THEN sv.code ELSE m2.modal_code END
-        |   AS event_type,
-        | round(CASE WHEN b.cnt > 10 THEN
-        |   (CASE WHEN sv.amt > b.hi OR sv.amt < b.lo THEN b.med
-        |    ELSE sv.amt END) ELSE m2.modal_med END, 6) AS amt
-        |FROM sv JOIN b ON sv.user_id = b.user_id AND sv.code = b.code
-        | JOIN m2 ON sv.user_id = m2.user_id""".stripMargin
-    })
+    Some(s"""WITH $repairCtesSql
+      |SELECT event_id, user_id, code AS event_type,
+      | round(amt, 6) AS amt FROM rep""".stripMargin))
 
   // ------------------------------------------------------------------ W2
   private val q13: (String, QFn, Option[String]) = ("q13_last_n",
@@ -496,7 +501,113 @@ object Queries {
       | event_type, count(*) AS n, round(sum(value), 6) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
+  // ------------------------------------------------------------------ A10
+  // Horizontal stats over the positive cells of the pivot-count row
+  // (reference get_stats, run.py:207-234). The oracle mirrors the exact
+  // expression tree of HorizontalStats.statCols — same fold order, same
+  // guards — so round(6) absorbs only last-ulp libm noise.
+  private val q26: (String, QFn, Option[String]) = ("q26_horizontal_stats",
+    (s, d) => {
+      val pv = Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab,
+        "value", "freq")
+      val st = HorizontalStats.withStats(pv, freqCols, "hs")
+      st.select(col("user_id") +: HorizontalStats.statNames.map(x =>
+        round(col(s"hs_$x"), 6).as(s"hs_$x")): _*)
+    },
+    Some {
+      val cells = vocab.map(v =>
+        s"(count(value) FILTER (WHERE event_type = '$v'))::DOUBLE")
+        .mkString(", ")
+      val median = """CASE WHEN n > 0 THEN
+        | CASE WHEN n % 2 = 1 THEN arr[CAST((n+1)/2 AS INT)]
+        | ELSE (arr[CAST(n/2 AS INT)] + arr[CAST(n/2 AS INT)+1]) / 2 END
+        |END""".stripMargin.replaceAll("\n", " ")
+      val stats = Seq(
+        "mean" -> "mean",
+        "median" -> "med",
+        "max" -> "mx", "min" -> "mn",
+        "std" -> "sqrt(vr)",
+        "sem" -> "sqrt(vr)/sqrt(n)",
+        "skew" -> "sk",
+        "var" -> "vr",
+        "amplitude1" -> "mx - mn", "amplitude2" -> "mx - med",
+        "amplitude3" -> "mx - mean", "amplitude4" -> "med - mn",
+        "amplitude5" -> "mean - mn",
+        "divmm1" -> "mx / mn", "divmm2" -> "mx / mean",
+        "divmm3" -> "mx / med", "divmm4" -> "mean / mn",
+        "divmm5" -> "med / mn")
+        .map { case (nme, e) => s"round(COALESCE($e, 0), 6) AS hs_$nme" }
+        .mkString(", ")
+      s"""WITH p AS (SELECT user_id,
+        |  list_sort(list_filter([$cells], x -> x > 0)) AS arr
+        |  FROM events GROUP BY user_id),
+        |s1 AS (SELECT user_id, arr, len(arr) AS n FROM p),
+        |s2 AS (SELECT *, CASE WHEN n > 0 THEN
+        |    list_aggregate(arr, 'sum') / n END AS mean,
+        |  $median AS med,
+        |  CASE WHEN n > 0 THEN arr[n] END AS mx,
+        |  CASE WHEN n > 0 THEN arr[1] END AS mn FROM s1),
+        |s3 AS (SELECT *,
+        |  list_aggregate(list_transform(arr, x -> pow(x - mean, 2)), 'sum')
+        |    AS m2,
+        |  list_aggregate(list_transform(arr, x -> pow(x - mean, 3)), 'sum')
+        |    AS m3 FROM s2),
+        |s4 AS (SELECT *, CASE WHEN n >= 2 THEN m2 / (n - 1) END AS vr,
+        |  CASE WHEN n >= 3 AND m2 > 0 THEN
+        |    n * sqrt(n - 1) * m3 / ((n - 2) * pow(m2, 1.5)) END AS sk
+        |  FROM s3)
+        |SELECT user_id, $stats FROM s4""".stripMargin
+    })
+
+  // --------------------------------------- §3.1 full pipeline, end to end
+  // repair → trim(20) → drop 'error' (the MCC-6012 analog) → feature
+  // matrix → linear scorer → max-score fallback for dropped users → sort.
+  // The oracle composes the already-verified repair CTEs with the trim /
+  // pivot / stats / scoring SQL — the whole run.py dataflow in one query.
+  private val pipelineWeights = Map(
+    "freq_click" -> 0.1, "freq_purchase" -> 0.2,
+    "proc_signup" -> 0.001, "proc_view" -> 0.001,
+    "td_mean" -> 0.0001, "td_std" -> 0.0001)
+
+  private val q27: (String, QFn, Option[String]) = ("q27_pipeline_submission",
+    (s, d) => {
+      val e = ev(s, d)
+      val in = e.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), sval.as("amt"))
+      val cleaned = Pipeline.clean(in, "user_id", "event_type", "amt", ord,
+        Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
+          dropCodes = Seq("error"))).cache()
+      val fm = Pipeline.featureMatrix(cleaned, "user_id", "event_type",
+        "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+      Pipeline.submission(fm, LinearScorer(pipelineWeights), e, "user_id")
+    },
+    Some {
+      // LinearScorer folds bias + terms in column-name order
+      val combo = pipelineWeights.toSeq.sortBy(_._1)
+        .map { case (c, w) => s"$w * $c" }.mkString("0.0 + ", " + ", "")
+      s"""WITH $repairCtesSql,
+        |trm AS (SELECT * FROM (SELECT rep.*,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS rn,
+        |   count(*) OVER (PARTITION BY user_id) AS cnt FROM rep)
+        |  WHERE rn > 20 AND rn <= cnt - 20),
+        |kept AS (SELECT * FROM trm WHERE code <> 'error'),
+        |feat AS (SELECT user_id,
+        |  ${vocab.map(v => s"count(amt) FILTER (WHERE code = '$v') AS freq_$v").mkString(", ")},
+        |  ${vocab.map(v => s"COALESCE(sum(amt) FILTER (WHERE code = '$v'), 0) AS proc_$v").mkString(", ")},
+        |  avg(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS td_mean,
+        |  COALESCE(stddev_samp(hour(ts)*3600 + minute(ts)*60 + second(ts)),
+        |    0) AS td_std
+        |  FROM kept GROUP BY user_id),
+        |scored AS (SELECT user_id, round($combo, 6) AS target FROM feat),
+        |v AS (SELECT DISTINCT user_id FROM events
+        |      EXCEPT SELECT user_id FROM scored)
+        |SELECT user_id, target FROM scored
+        |UNION ALL SELECT user_id, (SELECT max(target) FROM scored) FROM v"""
+        .stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

@@ -40,9 +40,11 @@ object HorizontalStats {
     val n = size(arr)
     val nd = n.cast("double")
     val mean = when(n > 0, aggregate(arr, lit(0.0), (a, x) => a + x) / nd)
+    // element_at needs an int index; (n+1)/2 on int columns is a double
     val median = when(n > 0,
-      when(n % 2 === 1, element_at(arr, (n + lit(1)) / 2))
-        .otherwise((element_at(arr, n / 2) + element_at(arr, n / 2 + lit(1))) / 2))
+      when(n % 2 === 1, element_at(arr, ((n + lit(1)) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int"))
+          + element_at(arr, (n / 2).cast("int") + lit(1))) / 2))
     val mx = when(n > 0, element_at(arr, n))
     val mn = when(n > 0, element_at(arr, lit(1)))
     val m2 = aggregate(arr, lit(0.0), (a, x) => a + pow(x - mean, 2))
