@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/**
+ * Structured Streaming surface (SURVEY.md §2.10: the reference is pure
+ * batch; this is the engine's parity-plus capability for the same event
+ * tables arriving as a stream).
+ *
+ * Design: the batch q25 plan (`groupBy(window(ts), type)`) runs UNCHANGED
+ * here — one definition, two execution modes; that is the point of building
+ * on Spark instead of porting the reference's eager loops. Watermarks bound
+ * the aggregation state so a 100 TB/day stream does not accumulate unbounded
+ * per-window state; `mapGroupsWithState` covers the per-user running
+ * aggregates the reference computes with cumsum loops.
+ */
+object EventStream {
+
+  /** Tumbling event-time window aggregate with late-data watermark — the
+    * incremental form of q25_hourly_window. `events` can be a readStream
+    * DataFrame (file/kafka source) with columns ts/event_type/value. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)
+
+  /** Per-user running (count, sum, mean) over an unbounded stream — custom
+    * state via mapGroupsWithState. State is one tiny struct per user key,
+    * partitioned by the same user key the batch pipeline shuffles on. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          state.update(UserState(n, total))
+          UserSnapshot(user, n, total, if (n > 0) total / n else 0.0)
+      }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming specs: windowed aggregate incrementality and custom
+  * per-user state across micro-batches. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyCounts aggregates an event-time window incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyCounts(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 10:30:00"), "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 3L, 11.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      in.addData(EventStream.Event(1L, 10.0), EventStream.Event(1L, 20.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(1L, 30.0), EventStream.Event(2L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(last == Set((1L, 3L, 60.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
