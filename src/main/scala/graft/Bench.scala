@@ -18,7 +18,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup pass at the smallest SF: JIT + codegen compilation dominate a
+    // cold first execution (~10x on sub-second queries); the timed pass
+    // below measures data processing, not JVM warmup
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: drop caches left by prior queries (dedup signature
+      // caches etc.) so storage-memory eviction churn can't skew timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

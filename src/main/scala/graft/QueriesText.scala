@@ -112,13 +112,18 @@ object QueriesText {
     })
 
   // --------------------------------------------- n-gram Jaccard near-dup
+  // Hot-shingle df-cutoff (maxPostings=50) mirrored in the oracle: a
+  // shingle appearing in >50 docs carries no dedup signal but makes the
+  // pair join quadratic in its posting list — the standard scale guard.
   private val d05: (String, QFn, Option[String]) = ("d05_ngram_jaccard",
     (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
-      threshold = 0.2),
+      threshold = 0.2, maxPostings = 50),
     Some(s"""WITH $shCte,
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s
+      |  HAVING count(*) <= 50) ok ON sh.s = ok.s),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2)
       |SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
@@ -149,7 +154,7 @@ object QueriesText {
       |GROUP BY c.a, c.b""".stripMargin))
 
   // ------------------------------------------------------------ SimHash
-  private val SIMHASH_BITS = 16
+  private val SIMHASH_BITS = 60
   private val d07: (String, QFn, Option[String]) = ("d07_simhash",
     (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text", SIMHASH_BITS)
       .select(col("doc").as("doc_id"), col("simhash")),
@@ -169,7 +174,8 @@ object QueriesText {
 
   private val d08: (String, QFn, Option[String]) = ("d08_simhash_pairs",
     (s, d) => Dedup.simhashPairs(
-      Dedup.simhash(docs(s, d), "doc_id", "text", SIMHASH_BITS), maxDist = 4),
+      Dedup.simhash(docs(s, d), "doc_id", "text", SIMHASH_BITS),
+      maxDist = 4, bits = SIMHASH_BITS),
     Some {
       val simhashSql = d07._3.get
       s"""WITH s AS ($simhashSql)

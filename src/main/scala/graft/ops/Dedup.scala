@@ -60,7 +60,9 @@ object Dedup {
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxPostings: Int = 0): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, n, maxPostings)
+    // consumed by three branches (sizes + both join sides) — cache, or the
+    // tokenize/shingle/distinct pipeline re-executes per branch
+    val sh = docShingles(df, idCol, textCol, n, maxPostings).cache()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val l = sh.select(col("doc").as("a"), col("s"))
     val r = sh.select(col("doc").as("b"), col("s"))
@@ -75,52 +77,64 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signatures: one row per (doc, j) with j in [0, k), sig = min
-    * over the doc's shingles of hashFamily(shingle, j). One shuffle
-    * (groupBy doc,j with map-side min combine). */
+  /** MinHash signatures in WIDE form: one row per doc with columns
+    * sig0..sig{k-1}, sig_j = min over the doc's shingles of
+    * hashFamily(shingle, j). One aggregation pass over the (doc, shingle)
+    * rows — k parallel `min` aggregates with map-side combine — instead of
+    * exploding k× rows through the shuffle. */
   def minhashSignatures(sh: DataFrame, k: Int,
                         hashFamily: (Column, Column) => Column = md5Hash)
-  : DataFrame =
-    sh.select(col("doc"), explode(sequence(lit(0), lit(k - 1))).as("j"),
-        col("s"))
-      .select(col("doc"), col("j"), hashFamily(col("s"), col("j")).as("h"))
-      .groupBy(col("doc"), col("j")).agg(min(col("h")).as("sig"))
+  : DataFrame = {
+    val sigs = (0 until k).map(j =>
+      min(hashFamily(col("s"), lit(j))).as(s"sig$j"))
+    sh.groupBy(col("doc")).agg(sigs.head, sigs.tail: _*)
+  }
 
-  /** LSH band keys: `bands` groups of `k/bands` signature rows; band key =
-    * md5 of the ordered signature slice. Docs sharing any band key are
-    * candidates — probability of sharing a band rises sharply with true
-    * Jaccard (the (1/b)^(1/r) S-curve). */
+  /** LSH band keys from the wide signature row: band key = md5 of the
+    * comma-joined signature slice. One row per (doc, band) — docs sharing
+    * any band key are candidates; the probability of sharing a band rises
+    * sharply with true Jaccard (the (1/b)^(1/r) S-curve). */
   def lshBandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    sigs.withColumn("band", floor(col("j") / rows))
-      .groupBy(col("doc"), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("sig")))),
-          r => r.getField("sig").cast("string")))).as("bkey"))
+    val bandStructs = (0 until bands).map { b =>
+      val key = md5(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(j =>
+          col(s"sig$j").cast("string")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Full MinHash+LSH near-dup detection: candidate pairs from band-key
     * collisions, scored by estimated Jaccard = matching signature fraction.
-    * Returns (a, b, est_jaccard). The band join shuffles on 16-byte band
-    * keys only — signatures and documents never fan out quadratically. */
+    * Returns (a, b, est_jaccard). The band join shuffles 16-byte band keys;
+    * the scoring join moves one wide signature row per doc — nothing fans
+    * out k× or quadratically. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, bands: Int, maxPostings: Int = 0,
                  hashFamily: (Column, Column) => Column = md5Hash)
   : DataFrame = {
     val sh = docShingles(df, idCol, textCol, n, maxPostings)
-    val sigs = minhashSignatures(sh, k, hashFamily)
+    // one wide row per doc — tiny vs the corpus; cached because the band
+    // join and both scoring sides reuse it (else k*|shingles| md5s rerun 3x)
+    val sigs = minhashSignatures(sh, k, hashFamily).cache()
     val bk = lshBandKeys(sigs, k, bands)
     val cand = bk.select(col("doc").as("a"), col("band"), col("bkey"))
       .join(bk.select(col("doc").as("b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sl = sigs.select(col("doc").as("a"), col("j"), col("sig").as("siga"))
-    val sr = sigs.select(col("doc").as("b"), col("j"), col("sig").as("sigb"))
-    cand.join(sl, Seq("a")).join(sr, Seq("b", "j"))
-      .groupBy(col("a"), col("b"))
-      .agg(round(sum(when(col("siga") === col("sigb"), 1).otherwise(0))
-        .cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+    val sl = sigs.select(col("doc").as("a") +:
+      (0 until k).map(j => col(s"sig$j").as(s"siga$j")): _*)
+    val sr = sigs.select(col("doc").as("b") +:
+      (0 until k).map(j => col(s"sig$j").as(s"sigb$j")): _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"siga$j") === col(s"sigb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sl, Seq("a")).join(sr, Seq("b"))
+      .select(col("a"), col("b"),
+        round(matches.cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
   }
 
   /** SimHash of width `bits` over the doc's distinct tokens: bit i of the
@@ -144,16 +158,28 @@ object Dedup {
     agg.select(col("doc"), hash.as("simhash"))
   }
 
-  /** Hamming-distance pairs over simhash values (a < b, dist <= maxDist).
-    * All-pairs here; the scale path is banding the simhash into segments
-    * (pigeonhole: dist <= d implies an exact match on one of d+1 segments)
-    * — same LSH-join shape as minhashLsh. */
-  def simhashPairs(hashes: DataFrame, maxDist: Int): DataFrame =
-    hashes.select(col("doc").as("a"), col("simhash").as("ha"))
-      .crossJoin(hashes.select(col("doc").as("b"), col("simhash").as("hb")))
+  /** Hamming-distance pairs over simhash values (a < b, dist <= maxDist),
+    * via pigeonhole banding: dist <= d implies an exact match on at least
+    * one of d+1 bit segments, so candidates come from an equi-join on
+    * (segment index, segment bits) — never an all-pairs crossJoin. Exact
+    * bit_count verification filters false candidates. */
+  def simhashPairs(hashes: DataFrame, maxDist: Int, bits: Int = 60): DataFrame = {
+    val segs = maxDist + 1
+    val segBits = (bits + segs - 1) / segs
+    val mask = (1L << segBits) - 1
+    def banded(idAs: String, hashAs: String): DataFrame =
+      hashes.select(col("doc").as(idAs), col("simhash").as(hashAs),
+        explode(array((0 until segs).map(i =>
+          struct(lit(i).as("seg"),
+            shiftright(col("simhash"), i * segBits).bitwiseAND(lit(mask))
+              .as("bits"))): _*)).as("sb"))
+        .select(col(idAs), col(hashAs),
+          col("sb.seg").as("seg"), col("sb.bits").as("bits"))
+    banded("a", "ha").join(banded("b", "hb"), Seq("seg", "bits"))
       .filter(col("a") < col("b"))
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
-      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -50,19 +50,26 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    * from md5(plane, dim) so signatures are reproducible across engines and
-    * runs (no RNG state; same trick as Dedup.md5Hash). */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (Dedup.md5Hash(lit(s"plane$plane"), d).cast("double")
-      / lit(math.pow(2, 59))) - lit(1.0)
+    * from md5("plane<p>#<dim>") — no RNG state, reproducible across runs.
+    * Computed DRIVER-SIDE once (data-independent) and shipped as literals;
+    * an expression-level md5 would re-hash per row x dim x plane. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$plane#$dim".getBytes("UTF-8"))
+    val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) / math.pow(2, 59) - 1.0
+  }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
-    * Cosine-similar vectors agree on most sign bits. */
-  def lshSignature(vec: Column, planes: Int): Column =
+    * Cosine-similar vectors agree on most sign bits. Plane vectors are
+    * literal arrays (see planeComponent), so the projection is a pure
+    * zip_with fold per plane. */
+  def lshSignature(vec: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d =>
+        lit(planeComponent(p, d))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, plane, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -72,11 +79,11 @@ object Similarity {
     * within candidates. Join is equi on (band, bandBits) — no crossJoin, so
     * the corpus side scales out; recall is tunable via planes/bands. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Int = 16, bands: Int = 4): DataFrame = {
+             dims: Int = 64, planes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = planes / bands
     val mask = (1L << rows) - 1
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sig = lshSignature(col("vec"), planes)
+      val sig = lshSignature(col("vec"), dims, planes)
       df.select(col("id").as(idAs), col("vec").as(vecAs), sig.as("sig"))
         .select(col(idAs), col(vecAs),
           explode(array((0 until bands).map(b =>

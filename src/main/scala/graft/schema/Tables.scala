@@ -21,8 +21,20 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** The driver testdata ships each table as ONE parquet file with ONE row
+    * group — an unsplittable scan, so every scan-side stage (regex, shingle
+    * explode, map-side partial aggregation) would run on a single core of
+    * local[32]. Repartition to the session parallelism when the scan comes
+    * up short; the shuffled payload is tiny at test scale. A production
+    * 100 TB input arrives as many splittable files and skips this branch
+    * entirely. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions < math.min(target, 16))
+      raw.repartition(math.min(target, 16))
+    else raw
+  }
 
   /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
     * rejects unless nanos are read as raw longs. Convert with integer

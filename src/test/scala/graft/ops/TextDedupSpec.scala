@@ -62,7 +62,7 @@ class TextDedupSpec extends SparkSpec {
       (3L, "completely different words about cooking pasta tonight"))
       .toDF("doc_id", "text")
     val hashes = Dedup.simhash(df, "doc_id", "text", 32)
-    val pairs = Dedup.simhashPairs(hashes, maxDist = 10)
+    val pairs = Dedup.simhashPairs(hashes, maxDist = 10, bits = 32)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
@@ -90,7 +90,7 @@ class TextDedupSpec extends SparkSpec {
     val q = df.filter($"id" < 4)
     val brute = Similarity.bruteKnn(q, df, 3)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshKnn(q, df, 3, planes = 8, bands = 4)
+    val approx = Similarity.lshKnn(q, df, 3, dims = 8, planes = 8, bands = 4)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
     assert(recall >= 0.75, s"recall $recall")
