@@ -93,11 +93,14 @@ object Queries {
       val e = ev(s, d).withColumn("sv", sval)
         .withColumn("deb", DebitCredit.debit(col("sv")))
         .withColumn("cred", DebitCredit.credit(col("sv")))
-      val p = e.groupBy(col("user_id")).pivot("event_type", vocab)
-        .agg(sum(col("sv")).as("proc"), sum(col("deb")).as("deb"),
-          sum(col("cred")).as("cred"))
+      // all three families in ONE conditional-aggregation pass — a single
+      // shuffle on user_id (see Pivots scaladoc)
+      val aggs = for (f <- Seq("proc" -> "sv", "deb" -> "deb",
+        "cred" -> "cred"); v <- vocab) yield
+        sum(when(col("event_type") === v, col(f._2))).as(s"${f._1}_$v")
+      val p = e.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
       val outCols = for (f <- Seq("proc", "deb", "cred"); v <- vocab)
-        yield round(coalesce(col(s"${v}_$f"), lit(0.0)), 6).as(s"${f}_$v")
+        yield round(coalesce(col(s"${f}_$v"), lit(0.0)), 6).as(s"${f}_$v")
       p.select(col("user_id") +: outCols: _*)
     },
     Some {
@@ -362,10 +365,10 @@ object Queries {
       val pv = Pivots.pivotCount(e, "user_id", "event_type", vocab, "value",
         "freq")
       val sums = {
-        val p = e.withColumn("sv", sval).groupBy(col("user_id"))
-          .pivot("event_type", vocab).agg(sum(col("sv")))
+        val p = Pivots.pivotSum(e.withColumn("sv", sval), "user_id",
+          "event_type", vocab, "sv", "proc")
         p.select(col("user_id") +: vocab.map(v =>
-          round(coalesce(col(v), lit(0.0)), 6).as(s"proc_$v")): _*)
+          round(col(s"proc_$v"), 6).as(s"proc_$v")): _*)
       }
       val st = GroupStats.stats(
         e.withColumn("time_day", TimeFeatures.secondsSinceMidnight(col("ts"))),
@@ -607,7 +610,25 @@ object Queries {
         .stripMargin
     })
 
+  // --------------------------------------------- parity-plus: ROLLUP
+  // Multi-level aggregation (SURVEY.md §2.4 notes cube/rollup come free
+  // with the engine); NULL grouping cells normalized to a sentinel so the
+  // hash compare is null-free.
+  private val q28: (String, QFn, Option[String]) = ("q28_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty")),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      | COALESCE(l_linestatus, 'ALL') AS lstatus,
+      | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+      .stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }

@@ -224,6 +224,33 @@ object QueriesText {
     },
     None)
 
+  // ---------------------------------------- embedding-cosine near-dup
+  // Vector-space dedup: all pairs above a cosine threshold. Exact here
+  // (2000x2000 at sf0.1); the scale path is the same LSH banding as
+  // e02_knn_lsh feeding this exact verify as its second stage.
+  private val e03: (String, QFn, Option[String]) = ("e03_cosine_neardup",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val l = e.select(col("id").as("a"), col("vec").as("va"))
+      val r = e.select(col("id").as("b"), col("vec").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= 0.5)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings)
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      | round(list_dot_product(x.v, y.v)
+      |   / (sqrt(list_dot_product(x.v, x.v))
+      |      * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+      |FROM e x JOIN e y ON x.vec_id < y.vec_id
+      |WHERE round(list_dot_product(x.v, y.v)
+      |   / (sqrt(list_dot_product(x.v, x.v))
+      |      * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.5"""
+      .stripMargin))
+
   // ------------------------------------------------- multimodal plumbing
   private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",
     (s, d) => Multimodal.withPayloadMeta(
@@ -246,5 +273,5 @@ object QueriesText {
     None)
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, m01, m02)
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, m01, m02)
 }

@@ -7,39 +7,48 @@ import org.apache.spark.sql.functions._
  * A1-A4 + P8 + P10: fixed-vocabulary pivot aggregates
  * (reference `run.py:238-246, 272-282, 290-322, 335-405`).
  *
- * The vocabulary is always passed explicitly (`pivot(col, values)`):
- *  - parity with the reference's closed-world `reindex(columns=...)` +
- *    `fillna(0)` (P8) — unseen categories dropped, absent ones zero-filled;
- *  - skips Spark's distinct-values discovery job — one fewer full scan,
- *    which matters when the input is 100 TB.
+ * The vocabulary is always explicit — parity with the reference's
+ * closed-world `reindex(columns=...)` + `fillna(0)` (P8): unseen categories
+ * dropped, absent ones zero-filled, and no distinct-values discovery job
+ * (one fewer full scan at 100 TB).
  *
- * A fixed-vocab pivot compiles to ONE hash aggregate over `groupBy(key)` —
- * a single shuffle on the grouping key, partial map-side combine included.
+ * Implementation is CONDITIONAL AGGREGATION, not `Dataset.pivot`:
+ * `agg(count(when(col === v, value)), ...)` per vocabulary entry compiles to
+ * ONE hash aggregate with map-side partial combine — a single shuffle on the
+ * grouping key. Spark's generic `pivot(col, values)` plans two exchanges
+ * (groupBy(key, pivotCol) then pivotfirst over key); with a known vocab the
+ * second pass is pure overhead.
  */
 object Pivots {
 
-  /** Pivot `df` to one row per `key`, one column per vocabulary entry,
-    * aggregated by `agg`; absent cells zero-filled. Columns are renamed
-    * `prefix_<value>` (reference names its families `mcc_freq-<code>` etc.,
-    * `run.py:243`). */
-  def pivotAgg(df: DataFrame, key: String, pivotCol: String,
-               vocab: Seq[Any], agg: Column, prefix: String): DataFrame = {
-    val p = df.groupBy(col(key)).pivot(pivotCol, vocab).agg(agg)
-    val renamed = vocab.foldLeft(p)((d, v) =>
-      d.withColumnRenamed(v.toString, s"${prefix}_$v"))
-    renamed.na.fill(0, vocab.map(v => s"${prefix}_$v"))
+  /** General form: one row per `key`, one column `prefix_<v>` per
+    * vocabulary entry, cell = aggOf(when(pivotCol = v, valueCol)), all in
+    * one groupBy(key).agg(...) pass (reference names its families
+    * `mcc_freq-<code>` etc., `run.py:243`). */
+  def pivotAggOn(df: DataFrame, key: String, pivotCol: String,
+                 vocab: Seq[Any], valueCol: String,
+                 aggOf: Column => Column, prefix: String,
+                 fillZero: Boolean): DataFrame = {
+    val cells = vocab.map(v =>
+      aggOf(when(col(pivotCol) === lit(v), col(valueCol)))
+        .as(s"${prefix}_$v"))
+    val out = df.groupBy(col(key)).agg(cells.head, cells.tail: _*)
+    if (fillZero) out.na.fill(0, vocab.map(v => s"${prefix}_$v")) else out
   }
 
   /** A1: pivot-count (`aggfunc='count'`, `run.py:238-246`). Counts the
-    * non-null values of `valueCol`, exactly like pandas `count`. */
+    * non-null values of `valueCol` within each cell, exactly like pandas
+    * `count` (never null — no fill needed). */
   def pivotCount(df: DataFrame, key: String, pivotCol: String,
                  vocab: Seq[Any], valueCol: String, prefix: String): DataFrame =
-    pivotAgg(df, key, pivotCol, vocab, count(col(valueCol)), prefix)
+    pivotAggOn(df, key, pivotCol, vocab, valueCol, count, prefix,
+      fillZero = false)
 
-  /** A2/A3: pivot-sum (`aggfunc='sum'`, `run.py:272-322`). */
+  /** A2/A3: pivot-sum (`aggfunc='sum'` + `fill_value=0`, `run.py:272-322`). */
   def pivotSum(df: DataFrame, key: String, pivotCol: String,
                vocab: Seq[Any], valueCol: String, prefix: String): DataFrame =
-    pivotAgg(df, key, pivotCol, vocab, sum(col(valueCol)), prefix)
+    pivotAggOn(df, key, pivotCol, vocab, valueCol, sum, prefix,
+      fillZero = true)
 
   /** P10: integer floor-division quantization of pivot cells
     * (`run.py:248-249`, `//= 20`). Defense: an attacker must move a count
