@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Strict left-fold dot product of two equal-length numeric arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Strict left-fold dot product of two equal-length numeric arrays —
+    * the codegen'd native expression (graft.functions.DotProduct), with
+    * identical semantics to the `aggregate(zip_with(...))` composition it
+    * replaces — one tight primitive loop per row instead of two
+    * interpreted HOFs plus an intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
