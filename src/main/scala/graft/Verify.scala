@@ -23,6 +23,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // S2 surface: the pipeline submission additionally lands as a
+    // reference-format CSV (header, user-sorted — run.py:484-486). Written
+    // OUTSIDE outDir so the driver's per-query compare never mistakes it
+    // for a query result directory.
+    try graft.schema.Tables.writeCsv(
+      SparkEntry.queries("q27_pipeline_submission")(spark, sfDir),
+      s"${sys.props("java.io.tmpdir")}/graft_submission_csv",
+      singleFile = true)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] submission csv failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

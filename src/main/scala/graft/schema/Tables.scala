@@ -86,11 +86,15 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
-  /** S2: CSV sink, header, no index column (`run.py:85,486`). `coalesce(1)`
+  /** S2: CSV sink, header, no index column (`run.py:85,486`), timestamps in
+    * the reference's format so S1 can re-read what S2 wrote. `coalesce(1)`
     * only when a single file is demanded (submission-style outputs); at scale
     * leave partitioned. */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite").option("header", "true").csv(path)
+    out.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
   }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariant checks (SURVEY.md §5.2) over ScalaCheck
+  * generators, sampled deterministically (plain scalacheck — the
+  * scalatest bridge artifact is not on the offline classpath).
+  *
+  * Note: SURVEY §5.2 proposed "repair is idempotent" — that is NOT a true
+  * invariant: with percentile fraction p < 0.5 a partial repair reshapes
+  * the distribution so the second pass can flag previously-inside values
+  * (and when p >= 0.5 the bounds cross and whole groups collapse to their
+  * median, reference `run.py:49-58` behavior). The sound invariant is
+  * range contraction: repair never widens a user's value range. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  private val rowsGen: Gen[List[(Long, Double)]] =
+    Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 3L)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (u, v))
+
+  test("rowNormalize: every row sums to 1 (or 0 for all-zero rows)") {
+    val gen = Gen.nonEmptyListOf(Gen.listOfN(3,
+      Gen.oneOf(Gen.const(0.0), Gen.choose(0.0, 50.0))))
+    samples(gen, 5).foreach { rows =>
+      val df = rows.map { case List(a, b, c) => (a, b, c) }
+        .toDF("a", "b", "c")
+      val n = RowNorm.rowNormalize(df, Seq("a", "b", "c"))
+      val sums = n.select(($"a" + $"b" + $"c").as("s")).as[Double].collect()
+      sums.foreach(s => assert(math.abs(s) < 1e-9 || math.abs(s - 1) < 1e-9))
+    }
+  }
+
+  test("trim removes exactly min(n, 2k) rows per group") {
+    samples(rowsGen, 5).foreach { rows =>
+      val k = 2
+      val df = rows.zipWithIndex
+        .map { case ((u, v), i) => (u, i, v) }.toDF("u", "ord", "v")
+      val before = df.groupBy("u").count().as[(Long, Long)].collect().toMap
+      val after = Trim.headTail(df, k, Seq("u"), Seq($"ord"))
+        .groupBy("u").count().as[(Long, Long)].collect().toMap
+      before.foreach { case (u, n) =>
+        assert(after.getOrElse(u, 0L) == math.max(0L, n - 2 * k))
+      }
+    }
+  }
+
+  test("repair contracts each user's value range and preserves row count") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, v), i) => (1L, s"c${u % 3}", i.toLong, v) }
+        .toDF("u", "code", "id", "amt")
+      val out = Repair(df, "u", "code", "amt", nAmt = 2, nMcc = 2)
+      assert(out.count() == df.count())
+      val inR = df.agg(min("amt"), max("amt")).as[(Double, Double)].head()
+      val outR = out.agg(min("amt"), max("amt")).as[(Double, Double)].head()
+      assert(outR._1 >= inR._1 - 1e-9 && outR._2 <= inR._2 + 1e-9)
+    }
+  }
+
+  test("one-hot indicators: exactly one 1 for in-vocab values, else all 0") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "zz")), 5)
+      .foreach { vals =>
+        val df = vals.toDF("c")
+        val oh = OneHot.withOneHot(df, "c", Seq("a", "b", "c"), "x")
+        val got = oh.select($"c", ($"x_a" + $"x_b" + $"x_c").as("s"))
+          .as[(String, Int)].collect()
+        got.foreach { case (v, s) =>
+          assert(s == (if (Seq("a", "b", "c").contains(v)) 1 else 0))
+        }
+      }
+  }
+}
