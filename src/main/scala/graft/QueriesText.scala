@@ -224,6 +224,17 @@ object QueriesText {
     },
     None)
 
+  // ------------------------------------------------ IVF approximate NN
+  // Bucket assignment depends on the centroid sample; rows-only check here,
+  // recall pinned by SimilaritySpec-style test vs brute force.
+  private val e04: (String, QFn, Option[String]) = ("e04_knn_ivf",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.ivfKnn(e.filter(col("id") < 20), e, 5)
+    },
+    None)
+
   // ---------------------------------------- embedding-cosine near-dup
   // Vector-space dedup: all pairs above a cosine threshold. Exact here
   // (2000x2000 at sf0.1); the scale path is the same LSH banding as
@@ -273,5 +284,6 @@ object QueriesText {
     None)
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, m01, m02)
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04,
+    m01, m02)
 }

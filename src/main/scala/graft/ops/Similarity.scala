@@ -76,6 +76,41 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest of `nCentroids` centroid vectors (inverted file); each query
+    * probes its `nProbe` nearest centroids and ranks exactly within those
+    * buckets only. Centroids here are a deterministic corpus sample (first
+    * rows by id) broadcast to every task — a production pipeline would plug
+    * k-means centroids into the same shape. The corpus-side cost is one
+    * broadcast nested-loop pass + one shuffle on cid; queries never touch
+    * buckets they don't probe. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cv")))
+    def assign(df: DataFrame, idAs: String, vecAs: String,
+               keep: Int): DataFrame = {
+      val scored = df.select(col("id").as(idAs), col("vec").as(vecAs))
+        .crossJoin(cents)
+        .withColumn("_cs", cosine(col(vecAs), col("cv")))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("_cs").desc, col("cid").asc)
+      scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= keep)
+        .select(col(idAs), col(vecAs), col("cid"))
+    }
+    val corpusBuckets = assign(corpus, "nid", "nv", keep = 1)
+    val queryProbes = assign(queries, "qid", "qv", keep = nProbe)
+    val cand = queryProbes.join(corpusBuckets, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing an LSH band with
     * the query (bands of `planes/bands` sign bits), then exact cosine rank
     * within candidates. Join is equi on (band, bandBits) — no crossJoin, so

@@ -96,6 +96,23 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("ivfKnn achieves high recall vs brute force on clustered vectors") {
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec)
+    }
+    val df = base.toDF("id", "vec")
+    val q = df.filter($"id" < 4)
+    val brute = Similarity.bruteKnn(q, df, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(q, df, 3, nCentroids = 4, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq("the cat and the dog is in a house",
       "der hund und die katze ist nicht da",
