@@ -44,18 +44,45 @@ object Repair {
     when(n === 0, lit(null)).otherwise(vLo + (idx - lo.cast("double")) * (vHi - vLo))
   }
 
-  /** Per-(user, code) stats frame: cnt, lo, hi, med (A6/A7). */
+  /** Per-(user, code) stats frame: cnt, lo, hi, med (A6/A7).
+    *
+    * `exact = true` (default, oracle parity) buffers each group's sorted
+    * amounts — memory bound = the largest single (user, code) group, fine
+    * for per-entity event data. For corpora with monster heavy-hitter
+    * groups set `exact = false`: `approx_percentile` keeps a bounded
+    * sketch per group instead of the full array (np.percentile parity is
+    * then approximate — do NOT use on oracle-checked paths, SURVEY §4.3). */
   def groupBounds(df: DataFrame, user: String, code: String, amt: String,
-                  nAmt: Int): DataFrame = {
-    val sorted = array_sort(collect_list(col(amt).cast("double")))
+                  nAmt: Int, exact: Boolean = true): DataFrame = {
     val cnt = count(lit(1))
-    df.groupBy(col(user), col(code))
-      .agg(cnt.as("_cnt"), sorted.as("_sorted"))
-      .withColumn("_p", least(lit(1.0), lit(nAmt.toDouble) / col("_cnt")))
-      .withColumn("_lo", interpPercentile(col("_sorted"), col("_p")))
-      .withColumn("_hi", interpPercentile(col("_sorted"), lit(1.0) - col("_p")))
-      .withColumn("_med", interpPercentile(col("_sorted"), lit(0.5)))
-      .drop("_sorted", "_p")
+    val base = df.groupBy(col(user), col(code))
+    if (exact) {
+      val sorted = array_sort(collect_list(col(amt).cast("double")))
+      base.agg(cnt.as("_cnt"), sorted.as("_sorted"))
+        .withColumn("_p", least(lit(1.0), lit(nAmt.toDouble) / col("_cnt")))
+        .withColumn("_lo", interpPercentile(col("_sorted"), col("_p")))
+        .withColumn("_hi",
+          interpPercentile(col("_sorted"), lit(1.0) - col("_p")))
+        .withColumn("_med", interpPercentile(col("_sorted"), lit(0.5)))
+        .drop("_sorted", "_p")
+    } else {
+      // approx_percentile needs a foldable fraction; the per-group p is
+      // data-dependent, so bound it by the worst case (p <= nAmt/(nMcc+1)
+      // whenever the group survives the frequency cutoff) and take the
+      // sketch at a fixed grid, interpolating between grid points.
+      val acc = lit(10000)
+      val v = col(amt).cast("double")
+      val grid = (0 to 100).map(_ / 100.0)
+      base.agg(cnt.as("_cnt"),
+          percentile_approx(v, array(grid.map(lit): _*), acc).as("_q"))
+        .withColumn("_p", least(lit(1.0), lit(nAmt.toDouble) / col("_cnt")))
+        .withColumn("_lo", element_at(col("_q"),
+          (round(col("_p") * 100, 0)).cast("int") + 1))
+        .withColumn("_hi", element_at(col("_q"),
+          (round((lit(1.0) - col("_p")) * 100, 0)).cast("int") + 1))
+        .withColumn("_med", element_at(col("_q"), lit(51)))
+        .drop("_q", "_p")
+    }
   }
 
   /** Per-user modal code (+ its median amount): A8, numpy tie order — among
@@ -72,10 +99,11 @@ object Repair {
   }
 
   /** Full W6+W7 repair: returns `df` with `code` and `amt` replaced by their
-    * repaired values (same column names). */
+    * repaired values (same column names). `exact = false` switches the
+    * percentile stage to bounded-memory sketches (see groupBounds). */
   def apply(df: DataFrame, user: String, code: String, amt: String,
-            nAmt: Int = 10, nMcc: Int = 10): DataFrame = {
-    val bounds = groupBounds(df, user, code, amt, nAmt)
+            nAmt: Int = 10, nMcc: Int = 10, exact: Boolean = true): DataFrame = {
+    val bounds = groupBounds(df, user, code, amt, nAmt, exact)
     val modals = modal(bounds, user, code)
     val passthrough = df.columns.filterNot(c => c == code || c == amt).map(col).toSeq
     df.join(bounds, Seq(user, code), "left")
