@@ -38,6 +38,19 @@ object Queries {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private val ord: Seq[Column] = Seq(col("ts"), col("event_id"))
 
+  /** Money-sum policy: TPC-H prices/discounts/taxes are 2-dp decimals
+    * stored as doubles. Casting each operand back to DECIMAL recovers the
+    * intended decimal exactly (the doubles sit ~1e-14 from the true value),
+    * and decimal sums are EXACT and order-independent — so Spark's partial
+    * aggregation and DuckDB's sequential sum produce bit-identical results
+    * regardless of group size, where a double sum at 1e8 magnitude can
+    * straddle a round(2) boundary. Final cast back to double (4-dp sums at
+    * 1e12 still fit a double exactly). */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def rate(c: Column): Column = c.cast("decimal(3,2)")
+  private def moneySum(c: Column): Column = sum(c).cast("double")
+  private val oneD = lit(1).cast("decimal(3,2)")
+
   // ---------------------------------------------------------------- P4/P5
   private val q01: (String, QFn, Option[String]) = ("q01_time_attrs",
     (s, d) => ev(s, d).select(
@@ -418,22 +431,28 @@ object Queries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+        moneySum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(dec2(col("l_extendedprice"))
+          * (oneD - rate(col("l_discount")))).as("sum_disc_price"),
+        moneySum(dec2(col("l_extendedprice"))
+          * (oneD - rate(col("l_discount")))
+          * (oneD + rate(col("l_tax")))).as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
-      |   AS sum_charge,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |   AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+      |   AS DOUBLE) AS sum_charge,
       | round(avg(l_quantity), 6) AS avg_qty,
       | round(avg(l_extendedprice), 6) AS avg_price,
       | round(avg(l_discount), 6) AS avg_disc,
@@ -451,9 +470,10 @@ object Queries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("num_customers"),
-        round(sum(col("c_acctbal")), 2).as("total_acctbal")),
+        moneySum(dec2(col("c_acctbal"))).as("total_acctbal")),
     Some("""SELECT r_name, count(*) AS num_customers,
-      | round(sum(c_acctbal), 2) AS total_acctbal
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS total_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       | JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin))
@@ -465,11 +485,13 @@ object Queries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         countDistinct(col("o_orderkey")).as("n_orders"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue")),
+        moneySum(dec2(col("l_extendedprice"))
+          * (oneD - rate(col("l_discount")))).as("revenue")),
     Some("""SELECT o_orderpriority, count(*) AS n_items,
       | count(DISTINCT o_orderkey) AS n_orders,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |   AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin))
 
@@ -618,17 +640,77 @@ object Queries {
     (s, d) => Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("n"), col("sum_qty")),
     Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
       | COALESCE(l_linestatus, 'ALL') AS lstatus,
-      | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      | count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
       .stripMargin))
 
+  // ----------------------------------------- sessionization (gap-based)
+  // Training-pipeline staple over the event stream: lag → gap predicate →
+  // running sum = session id → per-session aggregates. One shuffle on
+  // user_id, shared by both the window and the final groupBy.
+  private val q29: (String, QFn, Option[String]) = ("q29_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      val us = unix_micros(col("ts"))
+      val gap = us - lag(us, 1).over(w)
+      val isNew = when(gap.isNull || gap > lit(30L * 60 * 1000000L), 1L)
+        .otherwise(0L)
+      val sid = sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      ev(s, d).withColumn("_us", us).withColumn("session_id", sid)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("_us")).as("start_us"),
+          (max(col("_us")) - min(col("_us"))).as("dur_us"),
+          round(sum(col("value")), 6).as("sum_value"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+      |  lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM events),
+      |f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+      |  THEN 1 ELSE 0 END AS nw FROM o),
+      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id::BIGINT AS session_id,
+      | count(*) AS n_events, min(us) AS start_us,
+      | max(us) - min(us) AS dur_us, round(sum(value), 6) AS sum_value
+      |FROM s GROUP BY user_id, s.session_id""".stripMargin))
+
+  // ------------------------------------------- five-way star-schema join
+  private val q30: (String, QFn, Option[String]) = ("q30_star_join",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long")
+        .as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec2(col("l_extendedprice"))
+          * (oneD - rate(col("l_discount")))).as("revenue")),
+    Some("""SELECT r_name, year(o_orderdate) AS o_year, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |   AS DOUBLE) AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, year(o_orderdate)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q29, q30)
 }
