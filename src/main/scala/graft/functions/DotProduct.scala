@@ -111,7 +111,9 @@ object DotProduct {
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
-/** SparkSessionExtensions hook: register `dot_product(a, b)` for SQL use —
+/** SparkSessionExtensions hook: registers `dot_product(a, b)` for SQL use
+  * and the [[graft.plans.DotProductRewrite]] optimizer rule (HOF pattern →
+  * native expression). Enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or
   * `GraftExtensions.register(spark)` on an already-built session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -120,6 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       GraftExtensions.info,
       GraftExtensions.builder))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 
