@@ -179,7 +179,10 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the exact-verify predicate discards most
+      // segment-collision candidates, so the dedup shuffle moves only
+      // true near-pairs
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -63,16 +63,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
-    * Cosine-similar vectors agree on most sign bits. Plane vectors are
-    * literal arrays (see planeComponent), so the projection is a pure
-    * zip_with fold per plane. */
+    * Cosine-similar vectors agree on most sign bits. Each plane is ONE
+    * literal array fed to the native DotProduct expression — a 2-node tree
+    * per plane instead of a 64-literal zip_with fold, which keeps codegen
+    * compilation time flat as dims grow. */
   def lshSignature(vec: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d =>
-        lit(planeComponent(p, d))): _*)
-      val proj = aggregate(
-        zip_with(vec, plane, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = lit((0 until dims).map(d => planeComponent(p, d)).toArray)
+      val proj = dot(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
