@@ -602,7 +602,7 @@ object Queries {
       val cleaned = Pipeline.clean(in, "user_id", "event_type", "amt", ord,
         Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
           dropCodes = Seq("error"))).cache()
-      val fm = Pipeline.featureMatrix(cleaned, "user_id", "event_type",
+      val fm = Pipeline.featureMatrixFused(cleaned, "user_id", "event_type",
         "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
       Pipeline.submission(fm, LinearScorer(pipelineWeights), e, "user_id")
     },

@@ -48,6 +48,28 @@ object Pipeline {
       .na.fill(0.0)
   }
 
+  /** Fused single-pass feature matrix: same output as [[featureMatrix]] but
+    * every family (pivot counts, pivot sums, time stats) is computed in ONE
+    * groupBy(user) aggregation — one shuffle total instead of three
+    * aggregates plus two joins. This is SURVEY.md §4.3's "pivot fusion"
+    * delivered at the API level: the reference's 10 pivot jobs re-scanned
+    * the input 10 times (`run.py:238-424`); the J2 join shape (featureMatrix)
+    * replays its 20-way join; this is the plan you actually want at 100 TB.
+    * Column order matches featureMatrix. */
+  def featureMatrixFused(cleaned: DataFrame, user: String, code: String,
+                         amt: String, timeAttr: Column,
+                         vocab: Seq[String]): DataFrame = {
+    val t = timeAttr.cast("double")
+    val n = count(t).cast("double")
+    val aggs =
+      vocab.map(v => count(when(col(code) === v, col(amt))).as(s"freq_$v")) ++
+      vocab.map(v => coalesce(sum(when(col(code) === v, col(amt))), lit(0.0))
+        .as(s"proc_$v")) ++
+      Seq(avg(t).as("td_mean"),
+        coalesce(when(n >= 2, stddev_samp(t)), lit(0.0)).as("td_std"))
+    cleaned.groupBy(col(user)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** P12: align to the model's demanded feature list — add zero columns for
     * anything absent, project in model order (`run.py:470-474`). */
   def alignFeatures(df: DataFrame, user: String,
