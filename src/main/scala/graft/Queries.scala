@@ -709,8 +709,31 @@ object Queries {
       | JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, year(o_orderdate)""".stripMargin))
 
+  // ------------------------------------------------ JSON column parsing
+  // events.props carries a JSON payload; extract via path (get_json_object)
+  // and via schema-full from_json — both stay codegen'd projections, and
+  // the parsed attribute feeds a regular aggregate.
+  private val q31: (String, QFn, Option[String]) = ("q31_json_extract",
+    (s, d) => {
+      val e = ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k2",
+          from_json(col("props"), lit("k LONG")).getField("k"))
+      e.groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k2")).as("sum_k"),
+          round(avg(col("value")), 6).as("avg_value"))
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+      |   AS k_mod,
+      | count(*) AS n,
+      | sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+      |   AS sum_k,
+      | round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30)
+    q29, q30, q31)
 }
