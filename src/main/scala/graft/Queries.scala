@@ -732,8 +732,24 @@ object Queries {
       | round(avg(value), 6) AS avg_value
       |FROM events GROUP BY 1""".stripMargin))
 
+  // ------------------------------------------------ parity-plus: CUBE
+  private val q32: (String, QFn, Option[String]) = ("q32_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec2(col("o_totalprice"))).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price")),
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      | COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+      .stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31)
+    q29, q30, q31, q32)
 }

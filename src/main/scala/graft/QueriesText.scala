@@ -185,6 +185,15 @@ object QueriesText {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4""".stripMargin
     })
 
+  // ------------------------------------------ end-to-end corpus dedup
+  // Exact groups + LSH near-dup edges → connected components → one
+  // representative per cluster. Iterative label propagation is not
+  // SQL-expressible deterministically → rows-only check + DedupSpec.
+  private val d10: (String, QFn, Option[String]) = ("d10_dedup_corpus",
+    (s, d) => Dedup.dedupCorpus(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS, minEstJaccard = 0.5),
+    None)
+
   // ------------------------------------------------------ fingerprinting
   private val d09: (String, QFn, Option[String]) = ("d09_fingerprint",
     (s, d) => docs(s, d).select(col("doc_id"),
@@ -284,6 +293,6 @@ object QueriesText {
     None)
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, e01, e02, e03, e04,
     m01, m02)
 }

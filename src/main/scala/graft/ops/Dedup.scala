@@ -158,6 +158,53 @@ object Dedup {
     agg.select(col("doc"), hash.as("simhash"))
   }
 
+  /** End-to-end corpus dedup: exact-duplicate groups plus MinHash-LSH
+    * near-dup pairs form an edge set; connected components (iterative
+    * smallest-id label propagation — the scalable union-find substitute:
+    * each round is one join + one min-aggregate, converging in
+    * O(log(component diameter)) rounds) pick one representative per
+    * cluster. Returns (doc, keep_id): keep_id = the smallest doc id of the
+    * cluster; rows with doc == keep_id form the deduplicated corpus. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  k: Int, bands: Int, minEstJaccard: Double,
+                  maxRounds: Int = 10): DataFrame = {
+    val exactPairs = {
+      val g = exact(df, idCol, md5(col(textCol)))
+      df.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+        .join(g.select(col("fp"), col("keep_id")), Seq("fp"))
+        .select(col("doc"), col("keep_id").as("peer"))
+        .filter(col("doc") =!= col("peer"))
+    }
+    val nearPairs = minhashLsh(df, idCol, textCol, n, k, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a").as("doc"), col("b").as("peer"))
+    val edges = exactPairs.unionByName(nearPairs)
+      .unionByName(exactPairs.select(col("peer").as("doc"),
+        col("doc").as("peer")))
+      .unionByName(nearPairs.select(col("peer").as("doc"),
+        col("doc").as("peer")))
+      .distinct().cache()
+    // label propagation to fixpoint (bounded): label = min id reachable
+    var labels = df.select(col(idCol).as("doc"), col(idCol).as("label"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaPeers = edges
+        .join(labels.select(col("doc").as("peer"), col("label")), Seq("peer"))
+        .select(col("doc"), col("label"))
+      val next = labels.unionByName(viaPeers)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.select(col("doc"),
+          col("label").as("_old")), Seq("doc"))
+        .filter(col("label") =!= col("_old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("doc"), col("label").as("keep_id"))
+  }
+
   /** Hamming-distance pairs over simhash values (a < b, dist <= maxDist),
     * via pigeonhole banding: dist <= d implies an exact match on at least
     * one of d+1 bit segments, so candidates come from an equi-join on

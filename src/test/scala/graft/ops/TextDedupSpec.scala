@@ -68,6 +68,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("dedupCorpus merges exact + near-dup clusters transitively") {
+    // 1≈2 (near), 2≈3 (near), 4=5 (exact), 6 unique → clusters {1,2,3},
+    // {4,5}, {6}; transitivity requires >1 propagation round
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val t3 = "alpha beta gamma delta epsilon zeta eta theta mu lambda"
+    val dup = "totally different content about pasta and cooking"
+    val uniq = "nothing in common with anything else at all here"
+    val df = Seq((1L, t1), (2L, t2), (3L, t3), (4L, dup), (5L, dup),
+      (6L, uniq)).toDF("doc_id", "text")
+    val labels = Dedup.dedupCorpus(df, "doc_id", "text", n = 3, k = 16,
+      bands = 8, minEstJaccard = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L && labels(5L) == 4L)
+    assert(labels(6L) == 6L)
+  }
+
   test("bruteKnn ranks by cosine with deterministic tiebreak") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
