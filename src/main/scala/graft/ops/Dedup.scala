@@ -186,6 +186,7 @@ object Dedup {
       .distinct().cache()
     // label propagation to fixpoint (bounded): label = min id reachable
     var labels = df.select(col(idCol).as("doc"), col(idCol).as("label"))
+    var prev: Option[DataFrame] = None
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -198,10 +199,15 @@ object Dedup {
       val changed = next.join(labels.select(col("doc"),
           col("label").as("_old")), Seq("doc"))
         .filter(col("label") =!= col("_old")).limit(1).count()
+      // free the round-(n-1) cache now that round n is materialized —
+      // a bounded working set regardless of round count
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
       labels = next
       converged = changed == 0
       round += 1
     }
+    edges.unpersist(blocking = false)
     labels.select(col("doc"), col("label").as("keep_id"))
   }
 
