@@ -34,6 +34,21 @@ class HorizontalStatsSpec extends SparkSpec {
     approx(r.getAs[Double]("h_skew"), 0.0)
   }
 
+  test("horizontal stats agree with vertical GroupStats on the same values") {
+    // same multiset [2,3,7,9] through both stat engines: A10's per-row
+    // array fold and A5's aggregate must produce identical moments
+    val row = Seq((1L, 2.0, 3.0, 7.0, 9.0)).toDF("u", "a", "b", "c", "d")
+    val h = HorizontalStats.withStats(row, Seq("a", "b", "c", "d"), "h")
+      .head()
+    val vert = Seq(2.0, 3.0, 7.0, 9.0).map(("g", _)).toDF("g", "v")
+    val g = GroupStats.stats(vert, Seq("g"), "v", "s").head()
+    for ((hs, gs) <- Seq("mean" -> "mean", "median" -> "median",
+      "max" -> "max", "min" -> "min", "std" -> "std", "sem" -> "sem",
+      "skew" -> "skew", "var" -> "var")) {
+      approx(h.getAs[Double](s"h_$hs"), g.getAs[Double](s"s_$gs"))
+    }
+  }
+
   test("all-zero row: every stat coalesces to 0") {
     val df = Seq((1L, 0.0, 0.0)).toDF("u", "a", "b")
     val r = HorizontalStats.withStats(df, Seq("a", "b"), "h").head()
