@@ -748,8 +748,36 @@ object Queries {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
       .stripMargin))
 
+  // ------------------------------------------- semi / anti joins (EXISTS)
+  // Customers with at least one high-value order (left_semi = EXISTS) and
+  // customers with none (left_anti = NOT EXISTS) — counted per market
+  // segment so the oracle is a compact grouped result.
+  private val q33: (String, QFn, Option[String]) = ("q33_semi_anti_join",
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
+      val c = Tables.customer(s, d)
+      val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "left_semi").groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_with_big_order"))
+      val withoutBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "left_anti").groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_without_big_order"))
+      withBig.join(withoutBig, Seq("c_mktsegment"), "outer")
+        .na.fill(0, Seq("n_with_big_order", "n_without_big_order"))
+    },
+    Some("""SELECT c_mktsegment,
+      | count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > 300000.0))
+      |   AS n_with_big_order,
+      | count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > 300000.0))
+      |   AS n_without_big_order
+      |FROM customer GROUP BY c_mktsegment""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32)
+    q29, q30, q31, q32, q33)
 }
