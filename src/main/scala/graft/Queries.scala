@@ -776,8 +776,29 @@ object Queries {
       |   AS n_without_big_order
       |FROM customer GROUP BY c_mktsegment""".stripMargin))
 
+  // --------------------------------------------------------- as-of join
+  // Each event gets the user's most recent prior (inclusive) signup value.
+  // Spark side: AsOfJoin's union+carry-forward composition (one shuffle);
+  // oracle: DuckDB's NATIVE ASOF LEFT JOIN — two independent formulations
+  // of the semantics checking each other.
+  private val q34: (String, QFn, Option[String]) = ("q34_asof_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val leftDf = e.select(col("event_id"), col("user_id"), col("ts"))
+      val rightDf = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      AsOfJoin(leftDf, rightDf, Seq("user_id"), "ts",
+        tiebreak = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+    },
+    Some("""SELECT l.event_id, l.user_id, r.signup_value
+      |FROM events l ASOF LEFT JOIN
+      | (SELECT user_id, ts, value AS signup_value FROM events
+      |  WHERE event_type = 'signup') r
+      | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33)
+    q29, q30, q31, q32, q33, q34)
 }
