@@ -797,8 +797,35 @@ object Queries {
       |  WHERE event_type = 'signup') r
       | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
 
+  // --------------------------------------------------------- range join
+  // Clicks within ±5 minutes of each error event, per user: Spark side =
+  // banded equi-join (RangeJoin, the quadratic-blowup-proof form); oracle =
+  // DuckDB's native inequality join.
+  private val q35: (String, QFn, Option[String]) = ("q35_range_join",
+    (s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("us").as("err_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("click_us"))
+      RangeJoin(errors, clicks, Seq("user_id"), "err_us", "click_us",
+        tol = 300000000L)
+        .groupBy(col("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_id")).as("first_click_id"))
+    },
+    Some("""SELECT l.user_id, l.event_id AS err_id,
+      | count(*) AS n_clicks, min(r.event_id) AS first_click_id
+      |FROM events l JOIN events r
+      | ON l.user_id = r.user_id
+      | AND l.event_type = 'error' AND r.event_type = 'click'
+      | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
+      |GROUP BY l.user_id, l.event_id""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34)
+    q29, q30, q31, q32, q33, q34, q35)
 }
