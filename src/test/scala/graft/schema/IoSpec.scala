@@ -32,6 +32,21 @@ class IoSpec extends SparkSpec {
     assert(ts == "2023-01-15 10:30:00")
   }
 
+  test("JSON-lines and ORC round-trips preserve schema and values") {
+    val dir = Files.createTempDirectory("graft-io3").toFile.getAbsolutePath
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
+    df.write.mode("overwrite").json(s"$dir/j")
+    df.write.mode("overwrite").orc(s"$dir/o")
+    val j = spark.read.schema(df.schema).json(s"$dir/j")
+    val o = spark.read.orc(s"$dir/o")
+    for (back <- Seq(j, o)) {
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+        Seq((1L, "a", 1.5), (2L, "b", -2.0)))
+    }
+  }
+
   test("declared schema rejects malformed rows as nulls (permissive read)") {
     val dir = Files.createTempDirectory("graft-io2")
     val f = dir.resolve("bad.csv")
