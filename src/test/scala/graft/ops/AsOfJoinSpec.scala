@@ -23,6 +23,27 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, None)))        // k=2, t=7 → right t=9 is later
   }
 
+  test("agrees with the naive inequality-join formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "id")
+    val right = (1 to 60).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong * 2, i.toDouble))
+      .toDF("k", "t", "v")
+      // dedupe (k,t) so "the" most recent right row is well-defined
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("v").as("v"))
+    val composed = AsOfJoin(left, right, Seq("k"), "t", tiebreak = $"id")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val naive = left.as("l")
+      .join(right.as("r"), $"l.k" === $"r.k" && $"r.t" <= $"l.t", "left")
+      .groupBy($"id")
+      .agg(org.apache.spark.sql.functions.max_by($"r.v", $"r.t").as("v"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(composed == naive)
+  }
+
   test("left rows and columns are preserved unchanged") {
     val left = Seq((1L, 5L, "x")).toDF("k", "t", "tag")
     val right = Seq((1L, 1L, 7.0)).toDF("k", "t", "v")
