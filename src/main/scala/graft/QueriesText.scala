@@ -187,12 +187,45 @@ object QueriesText {
 
   // ------------------------------------------ end-to-end corpus dedup
   // Exact groups + LSH near-dup edges → connected components → one
-  // representative per cluster. Iterative label propagation is not
-  // SQL-expressible deterministically → rows-only check + DedupSpec.
+  // representative per cluster. The fixpoint RESULT is deterministic
+  // (components are well-defined), so the oracle reproduces it with a
+  // recursive CTE over the same edge set: enumerate reachable labels,
+  // take the minimum per doc.
   private val d10: (String, QFn, Option[String]) = ("d10_dedup_corpus",
     (s, d) => Dedup.dedupCorpus(docs(s, d), "doc_id", "text", n = 3,
       k = MINHASH_K, bands = MINHASH_BANDS, minEstJaccard = 0.5),
-    None)
+    Some(s"""WITH RECURSIVE $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id),
+      |near AS (SELECT a, b FROM (
+      |  SELECT c.a, c.b,
+      |   round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |     / ${MINHASH_K.toDouble}, 6) AS ej
+      |  FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      |   JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |  GROUP BY c.a, c.b) WHERE ej >= 0.5),
+      |exg AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1),
+      |exp AS (SELECT d.doc_id AS doc, g.keep_id AS peer FROM documents d
+      |  JOIN exg g ON md5(d.text) = g.fp WHERE d.doc_id <> g.keep_id),
+      |edges AS (SELECT doc, peer FROM exp
+      |  UNION SELECT peer, doc FROM exp
+      |  UNION SELECT a, b FROM near
+      |  UNION SELECT b, a FROM near),
+      |cc(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc, c.label FROM edges e JOIN cc c ON c.doc = e.peer)
+      |SELECT doc, min(label) AS keep_id FROM cc GROUP BY doc"""
+      .stripMargin))
 
   // ------------------------------------------------------ fingerprinting
   private val d09: (String, QFn, Option[String]) = ("d09_fingerprint",
