@@ -256,15 +256,47 @@ object QueriesText {
       .stripMargin))
 
   // -------------------------------------------- LSH-bucketed approximate NN
-  // Bucketing depends on Spark-side fold order inside the signature — the
-  // recall/structure is pinned by SimilaritySpec; rows-only check here.
+  // The hyperplanes are deterministic driver-side constants, so the oracle
+  // gets them as literal arrays and replays the full pipeline: sign-bit
+  // signature → band buckets → exact cosine rerank within candidates.
+  private val LSH_DIMS = 64
+  private val LSH_PLANES = 16
+  private val LSH_BANDS = 4
   private val e02: (String, QFn, Option[String]) = ("e02_knn_lsh",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
-      Similarity.lshKnn(e.filter(col("id") < 20), e, 5)
+      Similarity.lshKnn(e.filter(col("id") < 20), e, 5,
+        dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
     },
-    None)
+    Some {
+      val rows = LSH_PLANES / LSH_BANDS
+      val mask = (1L << rows) - 1
+      val sigExpr = (0 until LSH_PLANES).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
+        |banded AS (SELECT vec_id, v, band,
+        |   (sig >> (band * $rows)) & $mask AS bits
+        |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, q.v AS qv,
+        |   c.vec_id AS nid, c.v AS nv
+        |  FROM banded q JOIN banded c
+        |   ON q.band = c.band AND q.bits = c.bits AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |scored AS (SELECT qid, nid,
+        |   round(list_dot_product(qv, nv)
+        |     / (sqrt(list_dot_product(qv, qv))
+        |        * sqrt(list_dot_product(nv, nv))), 6) AS sim FROM cand),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
 
   // ------------------------------------------------ IVF approximate NN
   // Bucket assignment depends on the centroid sample; rows-only check here,

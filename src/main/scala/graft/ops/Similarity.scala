@@ -55,6 +55,9 @@ object Similarity {
     * from md5("plane<p>#<dim>") — no RNG state, reproducible across runs.
     * Computed DRIVER-SIDE once (data-independent) and shipped as literals;
     * an expression-level md5 would re-hash per row x dim x plane. */
+  private[graft] def planeVector(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => planeComponent(plane, d))
+
   private def planeComponent(plane: Int, dim: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$plane#$dim".getBytes("UTF-8"))
@@ -69,7 +72,7 @@ object Similarity {
     * compilation time flat as dims grow. */
   def lshSignature(vec: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
-      val plane = lit((0 until dims).map(d => planeComponent(p, d)).toArray)
+      val plane = lit(planeVector(p, dims).toArray)
       val proj = dot(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
