@@ -299,15 +299,43 @@ object QueriesText {
     })
 
   // ------------------------------------------------ IVF approximate NN
-  // Bucket assignment depends on the centroid sample; rows-only check here,
-  // recall pinned by SimilaritySpec-style test vs brute force.
+  // Assignment ranks on rounded cosine with centroid-id tiebreak, so the
+  // whole pipeline (centroid sample → inverted file → nProbe rerank) is
+  // deterministic and the oracle replays it exactly.
   private val e04: (String, QFn, Option[String]) = ("e04_knn_ivf",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
-      Similarity.ivfKnn(e.filter(col("id") < 20), e, 5)
+      Similarity.ivfKnn(e.filter(col("id") < 20), e, 5,
+        nCentroids = 16, nProbe = 4)
     },
-    None)
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS cs
+        |  FROM e, cents c),
+        |corpusb AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca) WHERE r = 1),
+        |queryb AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca WHERE vec_id < 20)
+        |  WHERE r <= 4),
+        |cand AS (SELECT DISTINCT qid, qv, nid, nv
+        |  FROM queryb JOIN corpusb USING (cid) WHERE qid <> nid),
+        |scored AS (SELECT qid, nid, ${cos("qv", "nv")} AS sim FROM cand),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
 
   // ---------------------------------------- embedding-cosine near-dup
   // Vector-space dedup: all pairs above a cosine threshold. Exact here

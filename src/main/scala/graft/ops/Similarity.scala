@@ -91,9 +91,12 @@ object Similarity {
       .select(col("id").as("cid"), col("vec").as("cv")))
     def assign(df: DataFrame, idAs: String, vecAs: String,
                keep: Int): DataFrame = {
+      // rank on the ROUNDED similarity (6 dp) with centroid-id tiebreak —
+      // assignment is then deterministic under float noise (same policy as
+      // bruteKnn ranking), which also makes the e04 oracle reproducible
       val scored = df.select(col("id").as(idAs), col("vec").as(vecAs))
         .crossJoin(cents)
-        .withColumn("_cs", cosine(col(vecAs), col("cv")))
+        .withColumn("_cs", round(cosine(col(vecAs), col("cv")), 6))
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("_cs").desc, col("cid").asc)
       scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= keep)
