@@ -824,8 +824,58 @@ object Queries {
       | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
       |GROUP BY l.user_id, l.event_id""".stripMargin))
 
+  // --------------------------------- §3.1 VRAE branch, end to end
+  // The reference's second feature branch (run.py:90-180): cleaned table →
+  // one-hot of the (repaired) category → per-user z-score, cumulative sum,
+  // rebased hour index. Composed over the shared repair CTEs like q27
+  // composes the CatBoost branch — both §3.1 branches are now oracle-
+  // checked end to end.
+  private val q36: (String, QFn, Option[String]) = ("q36_vrae_branch",
+    (s, d) => {
+      val in = ev(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), sval.as("amt"))
+      val repaired = Repair(in, "user_id", "event_type", "amt",
+        nAmt = 10, nMcc = 10)
+      val oh = OneHot.withOneHot(repaired, "event_type", vocab, "et")
+      val withRef = oh.crossJoin(broadcast(
+        oh.agg(min(unix_micros(col("ts"))).as("_e0"))))
+      val td = TimeFeatures.hoursSince(col("ts"), col("_e0"))
+      withRef.select(
+        col("event_id") +: col("user_id") +:
+          vocab.map(v => col(s"et_$v").cast("long").as(s"et_$v")) ++: Seq(
+          round(Sequences.cumSum(col("amt"), Seq("user_id"), ord), 6)
+            .as("cum_amt"),
+          round(Sequences.zScorePop(col("amt"), Seq("user_id")), 6)
+            .as("z_amt"),
+          Sequences.rebaseToFirst(td, Seq("user_id"), ord).cast("long")
+            .as("td_rebased")): _*)
+    },
+    Some {
+      val ohCols = vocab.map(v =>
+        s"(CASE WHEN code = '$v' THEN 1 ELSE 0 END)::BIGINT AS et_$v")
+        .mkString(", ")
+      s"""WITH $repairCtesSql,
+        |r2 AS (SELECT rep.*, epoch_us(ts) AS us FROM rep),
+        |gref AS (SELECT min(us) AS e0 FROM r2)
+        |SELECT event_id, user_id, $ohCols,
+        | round(sum(amt) OVER w, 6) AS cum_amt,
+        | round(CASE WHEN stddev_pop(amt) OVER p = 0
+        |         OR stddev_pop(amt) OVER p IS NULL THEN 0
+        |       ELSE (amt - avg(amt) OVER p) / (stddev_pop(amt) OVER p)
+        |       END, 6) AS z_amt,
+        | (floor((us - e0) / 3600000000)
+        |  - first_value(floor((us - e0) / 3600000000)) OVER w2)
+        |  ::BIGINT AS td_rebased
+        |FROM r2, gref
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING),
+        | p AS (PARTITION BY user_id),
+        | w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q35)
+    q29, q30, q31, q32, q33, q34, q35, q36)
 }
