@@ -363,13 +363,35 @@ object Queries {
     })
 
   // ------------------------------------------------------------------ E2
-  // Tensor assembly: array<array<double>> output — not hash-comparable via
-  // the SQL oracle (rows-only check); semantics pinned by SequencesSpec.
+  // Tensor assembly, registered in SCALARIZED form: the padded
+  // array<array<double>> tensor posexploded to (user_id, pos, f0, f1) rows —
+  // SQL-expressible, so the driver hash-checks the full tensor content
+  // (array-typed cells crash its pandas checker). pos is 1-based into the
+  // length-5 left-padded sequence: pos 5 = newest event, pos <= 5-count(user)
+  // = zero padding. The tensor form stays the library surface
+  // (Sequences.assembleSequences, pinned by SequencesSpec).
   private val q17: (String, QFn, Option[String]) = ("q17_sequences",
     (s, d) => Sequences.assembleSequences(
-      ev(s, d).withColumn("sv", sval), 5, Seq("user_id"),
-      struct(col("ts"), col("event_id")), Seq("value", "sv")),
-    None)
+        ev(s, d).withColumn("sv", sval), 5, Seq("user_id"),
+        struct(col("ts"), col("event_id")), Seq("value", "sv"))
+      .select(col("user_id"), posexplode(col("seq")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").getItem(0).as("f0"), col("col").getItem(1).as("f1")),
+    Some(s"""WITH ranked AS (
+      |  SELECT user_id, value, $svalSql AS sv,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events),
+      |kept AS (
+      |  SELECT user_id, (6 - rd)::BIGINT AS pos,
+      |    value::DOUBLE AS f0, sv::DOUBLE AS f1
+      |  FROM ranked WHERE rd <= 5),
+      |counts AS (SELECT user_id, least(count(*), 5) AS k
+      |  FROM events GROUP BY user_id),
+      |pads AS (SELECT user_id, unnest(range(1, 6 - k))::BIGINT AS pos,
+      |    0.0 AS f0, 0.0 AS f1
+      |  FROM counts)
+      |SELECT * FROM kept UNION ALL SELECT * FROM pads""".stripMargin))
 
   // -------------------------------------------------------------- J2/P12
   private val q18: (String, QFn, Option[String]) = ("q18_feature_matrix",
@@ -417,13 +439,35 @@ object Queries {
       |GROUP BY user_id""".stripMargin))
 
   // ------------------------------------------------------------------ E3
-  // Bootstrap sampling is seed-deterministic in Spark but not reproducible
-  // in DuckDB — rows-only check (SURVEY.md §2.8 E3).
+  // Bootstrap resampling, registered in DETERMINISTIC form: per-row
+  // replication count = inverse Poisson(0.95) CDF of an md5-derived uniform
+  // over (event_id, run) — the same per-row Poisson model Spark's seeded
+  // sampler draws from, but data-derived, so DuckDB replays it bit-for-bit
+  // (the e02/e04 literal-replay trick). The RNG-seeded form stays the
+  // library surface (Sampling.bootstrapRuns). The oracle aggregates
+  // replication counts as weights (sum(cnt*v)/sum(cnt)) — identical to
+  // Spark's avg over the exploded rows at round-6 tolerance.
   private val q20: (String, QFn, Option[String]) = ("q20_bootstrap",
-    (s, d) => Sampling.bootstrapRuns(ev(s, d), 3, 0.95, 42L)
-      .groupBy(col("run_id"))
+    (s, d) => Sampling.deterministicBootstrapRuns(
+        ev(s, d), col("event_id"), 3, 0.95)
+      .groupBy(col("run_id").cast("long").as("run_id"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value")),
-    None)
+    Some {
+      val caseSql = Sampling.poissonThresholds(0.95, 8).zipWithIndex
+        .map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      s"""WITH tagged AS (
+        |  SELECT e.event_id, e.value, r.run_id
+        |  FROM events e CROSS JOIN
+        |    (SELECT unnest(range(0, 3)) AS run_id) r),
+        |uu AS (SELECT run_id, value,
+        |  ('0x'||substr(md5(event_id::VARCHAR||'#'||run_id::VARCHAR),1,15))::BIGINT
+        |    / 1152921504606846976.0 AS u FROM tagged),
+        |c AS (SELECT run_id, value, (CASE $caseSql ELSE 8 END) AS cnt FROM uu)
+        |SELECT run_id::BIGINT AS run_id, sum(cnt)::BIGINT AS n,
+        |  round(sum(CASE WHEN value IS NOT NULL THEN cnt * value END)
+        |    / sum(CASE WHEN value IS NOT NULL THEN cnt END), 6) AS mean_value
+        |FROM c GROUP BY run_id""".stripMargin
+    })
 
   // ------------------------------------------- TPC-H-style scan/join/agg
   private val q21: (String, QFn, Option[String]) = ("q21_pricing_summary",

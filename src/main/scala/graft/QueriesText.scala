@@ -372,18 +372,37 @@ object QueriesText {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
       | md5(text) AS digest FROM documents""".stripMargin))
 
-  // Stubbed decode + frame sampling + per-partition batch path — array
-  // outputs and RDD stage are not SQL-expressible; rows-only check, with
-  // MultimodalSpec pinning determinism.
+  // Stubbed decode + frame sampling through the per-partition batch path
+  // (typed-Dataset mapPartitions with amortized per-partition decoder init).
+  // The stand-in decoder is md5-derived ON PURPOSE: DuckDB replays it
+  // exactly, so the whole mapPartitions stage is hash-checked, and the
+  // outputs are SCALAR columns (array cells crash the driver's checker).
   private val m02: (String, QFn, Option[String]) = ("m02_decode_stub",
     (s, d) => {
       val withPayload = docs(s, d)
         .withColumn("payload", col("text").cast("binary"))
-      Multimodal.decodePartitioned(withPayload, "payload")
-        .withColumn("frames", Multimodal.sampleFramesStub(col("payload"), 4))
-        .select(col("doc_id"), col("features"), col("frames"))
+      val feats = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
+      val frames = docs(s, d).select(
+        col("doc_id") +: Multimodal.frameSampleMd5(col("text"), 4): _*)
+      feats.join(frames, Seq("doc_id"))
     },
-    None)
+    Some {
+      def res(hexExpr: String, m: Int) =
+        s"(('0x'||substr($hexExpr,1,15))::BIGINT % $m)::DOUBLE"
+      val frs = (0 until 4).map { i =>
+        val off = s"floor($i * (length(text) - 1) / 3.0)::BIGINT + 1"
+        s"""CASE WHEN length(text) > 0
+           | THEN ${res(s"md5(substr(text, $off, 1))", 251)}
+           | ELSE 0.0 END AS fr$i""".stripMargin
+      }.mkString(", ")
+      s"""SELECT doc_id,
+        | octet_length(encode(text)) / 1024.0 AS f0,
+        | ${res("md5(text)", 997)} AS f1,
+        | ${res("md5(text)", 251)} AS f2,
+        | ${res("md5(text)", 127)} AS f3,
+        | $frs
+        |FROM documents""".stripMargin
+    })
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, e01, e02, e03, e04,

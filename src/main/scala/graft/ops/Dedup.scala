@@ -95,6 +95,9 @@ object Dedup {
     * any band key are candidates; the probability of sharing a band rises
     * sharply with true Jaccard (the (1/b)^(1/r) S-curve). */
   def lshBandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands — integer floor would " +
+        "silently drop the trailing signature positions from every band key")
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val key = md5(concat_ws(",",
@@ -115,6 +118,7 @@ object Dedup {
                  k: Int, bands: Int, maxPostings: Int = 0,
                  hashFamily: (Column, Column) => Column = md5Hash)
   : DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sh = docShingles(df, idCol, textCol, n, maxPostings)
     // one wide row per doc — tiny vs the corpus; cached because the band
     // join and both scoring sides reuse it (else k*|shingles| md5s rerun 3x)
@@ -160,10 +164,15 @@ object Dedup {
 
   /** End-to-end corpus dedup: exact-duplicate groups plus MinHash-LSH
     * near-dup pairs form an edge set; connected components (iterative
-    * smallest-id label propagation — the scalable union-find substitute:
-    * each round is one join + one min-aggregate, converging in
-    * O(log(component diameter)) rounds) pick one representative per
-    * cluster. Returns (doc, keep_id): keep_id = the smallest doc id of the
+    * smallest-id label propagation — the scalable union-find substitute)
+    * pick one representative per cluster. Each round combines one-hop
+    * propagation over the edges with POINTER DOUBLING (label :=
+    * min(label, label-of-label), a self-join on the label table), so labels
+    * reach the component minimum in O(log diameter) rounds — plain one-hop
+    * propagation alone is O(diameter) and a long duplicate chain would
+    * exhaust `maxRounds`. Exhausting `maxRounds` without convergence throws:
+    * silently returning split clusters would be a wrong answer.
+    * Returns (doc, keep_id): keep_id = the smallest doc id of the
     * cluster; rows with doc == keep_id form the deduplicated corpus. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int,
                   k: Int, bands: Int, minEstJaccard: Double,
@@ -193,7 +202,13 @@ object Dedup {
       val viaPeers = edges
         .join(labels.select(col("doc").as("peer"), col("label")), Seq("peer"))
         .select(col("doc"), col("label"))
-      val next = labels.unionByName(viaPeers)
+      // pointer doubling: each doc also adopts its label's label — halves
+      // the remaining distance to the component minimum every round
+      val viaLabels = labels.select(col("doc"), col("label").as("_mid"))
+        .join(labels.select(col("doc").as("_mid"), col("label").as("_ll")),
+          Seq("_mid"))
+        .select(col("doc"), col("_ll").as("label"))
+      val next = labels.unionByName(viaPeers).unionByName(viaLabels)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .cache()
       val changed = next.join(labels.select(col("doc"),
@@ -208,6 +223,11 @@ object Dedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupCorpus: label propagation did not converge in $maxRounds " +
+          "rounds — raise maxRounds (pointer doubling needs " +
+          "O(log component-diameter) rounds)")
     labels.select(col("doc"), col("label").as("keep_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,30 +62,60 @@ object Multimodal {
     })
   }
 
-  /** Per-partition batched "decode" — demonstrates the batch shape a real
-    * decoder needs (amortized init, bounded memory per batch). The fake
-    * feature matches `decodeStub` semantics for the length dim. */
-  def decodePartitioned(df: DataFrame, payloadCol: String,
-                        batchSize: Int = 64): DataFrame = {
+  /** Per-partition batched "decode" over a TYPED Dataset — the batch shape a
+    * real decoder needs: expensive init (codec context, model load — here a
+    * reusable MessageDigest) happens ONCE per partition, rows stream through
+    * in bounded batches, and the Encoder keeps rows in Tungsten binary form
+    * (no GenericRow round-trip; the `df.rdd` form this replaces dropped out
+    * of Tungsten and killed codegen downstream).
+    *
+    * The stand-in "decoder" is md5-derived — f0 = bytes/1024, f1..f3 = 60-bit
+    * md5 prefix mod {997, 251, 127} — deliberately, because any SQL engine
+    * with md5() can replay it exactly: this makes the whole mapPartitions
+    * path externally verifiable, not just spec-tested. A production
+    * deployment swaps the per-row body for a real codec; the partition/batch
+    * plumbing is unchanged. Output: (idCol, f0, f1, f2, f3). */
+  def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
+                    batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val inSchema = df.schema
-    val outSchema = inSchema.add("features", ArrayType(DoubleType))
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      // expensive-decoder-init would go HERE, once per partition
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      // expensive-decoder-init goes HERE, once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val p = r.get(payloadIdx).asInstanceOf[Array[Byte]]
-          val feats: Array[Double] =
-            if (p == null) Array(0.0, 0.0, 0.0, 0.0)
-            else Array(p.length / 1024.0,
-              if (p.length > 0) (p.head & 0xff).toDouble else 0.0,
-              if (p.length > 0) (p.last & 0xff).toDouble else 0.0,
-              p.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997).toDouble)
-          Row.fromSeq(r.toSeq :+ feats.toSeq)
+        batch.map { case (id, p) =>
+          if (p == null) (id, 0.0, 0.0, 0.0, 0.0)
+          else {
+            md.reset()
+            val hex = md.digest(p).map("%02x".format(_)).mkString.take(15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            (id, p.length / 1024.0, (h % 997L).toDouble,
+              (h % 251L).toDouble, (h % 127L).toDouble)
+          }
         }
       }
+    }.toDF(idCol, "f0", "f1", "f2", "f3")
+  }
+
+  /** Declarative frame-sampling columns over a STRING payload: k evenly
+    * spaced single-character "frames", each reduced to an md5-residue
+    * feature. Character (not byte) offsets so `substr` agrees across
+    * engines; a real impl seeks+decodes frames at the same offsets.
+    * Offsets use exact double math (floor(i*(n-1)/(k-1))) — identical in
+    * any IEEE-754 engine. */
+  def frameSampleMd5(textCol: Column, k: Int): Seq[Column] = {
+    require(k >= 2, "need at least 2 frames for spaced offsets")
+    val n = length(textCol)
+    (0 until k).map { i =>
+      val off = floor(lit(i) * (n - 1).cast("double") / lit((k - 1).toDouble))
+        .cast("int") + 1
+      val ch = textCol.substr(off, lit(1))
+      when(n > 0,
+        (conv(substring(md5(ch.cast("binary")), 1, 15), 16, 10).cast("long")
+          % 251L).cast("double"))
+        .otherwise(lit(0.0)).as(s"fr$i")
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 }

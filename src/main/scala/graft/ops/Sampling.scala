@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /**
  * E3 + A13: bootstrap resampling for prediction smoothing
@@ -20,8 +21,53 @@ object Sampling {
   /** The ×k ensemble union, tagged by run id; downstream takes
     * groupBy(key).avg (A13). */
   def bootstrapRuns(df: DataFrame, k: Int, fraction: Double, seed: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     (0 until k).map(i => bootstrap(df, fraction, seed + i)
       .withColumn("run_id", lit(i))).reduce(_ unionByName _)
+  }
+
+  /** Cumulative Poisson(lambda) CDF values P(X <= i) for i = 0..kMax-1 —
+    * the inverse-CDF thresholds for [[deterministicBootstrapRuns]]. Exposed
+    * so an external oracle can embed the EXACT same double literals
+    * (Double.toString round-trips bit-exactly through any IEEE-754 parser). */
+  def poissonThresholds(lambda: Double, kMax: Int): Seq[Double] = {
+    var pmf = math.exp(-lambda)
+    var cum = pmf
+    (0 until kMax).map { i =>
+      if (i > 0) { pmf = pmf * lambda / i; cum += pmf }
+      cum
+    }
+  }
+
+  /** 60-bit-md5-derived uniform in [0, 1): `u = md5Hash(key#run) / 2^60`.
+    * Division by a power of two is exact, so u is bit-identical in any
+    * engine that reproduces the md5 trick (DuckDB:
+    * `('0x'||substr(md5(key||'#'||run),1,15))::BIGINT / 1152921504606846976.0`). */
+  def hashUniform(key: Column, run: Column): Column =
+    Dedup.md5Hash(key.cast("string"), run) / lit(1152921504606846976.0)
+
+  /** Inverse-CDF replication count from a uniform: count = the number of
+    * thresholds at or below u (CASE u < t0 -> 0, u < t1 -> 1, ..., else kMax). */
+  def inverseCdfCount(u: Column, thresholds: Seq[Double]): Column =
+    thresholds.zipWithIndex.foldRight(lit(thresholds.size): Column) {
+      case ((t, i), elseC) => when(u < t, i).otherwise(elseC)
+    }
+
+  /** E3, DETERMINISTIC form: bootstrap-with-replacement where each row's
+    * replication count in run `r` is the inverse Poisson(lambda) CDF of an
+    * md5-derived uniform over (key, r) — the same per-row Poisson model
+    * Spark's seeded `sample(withReplacement)` draws from, but with the
+    * randomness derived from DATA instead of RNG state, so any engine can
+    * replay it bit-for-bit (the trick that made the e02/e04 ANN oracles
+    * exact). Rows with count 0 drop out via explode of an empty array; no
+    * shuffle, no driver round-trip — a pure projection + generator, same
+    * scale shape as Spark's native sampler. */
+  def deterministicBootstrapRuns(df: DataFrame, key: Column, runs: Int,
+                                 lambda: Double, kMax: Int = 8): DataFrame = {
+    val thresholds = poissonThresholds(lambda, kMax)
+    val u = hashUniform(key, col("run_id"))
+    df.withColumn("run_id", explode(array((0 until runs).map(lit): _*)))
+      .withColumn("_cnt", inverseCdfCount(u, thresholds))
+      .withColumn("_dup", explode(array_repeat(lit(1), col("_cnt"))))
+      .drop("_cnt", "_dup")
   }
 }

@@ -121,6 +121,9 @@ object Similarity {
     * the corpus side scales out; recall is tunable via planes/bands. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              dims: Int = 64, planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0,
+      s"planes=$planes must be divisible by bands=$bands — integer floor " +
+        "would silently drop the trailing sign bits from every band")
     val rows = planes / bands
     val mask = (1L << rows) - 1
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {

@@ -140,13 +140,40 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "de", "und"))
   }
 
-  test("decodePartitioned emits deterministic stub features per payload") {
-    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+  test("decodeBatched md5 features match the declarative md5 expressions") {
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "hello world"))
+      .toDF("doc_id", "text")
       .withColumn("payload", $"text".cast("binary"))
-    val r = Multimodal.decodePartitioned(df, "payload")
-      .orderBy("doc_id").select("features").as[Seq[Double]].collect()
-    assert(r(0).length == 4)
-    assert(r(0)(1) == 'a'.toDouble && r(0)(2) == 'c'.toDouble)
-    assert(r(1) == Seq(0.0, 0.0, 0.0, 0.0))
+    val got = Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 2)
+      .orderBy("doc_id")
+      .select("f0", "f1", "f2", "f3").as[(Double, Double, Double, Double)]
+      .collect()
+    // independent witness: the same features from Spark's own md5()/conv()
+    val want = df.orderBy("doc_id").select(
+        octet_length($"payload").cast("double") / 1024.0,
+        (conv(substring(md5($"payload"), 1, 15), 16, 10).cast("long") % 997L)
+          .cast("double"),
+        (conv(substring(md5($"payload"), 1, 15), 16, 10).cast("long") % 251L)
+          .cast("double"),
+        (conv(substring(md5($"payload"), 1, 15), 16, 10).cast("long") % 127L)
+          .cast("double"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("frameSampleMd5 is deterministic, char-addressed, and 0.0 on empty") {
+    val df = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id") +:
+        Multimodal.frameSampleMd5($"text", 4): _*)
+      .orderBy("doc_id").collect()
+    // frames of "abcdef" sample chars at offsets 1,2,4,6 -> a,b,d,f
+    val expect = Seq("a", "b", "d", "f").map { c =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(c.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 251L).toDouble
+    }
+    assert((1 to 4).map(r(0).getDouble) == expect)
+    assert((1 to 4).map(r(1).getDouble) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 }
