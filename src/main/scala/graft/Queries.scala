@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.pipeline.{LinearScorer, Pipeline}
+import graft.pipeline.{LinearScorer, Pipeline, TreeEnsembleModel,
+  TreeEnsembleScorer}
 import graft.schema.Tables
 
 /**
@@ -918,8 +919,46 @@ object Queries {
         .stripMargin
     })
 
+  // ------------------------------------------ S5/P12: real tree scorer
+  // The committed GBT-style ensemble (CatBoost stand-in) scores the fused
+  // per-user feature matrix after P12-aligning it to the model's 52-column
+  // feature list (40 model-demanded ctx_* columns are absent from the data
+  // and zero-fill). The oracle replays the trees as CASE chains generated
+  // from the SAME artifact — leaf sums are literal doubles in a fixed
+  // order, so the score is exact in both engines.
+  private lazy val treeModel =
+    TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+  private val q37: (String, QFn, Option[String]) = ("q37_tree_scorer",
+    (s, d) => {
+      val e = ev(s, d).withColumn("sv", sval)
+      val fm = Pipeline.featureMatrixFused(e, "user_id", "event_type", "sv",
+        TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+      val aligned = Pipeline.alignFeatures(fm, "user_id",
+        treeModel.featureNames)
+      TreeEnsembleScorer(treeModel).score(aligned)
+        .select(col("user_id"), col("target"))
+    },
+    Some {
+      val featSql: String => String =
+        f => if (f.startsWith("ctx_")) "0.0" else f
+      s"""WITH fm AS (SELECT user_id,
+        | ${vocab.map(v =>
+              s"count(sv) FILTER (WHERE event_type = '$v') AS freq_$v")
+             .mkString(", ")},
+        | ${vocab.map(v =>
+              s"COALESCE(sum(sv) FILTER (WHERE event_type = '$v'), 0.0) AS proc_$v")
+             .mkString(", ")},
+        | avg(td) AS td_mean,
+        | CASE WHEN count(td) >= 2 THEN stddev_samp(td) ELSE 0.0 END AS td_std
+        |FROM (SELECT user_id, event_type, $svalSql AS sv,
+        |   hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events)
+        |GROUP BY user_id)
+        |SELECT user_id, round(${treeModel.toSql(featSql)}, 6) AS target
+        |FROM fm""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q35, q36)
+    q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

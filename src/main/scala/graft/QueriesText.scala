@@ -338,31 +338,40 @@ object QueriesText {
     })
 
   // ---------------------------------------- embedding-cosine near-dup
-  // Vector-space dedup: all pairs above a cosine threshold. Exact here
-  // (2000x2000 at sf0.1); the scale path is the same LSH banding as
-  // e02_knn_lsh feeding this exact verify as its second stage.
+  // Vector-space dedup, registered in its SCALE form: LSH band equi-join
+  // generates candidate pairs (same banding as e02_knn_lsh), exact cosine
+  // verifies them — no corpus×corpus nested loop anywhere in the plan. The
+  // oracle replays the banding with the same literal hyperplanes. The exact
+  // all-pairs form survives as Similarity.cosineNearDupExact, cross-checked
+  // against this plan by SimilarityNearDupSpec.
   private val e03: (String, QFn, Option[String]) = ("e03_cosine_neardup",
-    (s, d) => {
-      val e = emb(s, d).select(col("vec_id").as("id"),
-        col("embedding").as("vec"))
-      val l = e.select(col("id").as("a"), col("vec").as("va"))
-      val r = e.select(col("id").as("b"), col("vec").as("vb"))
-      l.join(r, col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
-        .filter(col("sim") >= 0.5)
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-      |  FROM embeddings)
-      |SELECT x.vec_id AS a, y.vec_id AS b,
-      | round(list_dot_product(x.v, y.v)
-      |   / (sqrt(list_dot_product(x.v, x.v))
-      |      * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
-      |FROM e x JOIN e y ON x.vec_id < y.vec_id
-      |WHERE round(list_dot_product(x.v, y.v)
-      |   / (sqrt(list_dot_product(x.v, x.v))
-      |      * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.5"""
-      .stripMargin))
+    (s, d) => Similarity.lshNearDupPairs(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      0.5, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS),
+    Some {
+      val rows = LSH_PLANES / LSH_BANDS
+      val mask = (1L << rows) - 1
+      val sigExpr = (0 until LSH_PLANES).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
+        |banded AS (SELECT vec_id, v, band,
+        |   (sig >> (band * $rows)) & $mask AS bits
+        |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
+        |   y.vec_id AS b, y.v AS vb
+        |  FROM banded x JOIN banded y
+        |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+        |scored AS (SELECT a, b,
+        |   round(list_dot_product(va, vb)
+        |     / (sqrt(list_dot_product(va, va))
+        |        * sqrt(list_dot_product(vb, vb))), 6) AS sim FROM cand)
+        |SELECT a, b, sim FROM scored WHERE sim >= 0.5""".stripMargin
+    })
 
   // ------------------------------------------------- multimodal plumbing
   private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",

@@ -115,6 +115,51 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Corpus-wide cosine near-duplicate pairs (a < b, cosine >= threshold),
+    * the SCALE form: candidates come from an LSH band equi-join of the
+    * corpus with itself (pairs agreeing on all `planes/bands` sign bits of
+    * at least one band), then exact cosine verifies each candidate. The
+    * shuffle key is (band, bandBits) — never an all-pairs nested loop, so
+    * the plan survives corpus-scale inputs; recall is tunable via
+    * planes/bands (more bands of fewer bits → higher recall, more
+    * candidates). The exact O(N²) form exists as [[cosineNearDupExact]]
+    * for small-N recall cross-checks only. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dims: Int = 64,
+                      planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0,
+      s"planes=$planes must be divisible by bands=$bands")
+    val rows = planes / bands
+    val mask = (1L << rows) - 1
+    def banded(idAs: String, vecAs: String): DataFrame =
+      corpus.select(col("id").as(idAs), col("vec").as(vecAs),
+          lshSignature(col("vec"), dims, planes).as("sig"))
+        .select(col(idAs), col(vecAs),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
+                .as("bits"))): _*)).as("bb"))
+        .select(col(idAs), col(vecAs),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cand = banded("a", "va").join(banded("b", "vb"), Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("va"), col("b"), col("vb")).distinct()
+    cand.withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Exact all-pairs cosine near-dup — O(N²), for small-N cross-checks of
+    * [[lshNearDupPairs]] recall. NOT a scale path: the `a < b` join is a
+    * broadcast nested loop. */
+  def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
+    val l = corpus.select(col("id").as("a"), col("vec").as("va"))
+    val r = corpus.select(col("id").as("b"), col("vec").as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing an LSH band with
     * the query (bands of `planes/bands` sign bits), then exact cosine rank
     * within candidates. Join is equi on (band, bandBits) — no crossJoin, so

@@ -131,6 +131,35 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("lshNearDupPairs matches exact all-pairs on near-dups, no nested loop") {
+    // near-identical pairs (0,1) and (2,3) plus unrelated vectors — scaled
+    // copies share every sign bit, so banding must surface both pairs
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.5f, 0.1f, -0.7f, 0.4f, 0.9f)),
+      (1L, Seq(2.0f, 0.41f, -0.6f, 1.0f, 0.2f, -1.4f, 0.8f, 1.8f)),
+      (2L, Seq(-0.5f, 0.8f, 0.8f, -0.2f, 0.6f, 0.3f, -0.9f, 0.1f)),
+      (3L, Seq(-0.49f, 0.81f, 0.79f, -0.2f, 0.61f, 0.3f, -0.9f, 0.1f)),
+      (4L, Seq(0.3f, -0.9f, 0.2f, 0.7f, -0.5f, 0.6f, 0.1f, -0.8f)),
+      (5L, Seq(-0.7f, -0.1f, 0.9f, 0.3f, 0.8f, -0.2f, 0.5f, 0.4f)))
+      .toDF("id", "vec")
+    val banded = Similarity.lshNearDupPairs(vecs, 0.95, dims = 8,
+      planes = 16, bands = 4)
+    val exact = Similarity.cosineNearDupExact(vecs, 0.95)
+    val bandedSet = banded.select("a", "b").as[(Long, Long)].collect().toSet
+    val exactSet = exact.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exactSet == Set((0L, 1L), (2L, 3L)))
+    // exact verify stage → banded never reports a false positive, and on
+    // these near-parallel pairs it must reach full recall
+    assert(bandedSet == exactSet)
+    // the point of the banded form: candidate generation is an EQUI-join —
+    // the all-pairs form is the nested loop we refuse at scale
+    val bandedPlan = banded.queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("BroadcastNestedLoopJoin"),
+      s"banded plan fell back to a nested loop:\n$bandedPlan")
+    assert(exact.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq("the cat and the dog is in a house",
       "der hund und die katze ist nicht da",

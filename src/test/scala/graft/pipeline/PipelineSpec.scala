@@ -42,4 +42,51 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("u", "x", "nn_predict", "y"))
     assert(out.head().toSeq == Seq(1L, 3.0, 0.0, 0.0))
   }
+
+  // ----------------------------------------------------- tree ensemble
+
+  private def walk(n: TreeNode, f: Map[String, Double]): Double = n match {
+    case TreeLeaf(v) => v
+    case TreeSplit(name, t, l, r) =>
+      if (f(name) <= t) walk(l, f) else walk(r, f)
+  }
+
+  test("committed tree model parses: 52 features, additive trees score") {
+    val m = TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+    assert(m.featureNames.size == 52)
+    assert(m.featureNames.count(_.startsWith("ctx_")) == 40)
+    assert(m.trees.size == 6)
+    // every split references a declared feature (parser enforces, re-check)
+    def feats(n: TreeNode): Seq[String] = n match {
+      case TreeLeaf(_) => Nil
+      case TreeSplit(f, _, l, r) => f +: (feats(l) ++ feats(r))
+    }
+    assert(m.trees.flatMap(feats).forall(m.featureNames.contains))
+  }
+
+  test("TreeEnsembleScorer matches a reference walk over aligned features") {
+    val m = TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+    // three users with distinct paths through the trees
+    val rows = Seq(
+      (1L, 20.0, 5.0, 15.0, 2.0, 20.0, 2000.0, -500.0, 1600.0, 100.0,
+        -900.0, 45000.0, 26000.0),
+      (2L, 5.0, 20.0, 3.0, 30.0, 1.0, 100.0, -2000.0, 10.0, 900.0,
+        -2000.0, 40000.0, 20000.0),
+      (3L, 13.5, 12.5, 11.5, 13.5, 14.5, 1350.0, -1400.0, 1450.0, 0.0,
+        -1250.0, 43000.0, 24900.0)) // boundary values: <= goes left
+      .toDF("u", "freq_click", "freq_error", "freq_purchase", "freq_signup",
+        "freq_view", "proc_click", "proc_error", "proc_purchase",
+        "proc_signup", "proc_view", "td_mean", "td_std")
+    val aligned = Pipeline.alignFeatures(rows, "u", m.featureNames)
+    val got = TreeEnsembleScorer(m).score(aligned)
+      .select("u", "target").as[(Long, Double)].collect().toMap
+    rows.collect().foreach { r =>
+      val f = rows.columns.drop(1).map(c =>
+        c -> r.getDouble(rows.columns.indexOf(c))).toMap
+        .withDefaultValue(0.0) // ctx_* align to zero
+      val want = m.trees.map(walk(_, f)).foldLeft(m.bias)(_ + _)
+      val u = r.getLong(0)
+      assert(math.abs(got(u) - want) < 1e-9, s"user $u: ${got(u)} vs $want")
+    }
+  }
 }
