@@ -576,15 +576,12 @@ object Queries {
   // (reference get_stats, run.py:207-234). The oracle mirrors the exact
   // expression tree of HorizontalStats.statCols — same fold order, same
   // guards — so round(6) absorbs only last-ulp libm noise.
-  private val q26: (String, QFn, Option[String]) = ("q26_horizontal_stats",
-    (s, d) => {
-      val pv = Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab,
-        "value", "freq")
-      val st = HorizontalStats.withStats(pv, freqCols, "hs")
-      st.select(col("user_id") +: HorizontalStats.statNames.map(x =>
-        round(col(s"hs_$x"), 6).as(s"hs_$x")): _*)
-    },
-    Some {
+  /** DuckDB replay of HorizontalStats over the FREQ (pivot-count) cells,
+    * emitting `<prefix>_<stat>` columns — shared by q26 (intent mode,
+    * prefix hs) and q26b (bugCompat mode: the stats carry another family's
+    * prefix but still describe the freq cells, exactly the reference
+    * closure bug). */
+  private def horizontalStatsOracleSql(prefix: String): String = {
       val cells = vocab.map(v =>
         s"(count(value) FILTER (WHERE event_type = '$v'))::DOUBLE")
         .mkString(", ")
@@ -606,7 +603,7 @@ object Queries {
         "divmm1" -> "mx / mn", "divmm2" -> "mx / mean",
         "divmm3" -> "mx / med", "divmm4" -> "mean / mn",
         "divmm5" -> "med / mn")
-        .map { case (nme, e) => s"round(COALESCE($e, 0), 6) AS hs_$nme" }
+        .map { case (nme, e) => s"round(COALESCE($e, 0), 6) AS ${prefix}_$nme" }
         .mkString(", ")
       s"""WITH p AS (SELECT user_id,
         |  list_sort(list_filter([$cells], x -> x > 0)) AS arr
@@ -627,7 +624,41 @@ object Queries {
         |    n * sqrt(n - 1) * m3 / ((n - 2) * pow(m2, 1.5)) END AS sk
         |  FROM s3)
         |SELECT user_id, $stats FROM s4""".stripMargin
-    })
+  }
+
+  private val q26: (String, QFn, Option[String]) = ("q26_horizontal_stats",
+    (s, d) => {
+      val pv = Pivots.pivotCount(ev(s, d), "user_id", "event_type", vocab,
+        "value", "freq")
+      val st = HorizontalStats.withStats(pv, freqCols, "hs")
+      st.select(col("user_id") +: HorizontalStats.statNames.map(x =>
+        round(col(s"hs_$x"), 6).as(s"hs_$x")): _*)
+    },
+    Some(horizontalStatsOracleSql("hs")))
+
+  // -------------------------------------------------- A10, bugCompat mode
+  // The reference closure bug made observable (run.py:207-234): the stats
+  // claim to describe the proc (pivot-sum) family — prefix ps — but
+  // bugCompat feeds the closed-over mcc_freq columns, so every ps_* value
+  // equals the freq-cell statistic, NOT a proc statistic. The oracle is the
+  // freq-cell stats under the ps prefix: a hash match proves the bug is
+  // reproduced bit-for-bit; intent mode (q26) stays the default.
+  private val q26b: (String, QFn, Option[String]) = ("q26b_stats_bugcompat",
+    (s, d) => {
+      val e = ev(s, d).withColumn("sv", sval)
+      val aggs =
+        vocab.map(v =>
+          count(when(col("event_type") === v, col("value"))).as(s"freq_$v")) ++
+        vocab.map(v =>
+          coalesce(sum(when(col("event_type") === v, col("sv"))), lit(0.0))
+            .as(s"proc_$v"))
+      val pv = e.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      val st = HorizontalStats.withStats(pv, vocab.map(v => s"proc_$v"), "ps",
+        bugCompat = true, closureCols = freqCols)
+      st.select(col("user_id") +: HorizontalStats.statNames.map(x =>
+        round(col(s"ps_$x"), 6).as(s"ps_$x")): _*)
+    },
+    Some(horizontalStatsOracleSql("ps")))
 
   // --------------------------------------- §3.1 full pipeline, end to end
   // repair → trim(20) → drop 'error' (the MCC-6012 analog) → feature
@@ -957,8 +988,41 @@ object Queries {
         |FROM fm""".stripMargin
     })
 
+  // ------------------------------------- reference-width two-level pivot
+  // 330-code vocabulary (event_type × value-bin, the MCC-vocab analog,
+  // run.py:105) through Pivots.pivotWide — the shape that survives ~1,000
+  // output columns where the single-pass conditional aggregation hits
+  // Janino's 64 KB method limit (WidthStressSpec measures both). 660 output
+  // columns, every cell hash-checked: reference width is driver-verified,
+  // not just spec-asserted.
+  private val wideVocab: Seq[String] =
+    for (t <- vocab; b <- 0 until 66) yield s"${t}_$b"
+  private val q38: (String, QFn, Option[String]) = ("q38_wide_pivot",
+    (s, d) => {
+      val e = ev(s, d).withColumn("sv", sval)
+        .withColumn("code",
+          concat_ws("_", col("event_type"),
+            floor(col("value") / 7.5).cast("int")))
+      val wide = Pivots.pivotWide(e, "user_id", "code", wideVocab, Seq(
+        Pivots.Family("freq", count(col("value")).cast("double")),
+        Pivots.Family("proc", sum(col("sv")))))
+      wide.select(col("user_id") +:
+        (wideVocab.map(c => col(s"freq_$c").cast("long").as(s"freq_$c")) ++
+          wideVocab.map(c => round(col(s"proc_$c"), 6).as(s"proc_$c"))): _*)
+    },
+    Some {
+      val freqs = wideVocab.map(c =>
+        s"COALESCE(count(value) FILTER (WHERE code = '$c'), 0)::BIGINT AS freq_$c")
+      val procs = wideVocab.map(c =>
+        s"round(COALESCE(sum(sv) FILTER (WHERE code = '$c'), 0.0), 6) AS proc_$c")
+      s"""SELECT user_id, ${(freqs ++ procs).mkString(", ")}
+        |FROM (SELECT user_id, value, $svalSql AS sv,
+        |  event_type || '_' || (floor(value / 7.5))::INT AS code FROM events)
+        |GROUP BY user_id""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

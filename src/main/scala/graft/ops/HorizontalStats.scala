@@ -64,7 +64,22 @@ object HorizontalStats {
   }
 
   /** Append the stat family for `statCols` of `srcCols` to `df`
-    * (one `get_stats` call site, e.g. `run.py:254`). */
-  def withStats(df: DataFrame, srcCols: Seq[String], prefix: String): DataFrame =
-    df.select(col("*") +: statCols(srcCols, prefix): _*)
+    * (one `get_stats` call site, e.g. `run.py:254`).
+    *
+    * `bugCompat = true` reproduces the reference closure bug bit-for-bit:
+    * the stats keep the FAMILY's prefix but are computed over
+    * `closureCols` — the outer `mcc_freq` frame every reference call site
+    * actually closes over (`run.py:207-234`) — instead of `srcCols`.
+    * `bugCompat = false` computes what the call site evidently intended. */
+  def withStats(df: DataFrame, srcCols: Seq[String], prefix: String,
+                bugCompat: Boolean = false,
+                closureCols: Seq[String] = Nil): DataFrame = {
+    val src = if (bugCompat) {
+      require(closureCols.nonEmpty,
+        "bugCompat = true needs the closed-over column list (the outer " +
+          "mcc_freq frame of run.py:207-234)")
+      closureCols
+    } else srcCols
+    df.select(col("*") +: statCols(src, prefix): _*)
+  }
 }

@@ -50,6 +50,50 @@ object Pivots {
     pivotAggOn(df, key, pivotCol, vocab, valueCol, sum, prefix,
       fillZero = true)
 
+  /** One pivot family for [[pivotWide]]: output columns `prefix_<v>`,
+    * cell = `agg` evaluated over the (key, pivotCol=v) group, absent cells
+    * filled with `fill`. */
+  final case class Family(prefix: String, agg: Column, fill: Column = lit(0.0))
+
+  /** REFERENCE-WIDTH pivot (330-code vocab × several families ≈ 1,000
+    * columns, reference `run.py:105,238-430`): the conditional-aggregation
+    * form above is optimal at testdata vocab sizes, but at ~1,000 aggregate
+    * expressions in ONE HashAggregate the generated `doAggregateWithKeys`
+    * body exceeds Janino's 64 KB method limit (interpreted fallback at
+    * best; with `spark.sql.codegen.aggregate.splitAggregateFunc.enabled`,
+    * the default, the nested-class split trips a Janino/JDK-17
+    * IllegalAccessError on `BufferedRowIterator.partitionIndex` — a hard
+    * task failure, measured in WidthStressSpec). Beyond codegen, a
+    * 1,000-slot aggregation buffer per group is what you DON'T want
+    * map-side at 100 TB.
+    *
+    * This form goes two-level instead:
+    *   1. `groupBy(key, pivotCol)` computes each family's scalar once per
+    *      occupied cell — a 3-aggregate codegen'd HashAggregate whose
+    *      buffer is 3 slots, shuffling at most |keys|×|vocab| NARROW rows;
+    *   2. `groupBy(key)` assembles one `map<code, value>` per family
+    *      (`map_from_entries(collect_list(struct(...)))`);
+    *   3. the final projection reads `map[v]` per vocab entry — a plain
+    *      projection that `methodSplitThreshold` splits into many small
+    *      methods, keeping whole-stage codegen ON at any width.
+    * Unseen vocab entries coalesce to the family's `fill`; codes outside
+    * the vocab are dropped by the final projection (closed world, P8). */
+  def pivotWide(df: DataFrame, key: String, pivotCol: String,
+                vocab: Seq[String], families: Seq[Family]): DataFrame = {
+    require(families.nonEmpty)
+    val cellAggs = families.map(f => f.agg.as(s"_v_${f.prefix}"))
+    val cells = df.groupBy(col(key), col(pivotCol))
+      .agg(cellAggs.head, cellAggs.tail: _*)
+    val mapAggs = families.map(f =>
+      map_from_entries(collect_list(when(col(s"_v_${f.prefix}").isNotNull,
+        struct(col(pivotCol), col(s"_v_${f.prefix}")))))
+        .as(s"_m_${f.prefix}"))
+    val maps = cells.groupBy(col(key)).agg(mapAggs.head, mapAggs.tail: _*)
+    maps.select(col(key) +: (for (f <- families; v <- vocab) yield
+      coalesce(element_at(col(s"_m_${f.prefix}"), lit(v)), f.fill)
+        .as(s"${f.prefix}_$v")): _*)
+  }
+
   /** P10: integer floor-division quantization of pivot cells
     * (`run.py:248-249`, `//= 20`). Defense: an attacker must move a count
     * past a bucket edge to change the feature. Cells are counts >= 0, so

@@ -17,5 +17,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // keep bucketed-table specs out of the repo root
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
     .getOrCreate()
 }

@@ -56,4 +56,25 @@ class HorizontalStatsSpec extends SparkSpec {
       approx(r.getAs[Double](s"h_$s"), 0.0)
     }
   }
+
+  test("bugCompat describes the closed-over frame, not the named family") {
+    // freq frame [1,2,3] vs proc family [10,20,40]: with bugCompat the
+    // "proc" stats must equal the FREQ stats (the run.py:207-234 closure
+    // bug); without it they describe proc itself
+    val df = Seq((1L, 1.0, 2.0, 3.0, 10.0, 20.0, 40.0))
+      .toDF("u", "f_a", "f_b", "f_c", "p_a", "p_b", "p_c")
+    val freqCols = Seq("f_a", "f_b", "f_c")
+    val procCols = Seq("p_a", "p_b", "p_c")
+    val bug = HorizontalStats.withStats(df, procCols, "ps",
+      bugCompat = true, closureCols = freqCols).head()
+    val intent = HorizontalStats.withStats(df, procCols, "ps").head()
+    val freqTruth = HorizontalStats.withStats(df, freqCols, "ft").head()
+    approx(bug.getAs[Double]("ps_mean"), freqTruth.getAs[Double]("ft_mean"))
+    approx(bug.getAs[Double]("ps_max"), 3.0)
+    approx(intent.getAs[Double]("ps_mean"), 70.0 / 3)
+    approx(intent.getAs[Double]("ps_max"), 40.0)
+    intercept[IllegalArgumentException] {
+      HorizontalStats.withStats(df, procCols, "ps", bugCompat = true)
+    }
+  }
 }
