@@ -36,8 +36,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         // isolate queries: drop caches left by prior queries (dedup signature
-        // caches etc.) so storage-memory eviction churn can't skew timings
+        // caches etc.) so storage-memory eviction churn can't skew timings,
+        // and collect the garbage those caches became — otherwise a query
+        // mid-run pays the GC debt of everything before it (observed 2-3x
+        // inflation on the shuffle-heavy dedup queries)
         spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -203,12 +203,23 @@ object Dedup {
         .join(labels.select(col("doc").as("peer"), col("label")), Seq("peer"))
         .select(col("doc"), col("label"))
       // pointer doubling: each doc also adopts its label's label — halves
-      // the remaining distance to the component minimum every round
-      val viaLabels = labels.select(col("doc"), col("label").as("_mid"))
-        .join(labels.select(col("doc").as("_mid"), col("label").as("_ll")),
-          Seq("_mid"))
-        .select(col("doc"), col("_ll").as("label"))
-      val next = labels.unionByName(viaPeers).unionByName(viaLabels)
+      // the remaining distance to the component minimum every round. The
+      // first three rounds skip it: round 0's label map is the identity (a
+      // no-op self-join), near-dup components are typically diameter <= 2-3
+      // (converging on cheap one-hop rounds alone), and the final
+      // no-change-observed round shouldn't pay for a join it can't use.
+      // From round 3 the doubling join engages, so a diameter-D chain still
+      // finishes in O(log D) further rounds instead of O(D).
+      val hopped =
+        if (round < 3) labels.unionByName(viaPeers)
+        else {
+          val viaLabels = labels.select(col("doc"), col("label").as("_mid"))
+            .join(labels.select(col("doc").as("_mid"),
+              col("label").as("_ll")), Seq("_mid"))
+            .select(col("doc"), col("_ll").as("label"))
+          labels.unionByName(viaPeers).unionByName(viaLabels)
+        }
+      val next = hopped
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .cache()
       val changed = next.join(labels.select(col("doc"),
