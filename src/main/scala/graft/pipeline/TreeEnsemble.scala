@@ -56,6 +56,60 @@ final case class TreeEnsembleModel(featureNames: Seq[String], bias: Double,
 
 object TreeEnsembleModel {
 
+  /** Bridge from a TRAINED Spark ML tree ensemble (GBTRegressor /
+    * GBTClassifier / RandomForest — anything exposing
+    * `DecisionTreeRegressionModel` trees + weights): each ML tree converts
+    * to the literal [[TreeNode]] form with its weight folded into the leaf
+    * values, so `scoreColumn` reproduces the ML model's raw prediction
+    * (sum of weighted trees) as a pure codegen projection — train with
+    * Spark ML, commit the artifact ([[toLines]]), serve relationally with
+    * no MLlib dependency at inference time. Continuous splits only (Spark
+    * ML's `value <= threshold → left` matches this model's convention). */
+  def fromSparkML(
+      mlTrees: Seq[org.apache.spark.ml.regression.DecisionTreeRegressionModel],
+      treeWeights: Seq[Double], featureNames: Seq[String],
+      bias: Double = 0.0): TreeEnsembleModel = {
+    import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+    def conv(n: Node, w: Double): TreeNode = n match {
+      case l: LeafNode => TreeLeaf(l.prediction * w)
+      case i: InternalNode => i.split match {
+        case cs: ContinuousSplit =>
+          TreeSplit(featureNames(cs.featureIndex), cs.threshold,
+            conv(i.leftChild, w), conv(i.rightChild, w))
+        case other => throw new IllegalArgumentException(
+          s"only continuous splits bridge to SQL/Column form, got $other")
+      }
+    }
+    TreeEnsembleModel(featureNames, bias,
+      mlTrees.zip(treeWeights).map { case (t, w) => conv(t.rootNode, w) })
+  }
+
+  /** Serialize to the committed-artifact format [[fromLines]] parses —
+    * the train-side half of the train → commit → serve loop. */
+  def toLines(m: TreeEnsembleModel): Seq[String] = {
+    def tree(n: TreeNode): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var nextId = 0
+      // preorder ids; the parser resolves by id, so line order is free
+      def go(node: TreeNode): Int = {
+        val id = nextId
+        nextId += 1
+        node match {
+          case TreeLeaf(v) => out += s"l $id $v"
+          case TreeSplit(f, t, l, r) =>
+            val li = go(l)
+            val ri = go(r)
+            out += s"n $id $f $t $li $ri"
+        }
+        id
+      }
+      go(n)
+      out.result()
+    }
+    Seq(s"features ${m.featureNames.mkString(" ")}", s"bias ${m.bias}") ++
+      m.trees.flatMap(t => "tree" +: tree(t))
+  }
+
   /** Load a committed model artifact from the classpath. */
   def fromResource(path: String): TreeEnsembleModel = {
     val in = getClass.getResourceAsStream(path)

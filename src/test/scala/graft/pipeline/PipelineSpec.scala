@@ -89,4 +89,37 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(got(u) - want) < 1e-9, s"user $u: ${got(u)} vs $want")
     }
   }
+
+  test("artifact round-trips: fromLines(toLines(m)) == m") {
+    val m = TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+    assert(TreeEnsembleModel.fromLines(TreeEnsembleModel.toLines(m)) == m)
+  }
+
+  test("fromSparkML: a trained GBTRegressor scores identically relationally") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.GBTRegressor
+    val feats = Seq("f1", "f2", "f3")
+    val data = (0 until 200).map { i =>
+      val (a, b, c) = ((i % 13).toDouble, ((i * 7) % 11).toDouble,
+        ((i * 3) % 17).toDouble)
+      (i.toLong, a, b, c, 2.0 * a + b - 0.5 * c)
+    }.toDF("id", "f1", "f2", "f3", "label")
+    val assembled = new VectorAssembler().setInputCols(feats.toArray)
+      .setOutputCol("features").transform(data)
+    val model = new GBTRegressor().setMaxDepth(3).setMaxIter(5).setSeed(42)
+      .fit(assembled)
+    // train with Spark ML → bridge → serve as a pure codegen projection
+    val bridged = TreeEnsembleModel.fromSparkML(
+      model.trees.toSeq, model.treeWeights.toSeq, feats)
+    val got = TreeEnsembleScorer(bridged, roundTo = 9).score(data)
+      .select("id", "target").as[(Long, Double)].collect().toMap
+    val want = model.transform(assembled)
+      .select($"id", $"prediction").as[(Long, Double)].collect().toMap
+    want.foreach { case (id, p) =>
+      assert(math.abs(got(id) - p) < 1e-6, s"id $id: ${got(id)} vs $p")
+    }
+    // and the bridged model survives the commit format
+    assert(TreeEnsembleModel.fromLines(
+      TreeEnsembleModel.toLines(bridged)) == bridged)
+  }
 }
