@@ -670,42 +670,54 @@ object Queries {
     "proc_signup" -> 0.001, "proc_view" -> 0.001,
     "td_mean" -> 0.0001, "td_std" -> 0.0001)
 
+  /** Spark side of the §3.1 pipeline spine (clean → fused matrix), shared
+    * by q27 (linear scorer) and q39 (tree scorer through the same spine). */
+  private def pipelineFeatureMatrix(s: SparkSession, d: String)
+  : (DataFrame, DataFrame) = {
+    val e = ev(s, d)
+    val in = e.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), sval.as("amt"))
+    val cleaned = Pipeline.clean(in, "user_id", "event_type", "amt", ord,
+      Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
+        dropCodes = Seq("error"))).cache()
+    (Pipeline.featureMatrixFused(cleaned, "user_id", "event_type",
+      "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab), e)
+  }
+
+  /** Oracle CTE stack for the pipeline spine: repair → trim(20) →
+    * drop 'error' → per-user features; `scoredSql` plugs the scorer. */
+  private def pipelineOracleSql(scoredSql: String): String =
+    s"""WITH $repairCtesSql,
+      |trm AS (SELECT * FROM (SELECT rep.*,
+      |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |     AS rn,
+      |   count(*) OVER (PARTITION BY user_id) AS cnt FROM rep)
+      |  WHERE rn > 20 AND rn <= cnt - 20),
+      |kept AS (SELECT * FROM trm WHERE code <> 'error'),
+      |feat AS (SELECT user_id,
+      |  ${vocab.map(v => s"count(amt) FILTER (WHERE code = '$v') AS freq_$v").mkString(", ")},
+      |  ${vocab.map(v => s"COALESCE(sum(amt) FILTER (WHERE code = '$v'), 0) AS proc_$v").mkString(", ")},
+      |  avg(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS td_mean,
+      |  COALESCE(stddev_samp(hour(ts)*3600 + minute(ts)*60 + second(ts)),
+      |    0) AS td_std
+      |  FROM kept GROUP BY user_id),
+      |scored AS (SELECT user_id, round($scoredSql, 6) AS target FROM feat),
+      |v AS (SELECT DISTINCT user_id FROM events
+      |      EXCEPT SELECT user_id FROM scored)
+      |SELECT user_id, target FROM scored
+      |UNION ALL SELECT user_id, (SELECT max(target) FROM scored) FROM v"""
+      .stripMargin
+
   private val q27: (String, QFn, Option[String]) = ("q27_pipeline_submission",
     (s, d) => {
-      val e = ev(s, d)
-      val in = e.select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"), sval.as("amt"))
-      val cleaned = Pipeline.clean(in, "user_id", "event_type", "amt", ord,
-        Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
-          dropCodes = Seq("error"))).cache()
-      val fm = Pipeline.featureMatrixFused(cleaned, "user_id", "event_type",
-        "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+      val (fm, e) = pipelineFeatureMatrix(s, d)
       Pipeline.submission(fm, LinearScorer(pipelineWeights), e, "user_id")
     },
     Some {
       // LinearScorer folds bias + terms in column-name order
       val combo = pipelineWeights.toSeq.sortBy(_._1)
         .map { case (c, w) => s"$w * $c" }.mkString("0.0 + ", " + ", "")
-      s"""WITH $repairCtesSql,
-        |trm AS (SELECT * FROM (SELECT rep.*,
-        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |     AS rn,
-        |   count(*) OVER (PARTITION BY user_id) AS cnt FROM rep)
-        |  WHERE rn > 20 AND rn <= cnt - 20),
-        |kept AS (SELECT * FROM trm WHERE code <> 'error'),
-        |feat AS (SELECT user_id,
-        |  ${vocab.map(v => s"count(amt) FILTER (WHERE code = '$v') AS freq_$v").mkString(", ")},
-        |  ${vocab.map(v => s"COALESCE(sum(amt) FILTER (WHERE code = '$v'), 0) AS proc_$v").mkString(", ")},
-        |  avg(hour(ts)*3600 + minute(ts)*60 + second(ts)) AS td_mean,
-        |  COALESCE(stddev_samp(hour(ts)*3600 + minute(ts)*60 + second(ts)),
-        |    0) AS td_std
-        |  FROM kept GROUP BY user_id),
-        |scored AS (SELECT user_id, round($combo, 6) AS target FROM feat),
-        |v AS (SELECT DISTINCT user_id FROM events
-        |      EXCEPT SELECT user_id FROM scored)
-        |SELECT user_id, target FROM scored
-        |UNION ALL SELECT user_id, (SELECT max(target) FROM scored) FROM v"""
-        .stripMargin
+      pipelineOracleSql(combo)
     })
 
   // --------------------------------------------- parity-plus: ROLLUP
@@ -1021,8 +1033,24 @@ object Queries {
         |GROUP BY user_id""".stripMargin
     })
 
+  // -------------------------------- §3.1 pipeline × tree scorer (q27 twin)
+  // The full run.py dataflow with the REAL scorer: clean → fused matrix →
+  // P12 align to the model's 52 columns → tree-ensemble score → max-score
+  // fallback for users the cleaning dropped → ordered submission. Same
+  // oracle CTE stack as q27 with the tree CASE chains plugged in.
+  private val q39: (String, QFn, Option[String]) = ("q39_tree_submission",
+    (s, d) => {
+      val (fm, e) = pipelineFeatureMatrix(s, d)
+      val aligned = Pipeline.alignFeatures(fm, "user_id",
+        treeModel.featureNames)
+      Pipeline.submission(aligned, TreeEnsembleScorer(treeModel), e,
+        "user_id")
+    },
+    Some(pipelineOracleSql(
+      treeModel.toSql(f => if (f.startsWith("ctx_")) "0.0" else f))))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
