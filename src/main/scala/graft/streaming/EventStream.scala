@@ -29,6 +29,30 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental form of d01: drop every
+    * document whose content fingerprint was already seen, with the
+    * watermark bounding how long a fingerprint stays in state (at 100 TB/
+    * day, unbounded dedup state is the failure mode; the watermark is the
+    * documented retention/recall trade). `docs` needs event-time `ts` and
+    * the columns `fpCols` that define identity (e.g. the md5/fingerprint
+    * of the text). */
+  def dedupStream(docs: DataFrame, tsCol: String, fpCols: Seq[String],
+                  watermark: String = "24 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCols)
+
+  /** Gap-based session windows over the stream — the incremental form of
+    * q29_sessionize, via the native `session_window` (state merges
+    * adjacent windows closer than `gap`; the watermark closes sessions and
+    * evicts their state). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   case class Event(user_id: Long, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)

@@ -34,6 +34,52 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-seen fingerprints across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "fp")
+    val q = EventStream.dedupStream(df, "ts", Seq("fp"),
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "a", "fp1"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "b", "fp2"),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "c", "fp1")) // dup of a
+      q.processAllAvailable()
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "d", "fp1"), // still dup
+        (Timestamp.valueOf("2024-01-01 10:11:00"), "e", "fp3"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id").as[String]
+        .collect().toSet
+      assert(kept == Set("a", "b", "e"))
+    } finally q.stop()
+  }
+
+  test("sessionStats merges gap-based session windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventStream.sessionStats(df, gap = "30 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 2.0), // same session
+        (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 4.0), // new session
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
