@@ -62,6 +62,19 @@ object Multimodal {
     })
   }
 
+  /** "Resize" stub over the opaque payload: normalize every payload to
+    * exactly `targetBytes` (truncate long, right-pad short with zeros) and
+    * refresh the byte-count metadata — the Spark-side shape of an image
+    * resize/transcode stage (fixed-size output cells keep downstream
+    * batches rectangular, which is what a real tensor pipeline needs).
+    * Declarative binary ops only; a real impl swaps in a codec with the
+    * same Column-in/Column-out signature. */
+  def resizeStub(payload: Column, targetBytes: Int): Column = {
+    val padded = concat(payload,
+      expr(s"repeat(cast(chr(0) as binary), $targetBytes)").cast("binary"))
+    substring(padded, 1, targetBytes)
+  }
+
   /** Per-partition batched "decode" over a TYPED Dataset — the batch shape a
     * real decoder needs: expensive init (codec context, model load — here a
     * reusable MessageDigest) happens ONCE per partition, rows stream through
