@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 import graft.ops._
 import graft.pipeline.{LinearScorer, Pipeline, TreeEnsembleModel,
   TreeEnsembleScorer}
@@ -185,11 +186,15 @@ object Queries {
     })
 
   // ------------------------------------------------------------------ A5
+  // exactMoments: std/sem/var from exact power sums — order-independent,
+  // so the rational-valued td_var (round 2) can't straddle a boundary
+  // against the sequential oracle at any SF.
   private val q09: (String, QFn, Option[String]) = ("q09_group_stats",
     (s, d) => {
       val e = ev(s, d).withColumn("time_day",
         TimeFeatures.secondsSinceMidnight(col("ts")))
-      GroupStats.stats(e, Seq("user_id"), "time_day", "td").select(
+      GroupStats.stats(e, Seq("user_id"), "time_day", "td",
+        exactMoments = true).select(
         col("user_id"), col("td_count"),
         round(col("td_mean"), 6).as("td_mean"),
         round(col("td_std"), 6).as("td_std"),
@@ -203,14 +208,21 @@ object Queries {
         col("td_amplitude").cast("long").as("td_amplitude"))
     },
     Some("""WITH t AS (SELECT user_id,
-      |  hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events)
-      |SELECT user_id, count(td) AS td_count, round(avg(td), 6) AS td_mean,
-      | round(stddev_samp(td), 6) AS td_std, min(td) AS td_min,
-      | max(td) AS td_max, round(median(td), 6) AS td_median,
-      | round(stddev_samp(td) / sqrt(count(td)), 6) AS td_sem,
-      | round(skewness(td), 6) AS td_skew, round(var_samp(td), 2) AS td_var,
-      | sum(td)::BIGINT AS td_sum, (max(td) - min(td))::BIGINT AS td_amplitude
-      |FROM t GROUP BY user_id""".stripMargin))
+      |  hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events),
+      |p AS (SELECT user_id, count(td) AS n, sum(td)::DOUBLE AS sx,
+      |  sum(td*td)::DOUBLE AS sxx, min(td) AS mn, max(td) AS mx,
+      |  median(td) AS med, skewness(td) AS sk, sum(td)::BIGINT AS s
+      |  FROM t GROUP BY user_id),
+      |m AS (SELECT *, CASE WHEN n >= 2 THEN
+      |    (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) END AS vr
+      |  FROM p)
+      |SELECT user_id, n AS td_count, round(sx / n::DOUBLE, 6) AS td_mean,
+      | round(sqrt(vr), 6) AS td_std, mn AS td_min,
+      | mx AS td_max, round(med, 6) AS td_median,
+      | round(sqrt(vr) / sqrt(n::DOUBLE), 6) AS td_sem,
+      | round(sk, 6) AS td_skew, round(vr, 2) AS td_var,
+      | s AS td_sum, (mx - mn)::BIGINT AS td_amplitude
+      |FROM m""".stripMargin))
 
   // ------------------------------------------------------------------ W1
   private val q10: (String, QFn, Option[String]) = ("q10_trim",
@@ -426,15 +438,24 @@ object Queries {
       |FROM events GROUP BY user_id""".stripMargin))
 
   // -------------------------------------------------------------- A13/U1
+  // The mean is aggregated through DECIMAL(28,10): decimal addition is
+  // exact integer arithmetic, so the sum is ORDER-INDEPENDENT — Spark's
+  // partition-parallel partial aggregation and DuckDB's sequential scan
+  // produce the identical sum at any scale, where a double sum's last-ulp
+  // noise differs with summation order and can straddle a round boundary
+  // (observed at sf0.1: a true mean sitting exactly on the 5e-7 grid).
   private val q19: (String, QFn, Option[String]) = ("q19_ensemble_mean",
     (s, d) => {
       val e = ev(s, d)
       val run0 = e.select(col("user_id"), col("value").as("v"))
       val run1 = e.select(col("user_id"), (col("value") * 0.5).as("v"))
       run0.unionByName(run1).groupBy(col("user_id"))
-        .agg(round(avg(col("v")), 6).as("target"))
+        .agg(round(sum(col("v").cast("decimal(28,10)")).cast("double")
+          / count(col("v")), 6).as("target"))
     },
-    Some("""SELECT user_id, round(avg(v), 6) AS target FROM (
+    Some("""SELECT user_id,
+      | round(sum(CAST(v AS DECIMAL(28,10)))::DOUBLE / count(v), 6)
+      |   AS target FROM (
       |  SELECT user_id, value AS v FROM events
       |  UNION ALL SELECT user_id, value * 0.5 AS v FROM events)
       |GROUP BY user_id""".stripMargin))

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Cross-engine deterministic rounding for double outputs.
+ *
+ * Spark's `round(x, n)` rounds the DECIMAL EXPANSION of the double
+ * (BigDecimal HALF_UP); DuckDB's `round` on DOUBLE computes
+ * `round(x * 10^n) / 10^n` with the multiply in double arithmetic. When
+ * the true value sits exactly on the half grid — common with
+ * ratio-valued features (k/32-style rationals) and 2-decimal money data —
+ * the two conventions disagree by one output ulp even though BOTH engines
+ * computed the identical input double (measured: quality_score
+ * 0.5365625 → Spark .536562, DuckDB .536563 at sf0.1).
+ *
+ * This helper computes the MULTIPLY FORM on the Spark side. Every step is
+ * then IEEE-identical to DuckDB's: the `x * 10^n` product is the same
+ * double, and 0-dp rounding of a double agrees between Spark (BigDecimal
+ * of the value, HALF_UP) and C `round()` (half away from zero) for every
+ * finite double — a tie needs the double to be exactly k+0.5, and both
+ * rules send it away from zero.
+ *
+ * Import `CrossRound.round` AFTER `functions._` — the explicit import
+ * shadows the wildcard, so existing `round(c, n)` call sites pick up the
+ * deterministic form with no other change.
+ */
+object CrossRound {
+  def round(c: Column, scale: Int): Column =
+    if (scale == 0) F.round(c)
+    else {
+      val p = F.lit(math.pow(10, scale))
+      F.round(c * p) / p
+    }
+}

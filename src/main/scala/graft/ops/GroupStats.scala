@@ -33,13 +33,26 @@ object GroupStats {
     when(n >= 3 && stddev_samp(v) > 0,
       skewness(v) * sqrt(n * (n - lit(1))) / (n - lit(2)))
 
+  /** `exactMoments = true` derives std/sem/var from the POWER SUMS
+    * (Σx, Σx²) instead of Spark's streaming central-moment aggregates:
+    * for integer-valued data below ~2^26 magnitude both sums are exact
+    * doubles REGARDLESS of summation order, so every engine computes the
+    * bit-identical variance — where the streaming form's last ulps depend
+    * on partition count and can straddle a rounding boundary against a
+    * sequential oracle (observed at sf0.1: a true variance landing exactly
+    * on the .005 round-2 grid). Same formula, deterministic arithmetic;
+    * use for oracle-checked integer-domain stats. */
   def stats(df: DataFrame, groupCols: Seq[String], valueCol: String,
-            prefix: String): DataFrame = {
+            prefix: String, exactMoments: Boolean = false): DataFrame = {
     val v = col(valueCol).cast("double")
     val n = count(v).cast("double")
     // n=1 guards: Spark's stddev_samp/var_samp yield NaN there, pandas and
     // DuckDB yield NaN/NULL — normalize to NULL.
-    val std = when(n >= 2, stddev_samp(v))
+    val variance =
+      if (exactMoments)
+        when(n >= 2, (sum(v * v) - sum(v) * sum(v) / n) / (n - 1))
+      else when(n >= 2, var_samp(v))
+    val std = if (exactMoments) sqrt(variance) else when(n >= 2, stddev_samp(v))
     df.groupBy(groupCols.map(col): _*).agg(
       count(v).as(s"${prefix}_count"),
       avg(v).as(s"${prefix}_mean"),
@@ -49,7 +62,7 @@ object GroupStats {
       median(v).as(s"${prefix}_median"),
       (std / sqrt(n)).as(s"${prefix}_sem"),
       skewG1(v, n).as(s"${prefix}_skew"),
-      when(n >= 2, var_samp(v)).as(s"${prefix}_var"),
+      variance.as(s"${prefix}_var"),
       sum(v).as(s"${prefix}_sum"),
       (max(v) - min(v)).as(s"${prefix}_amplitude"))
   }

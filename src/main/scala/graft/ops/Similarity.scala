@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 
 /**
  * Similarity search over an embedding column (`array<float>`): brute-force

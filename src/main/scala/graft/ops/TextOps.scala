@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 
 /**
  * Text-analysis operators for a large-scale training-data pipeline:

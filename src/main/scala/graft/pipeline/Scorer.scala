@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 
 /**
  * Pluggable scoring stage (SURVEY.md §7.5): the reference's torch GRU/VRAE

@@ -95,6 +95,34 @@ class PipelineSpec extends SparkSpec {
     assert(TreeEnsembleModel.fromLines(TreeEnsembleModel.toLines(m)) == m)
   }
 
+  test("toSql and scoreColumn agree on a sweep of feature rows") {
+    // the emitted CASE SQL is what the external oracle runs; prove it
+    // computes exactly what the compiled Column computes by evaluating
+    // both in the same engine over rows that exercise every split
+    val m = TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+    val real = m.featureNames.filterNot(_.startsWith("ctx_"))
+    val rows = (0 until 64).map { i =>
+      // pseudo-random but deterministic values spanning the thresholds
+      (i.toLong, real.zipWithIndex.map { case (_, j) =>
+        ((i * 31 + j * 17) % 97) * 600.0 - 20000.0
+      })
+    }
+    val df = rows.map { case (id, vs) => (id, vs(0), vs(1), vs(2), vs(3),
+        vs(4), vs(5), vs(6), vs(7), vs(8), vs(9), vs(10), vs(11)) }
+      .toDF("id" +: real: _*)
+    val aligned = Pipeline.alignFeatures(df, "id", m.featureNames)
+    val sql = m.toSql(f => if (f.startsWith("ctx_")) "0.0" else f)
+    // SQL engines may type the leaf literals DECIMAL (exact arithmetic)
+    // where the Column form is double — identical to 1e-9 either way,
+    // which the round(6) output policy absorbs with 3 digits to spare
+    val both = aligned.select($"id", m.scoreColumn.as("viaColumn"),
+      expr(sql).cast("double").as("viaSql"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"id ${r.getLong(0)}: column ${r.getDouble(1)} != sql ${r.getDouble(2)}")
+    }
+  }
+
   test("fromSparkML: a trained GBTRegressor scores identically relationally") {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.GBTRegressor
