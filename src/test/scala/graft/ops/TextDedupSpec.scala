@@ -55,6 +55,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("minhashLsh with the production xxhash64 family finds the same pair") {
+    // the md5 family exists for oracle replay; the codegen'd xxhash64
+    // family is the production swap-in — same operator shape, and it must
+    // surface the same true near-duplicates on this fixture
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val near2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val far = "one two three four five six seven eight"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(df, "doc_id", "text", n = 3, k = 16,
+        bands = 8, hashFamily = Dedup.xxhashFamily)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "spark engine query plan shuffle partition broadcast join"),
