@@ -1070,8 +1070,44 @@ object Queries {
     Some(pipelineOracleSql(
       treeModel.toSql(f => if (f.startsWith("ctx_")) "0.0" else f))))
 
+  // ------------------------------------------------- S1/S2 round-trip
+  // CSV sink (reference submission format: header, second-precision
+  // timestamps, run.py:85,486) → CSV scan with DECLARED schema — the two
+  // IO operators composed and driver-checked: every surviving value must
+  // hash-match the original table. Timestamps round-trip at the format's
+  // second precision (mirrored with date_trunc in the oracle); doubles
+  // round-trip exactly (shortest-repr text). The temp dir is keyed by the
+  // input dir so per-SF runs don't collide.
+  private val q40: (String, QFn, Option[String]) = ("q40_csv_roundtrip",
+    (s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.writeCsv(e, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("event_type"), col("value"))
+    },
+    Some("""SELECT event_id, user_id,
+      | epoch_us(date_trunc('second', ts)) // 1000000 AS ts_sec,
+      | event_type, value FROM events""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
