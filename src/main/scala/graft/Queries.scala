@@ -1106,8 +1106,34 @@ object Queries {
       | epoch_us(date_trunc('second', ts)) // 1000000 AS ts_sec,
       | event_type, value FROM events""".stripMargin))
 
+  // --------------------------- deterministic stratified split + folds
+  // Reproducible train/eval machinery: per-stratum subsample rates and a
+  // 5-way fold assignment, both content-addressed (md5 of the row key) —
+  // stable across runs, engines, partitionings and re-ingests, which is
+  // what seeded-RNG splits silently are not. Oracle replays the identical
+  // md5 arithmetic.
+  private val splitRates = Map("click" -> 0.5, "error" -> 0.1,
+    "purchase" -> 1.0, "signup" -> 1.0, "view" -> 0.25)
+  private val q41: (String, QFn, Option[String]) = ("q41_stratified_split",
+    (s, d) => Sampling.stratifiedKeep(ev(s, d), col("event_id"),
+        col("event_type"), splitRates, salt = "strat")
+      .select(col("event_id"), col("event_type"),
+        Sampling.hashFold(col("event_id"), 5).as("fold")),
+    Some {
+      val rateCase = splitRates.toSeq.sortBy(_._1)
+        .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+        .mkString(" ")
+      s"""SELECT event_id, event_type,
+        | ('0x'||substr(md5(event_id::VARCHAR||'#fold'),1,15))::BIGINT % 5
+        |   AS fold
+        |FROM events
+        |WHERE ('0x'||substr(md5(event_id::VARCHAR||'#strat'),1,15))::BIGINT
+        |   / 1152921504606846976.0 < (CASE $rateCase ELSE 0.0 END)"""
+        .stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

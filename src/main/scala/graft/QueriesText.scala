@@ -414,7 +414,29 @@ object QueriesText {
         |FROM documents""".stripMargin
     })
 
+  // ------------------------------------------- token-budget packing
+  // LLM-training sequence packing: per shard, consecutive documents (by
+  // doc_id) accumulate until the running token total crosses the budget;
+  // pack_id = floor((cumsum - 1) / budget). The streaming-greedy shape
+  // that fills fixed-length context windows — one window per shard, no
+  // driver participation, oracle = the same window SQL.
+  private val d11: (String, QFn, Option[String]) = ("d11_pack_budget",
+    (s, d) => {
+      val t = docs(s, d)
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("shard", (col("doc_id") % 8).cast("long"))
+      Sequences.packByBudget(t, Seq("shard"), Seq(col("doc_id")),
+          col("n_tok"), 256)
+        .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      |  len($tokSql)::BIGINT AS n_tok FROM documents)
+      |SELECT doc_id, shard, n_tok,
+      | ((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - 1) // 256)::BIGINT AS pack_id
+      |FROM t""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, e01, e02, e03, e04,
-    m01, m02)
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, e01, e02, e03,
+    e04, m01, m02)
 }

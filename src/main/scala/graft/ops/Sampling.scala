@@ -52,6 +52,27 @@ object Sampling {
       case ((t, i), elseC) => when(u < t, i).otherwise(elseC)
     }
 
+  /** Deterministic train/test/fold assignment: fold = 60-bit md5 of the
+    * key mod k. Content-addressed, so the split is stable across runs,
+    * engines, partitionings and re-ingests — the property a reproducible
+    * training pipeline needs from its splits (seeded RNG splits lose it
+    * the moment row order changes). Pure projection, no shuffle. */
+  def hashFold(key: Column, k: Int, salt: String = "fold"): Column =
+    (Dedup.md5Hash(key.cast("string"), lit(salt)) % k).cast("long")
+
+  /** Deterministic stratified subsampling: keep a row iff its md5-derived
+    * uniform is below the stratum's rate. Replays exactly in any engine
+    * with md5 (same trick as the bootstrap); no shuffle, no RNG state,
+    * and the kept set is stable under reordering and re-ingestion. */
+  def stratifiedKeep(df: DataFrame, key: Column, stratum: Column,
+                     rates: Map[String, Double],
+                     salt: String = "strat"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(stratum === s, r).otherwise(acc)
+    }
+    df.filter(hashUniform(key, lit(salt)) < rate)
+  }
+
   /** E3, DETERMINISTIC form: bootstrap-with-replacement where each row's
     * replication count in run `r` is the inverse Poisson(lambda) CDF of an
     * md5-derived uniform over (key, r) — the same per-row Poisson model

@@ -50,6 +50,23 @@ object Sequences {
     df.withColumn(posCol, row_number().over(wDesc)).filter(col(posCol) <= n)
   }
 
+  /** Token-budget sequence packing: assign each document of a shard to a
+    * pack so that consecutive documents (in `orderCols` order) accumulate
+    * until the running token total crosses `budget` — the streaming
+    * greedy-packing shape LLM training pipelines use to fill fixed-length
+    * context windows. pack_id = floor((cumsum(size) - 1) / budget): a
+    * document that lands exactly on the boundary finishes its pack.
+    * One window per shard — the same per-key shuffle every other
+    * per-group stage uses; oversized single documents (> budget) occupy
+    * packs alone without stalling the assignment. */
+  def packByBudget(df: DataFrame, shardCols: Seq[String],
+                   orderCols: Seq[Column], sizeCol: Column, budget: Int,
+                   packCol: String = "pack_id"): DataFrame = {
+    val cum = sum(sizeCol).over(w(shardCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn(packCol, floor((cum - 1) / budget).cast("long"))
+  }
+
   /** W2+E2 (tensor form): per group, the last `n` events as a time-ordered
     * array of feature vectors, LEFT-padded with zero vectors to exactly `n`
     * (`model.py:188-196`). One groupBy + array ops; no per-user driver loop.

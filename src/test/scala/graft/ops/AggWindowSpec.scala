@@ -143,4 +143,37 @@ class AggWindowSpec extends SparkSpec {
       .orderBy("c").as[(Double, Double)].collect()
     assert(got.toSeq == Seq((10.0, 0.0), (15.0, -5.0), (16.0, -9.0)))
   }
+
+  test("packByBudget fills packs to the budget, boundary doc closes a pack") {
+    // sizes 100,100,56 fill pack 0 exactly (cum 256); the next doc opens
+    // pack 1; an oversized doc occupies packs by itself
+    val df = Seq((1L, 1, 100L), (1L, 2, 100L), (1L, 3, 56L), (1L, 4, 10L),
+      (1L, 5, 600L), (2L, 1, 50L))
+      .toDF("shard", "ord", "n")
+    // cum: 100,200,256,266,866 → packs 0,0,0,1,3 (the 600-token doc
+    // spans past pack 2's range and lands in pack 3 alone)
+    val got = Sequences.packByBudget(df, Seq("shard"), Seq($"ord"), $"n", 256)
+      .orderBy("shard", "ord").select("pack_id").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 0L, 0L, 1L, 3L, 0L))
+  }
+
+  test("hashFold and stratifiedKeep are deterministic and well-distributed") {
+    val df = spark.range(2000).select($"id",
+      when($"id" % 2 === 0, "a").otherwise("b").as("stratum"))
+    val folds = df.select(Sampling.hashFold($"id", 5).as("f"))
+      .groupBy("f").count().as[(Long, Long)].collect().toMap
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // roughly uniform: every fold within 2x of the ideal 400
+    assert(folds.values.forall(c => c > 200 && c < 800), folds.toString)
+    val kept = Sampling.stratifiedKeep(df, $"id", $"stratum",
+      Map("a" -> 1.0, "b" -> 0.25))
+    val byStratum = kept.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("a") == 1000L) // rate 1.0 keeps everything
+    assert(byStratum("b") > 150 && byStratum("b") < 350) // ~250
+    // determinism: the same call yields the identical kept set
+    val again = Sampling.stratifiedKeep(df, $"id", $"stratum",
+      Map("a" -> 1.0, "b" -> 0.25)).select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
 }
