@@ -1132,8 +1132,53 @@ object Queries {
         .stripMargin
     })
 
+  private def rtDir(tag: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  // ------------------------------------------------ JSONL source/sink
+  // The interchange format training corpora ship in: documents → JSONL →
+  // declared-schema scan; every value hash-checked against the source
+  // (JSON string escaping makes the text round-trip lossless).
+  private val q42: (String, QFn, Option[String]) = ("q42_jsonl_roundtrip",
+    (s, d) => {
+      val docsDf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = rtDir("jsonl_rt", d)
+      Tables.writeJsonl(docsDf, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      Tables.readJsonl(s, dir, schema).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+    },
+    Some("""SELECT doc_id, length(text)::BIGINT AS n_chars,
+      | md5(text) AS digest FROM documents""".stripMargin))
+
+  // -------------------------------------------------- ORC source/sink
+  // The second columnar format: lineitem → ORC → scan → aggregate;
+  // doubles round-trip bit-exactly through ORC, so the decimal-exact
+  // money sums must match the parquet-sourced oracle.
+  private val q43: (String, QFn, Option[String]) = ("q43_orc_roundtrip",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      val dir = rtDir("orc_rt", d)
+      Tables.writeOrc(li, dir)
+      Tables.readOrc(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("l_quantity"))).as("sum_qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42, q43)
 }

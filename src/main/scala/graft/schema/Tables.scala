@@ -86,6 +86,24 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
+  /** JSONL (newline-delimited JSON) sink — the interchange format training
+    * corpora actually ship in. One JSON object per line; splittable,
+    * append-friendly, schema-on-read. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL scan with DECLARED schema (columns matched by name) — no
+    * inference pass, same policy as every other source here. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC sink/scan — the second columnar format next to parquet; both
+    * carry Spark's predicate pushdown and column pruning. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2: CSV sink, header, no index column (`run.py:85,486`), timestamps in
     * the reference's format so S1 can re-read what S2 wrote. `coalesce(1)`
     * only when a single file is demanded (submission-style outputs); at scale
