@@ -43,11 +43,14 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // a fast failure must never become the reported min — poison it
+          Double.MaxValue
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
