@@ -214,7 +214,7 @@ object Queries {
       |  median(td) AS med, skewness(td) AS sk, sum(td)::BIGINT AS s
       |  FROM t GROUP BY user_id),
       |m AS (SELECT *, CASE WHEN n >= 2 THEN
-      |    (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) END AS vr
+      |    greatest((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1), 0) END AS vr
       |  FROM p)
       |SELECT user_id, n AS td_count, round(sx / n::DOUBLE, 6) AS td_mean,
       | round(sqrt(vr), 6) AS td_std, mn AS td_min,
@@ -1132,8 +1132,12 @@ object Queries {
         .stripMargin
     })
 
+  // Keyed by pid as well as input dir: two concurrent JVMs at the same SF
+  // (bench + correctness harness) must not overwrite/delete each other's
+  // part files mid-read. Within one process, mode=overwrite is safe.
   private def rtDir(tag: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"p${ProcessHandle.current().pid()}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
 
   // ------------------------------------------------ JSONL source/sink

@@ -48,9 +48,14 @@ object GroupStats {
     val n = count(v).cast("double")
     // n=1 guards: Spark's stddev_samp/var_samp yield NaN there, pandas and
     // DuckDB yield NaN/NULL — normalize to NULL.
+    // greatest(_, 0): the power-sum form can round a constant/near-constant
+    // group's true-zero variance to a hair below zero once sum(v)^2 leaves
+    // the exact-double range — sqrt of that is NaN, diverging from
+    // stddev_samp's 0. Clamp (mirrored in the q09 oracle SQL).
     val variance =
       if (exactMoments)
-        when(n >= 2, (sum(v * v) - sum(v) * sum(v) / n) / (n - 1))
+        when(n >= 2,
+          greatest((sum(v * v) - sum(v) * sum(v) / n) / (n - 1), lit(0.0)))
       else when(n >= 2, var_samp(v))
     val std = if (exactMoments) sqrt(variance) else when(n >= 2, stddev_samp(v))
     df.groupBy(groupCols.map(col): _*).agg(

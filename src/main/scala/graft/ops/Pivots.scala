@@ -84,8 +84,13 @@ object Pivots {
     val cellAggs = families.map(f => f.agg.as(s"_v_${f.prefix}"))
     val cells = df.groupBy(col(key), col(pivotCol))
       .agg(cellAggs.head, cellAggs.tail: _*)
+    // pivotCol.isNotNull: a null code with a non-null aggregate would put a
+    // null key into map_from_entries — a runtime error. Null codes can never
+    // match a vocab entry anyway (closed world), so drop them here rather
+    // than requiring callers to pre-filter.
     val mapAggs = families.map(f =>
-      map_from_entries(collect_list(when(col(s"_v_${f.prefix}").isNotNull,
+      map_from_entries(collect_list(when(
+        col(pivotCol).isNotNull && col(s"_v_${f.prefix}").isNotNull,
         struct(col(pivotCol), col(s"_v_${f.prefix}")))))
         .as(s"_m_${f.prefix}"))
     val maps = cells.groupBy(col(key)).agg(mapAggs.head, mapAggs.tail: _*)
