@@ -436,7 +436,152 @@ object QueriesText {
       |    ROWS UNBOUNDED PRECEDING) - 1) // 256)::BIGINT AS pack_id
       |FROM t""".stripMargin))
 
+  // ------------------------------------------- repetition filtering
+  // Gopher-style repetition metrics (top unigram/bigram fraction,
+  // duplicate-token fraction) + keep flag. Pure projection — the keep
+  // decision compares UNROUNDED int/int ratios (exact in any engine).
+  private val d12: (String, QFn, Option[String]) = ("d12_repetition",
+    (s, d) => docs(s, d).select(col("doc_id") +:
+      TextOps.repetitionCols(TextOps.tokens(col("text"))): _*),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |uni AS (SELECT doc_id, max(c) AS topu FROM (
+      |  SELECT doc_id, t, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |big AS (SELECT doc_id, max(c) AS topb FROM (
+      |  SELECT doc_id, s, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+      |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+      |    FROM toks) GROUP BY 1, 2) GROUP BY 1),
+      |m AS (SELECT t.doc_id, len(w)::BIGINT AS n,
+      |  len(list_distinct(w))::BIGINT AS nd,
+      |  coalesce(topu, 0)::BIGINT AS topu, coalesce(topb, 0)::BIGINT AS topb,
+      |  greatest(len(w) - 1, 0)::BIGINT AS nb
+      |  FROM toks t LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)),
+      |f AS (SELECT doc_id, n, topu, topb,
+      |  CASE WHEN n > 0 THEN topu::DOUBLE / n::DOUBLE ELSE 0 END AS fu,
+      |  CASE WHEN nb > 0 THEN topb::DOUBLE / nb::DOUBLE ELSE 0 END AS fb,
+      |  CASE WHEN n > 0 THEN 1.0::DOUBLE - nd::DOUBLE / n::DOUBLE
+      |    ELSE 0 END AS fd FROM m)
+      |SELECT doc_id, n AS n_tokens, topu AS top_token_count,
+      | topb AS top_bigram_count, round(fu, 6) AS top_token_frac,
+      | round(fb, 6) AS top_bigram_frac, round(fd, 6) AS dup_token_frac,
+      | (fu <= 0.12 AND fb <= 0.10 AND fd <= 0.6)::BIGINT AS keep_repetition
+      |FROM f""".stripMargin))
+
+  // --------------------------------------------- rule-based quality filter
+  // C4-style ordered reject rules with first-fail reason ('ok' = keep).
+  private val d13: (String, QFn, Option[String]) = ("d13_rule_filter",
+    (s, d) => docs(s, d).select(col("doc_id") +:
+      TextOps.ruleFilterCols(col("text"), TextOps.tokens(col("text"))): _*),
+    Some {
+      val stopList = TextOps.langStopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (SELECT doc_id, len($tokSql)::BIGINT AS n,
+        | CASE WHEN len($tokSql) > 0 THEN
+        |   list_sum(list_transform($tokSql, x -> len(x)))::DOUBLE
+        |     / len($tokSql)::DOUBLE ELSE 0 END AS mtl,
+        | CASE WHEN len($tokSql) > 0 THEN
+        |   len(list_filter($tokSql, x -> list_contains([$stopList], x)))::DOUBLE
+        |     / len($tokSql)::DOUBLE ELSE 0 END AS sr,
+        | CASE WHEN len($tokSql) > 0 THEN
+        |   len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE
+        |   ELSE 0 END AS ttr,
+        | CASE WHEN length(text) > 0 THEN
+        |   len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+        |     / length(text)::DOUBLE ELSE 0 END AS dr
+        | FROM documents),
+        |r AS (SELECT *, CASE WHEN n < 20 THEN 'too_short'
+        |  WHEN n > 1000 THEN 'too_long'
+        |  WHEN mtl < 3.0 OR mtl > 10.0 THEN 'token_len'
+        |  WHEN dr > 0.2 THEN 'digit'
+        |  WHEN sr > 0.10 THEN 'stopword'
+        |  WHEN ttr < 0.35 THEN 'repetition'
+        |  ELSE 'ok' END AS reject_reason FROM m)
+        |SELECT doc_id, n AS n_tokens, round(mtl, 6) AS mean_token_len,
+        | round(sr, 6) AS stopword_ratio, round(ttr, 6) AS type_token_ratio,
+        | reject_reason, (reject_reason = 'ok')::BIGINT AS keep
+        |FROM r""".stripMargin
+    })
+
+  // ------------------------------------------- benchmark decontamination
+  // Train docs sharing any word 4-gram with the eval slice (doc_id % 25 = 0)
+  // are flagged — the test-set-leakage guard. Eval n-gram set is broadcast
+  // (benchmarks are KBs, corpora are TBs).
+  private val d14: (String, QFn, Option[String]) = ("d14_decontaminate",
+    (s, d) => Dedup.decontaminate(docs(s, d), "doc_id", "text", n = 4,
+        isEval = col("doc_id") % 25 === 0)
+      .select(col("doc").as("doc_id"), col("n_overlap"), col("contaminated")),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS s
+      |  FROM toks)),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      |hit AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN ev USING (s)
+      |  WHERE doc_id % 25 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+      | (coalesce(h.n_overlap, 0) > 0)::BIGINT AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 25 <> 0""".stripMargin))
+
+  // ----------------------------------------------- domain-mix sampling
+  // Deterministic re-weighting toward a target source mix: keep rate per
+  // source = frac × targetShare / actualShare (target ∝ 1 + srcnum % 3),
+  // membership via content-addressed md5 uniform — bit-replayable.
+  private val d15: (String, QFn, Option[String]) = ("d15_domain_mix",
+    (s, d) => Sampling.domainMix(
+        docs(s, d).select(col("doc_id"), col("source")),
+        key = col("doc_id"), domain = col("source"),
+        weightOf = dom => lit(1) +
+          regexp_extract(dom, "[0-9]+", 0).cast("long") % 3,
+        frac = 0.6)
+      .select(col("doc_id"), col("source"), col("rate")),
+    Some("""WITH c AS (SELECT source, count(*)::BIGINT AS cnt,
+      |  (1 + (regexp_extract(source, '[0-9]+')::BIGINT % 3))::DOUBLE AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(cnt)::DOUBLE AS total, sum(w) AS sumw FROM c),
+      |r AS (SELECT source, least(1.0::DOUBLE,
+      |  round(0.6::DOUBLE * w * total / (sumw * cnt::DOUBLE), 6)) AS rate
+      |  FROM c, t)
+      |SELECT d.doc_id, d.source, r.rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
+      |  / 1152921504606846976.0 < r.rate""".stripMargin))
+
+  // ------------------------------------------------- semantic dedup
+  // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
+  // bucket size; a vector is dropped when an earlier same-bucket member is
+  // 0.3-similar. Same deterministic assignment policy as e04.
+  private val e05: (String, QFn, Option[String]) = ("e05_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(
+        emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3, nCentroids = 16)
+      .select(col("id").as("vec_id"), col("cid"), col("keep")),
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS cs
+        |  FROM e, cents c),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca) WHERE r = 1),
+        |drp AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE ${cos("x.v", "y.v")} >= 0.3)
+        |SELECT a.vec_id, a.cid,
+        | (d.vec_id IS NULL)::BIGINT AS keep
+        |FROM asg a LEFT JOIN drp d USING (vec_id)""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, e01, e02, e03,
-    e04, m01, m02)
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d15, e01, e02, e03, e04, e05, m01, m02)
 }

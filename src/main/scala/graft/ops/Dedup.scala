@@ -42,18 +42,48 @@ object Dedup {
 
   /** Distinct (doc, shingle) pairs, with hot-shingle posting lists capped at
     * `maxPostings` docs (df-cutoff: a shingle every document contains carries
-    * no dedup signal but would quadratically blow up the pair join). */
+    * no dedup signal but would quadratically blow up the pair join).
+    * Within-doc dedup is `array_distinct` BEFORE the explode — a row-local
+    * projection — rather than `.distinct()` after it, which would shuffle
+    * the full (doc, shingle) explosion just to remove within-row repeats. */
   def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
                   maxPostings: Int = 0): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
-      .distinct()
+      explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("s"))
     if (maxPostings <= 0) sh
     else {
       val hot = sh.groupBy("s").count().filter(col("count") > maxPostings)
         .select("s")
       sh.join(hot, Seq("s"), "left_anti")
     }
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation set (the standard guard against test-set
+    * leakage into training data). `isEval` marks the benchmark rows INSIDE
+    * `df` (they are excluded from the output). Returns one row per
+    * non-eval doc: (doc, n_overlap = distinct shared n-grams, contaminated).
+    *
+    * Scale shape: the eval side of the join is a benchmark suite — KBs
+    * against a corpus of TBs — so its distinct n-gram set is broadcast and
+    * the corpus side is one linear pass + a groupBy on doc id. Within-doc
+    * shingle dedup is row-local (array_distinct before explode), so the
+    * only corpus-wide shuffle is the final per-doc count. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    isEval: Column): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), isEval.as("_eval"),
+      explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("s"))
+    val evalSh = sh.filter(col("_eval")).select(col("s")).distinct()
+    val hits = sh.filter(!col("_eval"))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_overlap"))
+    df.filter(!isEval).select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", (col("n_overlap") > 0).cast("long"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).

@@ -73,6 +73,37 @@ object Sampling {
     df.filter(hashUniform(key, lit(salt)) < rate)
   }
 
+  /** Domain-mixture subsampling: re-weight a corpus toward a target domain
+    * mix (the data-mixing step of LLM training pipelines). Each domain's
+    * keep rate is `frac × targetShare(domain) / actualShare(domain)`,
+    * capped at 1, where targetShare ∝ `weightOf(domain)`; rows keep iff
+    * their content-addressed md5 uniform is below the domain's rate — so
+    * the sample is deterministic, engine-independent and stable under
+    * reordering (no RNG state).
+    *
+    * Scale shape: domain statistics are ONE aggregation (domains are
+    * few — sources, languages, buckets), shipped back via broadcast joins;
+    * the corpus itself sees a single linear filter pass, no corpus-wide
+    * shuffle. Rates round to 6 dp on the exact integer-derived doubles, so
+    * an external engine replays the keep set bit-for-bit. */
+  def domainMix(df: DataFrame, key: Column, domain: Column,
+                weightOf: Column => Column, frac: Double,
+                salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(domain.as("_dom"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_w", weightOf(col("_dom")).cast("double"))
+    val tot = counts.agg(sum(col("_cnt")).cast("double").as("_total"),
+      sum(col("_w")).as("_sumw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0), graft.ops.CrossRound.round(
+        lit(frac) * col("_w") * col("_total")
+          / (col("_sumw") * col("_cnt").cast("double")), 6)))
+      .select(col("_dom"), col("rate"))
+    df.join(broadcast(rates), domain === col("_dom"))
+      .filter(hashUniform(key, lit(salt)) < col("rate"))
+      .drop("_dom")
+  }
+
   /** E3, DETERMINISTIC form: bootstrap-with-replacement where each row's
     * replication count in run `r` is the inverse Poisson(lambda) CDF of an
     * md5-derived uniform over (key, r) — the same per-row Poisson model

@@ -149,6 +149,46 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * embeddings are bucketed by nearest centroid, pairwise cosine runs only
+    * WITHIN each bucket, and a vector is dropped when an earlier (smaller
+    * id) same-bucket member is `threshold`-similar. Returns one row per
+    * input vector: (id, cid, keep).
+    *
+    * This is the scale story of semantic dedup: clustering caps the
+    * quadratic term at (corpus/nCentroids)² per bucket instead of corpus² —
+    * the pair join is an equi-join on cid. Centroids here are a
+    * deterministic corpus sample broadcast to every task (same policy as
+    * [[ivfKnn]]); a production pipeline plugs k-means centroids into the
+    * same shape. Assignment and the drop rule both rank on ROUNDED cosine
+    * (6 dp) with id tiebreaks, so the result is reproducible bit-for-bit
+    * in any engine. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    nCentroids: Int = 16): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cv")))
+    val scored = corpus.crossJoin(cents)
+      .withColumn("_cs", round(cosine(col("vec"), col("cv")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("_cs").desc, col("cid").asc)
+    // consumed by three branches (both pair-join sides + the final keep
+    // join) — cache, or the centroid-assignment pass re-executes per branch
+    val asg = scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("id"), col("vec"), col("cid"))
+      .cache()
+    val dropped = asg.select(col("cid"), col("id").as("a"), col("vec").as("va"))
+      .join(asg.select(col("cid"), col("id").as("b"), col("vec").as("vb")),
+        Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("b").as("id")).distinct()
+    asg.join(dropped.withColumn("_drop", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        col("_drop").isNull.cast("long").as("keep"))
+  }
+
   /** Exact all-pairs cosine near-dup — O(N²), for small-N cross-checks of
     * [[lshNearDupPairs]] recall. NOT a scale path: the `a < b` join is a
     * broadcast nested loop. */

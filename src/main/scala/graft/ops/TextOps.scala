@@ -97,6 +97,78 @@ object TextOps {
       score.as("quality_score"))
   }
 
+  /** Count of the most frequent element of an array (0 for empty) — a pure
+    * projection via nested higher-order functions: O(distinct × total) per
+    * row, bounded by document length, never a shuffle. */
+  def topCount(arr: Column): Column =
+    coalesce(array_max(transform(array_distinct(arr),
+      t => size(filter(arr, x => x === t)))), lit(0)).cast("long")
+
+  /** Repetition-quality metrics (Gopher-style, Rae et al. 2021 §A1.1):
+    * fraction of tokens taken by the most frequent unigram/bigram and the
+    * duplicate-token fraction, plus a keep flag under fixed thresholds.
+    * Excessively repetitive documents are the highest-yield removal class
+    * for LLM training corpora. All ratios are int/int single divisions —
+    * bit-identical cross-engine; the keep flag compares the UNROUNDED
+    * values (also exact) so rounding never flips it. */
+  def repetitionCols(toks: Column,
+                     maxTopTokenFrac: Double = 0.12,
+                     maxTopBigramFrac: Double = 0.10,
+                     maxDupTokenFrac: Double = 0.6): Seq[Column] = {
+    val n = size(toks).cast("long")
+    val bigrams = shingles(toks, 2)
+    val nb = size(bigrams).cast("long")
+    val topu = topCount(toks)
+    val topb = topCount(bigrams)
+    val nD = n.cast("double")
+    val topuFrac = when(n > 0, topu.cast("double") / nD).otherwise(lit(0.0))
+    val topbFrac = when(nb > 0, topb.cast("double") / nb.cast("double"))
+      .otherwise(lit(0.0))
+    val dupFrac = when(n > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nD)
+      .otherwise(lit(0.0))
+    val keep = topuFrac <= maxTopTokenFrac && topbFrac <= maxTopBigramFrac &&
+      dupFrac <= maxDupTokenFrac
+    Seq(n.as("n_tokens"), topu.as("top_token_count"),
+      topb.as("top_bigram_count"),
+      round(topuFrac, 6).as("top_token_frac"),
+      round(topbFrac, 6).as("top_bigram_frac"),
+      round(dupFrac, 6).as("dup_token_frac"),
+      keep.cast("long").as("keep_repetition"))
+  }
+
+  /** C4-style rule filter (Raffel et al. 2020 §2.2 shape): ordered reject
+    * rules over cheap per-doc statistics, emitting the FIRST failing rule
+    * as the reject reason ('ok' = keep). Pure projection — the decision and
+    * its audit trail cost one linear scan at any corpus size. */
+  def ruleFilterCols(text: Column, toks: Column): Seq[Column] = {
+    val n = size(toks).cast("long")
+    val nD = n.cast("double")
+    val tokChars = aggregate(transform(toks, t => length(t)), lit(0),
+      (a, x) => a + x)
+    val mtl = when(n > 0, tokChars.cast("double") / nD).otherwise(lit(0.0))
+    val stopRatio = when(n > 0,
+      stopwordHits(toks, langStopwords.flatMap(_._2)).cast("double") / nD)
+      .otherwise(lit(0.0))
+    val ttr = when(n > 0, size(array_distinct(toks)).cast("double") / nD)
+      .otherwise(lit(0.0))
+    val digitRatio = when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+    val reason = when(n < 20, "too_short").when(n > 1000, "too_long")
+      .when(mtl < 3.0 || mtl > 10.0, "token_len")
+      .when(digitRatio > 0.2, "digit")
+      .when(stopRatio > 0.10, "stopword")
+      .when(ttr < 0.35, "repetition")
+      .otherwise(lit("ok"))
+    Seq(n.as("n_tokens"), round(mtl, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(ttr, 6).as("type_token_ratio"),
+      reason.as("reject_reason"),
+      (reason === "ok").cast("long").as("keep"))
+  }
+
   /** Token count via whitespace split and via the token regex — the two
     * "token counting" conventions (SURVEY-plus scope), both exact ints. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Crafted-input checks for the corpus-curation operators added for
+  * LLM-training pipelines: repetition metrics, rule filter,
+  * decontamination, domain-mix sampling, semantic dedup. The driver's
+  * DuckDB oracle checks them at data scale (d12–d15, e05); these specs pin
+  * the decision semantics on inputs built to hit each branch. */
+class CorpusFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionCols flags a degenerate repeater and passes diverse text") {
+    // doc 2: 20 distinct tokens → top unigram 1/20, top bigram 1/19 — under
+    // every threshold (10 tokens would fail: top bigram 1/9 > 0.10)
+    val diverse = ('a' to 't').map(c => s"word$c$c").mkString(" ")
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, diverse),
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextOps.repetitionCols(TextOps.tokens(col("text"))): _*)
+      .orderBy("doc_id").collect()
+    // all-one-token doc: top fraction 1.0, dup fraction 0.9 → rejected
+    assert(out(0).getAs[Long]("top_token_count") == 10)
+    assert(out(0).getAs[Double]("top_token_frac") == 1.0)
+    assert(out(0).getAs[Double]("dup_token_frac") == 0.9)
+    assert(out(0).getAs[Long]("keep_repetition") == 0)
+    // all-distinct doc: top fractions 1/10 and 1/9, dup 0 → kept
+    assert(out(1).getAs[Double]("dup_token_frac") == 0.0)
+    assert(out(1).getAs[Long]("keep_repetition") == 1)
+    // empty doc: all metrics zero-guarded, no null/NaN
+    assert(out(2).getAs[Long]("n_tokens") == 0)
+    assert(out(2).getAs[Double]("top_token_frac") == 0.0)
+  }
+
+  test("ruleFilterCols emits the FIRST failing rule in order") {
+    // digit-free distinct words (digits in tokens would trip the digit rule)
+    val longDiverse = ('a' to 'z').map(c => s"word$c").mkString(" ")
+    val df = Seq(
+      (1L, "short text"), // < 20 tokens → too_short
+      (2L, (1 to 25).map(_ => "a").mkString(" ")), // mtl=1 → token_len (before repetition)
+      (3L, longDiverse)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextOps.ruleFilterCols(col("text"), TextOps.tokens(col("text"))): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("reject_reason") == "too_short")
+    assert(out(1).getAs[String]("reject_reason") == "token_len")
+    assert(out(2).getAs[String]("reject_reason") == "ok")
+    assert(out(2).getAs[Long]("keep") == 1)
+  }
+
+  test("decontaminate flags only train docs sharing an eval n-gram") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // eval (id % 2 == 0 here)
+      (1L, "alpha beta gamma delta zeta"), // shares 4-gram "alpha beta gamma delta"
+      (3L, "one two three four five six")) // no overlap
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(df, "doc_id", "text", n = 4,
+        isEval = col("doc_id") % 2 === 0)
+      .orderBy("doc").collect()
+    assert(out.map(_.getAs[Long]("doc")).toSeq == Seq(1L, 3L)) // eval excluded
+    assert(out(0).getAs[Long]("n_overlap") == 1)
+    assert(out(0).getAs[Long]("contaminated") == 1)
+    assert(out(1).getAs[Long]("n_overlap") == 0)
+    assert(out(1).getAs[Long]("contaminated") == 0)
+  }
+
+  test("domainMix keeps a deterministic subset at the domain's rate") {
+    val df = (0 until 200).map(i => (i.toLong, s"dom${i % 2}"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.domainMix(df, col("doc_id"), col("source"),
+      weightOf = dom => when(dom === "dom0", 3).otherwise(1), frac = 0.5)
+    val rates = kept.select(col("source"), col("rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // target shares 3/4 vs 1/4 over equal actual shares (100 each):
+    // rate = 0.5 * w * 200 / (4 * 100) = 0.25 * w
+    assert(rates("dom0") == 0.75 && rates("dom1") == 0.25)
+    // determinism: same input → identical kept set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Sampling.domainMix(df, col("doc_id"), col("source"),
+        weightOf = dom => when(dom === "dom0", 3).otherwise(1), frac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2) && ids1.nonEmpty)
+  }
+
+  test("semanticDedup drops the later of two near-identical same-bucket vectors") {
+    // 4 base vectors (centroids) + one near-copy of vector 0
+    def unit(axis: Int): Seq[Float] =
+      (0 until 8).map(i => if (i == axis) 1.0f else 0.0f)
+    val rows = Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (4L, (0 until 8).map(i => if (i == 0) 0.99f else 0.01f)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.semanticDedup(df, threshold = 0.9, nCentroids = 4)
+      .orderBy("id").collect()
+    assert(out.length == 5)
+    assert(out.take(4).forall(_.getAs[Long]("keep") == 1))
+    val nearCopy = out(4)
+    assert(nearCopy.getAs[Long]("cid") == 0L) // bucketed with vector 0
+    assert(nearCopy.getAs[Long]("keep") == 0) // dropped: earlier near-dup
+  }
+
+  test("semanticDedup pair join is equi on cid — no nested-loop corpus join") {
+    val df = (0 until 40).map(i =>
+      (i.toLong, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("id", "vec")
+    val out = Similarity.semanticDedup(df, 0.9, nCentroids = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus pair join must be an equi-join on cid (the scale claim);
+    // the only nested loop is the tiny centroid broadcast inside the cached
+    // assignment (its plan text repeats per InMemoryTableScan consumer, so
+    // counting BNLJ strings would over-count a single execution)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cid".r
+      .findFirstIn(plan).isDefined,
+      s"pair join is not an equi-join on cid:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      "centroid assignment is not cached across its three consumers")
+  }
+}
