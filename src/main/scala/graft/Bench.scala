@@ -33,8 +33,16 @@ object Bench {
     // near-identical pivot plans). The min of two runs is the steady-state
     // cost — the number that actually predicts cluster behavior.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until iters).map { _ =>
+    // comma-separated allowlist for local iteration on a single query;
+    // unset (the driver's mode) = run everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (0 until iters).flatMap { _ =>
         // isolate queries: drop caches left by prior queries (dedup signature
         // caches etc.) so storage-memory eviction churn can't skew timings,
         // and collect the garbage those caches became — otherwise a query
@@ -45,20 +53,29 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // a fast failure must never become the reported min — poison it
-          Double.MaxValue
+          None // a failure must never become the reported min
         }
       }
-      name -> times.min
+      // all iterations failed → no time at all (omitted from the JSON,
+      // listed under "failed"), not a Double.MaxValue poison min
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal values: the harness captures only the TAIL of the output,
+    // and a full-precision 66-query line (~2.9KB) overflows that window so
+    // its opening brace is cut off and the line never parses (BENCH_r02/r03
+    // "parsed": null). ms precision is plenty and keeps the line <2KB.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failedPart =
+      if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+    val total = results.values.flatten.sum
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+      s""","queries":$qs$failedPart,"sf":"$sfDir"}"""
     // stdout arrives through sbt with an "[info] " prefix that breaks a
     // strict JSON parse (BENCH_r01 recorded "parsed": null) — so ALSO write
     // the raw line to well-known files and to stderr (unprefixed when forked)

@@ -1135,10 +1135,26 @@ object Queries {
   // Keyed by pid as well as input dir: two concurrent JVMs at the same SF
   // (bench + correctness harness) must not overwrite/delete each other's
   // part files mid-read. Within one process, mode=overwrite is safe.
-  private def rtDir(tag: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+  // Every dir handed out is deleted by a JVM shutdown hook — pid-keying
+  // means no other live process can be reading it, and without the hook
+  // repeated bench/verify runs accumulate parquet-sized tmp garbage.
+  private val rtDirs = scala.collection.mutable.Set[String]()
+  private lazy val rtCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rtDirs.synchronized(rtDirs.toSeq).foreach(p => rm(new java.io.File(p)))
+    }))
+  private def rtDir(tag: String, d: String): String = {
+    rtCleanupHook
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"p${ProcessHandle.current().pid()}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
+    rtDirs.synchronized { rtDirs += p }
+    p
+  }
 
   // ------------------------------------------------ JSONL source/sink
   // The interchange format training corpora ship in: documents → JSONL →

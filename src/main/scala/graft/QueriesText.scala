@@ -471,6 +471,7 @@ object QueriesText {
 
   // --------------------------------------------- rule-based quality filter
   // C4-style ordered reject rules with first-fail reason ('ok' = keep).
+  // Stopword rule is C4-directional: reject docs LACKING stopwords.
   private val d13: (String, QFn, Option[String]) = ("d13_rule_filter",
     (s, d) => docs(s, d).select(col("doc_id") +:
       TextOps.ruleFilterCols(col("text"), TextOps.tokens(col("text"))): _*),
@@ -495,7 +496,7 @@ object QueriesText {
         |  WHEN n > 1000 THEN 'too_long'
         |  WHEN mtl < 3.0 OR mtl > 10.0 THEN 'token_len'
         |  WHEN dr > 0.2 THEN 'digit'
-        |  WHEN sr > 0.10 THEN 'stopword'
+        |  WHEN sr < 0.01 THEN 'stopword'
         |  WHEN ttr < 0.35 THEN 'repetition'
         |  ELSE 'ok' END AS reject_reason FROM m)
         |SELECT doc_id, n AS n_tokens, round(mtl, 6) AS mean_token_len,
@@ -533,12 +534,17 @@ object QueriesText {
     (s, d) => Sampling.domainMix(
         docs(s, d).select(col("doc_id"), col("source")),
         key = col("doc_id"), domain = col("source"),
+        // digit-free sources: regexp_extract yields "" → null after cast;
+        // coalesce to 0 so the domain gets weight 1 instead of silently
+        // vanishing (and the oracle's try_cast mirrors it, where a plain
+        // ''::BIGINT would abort the whole DuckDB query)
         weightOf = dom => lit(1) +
-          regexp_extract(dom, "[0-9]+", 0).cast("long") % 3,
+          coalesce(regexp_extract(dom, "[0-9]+", 0).cast("long"), lit(0L)) % 3,
         frac = 0.6)
       .select(col("doc_id"), col("source"), col("rate")),
     Some("""WITH c AS (SELECT source, count(*)::BIGINT AS cnt,
-      |  (1 + (regexp_extract(source, '[0-9]+')::BIGINT % 3))::DOUBLE AS w
+      |  (1 + (coalesce(try_cast(regexp_extract(source, '[0-9]+') AS BIGINT),
+      |                 0) % 3))::DOUBLE AS w
       |  FROM documents GROUP BY source),
       |t AS (SELECT sum(cnt)::DOUBLE AS total, sum(w) AS sumw FROM c),
       |r AS (SELECT source, least(1.0::DOUBLE,

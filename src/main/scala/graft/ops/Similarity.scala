@@ -172,11 +172,17 @@ object Similarity {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("_cs").desc, col("cid").asc)
     // consumed by three branches (both pair-join sides + the final keep
-    // join) — cache, or the centroid-assignment pass re-executes per branch
+    // join) — materialize once, or the centroid-assignment pass re-executes
+    // per branch. localCheckpoint (not cache): the checkpoint RDD is held by
+    // weak reference, so the ContextCleaner reclaims the storage when this
+    // plan becomes unreachable — a .cache() here would pin a corpus-sized
+    // DataFrame in the CacheManager until someone calls clearCache (long-
+    // lived sessions leaked it). Trade-off: checkpointed partitions are not
+    // recomputable on executor loss; acceptable for a bounded dedup pass.
     val asg = scored.withColumn("_r", row_number().over(w))
       .filter(col("_r") === 1)
       .select(col("id"), col("vec"), col("cid"))
-      .cache()
+      .localCheckpoint(true)
     val dropped = asg.select(col("cid"), col("id").as("a"), col("vec").as("va"))
       .join(asg.select(col("cid"), col("id").as("b"), col("vec").as("vb")),
         Seq("cid"))

@@ -98,11 +98,22 @@ object TextOps {
   }
 
   /** Count of the most frequent element of an array (0 for empty) — a pure
-    * projection via nested higher-order functions: O(distinct × total) per
-    * row, bounded by document length, never a shuffle. */
-  def topCount(arr: Column): Column =
-    coalesce(array_max(transform(array_distinct(arr),
-      t => size(filter(arr, x => x === t)))), lit(0)).cast("long")
+    * projection: sort the array, then one `aggregate` pass tracking the
+    * longest run of equal neighbours. O(n log n) per row; the naive
+    * per-distinct rescan (transform(array_distinct, t => count(=t))) is
+    * O(distinct × total) and measured 50s vs <1s on d12 at sf0.1. */
+  def topCount(arr: Column): Column = {
+    val acc0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    coalesce(aggregate(array_sort(arr), acc0,
+      (a, x) => {
+        val run = when(a.getField("prev") <=> x, a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best")), lit(0L))
+  }
 
   /** Repetition-quality metrics (Gopher-style, Rae et al. 2021 §A1.1):
     * fraction of tokens taken by the most frequent unigram/bigram and the
@@ -139,8 +150,11 @@ object TextOps {
 
   /** C4-style rule filter (Raffel et al. 2020 §2.2 shape): ordered reject
     * rules over cheap per-doc statistics, emitting the FIRST failing rule
-    * as the reject reason ('ok' = keep). Pure projection — the decision and
-    * its audit trail cost one linear scan at any corpus size. */
+    * as the reject reason ('ok' = keep). The stopword rule follows C4's
+    * direction — reject pages LACKING stopwords (non-natural text), i.e.
+    * stopword ratio below a floor, not above a cap. Pure projection — the
+    * decision and its audit trail cost one linear scan at any corpus
+    * size. */
   def ruleFilterCols(text: Column, toks: Column): Seq[Column] = {
     val n = size(toks).cast("long")
     val nD = n.cast("double")
@@ -159,7 +173,7 @@ object TextOps {
     val reason = when(n < 20, "too_short").when(n > 1000, "too_long")
       .when(mtl < 3.0 || mtl > 10.0, "token_len")
       .when(digitRatio > 0.2, "digit")
-      .when(stopRatio > 0.10, "stopword")
+      .when(stopRatio < 0.01, "stopword")
       .when(ttr < 0.35, "repetition")
       .otherwise(lit("ok"))
     Seq(n.as("n_tokens"), round(mtl, 6).as("mean_token_len"),

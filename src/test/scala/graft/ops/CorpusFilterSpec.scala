@@ -38,10 +38,14 @@ class CorpusFilterSpec extends SparkSpec {
   test("ruleFilterCols emits the FIRST failing rule in order") {
     // digit-free distinct words (digits in tokens would trip the digit rule)
     val longDiverse = ('a' to 'z').map(c => s"word$c").mkString(" ")
+    // natural-looking doc: diverse words WITH stopwords (C4 stopword rule
+    // rejects docs lacking them) — sr = 2/28, mtl = 136/28 ≈ 4.9, ttr 27/28
+    val natural = longDiverse + " the the"
     val df = Seq(
       (1L, "short text"), // < 20 tokens → too_short
       (2L, (1 to 25).map(_ => "a").mkString(" ")), // mtl=1 → token_len (before repetition)
-      (3L, longDiverse)).toDF("doc_id", "text")
+      (3L, natural),
+      (4L, longDiverse)).toDF("doc_id", "text") // zero stopwords → stopword
     val out = df.select(col("doc_id") +:
         TextOps.ruleFilterCols(col("text"), TextOps.tokens(col("text"))): _*)
       .orderBy("doc_id").collect()
@@ -49,6 +53,7 @@ class CorpusFilterSpec extends SparkSpec {
     assert(out(1).getAs[String]("reject_reason") == "token_len")
     assert(out(2).getAs[String]("reject_reason") == "ok")
     assert(out(2).getAs[Long]("keep") == 1)
+    assert(out(3).getAs[String]("reject_reason") == "stopword")
   }
 
   test("decontaminate flags only train docs sharing an eval n-gram") {
@@ -117,7 +122,11 @@ class CorpusFilterSpec extends SparkSpec {
       .findFirstIn(plan).isDefined,
       s"pair join is not an equi-join on cid:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      "centroid assignment is not cached across its three consumers")
+    // the centroid assignment is localCheckpoint-ed (NOT .cache()d — the
+    // CacheManager would pin it until clearCache; the checkpoint RDD is
+    // reclaimed by the ContextCleaner once unreachable), so its three
+    // consumers all read the materialized RDD instead of recomputing
+    assert(plan.contains("Scan ExistingRDD"),
+      "centroid assignment is not materialized across its three consumers")
   }
 }
