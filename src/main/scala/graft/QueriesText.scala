@@ -555,6 +555,64 @@ object QueriesText {
       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
       |  / 1152921504606846976.0 < r.rate""".stripMargin))
 
+  // ------------------------------------------------------ PII scrub
+  // Email + long-digit-run detection/redaction. The redacted text is
+  // compared by digest (scrubbed corpora are TB-sized; digests are 32B).
+  // Patterns are RE2-safe so the oracle replays them verbatim.
+  private val d16: (String, QFn, Option[String]) = ("d16_pii_redact",
+    (s, d) => docs(s, d).select(col("doc_id") +:
+      TextOps.piiCols(col("text")): _*),
+    Some {
+      val em = TextOps.emailPattern // backslash survives the SQL literal
+      val dr = TextOps.digitRunPattern
+      s"""SELECT doc_id,
+        | len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(text, '$dr'))::BIGINT AS n_digit_runs,
+        | (len(regexp_extract_all(text, '$em')) = 0
+        |  AND len(regexp_extract_all(text, '$dr')) = 0)::BIGINT AS pii_free,
+        | md5(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+        |                    '$dr', '<ID>', 'g')) AS redacted_digest
+        |FROM documents""".stripMargin
+    })
+
+  // ------------------------------------------------ token chunking
+  // Overlapping context windows (size 64, stride 48) — the sequence-prep
+  // step between curation and tokenized training shards. Rows ≈ n/stride
+  // per doc; chunk text travels as a digest.
+  private val d17: (String, QFn, Option[String]) = ("d17_chunking",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.chunkCols(TextOps.tokens(col("text")), 64, 48))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"),
+        col("c.chunk_digest")),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS s
+      |  FROM toks)
+      |SELECT doc_id, ((s - 1) // 48)::BIGINT AS chunk_id,
+      | len(list_slice(w, s, s + 63))::BIGINT AS n_chunk_tokens,
+      | md5(array_to_string(list_slice(w, s, s + 63), ' ')) AS chunk_digest
+      |FROM c""".stripMargin))
+
+  // ------------------------------------------- token-entropy scoring
+  // Unigram Shannon entropy + length-normalized ratio. Spark computes
+  // Σ c·log2(c) in ONE sorted-run aggregate pass per row (no per-doc
+  // group-by); the oracle takes the classic unnest → count route.
+  private val d18: (String, QFn, Option[String]) = ("d18_token_entropy",
+    (s, d) => docs(s, d).select(col("doc_id") +:
+      TextOps.entropyCols(TextOps.tokens(col("text"))): _*),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS t FROM toks),
+      |cnt AS (SELECT doc_id, t, count(*)::DOUBLE AS c FROM u GROUP BY 1, 2),
+      |s AS (SELECT doc_id, sum(c * log2(c)) AS sl, sum(c) AS n
+      |  FROM cnt GROUP BY 1)
+      |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+      | CASE WHEN s.n > 0 THEN round(log2(s.n) - sl / s.n, 6)
+      |   ELSE 0.0 END AS token_entropy,
+      | CASE WHEN s.n > 1 THEN round((log2(s.n) - sl / s.n) / log2(s.n), 6)
+      |   ELSE 0.0 END AS entropy_ratio
+      |FROM toks t LEFT JOIN s USING (doc_id)""".stripMargin))
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
   // bucket size; a vector is dropped when an earlier same-bucket member is
@@ -589,5 +647,5 @@ object QueriesText {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, e01, e02, e03, e04, e05, m01, m02)
+    d15, d16, d17, d18, e01, e02, e03, e04, e05, m01, m02)
 }

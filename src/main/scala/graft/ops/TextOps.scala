@@ -115,6 +115,73 @@ object TextOps {
       a => a.getField("best")), lit(0L))
   }
 
+  /** PII scrub pass: count and redact email addresses and long (≥6) digit
+    * runs (phone/account/ID shapes). Pure projection — the patterns are
+    * RE2-safe (no backrefs/lookaround) so the DuckDB oracle replays them
+    * verbatim, and the redacted text is digest-compared rather than
+    * shipped. At corpus scale redaction is the cheap half; the counts feed
+    * the audit aggregate that decides whether a SOURCE is quarantined. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitRunPattern = "[0-9]{6,}"
+  def piiCols(text: Column): Seq[Column] = {
+    val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+      .cast("long")
+    val nDigitRun =
+      size(regexp_extract_all(text, lit(digitRunPattern), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      digitRunPattern, "<ID>")
+    Seq(nEmail.as("n_emails"), nDigitRun.as("n_digit_runs"),
+      (nEmail === 0 && nDigitRun === 0).cast("long").as("pii_free"),
+      md5(redacted.cast("binary")).as("redacted_digest"))
+  }
+
+  /** Overlapping token windows for LLM context packing: chunk k covers
+    * tokens [1 + k·stride, 1 + k·stride + size). Every token is covered,
+    * trailing chunks may be short. One `posexplode`-free projection +
+    * explode — output rows ≈ n/stride per doc, no shuffle, and the chunk
+    * text travels as an md5 digest so the exploded width stays join-key
+    * sized. */
+  def chunkCols(toks: Column, size_ : Int, stride: Int): Column = {
+    val n = size(toks)
+    val starts = when(n > 0, sequence(lit(1), n, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, s => struct(
+      ((s - 1) / stride).cast("long").as("chunk_id"),
+      size(slice(toks, s, lit(size_))).cast("long").as("n_chunk_tokens"),
+      md5(concat_ws(" ", slice(toks, s, lit(size_))).cast("binary"))
+        .as("chunk_digest")))
+  }
+
+  /** Shannon entropy (bits) of the token unigram distribution, plus the
+    * length-normalized form H/log2(n) — the information-density signal that
+    * separates natural prose from boilerplate and generator loops. Same
+    * sort + run-length trick as [[topCount]]: accumulate Σ c·log2(c) over
+    * runs of the sorted array, then H = log2(n) − Σ/n. O(n log n) per row,
+    * zero shuffles. */
+  def entropyCols(toks: Column): Seq[Column] = {
+    val n = size(toks).cast("double")
+    val acc0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0.0).as("sum"))
+    def flush(run: Column, sum: Column): Column =
+      when(run > 0, sum + run.cast("double") * log2(run.cast("double")))
+        .otherwise(sum)
+    val sumClogC = aggregate(array_sort(toks), acc0,
+      (a, x) => {
+        val cont = a.getField("prev") <=> x
+        struct(x.as("prev"),
+          when(cont, a.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(cont, a.getField("sum"))
+            .otherwise(flush(a.getField("run"), a.getField("sum"))).as("sum"))
+      },
+      a => flush(a.getField("run"), a.getField("sum")))
+    val h = when(n > 0, log2(n) - sumClogC / n).otherwise(lit(0.0))
+    val hNorm = when(n > 1, h / log2(n)).otherwise(lit(0.0))
+    Seq(size(toks).cast("long").as("n_tokens"),
+      round(h, 6).as("token_entropy"),
+      round(hNorm, 6).as("entropy_ratio"))
+  }
+
   /** Repetition-quality metrics (Gopher-style, Rae et al. 2021 §A1.1):
     * fraction of tokens taken by the most frequent unigram/bigram and the
     * duplicate-token fraction, plus a keep flag under fixed thresholds.

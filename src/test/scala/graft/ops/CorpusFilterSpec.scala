@@ -56,6 +56,54 @@ class CorpusFilterSpec extends SparkSpec {
     assert(out(3).getAs[String]("reject_reason") == "stopword")
   }
 
+  test("piiCols counts and redacts emails and digit runs") {
+    val df = Seq(
+      (1L, "contact bob@example.com or 12345678 now"),
+      (2L, "clean prose only")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextOps.piiCols(col("text")): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1)
+    assert(out(0).getAs[Long]("n_digit_runs") == 1)
+    assert(out(0).getAs[Long]("pii_free") == 0)
+    // digest is md5 of the text with both PII shapes replaced
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("contact <EMAIL> or <ID> now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("redacted_digest") == exp)
+    assert(out(1).getAs[Long]("pii_free") == 1)
+  }
+
+  test("chunkCols covers every token with overlapping windows") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        explode(TextOps.chunkCols(TextOps.tokens(col("text")), 64, 48))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"))
+      .orderBy("chunk_id").collect()
+    // 150 tokens, size 64 / stride 48 → starts 1, 49, 97, 145
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L)) // empty doc: no chunks
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq ==
+      Seq(64L, 64L, 54L, 6L))
+  }
+
+  test("entropyCols: uniform tokens → ratio 1; constant → 0; empty → 0") {
+    val df = Seq(
+      (1L, "aa bb cc dd"), // 4 distinct, uniform → H = 2 bits, ratio 1
+      (2L, "xx xx xx xx"), // one distinct token → H = 0
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextOps.entropyCols(TextOps.tokens(col("text"))): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("token_entropy") == 2.0)
+    assert(out(0).getAs[Double]("entropy_ratio") == 1.0)
+    assert(out(1).getAs[Double]("token_entropy") == 0.0)
+    assert(out(1).getAs[Double]("entropy_ratio") == 0.0)
+    assert(out(2).getAs[Long]("n_tokens") == 0L)
+    assert(out(2).getAs[Double]("token_entropy") == 0.0)
+  }
+
   test("decontaminate flags only train docs sharing an eval n-gram") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"), // eval (id % 2 == 0 here)
