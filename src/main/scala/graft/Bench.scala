@@ -63,26 +63,33 @@ object Bench {
       // listed under "failed"), not a Double.MaxValue poison min
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    // 3-decimal values: the harness captures only the TAIL of the output,
-    // and a full-precision 66-query line (~2.9KB) overflows that window so
-    // its opening brace is cut off and the line never parses (BENCH_r02/r03
-    // "parsed": null). ms precision is plenty and keeps the line <2KB.
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-    val failedPart =
-      if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
-    val total = results.values.flatten.sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
-      s""","queries":$qs$failedPart,"sf":"$sfDir"}"""
+    // Rounded values: the harness captures only the TAIL (~2000 chars) of
+    // the output, and a full-precision 66-query line (~2.9KB) overflows
+    // that window so its opening brace is cut off and the line never
+    // parses (BENCH_r02/r03 "parsed": null). The stdout line uses 2
+    // decimals (72 queries ≈ 1.82KB incl. sbt's trailer); the side files
+    // keep 3.
+    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    def jsonLine(dp: Int): String = {
+      val qs = results.collect {
+        case (k, Some(v)) => "\"" + k + "\":" + fmt(v, dp)
+      }.mkString("{", ",", "}")
+      val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      val failedPart =
+        if (failed.isEmpty) ""
+        else failed.mkString(""","failed":[""", ",", "]")
+      val total = results.values.flatten.sum
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec"""" +
+        s""","queries":$qs$failedPart,"sf":"$sfDir"}"""
+    }
     // stdout arrives through sbt with an "[info] " prefix that breaks a
     // strict JSON parse (BENCH_r01 recorded "parsed": null) — so ALSO write
     // the raw line to well-known files and to stderr (unprefixed when forked)
-    println(line)
-    System.err.println(line)
+    println(jsonLine(2))
+    System.err.println(jsonLine(2))
     for (p <- Seq("/tmp/graft_bench.json", "bench_last.json"))
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        jsonLine(3))
       catch { case _: Throwable => () }
     spark.stop()
   }

@@ -613,6 +613,71 @@ object QueriesText {
       |   ELSE 0.0 END AS entropy_ratio
       |FROM toks t LEFT JOIN s USING (doc_id)""".stripMargin))
 
+  // --------------------------------------------- KMV distinct sketch
+  // Distinct users per event_type, estimated from the k smallest 60-bit
+  // md5 hashes (integer ranking → exact cross-engine selection; the lone
+  // division is round-6). n_exact kept alongside for error inspection.
+  private val d19: (String, QFn, Option[String]) = ("d19_kmv_sketch",
+    (s, d) => Sketches.kmvDistinct(Tables.events(s, d),
+        col("event_type"), col("user_id"), k = 64)
+      .select(col("grp").as("event_type"), col("n_exact"),
+        col("est_distinct")),
+    Some(s"""WITH h AS (SELECT DISTINCT event_type,
+      |  ('0x'||substr(md5(user_id::VARCHAR||'#kmv'),1,15))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |sk AS (SELECT event_type, count(*)::BIGINT AS m, max(h) AS hk
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      |  FROM events GROUP BY 1)
+      |SELECT ex.event_type, ex.n_exact,
+      | round(CASE WHEN sk.m >= 64
+      |   THEN 63.0 * 1152921504606846976.0 / sk.hk::DOUBLE
+      |   ELSE sk.m::DOUBLE END, 6) AS est_distinct
+      |FROM ex JOIN sk USING (event_type)""".stripMargin))
+
+  // ------------------------------------------ weighted priority sample
+  // Per-source weighted top-k sample: longer docs carry weight 1..3 and
+  // are proportionally likelier to survive. Integer-only ranking
+  // (h·6 div w) — no float boundary can flip the kept set.
+  private val d20: (String, QFn, Option[String]) = ("d20_weighted_sample",
+    (s, d) => Sampling.prioritySample(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        group = col("source"), key = col("doc_id"),
+        weight = least(lit(3L), lit(1L) + expr("n_chars div 500")),
+        lcm = 6, k = 20)
+      .select(col("doc_id"), col("source"), col("_w").as("w"),
+        col("priority")),
+    Some("""WITH t AS (SELECT doc_id, source,
+      |  least(3, 1 + n_chars // 500)::BIGINT AS w,
+      |  ('0x'||substr(md5(doc_id::VARCHAR||'#wps'),1,15))::BIGINT AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, w, (h * 6) // w AS priority,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY (h * 6) // w, doc_id) AS rn FROM t)
+      |SELECT doc_id, source, w, priority FROM p WHERE rn <= 20"""
+      .stripMargin))
+
+  // ----------------------------------------------------------- TF-IDF
+  // Corpus-level term weighting: exact tf/df counts, one ln in the value
+  // (round-6), df table joined SHUFFLED on term (vocabulary-sized at
+  // corpus scale — deliberately not broadcast).
+  private val d21: (String, QFn, Option[String]) = ("d21_tfidf",
+    (s, d) => TextOps.tfidf(docs(s, d), "doc_id",
+      TextOps.tokens(col("text"))),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |  FROM t GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*)::BIGINT AS df_count FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, dfq.df_count,
+      | round(tf.tf * (ln((nd + 1.0) / (df_count::DOUBLE + 1.0)) + 1.0), 6)
+      |   AS tfidf
+      |FROM tf JOIN dfq USING (term), n""".stripMargin))
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
   // bucket size; a vector is dropped when an earlier same-bucket member is
@@ -647,5 +712,5 @@ object QueriesText {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, e01, e02, e03, e04, e05, m01, m02)
+    d15, d16, d17, d18, d19, d20, d21, e01, e02, e03, e04, e05, m01, m02)
 }

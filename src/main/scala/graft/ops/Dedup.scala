@@ -224,9 +224,19 @@ object Dedup {
       .unionByName(nearPairs.select(col("peer").as("doc"),
         col("doc").as("peer")))
       .distinct().cache()
-    // label propagation to fixpoint (bounded): label = min id reachable
-    var labels = df.select(col(idCol).as("doc"), col(idCol).as("label"))
-    var prev: Option[DataFrame] = None
+    // label propagation to fixpoint (bounded): label = min id reachable.
+    // The first hop is folded into initialization: against the identity
+    // label map it reduces to min(id, min(peer)) straight off the edge
+    // list, and its convergence check could never pass (any edge lowers
+    // some label) — so don't pay a checked round for it.
+    val firstHop = edges.groupBy(col("doc")).agg(min(col("peer")).as("_p"))
+    var labels: DataFrame = df.select(col(idCol).as("doc"),
+        col(idCol).as("label"))
+      .join(firstHop, Seq("doc"), "left")
+      .select(col("doc"),
+        least(col("label"), coalesce(col("_p"), col("label"))).as("label"))
+      .cache()
+    var prev: Option[DataFrame] = Some(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -235,14 +245,14 @@ object Dedup {
         .select(col("doc"), col("label"))
       // pointer doubling: each doc also adopts its label's label — halves
       // the remaining distance to the component minimum every round. The
-      // first three rounds skip it: round 0's label map is the identity (a
-      // no-op self-join), near-dup components are typically diameter <= 2-3
-      // (converging on cheap one-hop rounds alone), and the final
-      // no-change-observed round shouldn't pay for a join it can't use.
-      // From round 3 the doubling join engages, so a diameter-D chain still
-      // finishes in O(log D) further rounds instead of O(D).
+      // first two checked rounds skip it: with the first hop folded into
+      // initialization they cover distances 2-3, the typical near-dup
+      // component diameter, and the final no-change-observed round
+      // shouldn't pay for a join it can't use. From round 2 the doubling
+      // join engages, so a diameter-D chain still finishes in O(log D)
+      // further rounds instead of O(D).
       val hopped =
-        if (round < 3) labels.unionByName(viaPeers)
+        if (round < 2) labels.unionByName(viaPeers)
         else {
           val viaLabels = labels.select(col("doc"), col("label").as("_mid"))
             .join(labels.select(col("doc").as("_mid"),

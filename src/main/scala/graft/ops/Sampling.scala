@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -102,6 +103,39 @@ object Sampling {
     df.join(broadcast(rates), domain === col("_dom"))
       .filter(hashUniform(key, lit(salt)) < col("rate"))
       .drop("_dom")
+  }
+
+  /** Weighted priority sampling (Duffield–Lund–Thorup shape): per group,
+    * keep the k rows with the smallest priority u/w, where u is the
+    * content-addressed md5 uniform and w an integer weight — selection
+    * probability grows with weight, and the kept set is stable under
+    * reordering/re-ingestion like every sampler here.
+    *
+    * Determinism is INTEGER-exact: for weights dividing `lcm`
+    * (e.g. w ∈ {1,2,3}, lcm 6), rank by h·lcm DIV w — pure 64-bit
+    * arithmetic, so no cross-engine pow/log last-bit flip can ever move
+    * the selection boundary (the float form u^(1/w) of Efraimidis–
+    * Spiliotis cannot make that guarantee). h·lcm must stay under 2^63:
+    * the 60-bit hash allows lcm ≤ 7. Ties (floor collisions) break on the
+    * key, deterministically.
+    *
+    * Scale shape: projection + one per-group top-k window — the same
+    * single-exchange pattern as q24; no corpus-wide sort. */
+  def prioritySample(df: DataFrame, group: Column, key: Column,
+                     weight: Column, lcm: Int, k: Int,
+                     salt: String = "wps"): DataFrame = {
+    require(lcm >= 1 && lcm <= 7, s"lcm=$lcm would overflow h*lcm past 2^63")
+    val pri = expr(s"_h * $lcm div _w")
+    val byPriority = Window.partitionBy(col("_grp"))
+      .orderBy(col("priority").asc, col("_key").asc)
+    df.withColumn("_grp", group)
+      .withColumn("_key", key)
+      .withColumn("_h", Dedup.md5Hash(key.cast("string"), lit(salt)))
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("priority", pri)
+      .withColumn("_rn", row_number().over(byPriority))
+      .filter(col("_rn") <= k)
+      .drop("_grp", "_key", "_h", "_rn")
   }
 
   /** E3, DETERMINISTIC form: bootstrap-with-replacement where each row's

@@ -250,6 +250,35 @@ object TextOps {
       (reason === "ok").cast("long").as("keep"))
   }
 
+  /** TF-IDF term weighting over the corpus: tf = in-doc term count,
+    * idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn form — no
+    * division-by-zero branch, unseen terms still score), emitted per
+    * (doc, term). The VALUE is floating (round-6 like every derived stat);
+    * every COUNT feeding it is exact, so the only cross-engine surface is
+    * one ln call.
+    *
+    * Scale shape: explode → two hash aggregations (doc×term, then term) →
+    * one equi-join on term. The document-frequency table is vocabulary-
+    * sized (can be billions of terms at 100 TB), so it joins SHUFFLED on
+    * term — deliberately not broadcast; tf is already partitioned by
+    * (doc, term) and AQE picks the join strategy when a small vocab makes
+    * broadcast viable. The corpus count N rides in via a 1-row broadcast
+    * crossJoin (the A14/global-stat pattern). */
+  def tfidf(docsDf: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val terms = docsDf.select(col(idCol).as("doc_id"), explode(toks)
+      .as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
+    val nDocs = docsDf.agg(count(lit(1)).cast("double").as("_n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df_count"),
+        round(col("tf").cast("double") *
+          (log((col("_n") + 1.0) / (col("df_count").cast("double") + 1.0))
+            + 1.0), 6).as("tfidf"))
+  }
+
   /** Token count via whitespace split and via the token regex — the two
     * "token counting" conventions (SURVEY-plus scope), both exact ints. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Crafted-input checks for the sketch / weighted-sampling / TF-IDF
+  * operators (d19–d21). The driver's DuckDB oracle checks them at data
+  * scale; these pin the estimator math and the integer-exact selection
+  * semantics. */
+class SketchSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and ~13% at k=64") {
+    val df = (1 to 5000).map(i =>
+      (if (i <= 10) "small" else "big", i.toLong)).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, col("g"), col("v"), k = 64)
+      .orderBy("grp").collect()
+    val big = out(0)
+    val small = out(1)
+    // below k the sketch holds every hash → estimate == exact count
+    assert(small.getAs[Long]("n_exact") == 10L)
+    assert(small.getAs[Double]("est_distinct") == 10.0)
+    // 4990 distinct at k=64: SE ≈ 1/sqrt(62) ≈ 12.7%; assert 4 sigma
+    assert(big.getAs[Long]("n_exact") == 4990L)
+    val est = big.getAs[Double]("est_distinct")
+    assert(est > 4990 * 0.5 && est < 4990 * 1.5, s"KMV estimate $est")
+  }
+
+  test("kmvDistinct is deterministic across runs and partitionings") {
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val a = Sketches.kmvDistinct(df.repartition(7), col("g"), col("v"), 32)
+      .collect()(0).getAs[Double]("est_distinct")
+    val b = Sketches.kmvDistinct(df.repartition(2), col("g"), col("v"), 32)
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(a == b)
+  }
+
+  test("prioritySample keeps k per group, deterministically, weight-biased") {
+    // weight 3 for ids 0..49, weight 1 for 50..149; k=30 of 150
+    val df = (0L until 150L).map(i => (i, if (i < 50) 3L else 1L))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    def run() = Sampling.prioritySample(df, col("g"), col("id"), col("w"),
+      lcm = 6, k = 30).select("id", "w", "priority").collect()
+    val out = run()
+    assert(out.length == 30)
+    assert(out.map(_.getAs[Long]("id")).toSet == run()
+      .map(_.getAs[Long]("id")).toSet) // stable
+    // heavy third (50 of 150 ids) should take well over a third of the
+    // sample: P(weight-3 row beats weight-1 row) = 3/4 pairwise
+    val heavy = out.count(_.getAs[Long]("w") == 3L)
+    assert(heavy > 10, s"only $heavy weight-3 rows of 30")
+    // priority really is h*6 div w — integer, no float surface
+    val h = Dedup.md5Hash(lit("7").cast("string"), lit("wps"))
+    val expect = df.sparkSession.range(1)
+      .select((h * 6L).as("p")).collect()(0).getAs[Long]("p") / 3L
+    val got = out.find(_.getAs[Long]("id") == 7L)
+      .map(_.getAs[Long]("priority"))
+    got.foreach(p => assert(p == expect))
+  }
+
+  test("tfidf matches the smoothed sklearn form on a crafted corpus") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(df, "doc_id", TextOps.tokens(col("text")))
+      .orderBy("doc_id", "term").collect()
+    def w(tf: Long, dfc: Long): Double = {
+      val raw = tf * (math.log((2.0 + 1.0) / (dfc.toDouble + 1.0)) + 1.0)
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    val m = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+      (r.getAs[Long]("tf"), r.getAs[Long]("df_count"),
+        r.getAs[Double]("tfidf"))).toMap
+    assert(m((1L, "apple")) == ((2L, 1L, w(2, 1))))
+    assert(m((1L, "banana")) == ((1L, 2L, w(1, 2))))
+    assert(m((2L, "cherry")) == ((1L, 1L, w(1, 1))))
+    assert(out.length == 4)
+  }
+}
