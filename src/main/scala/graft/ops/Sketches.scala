@@ -21,21 +21,27 @@ import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
  * native `approx_count_distinct` (HLL++) is the production alternative but
  * its hash/merge internals are not replayable in an external oracle.
  *
- * Scale shape: one `distinct` on (group, hash) with map-side partial
- * aggregation, then a per-group top-k (window over the hash order — the
- * same exchange the distinct already created, so AQE coalesces to a single
- * shuffle), then a group-local aggregate. Nothing corpus-sized crosses the
- * wire beyond the distinct pass; the k-row-per-group tail is sketch-sized.
+ * Scale shape: TWO-PHASE top-k, because a single per-group window would
+ * drag every distinct hash of a group onto one partition (the classic
+ * top-k skew). Phase 1 buckets by h mod B and keeps the k smallest per
+ * (group, bucket) — one exchange on (group, bucket), wide, with the
+ * dedup aggregation riding the same distribution. Phase 2 ranks the
+ * ≤ B·k survivors per group — its exchange moves only sketch-sized data.
+ * The union of bucket top-ks contains the global top-k exactly (every
+ * global winner wins its bucket), so the two-phase form is not an
+ * approximation.
  */
 object Sketches {
 
-  /** Per-group distinct-count estimate via KMV alongside the exact count
-    * (kept for error inspection; a production pipeline would drop it).
-    * Output: (grp, n_exact, est_distinct). Groups with fewer than k
-    * distinct values are exact by construction (the sketch holds them
-    * all). */
+  /** Per-group distinct-count estimate via KMV. Output:
+    * (grp, n_exact, est_distinct); groups with fewer than k distinct
+    * values are exact by construction (the sketch holds them all).
+    * `withExact` keeps the exact `countDistinct` alongside for error
+    * inspection — a production pipeline at sketch-worthy scale drops it
+    * (that is the whole point of the sketch). */
   def kmvDistinct(df: DataFrame, group: Column, value: Column,
-                  k: Int, salt: String = "kmv"): DataFrame = {
+                  k: Int, salt: String = "kmv",
+                  buckets: Int = 64, withExact: Boolean = true): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     // (k-1) * 2^60: both factors and the product are exactly representable
     // doubles for any sane k, so the numerator folds identically everywhere
@@ -43,18 +49,30 @@ object Sketches {
     val hashed = df
       .select(group.as("grp"), Dedup.md5Hash(value.cast("string"), lit(salt))
         .as("h"))
-      .distinct()
-    val byHash = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sketch = hashed
-      .withColumn("_rn", row_number().over(byHash))
+      .withColumn("_b", pmod(col("h"), lit(buckets.toLong)))
+      // one wide exchange; the dedup aggregate and the phase-1 window both
+      // ride this (grp, bucket) distribution — no further full-data shuffle
+      .repartition(col("grp"), col("_b"))
+      .groupBy(col("grp"), col("_b"), col("h")).agg(count(lit(1)).as("_one"))
+    val perBucket = Window.partitionBy(col("grp"), col("_b"))
+      .orderBy(col("h"))
+    val candidates = hashed
+      .withColumn("_rn", row_number().over(perBucket))
       .filter(col("_rn") <= k)
+    val perGroup = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sketch = candidates
+      .withColumn("_rg", row_number().over(perGroup))
+      .filter(col("_rg") <= k)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("_m"), max(col("h")).as("_hk"))
       .select(col("grp"),
         round(when(col("_m") >= k, lit(num) / col("_hk").cast("double"))
           .otherwise(col("_m").cast("double")), 6).as("est_distinct"))
-    val exact = df.groupBy(group.as("grp"))
-      .agg(countDistinct(value).as("n_exact"))
-    exact.join(sketch, Seq("grp"))
+    if (!withExact) sketch
+    else {
+      val exact = df.groupBy(group.as("grp"))
+        .agg(countDistinct(value).as("n_exact"))
+      exact.join(sketch, Seq("grp"))
+    }
   }
 }

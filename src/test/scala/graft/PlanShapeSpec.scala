@@ -56,4 +56,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 1,
       s"expected exactly one hash exchange, found $n:\n$finalPlan")
   }
+
+  test("KMV sketch: one wide exchange + one sketch-sized exchange, no skew") {
+    // the two-phase top-k claim: dedup + per-bucket rank ride the single
+    // (grp, bucket) repartition; only the <= buckets*k survivors cross the
+    // wire again for the per-group rank. A naive per-group window would
+    // drag every distinct hash of a group onto one partition.
+    import graft.ops.Sketches
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("g"), col("id").as("v"))
+    val sk = Sketches.kmvDistinct(df, col("g"), col("v"), k = 32,
+      withExact = false)
+    sk.collect()
+    val finalPlan = sk.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(n == 2,
+      s"expected exactly two hash exchanges (wide + sketch-sized), " +
+        s"found $n:\n$finalPlan")
+  }
 }
