@@ -678,6 +678,31 @@ object QueriesText {
       |   AS tfidf
       |FROM tf JOIN dfq USING (term), n""".stripMargin))
 
+  // --------------------------------------------- incremental dedup
+  // Continuous-curation shape: docs with doc_id % 10 = 7 arrive as the
+  // NEW batch; the rest are the standing corpus, reduced to a distinct
+  // digest index. Anti-join on the 16-byte fp at corpus scale; the
+  // batch-internal first-wins window runs over the batch only.
+  private val d22: (String, QFn, Option[String]) = ("d22_incremental_dedup",
+    (s, d) => Dedup.incrementalDedup(docs(s, d), "doc_id",
+      TextOps.fingerprint(col("text")), col("doc_id") % 10 === 7),
+    Some("""WITH f AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |    AS fp,
+      |  (doc_id % 10 = 7) AS isnew FROM documents),
+      |c AS (SELECT DISTINCT fp FROM f WHERE NOT isnew),
+      |b AS (SELECT doc_id, fp,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM f WHERE isnew)
+      |SELECT b.doc_id AS doc, b.fp,
+      | CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+      |      WHEN b.rn > 1 THEN 'dup_batch'
+      |      ELSE 'new' END AS reason,
+      | (CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+      |       WHEN b.rn > 1 THEN 'dup_batch'
+      |       ELSE 'new' END = 'new')::BIGINT AS admitted
+      |FROM b LEFT JOIN c USING (fp)""".stripMargin))
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
   // bucket size; a vector is dropped when an earlier same-bucket member is
@@ -712,5 +737,6 @@ object QueriesText {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, d19, d20, d21, e01, e02, e03, e04, e05, m01, m02)
+    d15, d16, d17, d18, d19, d20, d21, d22, e01, e02, e03, e04, e05, m01,
+    m02)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 
@@ -281,6 +282,31 @@ object Dedup {
           "rounds — raise maxRounds (pointer doubling needs " +
           "O(log component-diameter) rounds)")
     labels.select(col("doc"), col("label").as("keep_id"))
+  }
+
+  /** Incremental-ingest dedup: admit a NEW batch against the existing
+    * corpus. A new doc is rejected if its fingerprint already exists in
+    * the corpus (`dup_corpus`) or an earlier batch doc claimed it
+    * (`dup_batch`); otherwise `new`. This is the continuous-curation
+    * shape: the corpus side reduces to a distinct 16-byte digest index
+    * joined on fp (shuffle anti-join at TB scale — never collected), the
+    * batch-internal dedup is a window over the batch only (batches are
+    * small relative to the corpus).
+    * Output: (doc, fp, reason, admitted). */
+  def incrementalDedup(df: DataFrame, idCol: String, fp: Column,
+                       isNew: Column): DataFrame = {
+    val withFp = df.select(col(idCol).as("doc"), fp.as("fp"), isNew.as("_new"))
+    val corpusFps = withFp.filter(!col("_new"))
+      .select(col("fp")).distinct().withColumn("_hit", lit(1L))
+    val batch = withFp.filter(col("_new"))
+    val firstInBatch = Window.partitionBy(col("fp")).orderBy(col("doc"))
+    val reason = when(col("_hit").isNotNull, "dup_corpus")
+      .when(row_number().over(firstInBatch) > 1, "dup_batch")
+      .otherwise(lit("new"))
+    batch.join(corpusFps, Seq("fp"), "left")
+      .withColumn("reason", reason)
+      .select(col("doc"), col("fp"), col("reason"),
+        (col("reason") === "new").cast("long").as("admitted"))
   }
 
   /** Hamming-distance pairs over simhash values (a < b, dist <= maxDist),

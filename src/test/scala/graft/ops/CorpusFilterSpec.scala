@@ -104,6 +104,27 @@ class CorpusFilterSpec extends SparkSpec {
     assert(out(2).getAs[Double]("token_entropy") == 0.0)
   }
 
+  test("incrementalDedup admits first-new, rejects corpus and batch dups") {
+    val df = Seq(
+      (1L, "existing doc", false),
+      (2L, "Existing DOC!", false), // same fingerprint as 1 (canonical)
+      (10L, "existing doc", true), // batch copy of corpus doc → dup_corpus
+      (11L, "fresh content", true), // first claimant → new
+      (12L, "FRESH   content", true), // canonical dup of 11 → dup_batch
+      (13L, "another one", true)).toDF("doc_id", "text", "isnew")
+    val out = Dedup.incrementalDedup(df, "doc_id",
+        TextOps.fingerprint(col("text")), col("isnew"))
+      .orderBy("doc").collect()
+    val reasons = out.map(r => r.getAs[Long]("doc") ->
+      r.getAs[String]("reason")).toMap
+    assert(out.length == 4) // corpus rows are not re-emitted
+    assert(reasons(10L) == "dup_corpus")
+    assert(reasons(11L) == "new")
+    assert(reasons(12L) == "dup_batch")
+    assert(reasons(13L) == "new")
+    assert(out.count(_.getAs[Long]("admitted") == 1L) == 2)
+  }
+
   test("decontaminate flags only train docs sharing an eval n-gram") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"), // eval (id % 2 == 0 here)
