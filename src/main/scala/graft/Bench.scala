@@ -21,9 +21,17 @@ object Bench {
     // warmup pass at the smallest SF: JIT + codegen compilation dominate a
     // cold first execution (~10x on sub-second queries); the timed pass
     // below measures data processing, not JVM warmup
+    // comma-separated allowlist for local iteration on a single query;
+    // unset (the driver's mode) = run everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -33,14 +41,6 @@ object Bench {
     // near-identical pivot plans). The min of two runs is the steady-state
     // cost — the number that actually predicts cluster behavior.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    // comma-separated allowlist for local iteration on a single query;
-    // unset (the driver's mode) = run everything
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
     val results = selected.map { case (name, fn) =>
       val times = (0 until iters).flatMap { _ =>
         // isolate queries: drop caches left by prior queries (dedup signature
@@ -69,7 +69,11 @@ object Bench {
     // parses (BENCH_r02/r03 "parsed": null). The stdout line uses 2
     // decimals (72 queries ≈ 1.82KB incl. sbt's trailer); the side files
     // keep 3.
-    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit "0,52" and
+    // break the JSON parse this formatting exists to protect
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        java.lang.Double.valueOf(v))
     def jsonLine(dp: Int): String = {
       val qs = results.collect {
         case (k, Some(v)) => "\"" + k + "\":" + fmt(v, dp)

@@ -565,14 +565,16 @@ object QueriesText {
     Some {
       val em = TextOps.emailPattern // backslash survives the SQL literal
       val dr = TextOps.digitRunPattern
-      s"""SELECT doc_id,
-        | len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
-        | len(regexp_extract_all(text, '$dr'))::BIGINT AS n_digit_runs,
-        | (len(regexp_extract_all(text, '$em')) = 0
-        |  AND len(regexp_extract_all(text, '$dr')) = 0)::BIGINT AS pii_free,
-        | md5(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
-        |                    '$dr', '<ID>', 'g')) AS redacted_digest
-        |FROM documents""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
+        |  regexp_replace(text, '$em', '<EMAIL>', 'g') AS er
+        |  FROM documents)
+        |SELECT doc_id, n_emails,
+        | len(regexp_extract_all(er, '$dr'))::BIGINT AS n_digit_runs,
+        | (n_emails = 0
+        |  AND len(regexp_extract_all(er, '$dr')) = 0)::BIGINT AS pii_free,
+        | md5(regexp_replace(er, '$dr', '<ID>', 'g')) AS redacted_digest
+        |FROM t""".stripMargin
     })
 
   // ------------------------------------------------ token chunking

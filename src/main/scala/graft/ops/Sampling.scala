@@ -128,10 +128,17 @@ object Sampling {
     val pri = expr(s"_h * $lcm div _w")
     val byPriority = Window.partitionBy(col("_grp"))
       .orderBy(col("priority").asc, col("_key").asc)
+    // a null/zero weight would make the priority NULL, and ASC NULLS FIRST
+    // would hand those rows the sample slots — fail loudly instead
+    val wGuarded = {
+      val w = weight.cast("long")
+      when(w >= 1L, w).otherwise(raise_error(concat(
+        lit("prioritySample: weight must be >= 1, got "), w.cast("string"))))
+    }
     df.withColumn("_grp", group)
       .withColumn("_key", key)
       .withColumn("_h", Dedup.md5Hash(key.cast("string"), lit(salt)))
-      .withColumn("_w", weight.cast("long"))
+      .withColumn("_w", wGuarded)
       .withColumn("priority", pri)
       .withColumn("_rn", row_number().over(byPriority))
       .filter(col("_rn") <= k)

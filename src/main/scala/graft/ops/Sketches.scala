@@ -49,6 +49,10 @@ object Sketches {
     val hashed = df
       .select(group.as("grp"), Dedup.md5Hash(value.cast("string"), lit(salt))
         .as("h"))
+      // null values hash to null; drop them so the sketch matches
+      // countDistinct semantics (nulls aren't values) — and so Spark's
+      // NULLS-FIRST window order can't seat a null at rank 1
+      .filter(col("h").isNotNull)
       .withColumn("_b", pmod(col("h"), lit(buckets.toLong)))
       // one wide exchange; the dedup aggregate and the phase-1 window both
       // ride this (grp, bucket) distribution — no further full-data shuffle

@@ -126,11 +126,14 @@ object TextOps {
   def piiCols(text: Column): Seq[Column] = {
     val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
       .cast("long")
+    // count digit runs on the email-redacted text, in redaction order, so
+    // n_digit_runs equals the number of <ID> tokens in the output (a digit
+    // run inside an email local-part is already covered by <EMAIL>)
+    val emailRedacted = regexp_replace(text, emailPattern, "<EMAIL>")
     val nDigitRun =
-      size(regexp_extract_all(text, lit(digitRunPattern), lit(0))).cast("long")
-    val redacted = regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      digitRunPattern, "<ID>")
+      size(regexp_extract_all(emailRedacted, lit(digitRunPattern), lit(0)))
+        .cast("long")
+    val redacted = regexp_replace(emailRedacted, digitRunPattern, "<ID>")
     Seq(nEmail.as("n_emails"), nDigitRun.as("n_digit_runs"),
       (nEmail === 0 && nDigitRun === 0).cast("long").as("pii_free"),
       md5(redacted.cast("binary")).as("redacted_digest"))

@@ -59,12 +59,16 @@ class CorpusFilterSpec extends SparkSpec {
   test("piiCols counts and redacts emails and digit runs") {
     val df = Seq(
       (1L, "contact bob@example.com or 12345678 now"),
-      (2L, "clean prose only")).toDF("doc_id", "text")
+      (2L, "clean prose only"),
+      (3L, "mail bob123456@x.com")).toDF("doc_id", "text")
     val out = df.select(col("doc_id") +: TextOps.piiCols(col("text")): _*)
       .orderBy("doc_id").collect()
     assert(out(0).getAs[Long]("n_emails") == 1)
     assert(out(0).getAs[Long]("n_digit_runs") == 1)
     assert(out(0).getAs[Long]("pii_free") == 0)
+    // a digit run inside an email is covered by <EMAIL>, not double-counted
+    assert(out(2).getAs[Long]("n_emails") == 1)
+    assert(out(2).getAs[Long]("n_digit_runs") == 0)
     // digest is md5 of the text with both PII shapes replaced
     val exp = java.security.MessageDigest.getInstance("MD5")
       .digest("contact <EMAIL> or <ID> now".getBytes("UTF-8"))
