@@ -204,6 +204,13 @@ object Dedup {
     * propagation alone is O(diameter) and a long duplicate chain would
     * exhaust `maxRounds`. Exhausting `maxRounds` without convergence throws:
     * silently returning split clusters would be a wrong answer.
+    *
+    * The iteration runs over the ACTIVE SET only — docs that appear in at
+    * least one edge. Docs with no duplicate anywhere (the overwhelming
+    * majority of a real corpus) never enter a propagation round; they are
+    * attached as identity rows by one final left join. At 100 TB this is
+    * the difference between shuffling the corpus every round and shuffling
+    * only the few percent that sit in a duplicate component.
     * Returns (doc, keep_id): keep_id = the smallest doc id of the
     * cluster; rows with doc == keep_id form the deduplicated corpus. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int,
@@ -229,13 +236,11 @@ object Dedup {
     // The first hop is folded into initialization: against the identity
     // label map it reduces to min(id, min(peer)) straight off the edge
     // list, and its convergence check could never pass (any edge lowers
-    // some label) — so don't pay a checked round for it.
-    val firstHop = edges.groupBy(col("doc")).agg(min(col("peer")).as("_p"))
-    var labels: DataFrame = df.select(col(idCol).as("doc"),
-        col(idCol).as("label"))
-      .join(firstHop, Seq("doc"), "left")
-      .select(col("doc"),
-        least(col("label"), coalesce(col("_p"), col("label"))).as("label"))
+    // some label) — so don't pay a checked round for it. The groupBy's
+    // key set IS the active set, so no join against the corpus here.
+    var labels: DataFrame = edges.groupBy(col("doc"))
+      .agg(min(col("peer")).as("_p"))
+      .select(col("doc"), least(col("doc"), col("_p")).as("label"))
       .cache()
     var prev: Option[DataFrame] = Some(labels)
     var round = 0
@@ -251,7 +256,9 @@ object Dedup {
       // component diameter, and the final no-change-observed round
       // shouldn't pay for a join it can't use. From round 2 the doubling
       // join engages, so a diameter-D chain still finishes in O(log D)
-      // further rounds instead of O(D).
+      // further rounds instead of O(D). Every label is itself an active
+      // doc id (labels only travel along edges), so the doubling
+      // self-join stays within the active set.
       val hopped =
         if (round < 2) labels.unionByName(viaPeers)
         else {
@@ -261,17 +268,19 @@ object Dedup {
             .select(col("doc"), col("_ll").as("label"))
           labels.unionByName(viaPeers).unionByName(viaLabels)
         }
+      // the convergence check rides the same materialization as the new
+      // label table (the _old column is dropped before the next round) —
+      // no second join job against the previous round
       val next = hopped
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .join(labels.select(col("doc"), col("label").as("_old")), Seq("doc"))
         .cache()
-      val changed = next.join(labels.select(col("doc"),
-          col("label").as("_old")), Seq("doc"))
-        .filter(col("label") =!= col("_old")).limit(1).count()
+      val changed = next.filter(col("label") =!= col("_old")).limit(1).count()
       // free the round-(n-1) cache now that round n is materialized —
       // a bounded working set regardless of round count
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(next)
-      labels = next
+      labels = next.select(col("doc"), col("label"))
       converged = changed == 0
       round += 1
     }
@@ -281,7 +290,16 @@ object Dedup {
         s"dedupCorpus: label propagation did not converge in $maxRounds " +
           "rounds — raise maxRounds (pointer doubling needs " +
           "O(log component-diameter) rounds)")
-    labels.select(col("doc"), col("label").as("keep_id"))
+    // re-attach the passive majority as identity rows; hand the active
+    // labels to the caller through a weakly-referenced checkpoint so the
+    // ContextCleaner can reclaim them once the result plan is unreachable
+    // (a returned .cache() would pin them in the CacheManager forever)
+    val finalLabels = labels.localCheckpoint(true)
+    prev.foreach(_.unpersist(blocking = false))
+    df.select(col(idCol).as("doc"))
+      .join(finalLabels, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("label"), col("doc")).as("keep_id"))
   }
 
   /** Incremental-ingest dedup: admit a NEW batch against the existing
