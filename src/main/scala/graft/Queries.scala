@@ -1196,9 +1196,39 @@ object Queries {
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
+  // ------------------------------------- histogram-sketch quantiles
+  // The bounded-state percentile path: 32 integer counters per event_type
+  // instead of buffering whole groups (q12's exact collect_list sort) —
+  // the percentile shape that survives 100 TB. Estimate = linear
+  // interpolation inside the first bin whose cumulative count covers q·n.
+  private val q44: (String, QFn, Option[String]) = ("q44_hist_quantile",
+    (s, d) => Histogram.quantiles(Tables.events(s, d), col("event_type"),
+        col("value"), 32, Seq(0.5, 0.9, 0.99))
+      .select(col("grp").as("event_type"), col("q"), col("n"), col("est")),
+    Some("""WITH s AS (SELECT min(value::DOUBLE) AS lo,
+      |  max(value::DOUBLE) AS hi FROM events),
+      |b AS (SELECT event_type,
+      |  CASE WHEN hi = lo THEN 0
+      |       ELSE least(31, floor((value::DOUBLE - lo)
+      |                            / ((hi - lo) / 32))::INT) END AS bin
+      |  FROM events, s),
+      |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |cc AS (SELECT event_type, bin, cnt,
+      |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM c),
+      |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+      |pick AS (SELECT event_type, q, n, round(greatest(lo, least(hi,
+      |    lo + (hi - lo) / 32 * (bin::DOUBLE
+      |      + (q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE))), 6)
+      |    AS est,
+      |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+      |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
+      |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43)
+    q42, q43, q44)
 }

@@ -737,8 +737,105 @@ object QueriesText {
         |FROM asg a LEFT JOIN drp d USING (vec_id)""".stripMargin
     })
 
+  // ------------------------------------------------- BM25 relevance
+  // Okapi/Lucene BM25 of every document against a fixed query bag —
+  // the seed-set mining primitive. Corpus stats (N, avgdl, per-term df)
+  // are ONE 1-row aggregate broadcast to a map-side scoring projection.
+  // The oracle spells the literals as the same arithmetic ((1.2 + 1.0),
+  // (1 - 0.75)) so both engines run the identical double expression.
+  private val bm25Terms = Seq("spark", "join", "data")
+  private val d23: (String, QFn, Option[String]) = ("d23_bm25",
+    (s, d) => Relevance.bm25(docs(s, d), "doc_id", "text", bm25Terms),
+    Some {
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(w, x -> x = '${bm25Terms(i)}'))::DOUBLE AS tf$i")
+        .mkString(", ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
+      val score = bm25Terms.indices.map(i =>
+        s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
+           | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
+          .stripMargin.replaceAll("\n", "")).mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+        |p AS (SELECT doc_id, len(w)::DOUBLE AS n, $tfs FROM t),
+        |s AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p)
+        |SELECT doc_id, n::BIGINT AS n_tokens, round($score, 6) AS bm25
+        |FROM p, s""".stripMargin
+    })
+
+  // ------------------------------------------------- rank fusion
+  // Reciprocal-rank fusion of two top-100 rankings: BM25 (rounded score)
+  // and raw query-term hit count. Each list is a TakeOrdered top-k —
+  // never a global-sort single-partition window over the corpus — so the
+  // fusion aggregate sees 2k rows regardless of corpus size.
+  private val d24: (String, QFn, Option[String]) = ("d24_rrf_fusion",
+    (s, d) => {
+      val terms = bm25Terms
+      val byBm25 = Relevance.topKRanks(
+        Relevance.bm25(docs(s, d), "doc_id", "text", terms),
+        "bm25", "doc_id", 100)
+      val hits = docs(s, d).select(col("doc_id"),
+        size(filter(TextOps.tokens(col("text")),
+          x => x.isin(terms.map(lit): _*).cast("boolean")))
+          .cast("double").as("hits"))
+      val byHits = Relevance.topKRanks(hits, "hits", "doc_id", 100)
+      Relevance.rrfFuse(Seq(byBm25, byHits), "doc_id", "rank")
+    },
+    Some {
+      val terms = bm25Terms
+      val tfs = terms.indices.map(i =>
+        s"len(list_filter(w, x -> x = '${terms(i)}'))::DOUBLE AS tf$i")
+        .mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
+           | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
+          .stripMargin.replaceAll("\n", "")).mkString(" + ")
+      val list = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+        |p AS (SELECT doc_id, len(w)::DOUBLE AS n, $tfs,
+        |  len(list_filter(w, x -> list_contains([$list], x)))::DOUBLE
+        |    AS hits FROM t),
+        |s AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p),
+        |b AS (SELECT doc_id, round($score, 6) AS sc, hits FROM p, s),
+        |ra AS (SELECT doc_id, row_number()
+        |    OVER (ORDER BY sc DESC, doc_id ASC) AS r
+        |  FROM (SELECT * FROM b ORDER BY sc DESC, doc_id ASC LIMIT 100)),
+        |rb AS (SELECT doc_id, row_number()
+        |    OVER (ORDER BY hits DESC, doc_id ASC) AS r
+        |  FROM (SELECT * FROM b ORDER BY hits DESC, doc_id ASC LIMIT 100)),
+        |u AS (SELECT doc_id, 1.0::DOUBLE / (60.0 + r::DOUBLE) AS c FROM ra
+        |  UNION ALL
+        |  SELECT doc_id, 1.0::DOUBLE / (60.0 + r::DOUBLE) AS c FROM rb)
+        |SELECT doc_id, round(sum(c), 6) AS rrf_score,
+        | count(*) AS n_lists
+        |FROM u GROUP BY doc_id""".stripMargin
+    })
+
+  // ------------------------------------------- centroid outlier scan
+  // Per-label mean embedding + squared distance to own centroid + outlier
+  // flag — the embedding-space label-quality sweep. Centroids are a
+  // dim × labels aggregate broadcast back; vectors shuffle zero times.
+  private val e06: (String, QFn, Option[String]) = ("e06_centroid_dist",
+    (s, d) => Similarity.centroidDistances(
+        emb(s, d), "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        col("label_mean_dist2"), col("is_outlier")),
+    Some("""WITH e AS (SELECT vec_id, label, pos,
+      |  embedding[pos + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+      |c AS (SELECT label, pos, avg(v) AS mu FROM e GROUP BY 1, 2),
+      |d AS (SELECT vec_id, e.label, sum((v - mu) * (v - mu)) AS d2
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos GROUP BY 1, 2),
+      |m AS (SELECT label, avg(d2) AS md2 FROM d GROUP BY 1)
+      |SELECT vec_id, d.label, round(d2, 6) AS dist2,
+      | round(md2, 6) AS label_mean_dist2,
+      | (d2 > 2.0 * md2)::BIGINT AS is_outlier
+      |FROM d JOIN m USING (label)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, d19, d20, d21, d22, e01, e02, e03, e04, e05, m01,
-    m02)
+    d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, e01, e02, e03, e04,
+    e05, e06, m01, m02)
 }

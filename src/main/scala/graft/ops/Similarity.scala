@@ -241,4 +241,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
+
+  /** Per-label mean vector (centroid) and every vector's squared L2
+    * distance to its label centroid, with an outlier flag at
+    * `outlierFactor` × the label's mean distance — the embedding-space
+    * quality signal (mislabeled / off-distribution vectors sit far from
+    * their cluster center).
+    *
+    * Scale shape: centroids come from ONE posexplode → (label, pos)
+    * aggregation (dim × labels rows out — tiny), re-assembled into arrays
+    * and broadcast back, so the distance pass is a map-side projection
+    * over the corpus; the per-label distance means are a second tiny
+    * aggregate. Nothing ever shuffles a vector twice.
+    *
+    * Determinism: element means and distances are double arithmetic whose
+    * accumulation order varies with partitioning — both are emitted at
+    * round(6), far above the ~1e-15 relative noise, and the outlier
+    * threshold comparison sits ~12 digits away from that noise floor. */
+  def centroidDistances(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, outlierFactor: Double = 2.0)
+  : DataFrame = {
+    val exploded = df.select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mu"))
+    val cents = exploded.groupBy(col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("cv"))
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val perVec = df.select(col(idCol), col(labelCol).as("lbl"),
+        col(vecCol).as(vecCol))
+      .join(broadcast(cents), Seq("lbl"))
+      .withColumn("_d2", dist2)
+    val labelMeans = perVec.groupBy(col("lbl"))
+      .agg(avg(col("_d2")).as("_mean_d2"))
+    perVec.join(broadcast(labelMeans), Seq("lbl"))
+      .select(col(idCol), col("lbl").as(labelCol),
+        round(col("_d2"), 6).as("dist2"),
+        round(col("_mean_d2"), 6).as("label_mean_dist2"),
+        (col("_d2") > lit(outlierFactor) * col("_mean_d2")).cast("long")
+          .as("is_outlier"))
+  }
 }

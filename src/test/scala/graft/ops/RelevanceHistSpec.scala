@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance, top-k ranking, RRF fusion, histogram-sketch quantiles,
+  * and centroid-distance outliers — known-value checks small enough to
+  * verify by hand. */
+class RelevanceHistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, eps: Double = 1e-6) =
+    assert(math.abs(a - b) <= eps, s"$a vs $b")
+
+  test("bm25 matches the hand-computed Okapi/Lucene formula") {
+    // corpus: 3 docs, query = ["cat"]. tf: d1=2, d2=0, d3=1; lens 4,2,3
+    val df = Seq(
+      (1L, "cat cat dog bird"),
+      (2L, "dog bird"),
+      (3L, "cat dog fish")).toDF("id", "text")
+    val out = Relevance.bm25(df, "id", "text", Seq("cat"))
+      .orderBy("id").collect()
+    val n = 3.0; val df1 = 2.0; val avgdl = 3.0
+    val idf = math.log(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+    def score(tf: Double, len: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+    approx(out(0).getAs[Double]("bm25"), score(2, 4), 1e-5)
+    assert(out(1).getAs[Double]("bm25") == 0.0)
+    approx(out(2).getAs[Double]("bm25"), score(1, 3), 1e-5)
+    assert(out(0).getAs[Long]("n_tokens") == 4L)
+  }
+
+  test("topKRanks keeps k rows with deterministic id tiebreak") {
+    val df = Seq((1L, 5.0), (2L, 7.0), (3L, 5.0), (4L, 1.0))
+      .toDF("id", "sc")
+    val out = Relevance.topKRanks(df, "sc", "id", 3)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(2L -> 1, 1L -> 2, 3L -> 3)) // tie 1 vs 3 → id asc
+  }
+
+  test("rrfFuse sums reciprocal ranks across lists") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val out = Relevance.rrfFuse(Seq(a, b), "id", "rank")
+      .orderBy("id").collect()
+    approx(out(0).getAs[Double]("rrf_score"), 1.0 / 61) // only list a
+    approx(out(1).getAs[Double]("rrf_score"), 1.0 / 62 + 1.0 / 61)
+    assert(out(1).getAs[Long]("n_lists") == 2L)
+    assert(out(2).getAs[Long]("n_lists") == 1L)
+  }
+
+  test("histogram quantiles interpolate within the covering bin") {
+    // values 1..100 in one group, 10 bins over [1,100]: width 9.9.
+    // q=0.5 → target 50: bins 0..4 hold 10,10,10,10,10... bin b covers
+    // [1+9.9b, 1+9.9(b+1)); counts per bin via floor arithmetic.
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val out = Histogram.quantiles(df, col("k"), col("v"), 10, Seq(0.5))
+      .head()
+    assert(out.getAs[Long]("n") == 100L)
+    // exact median 50.5; a 10-bin sketch must land within one bin width
+    val est = out.getAs[Double]("est")
+    assert(math.abs(est - 50.5) <= 9.9, s"est $est")
+  }
+
+  test("histogram quantiles: degenerate range and q=1.0 clamp") {
+    val flat = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("k", "v")
+    val r = Histogram.quantiles(flat, col("k"), col("v"), 8, Seq(0.5, 1.0))
+      .orderBy("q").collect()
+    assert(r.length == 2)
+    r.foreach(row => approx(row.getAs[Double]("est"), 5.0))
+  }
+
+  test("histogram quantiles per group use the global range") {
+    val df = (Seq.fill(50)(("a", 10.0)) ++ Seq.fill(50)(("b", 90.0)))
+      .toDF("k", "v")
+    val out = Histogram.quantiles(df, col("k"), col("v"), 4, Seq(0.5))
+      .orderBy("grp").collect()
+    // group a lives entirely in the bottom bin, b in the top: estimates
+    // must sit inside each group's own bin despite the shared [10,90] range
+    assert(out(0).getAs[Double]("est") <= 30.0)
+    assert(out(1).getAs[Double]("est") >= 70.0)
+  }
+
+  test("centroidDistances flags the planted outlier") {
+    val mk = (v: Double) => Array.fill(4)(v.toFloat)
+    val df = Seq(
+      (1L, mk(1.0), 0), (2L, mk(1.1), 0), (3L, mk(0.9), 0),
+      (4L, mk(9.0), 0), // planted far-out vector, same label
+      (5L, mk(5.0), 1), (6L, mk(5.0), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDistances(df, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("is_outlier")).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 0L, 0L))
+    // label-1 pair is symmetric: both sit AT the centroid
+    approx(out(4).getAs[Double]("dist2"), 0.0)
+    approx(out(5).getAs[Double]("dist2"), 0.0)
+    // centroid of label 0 = mean(1, 1.1, 0.9, 9) = 3.0 per component;
+    // dist2 of vec 1 = 4 * (1-3)^2 = 16
+    approx(out(0).getAs[Double]("dist2"), 16.0, 1e-4)
+  }
+}
