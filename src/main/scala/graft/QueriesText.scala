@@ -813,6 +813,54 @@ object QueriesText {
         |FROM u GROUP BY doc_id""".stripMargin
     })
 
+  // ------------------------------------------------- vocabulary top-k
+  // Corpus-wide term frequencies, top 500 — the vocab/BPE-seed builder.
+  // One shuffle (term counts with map-side combine), then TakeOrdered
+  // top-k: per-partition top-500 + a 500-row merge, never a global sort
+  // or a single-partition window over the vocabulary.
+  private val d25: (String, QFn, Option[String]) = ("d25_vocab_topk",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      Relevance.topKRanks(counts, "cnt", "term", 500)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      |SELECT term, cnt,
+      | row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+      |FROM c ORDER BY cnt DESC, term ASC LIMIT 500""".stripMargin))
+
+  // --------------------------------------------- unigram LM surprisal
+  // Mean per-token surprisal −log2 p(t) under the corpus's own unigram
+  // LM — the deterministic stand-in for perplexity-based quality
+  // filtering (CCNet-style: implausibly low/high surprisal → machine
+  // text / noise). LM table is vocabulary-sized: joined SHUFFLED on term
+  // (same policy as d21 TF-IDF — never collected; AQE may broadcast a
+  // small vocab on its own), total count rides as a 1-row broadcast.
+  private val d26: (String, QFn, Option[String]) = ("d26_unigram_surprisal",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+      val tot = lm.agg(sum(col("tc")).cast("double").as("_tot"))
+      toks.join(lm, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nll", log2(col("_tot") / col("tc").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("_nll")), 6).as("mean_surprisal"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term
+      |  FROM documents),
+      |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY 1),
+      |tot AS (SELECT sum(tc)::DOUBLE AS tt FROM lm)
+      |SELECT doc_id, count(*) AS n_tokens,
+      | round(avg(log2(tt / tc::DOUBLE)), 6) AS mean_surprisal
+      |FROM t JOIN lm USING (term), tot
+      |GROUP BY doc_id""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -836,6 +884,6 @@ object QueriesText {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, e01, e02, e03, e04,
-    e05, e06, m01, m02)
+    d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, e01, e02,
+    e03, e04, e05, e06, m01, m02)
 }

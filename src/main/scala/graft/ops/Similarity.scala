@@ -35,16 +35,32 @@ object Similarity {
     when(d > 0, dot(a, b) / d)
   }
 
+  /** [[cosine]] with both norms precomputed: bit-identical arithmetic
+    * (same norm values, same multiply order), but the norms are computed
+    * once per ROW before a join instead of once per candidate PAIR after
+    * it — O(d) per input row instead of O(d) per pair. Carrying the extra
+    * double through the join costs 8 bytes/row; recomputing it costs two
+    * dot products per candidate. Every join in this file scores far more
+    * pairs than it has rows, so all of them use this form. */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column)
+  : Column = {
+    val d = na * nb
+    when(d > 0, dot(a, b) / d)
+  }
+
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * `queries`/`corpus`: (id, vec). Ranking is on the ROUNDED similarity
     * (6 dp) with id tiebreak — deterministic under float noise. The query
     * side is broadcast: the join is a map-side nested loop, no shuffle of
     * the corpus. */
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv")))
-    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"))
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv"),
+      norm(col("vec")).as("_qn")))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      norm(col("vec")).as("_nn"))
     val scored = q.crossJoin(c).filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim", round(cosinePrenormed(col("qv"), col("nv"),
+        col("_qn"), col("_nn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -89,26 +105,31 @@ object Similarity {
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cv")))
-    def assign(df: DataFrame, idAs: String, vecAs: String,
+      .select(col("id").as("cid"), col("vec").as("cv"),
+        norm(col("vec")).as("_cn")))
+    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String,
                keep: Int): DataFrame = {
       // rank on the ROUNDED similarity (6 dp) with centroid-id tiebreak —
       // assignment is then deterministic under float noise (same policy as
       // bruteKnn ranking), which also makes the e04 oracle reproducible
-      val scored = df.select(col("id").as(idAs), col("vec").as(vecAs))
+      val scored = df.select(col("id").as(idAs), col("vec").as(vecAs),
+          norm(col("vec")).as(normAs))
         .crossJoin(cents)
-        .withColumn("_cs", round(cosine(col(vecAs), col("cv")), 6))
+        .withColumn("_cs", round(cosinePrenormed(col(vecAs), col("cv"),
+          col(normAs), col("_cn")), 6))
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("_cs").desc, col("cid").asc)
       scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= keep)
-        .select(col(idAs), col(vecAs), col("cid"))
+        .select(col(idAs), col(vecAs), col(normAs), col("cid"))
     }
-    val corpusBuckets = assign(corpus, "nid", "nv", keep = 1)
-    val queryProbes = assign(queries, "qid", "qv", keep = nProbe)
+    val corpusBuckets = assign(corpus, "nid", "nv", "_nn", keep = 1)
+    val queryProbes = assign(queries, "qid", "qv", "_qn", keep = nProbe)
     val cand = queryProbes.join(corpusBuckets, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .select(col("qid"), col("qv"), col("_qn"),
+        col("nid"), col("nv"), col("_nn")).distinct()
+    val scored = cand.withColumn("sim", round(cosinePrenormed(col("qv"),
+      col("nv"), col("_qn"), col("_nn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -131,20 +152,24 @@ object Similarity {
       s"planes=$planes must be divisible by bands=$bands")
     val rows = planes / bands
     val mask = (1L << rows) - 1
-    def banded(idAs: String, vecAs: String): DataFrame =
+    def banded(idAs: String, vecAs: String, normAs: String): DataFrame =
       corpus.select(col("id").as(idAs), col("vec").as(vecAs),
+          norm(col("vec")).as(normAs),
           lshSignature(col("vec"), dims, planes).as("sig"))
-        .select(col(idAs), col(vecAs),
+        .select(col(idAs), col(vecAs), col(normAs),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
                 .as("bits"))): _*)).as("bb"))
-        .select(col(idAs), col(vecAs),
+        .select(col(idAs), col(vecAs), col(normAs),
           col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val cand = banded("a", "va").join(banded("b", "vb"), Seq("band", "bits"))
+    val cand = banded("a", "va", "_na")
+      .join(banded("b", "vb", "_nb"), Seq("band", "bits"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("va"), col("b"), col("vb")).distinct()
-    cand.withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .select(col("a"), col("va"), col("_na"),
+        col("b"), col("vb"), col("_nb")).distinct()
+    cand.withColumn("sim", round(cosinePrenormed(col("va"), col("vb"),
+        col("_na"), col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
@@ -166,9 +191,11 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nCentroids: Int = 16): DataFrame = {
     val cents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cv")))
-    val scored = corpus.crossJoin(cents)
-      .withColumn("_cs", round(cosine(col("vec"), col("cv")), 6))
+      .select(col("id").as("cid"), col("vec").as("cv"),
+        norm(col("vec")).as("_cn")))
+    val scored = corpus.withColumn("_vn", norm(col("vec"))).crossJoin(cents)
+      .withColumn("_cs", round(cosinePrenormed(col("vec"), col("cv"),
+        col("_vn"), col("_cn")), 6))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("_cs").desc, col("cid").asc)
     // consumed by three branches (both pair-join sides + the final keep
@@ -181,13 +208,15 @@ object Similarity {
     // recomputable on executor loss; acceptable for a bounded dedup pass.
     val asg = scored.withColumn("_r", row_number().over(w))
       .filter(col("_r") === 1)
-      .select(col("id"), col("vec"), col("cid"))
+      .select(col("id"), col("vec"), col("_vn"), col("cid"))
       .localCheckpoint(true)
-    val dropped = asg.select(col("cid"), col("id").as("a"), col("vec").as("va"))
-      .join(asg.select(col("cid"), col("id").as("b"), col("vec").as("vb")),
-        Seq("cid"))
+    val dropped = asg.select(col("cid"), col("id").as("a"),
+        col("vec").as("va"), col("_vn").as("_na"))
+      .join(asg.select(col("cid"), col("id").as("b"),
+        col("vec").as("vb"), col("_vn").as("_nb")), Seq("cid"))
       .filter(col("a") < col("b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(cosinePrenormed(col("va"), col("vb"),
+        col("_na"), col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("b").as("id")).distinct()
     asg.join(dropped.withColumn("_drop", lit(1L)), Seq("id"), "left")
@@ -199,11 +228,14 @@ object Similarity {
     * [[lshNearDupPairs]] recall. NOT a scale path: the `a < b` join is a
     * broadcast nested loop. */
   def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
-    val l = corpus.select(col("id").as("a"), col("vec").as("va"))
-    val r = corpus.select(col("id").as("b"), col("vec").as("vb"))
+    val l = corpus.select(col("id").as("a"), col("vec").as("va"),
+      norm(col("vec")).as("_na"))
+    val r = corpus.select(col("id").as("b"), col("vec").as("vb"),
+      norm(col("vec")).as("_nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(cosinePrenormed(col("va"), col("vb"),
+          col("_na"), col("_nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -218,23 +250,27 @@ object Similarity {
         "would silently drop the trailing sign bits from every band")
     val rows = planes / bands
     val mask = (1L << rows) - 1
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+    def banded(df: DataFrame, idAs: String, vecAs: String, normAs: String)
+    : DataFrame = {
       val sig = lshSignature(col("vec"), dims, planes)
-      df.select(col("id").as(idAs), col("vec").as(vecAs), sig.as("sig"))
-        .select(col(idAs), col(vecAs),
+      df.select(col("id").as(idAs), col("vec").as(vecAs),
+          norm(col("vec")).as(normAs), sig.as("sig"))
+        .select(col(idAs), col(vecAs), col(normAs),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
                 .as("bits"))): _*)).as("bb"))
-        .select(col(idAs), col(vecAs),
+        .select(col(idAs), col(vecAs), col(normAs),
           col("bb.band").as("band"), col("bb.bits").as("bits"))
     }
-    val qb = broadcast(banded(queries, "qid", "qv"))
-    val cb = banded(corpus, "nid", "nv")
+    val qb = broadcast(banded(queries, "qid", "qv", "_qn"))
+    val cb = banded(corpus, "nid", "nv", "_nn")
     val cand = qb.join(cb, Seq("band", "bits"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .select(col("qid"), col("qv"), col("_qn"),
+        col("nid"), col("nv"), col("_nn")).distinct()
+    val scored = cand.withColumn("sim", round(cosinePrenormed(col("qv"),
+      col("nv"), col("_qn"), col("_nn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
