@@ -92,9 +92,12 @@ object Dedup {
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxPostings: Int = 0): DataFrame = {
-    // consumed by three branches (sizes + both join sides) — cache, or the
-    // tokenize/shingle/distinct pipeline re-executes per branch
-    val sh = docShingles(df, idCol, textCol, n, maxPostings).cache()
+    // consumed by three branches (sizes + both join sides) — materialize
+    // once, or the tokenize/shingle/distinct pipeline re-executes per
+    // branch. Weak-ref checkpoint, not cache: a returned .cache() pins the
+    // shingle table in the CacheManager until someone calls clearCache
+    val sh = docShingles(df, idCol, textCol, n, maxPostings)
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val l = sh.select(col("doc").as("a"), col("s"))
     val r = sh.select(col("doc").as("b"), col("s"))
@@ -152,9 +155,11 @@ object Dedup {
   : DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sh = docShingles(df, idCol, textCol, n, maxPostings)
-    // one wide row per doc — tiny vs the corpus; cached because the band
-    // join and both scoring sides reuse it (else k*|shingles| md5s rerun 3x)
-    val sigs = minhashSignatures(sh, k, hashFamily).cache()
+    // one wide row per doc — tiny vs the corpus; materialized because the
+    // band join and both scoring sides reuse it (else k*|shingles| md5s
+    // rerun 3x). Weak-ref checkpoint over cache for the same
+    // no-CacheManager-pinning reason as jaccardPairs
+    val sigs = minhashSignatures(sh, k, hashFamily).localCheckpoint(true)
     val bk = lshBandKeys(sigs, k, bands)
     val cand = bk.select(col("doc").as("a"), col("band"), col("bkey"))
       .join(bk.select(col("doc").as("b"), col("band"), col("bkey")),
@@ -174,24 +179,31 @@ object Dedup {
   }
 
   /** SimHash of width `bits` over the doc's distinct tokens: bit i of the
-    * hash is 1 when more token-hashes have bit i set than not. Computed as
-    * `bits` conditional sums in ONE aggregation pass (no per-bit explode).
-    * Near-dups = pairs with small hamming distance on the resulting long. */
+    * hash is 1 when more token-hashes have bit i set than not. A PURE
+    * PROJECTION: the token array is hashed once per token into a held
+    * column, then `bits` filter-counts fold over that array row-locally —
+    * no explode, no shuffle of the token stream, nothing leaves the scan
+    * stage. (The previous explode → 60-aggregate groupBy form reshuffled
+    * every token of the corpus just to bring them back to their own doc.)
+    * Token-less docs are dropped, matching the relational form's semantics
+    * (no rows → no group). Near-dups = pairs with small hamming distance
+    * on the resulting long. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int,
               hashFamily: (Column, Column) => Column = md5Hash): DataFrame = {
     require(bits <= 60, "md5-derived hashes carry 60 usable bits")
-    val toks = df.select(col(idCol).as("doc"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
-    val hashed = toks.select(col("doc"), hashFamily(col("t"), lit(0)).as("h"))
-    val bitSums = (0 until bits).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-    val aggCols = count(lit(1)).as("n") +: bitSums
-    val agg = hashed.groupBy(col("doc"))
-      .agg(aggCols.head, aggCols.tail: _*)
-    val hash = (0 until bits).map(i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc"), hash.as("simhash"))
+    // materialized as a column so the per-token hash runs once, not once
+    // per bit position
+    val hashed = df.select(col(idCol).as("doc"),
+        transform(array_distinct(TextOps.tokens(col(textCol))),
+          t => hashFamily(t, lit(0))).as("_th"))
+      .filter(size(col("_th")) > 0)
+    val n = size(col("_th"))
+    val hash = (0 until bits).map { i =>
+      when(size(filter(col("_th"), h =>
+        shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("doc"), hash.as("simhash"))
   }
 
   /** End-to-end corpus dedup: exact-duplicate groups plus MinHash-LSH
@@ -336,8 +348,14 @@ object Dedup {
     val segs = maxDist + 1
     val segBits = (bits + segs - 1) / segs
     val mask = (1L << segBits) - 1
+    // both band sides consume the signature table — materialize it once,
+    // or the upstream simhash aggregation (`bits` conditional sums over
+    // the token explode) runs twice. Weakly-referenced checkpoint, not
+    // cache: reclaimed when the result plan becomes unreachable, and the
+    // table is narrow (id + one long) so the storage cost is trivial.
+    val hs = hashes.localCheckpoint(true)
     def banded(idAs: String, hashAs: String): DataFrame =
-      hashes.select(col("doc").as(idAs), col("simhash").as(hashAs),
+      hs.select(col("doc").as(idAs), col("simhash").as(hashAs),
         explode(array((0 until segs).map(i =>
           struct(lit(i).as("seg"),
             shiftright(col("simhash"), i * segBits).bitwiseAND(lit(mask))
