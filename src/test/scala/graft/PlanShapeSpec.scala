@@ -75,4 +75,34 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly two hash exchanges (wide + sketch-sized), " +
         s"found $n:\n$finalPlan")
   }
+
+  test("simhash is a pure projection: zero exchanges, nothing leaves the scan") {
+    // the projection-form claim: signatures are computed row-locally from
+    // the token array — the explode → 60-aggregate groupBy alternative
+    // reshuffles every token of the corpus just to regroup by doc
+    import graft.ops.Dedup
+    val sh = Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text", 60)
+    sh.collect()
+    val plan = sh.queryExecution.executedPlan.toString
+    // the loader's round-robin spread of the 1-row-group testdata parquet
+    // is allowed; what must NOT appear is a hash exchange (the explode →
+    // groupBy form's token reshuffle) or an explode
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"simhash plan contains an aggregation shuffle:\n$plan")
+    assert(!plan.contains("Generate"), // no explode either
+      s"simhash plan explodes the token array:\n$plan")
+  }
+
+  test("BM25 scoring: corpus stats are a 1-row broadcast, scoring map-side") {
+    import graft.ops.Relevance
+    val df = Relevance.bm25(Tables.documents(spark, sf), "doc_id", "text",
+      Seq("spark", "data"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"bm25 stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25 scoring should never sort-merge:\n$plan")
+  }
 }
