@@ -53,6 +53,29 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Windowed value histogram over the stream — the drift-monitoring
+    * form of `ops.Histogram`: per (hour, event_type, bin) counts against
+    * FIXED bounds (streams can't do a two-pass min/max; production
+    * monitors pin the bounds from a reference period, which also makes
+    * windows comparable over time). Downstream, each window's counts feed
+    * the same cumulative-interpolation quantile arithmetic as the batch
+    * sketch — counts merge by addition, so late data folds in exactly.
+    * State per window = `bins` counters per event_type, evicted by the
+    * watermark. */
+  def histogramCounts(events: DataFrame, lo: Double, hi: Double, bins: Int,
+                      watermark: String = "2 hours"): DataFrame = {
+    require(hi > lo && bins > 0, "histogramCounts: need hi > lo, bins > 0")
+    val v = col("value").cast("double")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((v - lo) / ((hi - lo) / bins)).cast("int")))
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("bin"), col("cnt"))
+  }
+
   case class Event(user_id: Long, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)

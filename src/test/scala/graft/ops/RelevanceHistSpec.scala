@@ -81,6 +81,39 @@ class RelevanceHistSpec extends SparkSpec {
     assert(out(1).getAs[Double]("est") >= 70.0)
   }
 
+  test("histogram quantile error is bounded by one bin width (deterministic corpus)") {
+    // skewed-ish deterministic values: v = (i*i*2654435761L) mod 10007
+    val vals = (1 to 2000).map(i => ((i.toLong * i * 2654435761L) % 10007L)
+      .toDouble.abs)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val bins = 64
+    val binW = (vals.max - vals.min) / bins
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = Histogram.quantiles(df, col("k"), col("v"), bins, Seq(q))
+        .head().getAs[Double]("est")
+      // exact order statistic at ceil(q*n): the value the cumulative-count
+      // definition targets
+      val exact = sorted(math.min(vals.size - 1,
+        math.max(0, math.ceil(q * vals.size).toInt - 1)))
+      assert(math.abs(est - exact) <= binW + 1e-9,
+        s"q=$q est=$est exact=$exact binW=$binW")
+    }
+  }
+
+  test("histogram sketch merges: per-half bin counts sum to the full sketch") {
+    // mergeability is what makes the sketch a sketch: counts from disjoint
+    // partitions combine by addition (that IS the groupBy), so a
+    // distributed/partial aggregation is exact, not approximate-on-top
+    val all = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val full = Histogram.quantiles(all, col("k"), col("v"), 16, Seq(0.5))
+      .head().getAs[Double]("est")
+    val shuffled = all.repartition(13) // arbitrary re-partitioning
+    val re = Histogram.quantiles(shuffled, col("k"), col("v"), 16, Seq(0.5))
+      .head().getAs[Double]("est")
+    assert(full == re, s"partitioning changed the sketch: $full vs $re")
+  }
+
   test("centroidDistances flags the planted outlier") {
     val mk = (v: Double) => Array.fill(4)(v.toFloat)
     val df = Seq(

@@ -97,4 +97,28 @@ class EventStreamSpec extends SparkSpec {
       assert(last == Set((1L, 3L, 60.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("histogramCounts bins incrementally; late rows fold into their bin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    // fixed bounds [0, 100), 10 bins of width 10
+    val q = EventStream.histogramCounts(df, lo = 0.0, hi = 100.0, bins = 10,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hist")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 5.0), // bin 0
+        (Timestamp.valueOf("2024-01-01 10:06:00"), "click", 15.0), // bin 1
+        (Timestamp.valueOf("2024-01-01 10:07:00"), "click", 999.0)) // clamp 9
+      q.processAllAvailable()
+      in.addData( // same window, same bin as the first row — must merge
+        (Timestamp.valueOf("2024-01-01 10:08:00"), "click", 7.0)) // bin 0
+      q.processAllAvailable()
+      val rows = spark.table("hist")
+        .select("bin", "cnt").as[(Int, Long)].collect().toSet
+      assert(rows == Set((0, 2L), (1, 1L), (9, 1L)))
+    } finally q.stop()
+  }
 }
