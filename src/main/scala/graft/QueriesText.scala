@@ -861,6 +861,109 @@ object QueriesText {
       |FROM t JOIN lm USING (term), tot
       |GROUP BY doc_id""".stripMargin))
 
+  // --------------------------------------------- shingle containment
+  // Asymmetric containment |A∩B|/|A| over the same posting-list join as
+  // d05 — catches a short doc wholly quoted inside a longer one, which
+  // symmetric Jaccard dilutes away. Integer intersection counts; the two
+  // ratios are the only floats.
+  private val d27: (String, QFn, Option[String]) = ("d27_containment",
+    (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 3,
+      threshold = 0.5, maxPostings = 50),
+    Some(s"""WITH $shCte,
+      |shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s
+      |  HAVING count(*) <= 50) ok ON sh.s = ok.s),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i / sa.n_sh, 6) AS cont_a_in_b,
+      | round(i / sb.n_sh, 6) AS cont_b_in_a
+      |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE round(i / sa.n_sh, 6) >= 0.5
+      |   OR round(i / sb.n_sh, 6) >= 0.5""".stripMargin))
+
+  // --------------------------------------------- PMI collocations
+  // Pointwise mutual information of adjacent token pairs vs their unigram
+  // marginals — phrase mining over the corpus. Bigram/unigram count
+  // tables are vocabulary-sized (shuffled joins on the word keys; totals
+  // are 1-row broadcasts); the final ranking is a TakeOrdered top-200.
+  private val d28: (String, QFn, Option[String]) = ("d28_pmi_collocations",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      val big = toks.select(explode(TextOps.shingles(col("w"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val totU = uni.agg(sum(col("cu")).cast("double").as("_tu"))
+      val totB = big.agg(sum(col("cb")).cast("double").as("_tb"))
+      val scored = big.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .withColumn("pmi", round(log2(
+          (col("cb").cast("double") / col("_tb")) /
+            ((col("c1").cast("double") / col("_tu")) *
+              (col("c2").cast("double") / col("_tu")))), 6))
+        .select(col("bg"), col("cb"), col("pmi"))
+      Relevance.topKRanks(scored, "pmi", "bg", 200)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |uc AS (SELECT t, count(*) AS cu FROM (SELECT unnest(w) AS t FROM t)
+      |  GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS cb FROM (SELECT
+      |    unnest(list_transform(range(1, greatest(len(w), 1)),
+      |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg
+      |  FROM t) GROUP BY 1),
+      |tu AS (SELECT sum(cu)::DOUBLE AS tu FROM uc),
+      |tb AS (SELECT sum(cb)::DOUBLE AS tb FROM bc),
+      |p AS (SELECT bg, cb, round(log2((cb::DOUBLE / tb)
+      |    / ((c1.cu::DOUBLE / tu) * (c2.cu::DOUBLE / tu))), 6) AS pmi
+      |  FROM bc JOIN uc c1 ON string_split(bg, ' ')[1] = c1.t
+      |    JOIN uc c2 ON string_split(bg, ' ')[2] = c2.t, tu, tb
+      |  WHERE cb >= 5)
+      |SELECT bg, cb, pmi,
+      | row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rank
+      |FROM p ORDER BY pmi DESC, bg ASC LIMIT 200""".stripMargin))
+
+  // --------------------------------------------- per-source KL drift
+  // KL(source token distribution ‖ corpus distribution) in bits — the
+  // domain-shift score deciding whether a source needs its own mixing
+  // weight. Count tables are integer and vocabulary-sized; only the final
+  // Σ p·log2(p/q) is float (round 6; accumulation noise ~1e-13).
+  private val d29: (String, QFn, Option[String]) = ("d29_source_kl",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tk"))
+      val sc = toks.groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("cs"))
+      val cc = toks.groupBy(col("tk")).agg(count(lit(1)).as("cc2"))
+      val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      val nc = toks.agg(count(lit(1)).as("nc"))
+      val ps = col("cs").cast("double") / col("ns").cast("double")
+      val pc = col("cc2").cast("double") / col("nc").cast("double")
+      sc.join(cc, Seq("tk")).join(ns, Seq("source"))
+        .crossJoin(broadcast(nc))
+        .groupBy(col("source"), col("ns"))
+        .agg(round(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
+        .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
+    },
+    Some(s"""WITH t AS (SELECT source, unnest($tokSql) AS tk
+      |  FROM documents),
+      |sc AS (SELECT source, tk, count(*) AS cs FROM t GROUP BY 1, 2),
+      |cc AS (SELECT tk, count(*) AS cc2 FROM t GROUP BY 1),
+      |ns AS (SELECT source, sum(cs)::BIGINT AS ns FROM sc GROUP BY 1),
+      |nc AS (SELECT count(*)::BIGINT AS nc FROM t)
+      |SELECT source, ns AS n_tokens,
+      | round(sum((cs::DOUBLE / ns::DOUBLE)
+      |   * log2((cs::DOUBLE / ns::DOUBLE) / (cc2::DOUBLE / nc::DOUBLE))), 6)
+      |   AS kl_bits
+      |FROM sc JOIN cc USING (tk) JOIN ns USING (source), nc
+      |GROUP BY source, ns""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -884,6 +987,6 @@ object QueriesText {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, e01, e02,
-    e03, e04, e05, e06, m01, m02)
+    d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+    d29, e01, e02, e03, e04, e05, e06, m01, m02)
 }

@@ -60,6 +60,36 @@ object Dedup {
     }
   }
 
+  /** Asymmetric shingle containment: for candidate pairs sharing >= 1
+    * shingle, containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches
+    * QUOTE INCLUSION — a short document wholly embedded in a longer one —
+    * which symmetric Jaccard misses (the union term dilutes it; see Lee et
+    * al. 2022 on substring-level training-data dedup). Emits (a, b) pairs
+    * with both directions' containment where either side reaches
+    * `threshold`. Same posting-list join + df-cutoff scale shape as
+    * [[jaccardPairs]]; everything up to the final two ratios is integer. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxPostings: Int = 0)
+  : DataFrame = {
+    val sh = docShingles(df, idCol, textCol, n, maxPostings)
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc").as("a"), col("s"))
+      .join(sh.select(col("doc").as("b"), col("s")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("cont_a_in_b",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .withColumn("cont_b_in_a",
+        round(col("inter").cast("double") / col("nb").cast("double"), 6))
+      .filter(col("cont_a_in_b") >= threshold ||
+        col("cont_b_in_a") >= threshold)
+      .select(col("a"), col("b"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an evaluation set (the standard guard against test-set
     * leakage into training data). `isEval` marks the benchmark rows INSIDE

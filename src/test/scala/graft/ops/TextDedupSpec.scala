@@ -44,6 +44,20 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // 2 shared / 4 union
   }
 
+  test("containmentPairs catches quote inclusion that Jaccard dilutes") {
+    // doc 1 is wholly contained in doc 2 (a long doc quoting a short one):
+    // containment(1 in 2) = 1.0 while jaccard = 3/10 misses a 0.5 bar
+    val short_ = "w1 w2 w3 w4 w5" // 3 shingles, all inside long_
+    val long_ = "w1 w2 w3 w4 w5 a b c d e f g h i j" // 13 shingles
+    val other = "x1 x2 x3 x4 x5"
+    val df = Seq((1L, short_), (2L, long_), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0, 0.230769)))
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
   test("minhashLsh surfaces true near-duplicates with sane estimates") {
     val near1 = "alpha beta gamma delta epsilon zeta eta theta"
     val near2 = "alpha beta gamma delta epsilon zeta eta iota"
