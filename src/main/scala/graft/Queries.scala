@@ -1226,9 +1226,28 @@ object Queries {
       |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
       |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin))
 
+  // ------------------------------------------- salted aggregation
+  // The skew-resistant two-phase combine, driver-verified: the salted
+  // path must produce EXACTLY the plain-aggregation answer (the oracle
+  // aggregates flat). Hot keys split across 16 reducers in phase 1;
+  // phase 2 merges 16 partials per key.
+  private val q45: (String, QFn, Option[String]) = ("q45_salted_stats",
+    (s, d) => Skew.saltedStats(Tables.events(s, d), "event_type", "value",
+        saltOn = col("event_id"), salts = 16)
+      .select(col("event_type"),
+        round(col("value_sum"), 6).as("value_sum"),
+        col("value_count"),
+        col("value_min"), col("value_max"),
+        round(col("value_avg"), 6).as("value_avg")),
+    Some("""SELECT event_type, round(sum(value), 6) AS value_sum,
+      | count(value) AS value_count,
+      | min(value) AS value_min, max(value) AS value_max,
+      | round(sum(value) / count(value), 6) AS value_avg
+      |FROM events GROUP BY event_type""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44)
+    q42, q43, q44, q45)
 }
