@@ -985,8 +985,37 @@ object QueriesText {
       | (d2 > 2.0 * md2)::BIGINT AS is_outlier
       |FROM d JOIN m USING (label)""".stripMargin))
 
+  // ------------------------------------------- int8-quantized KNN
+  // Cosine top-k over symmetric int8 codes — the 4× memory lever for a
+  // corpus-scale embedding store. floor(x + 0.5) quantization (no
+  // engine-dependent rounding rule), scales cancel in the cosine ratio,
+  // so both engines replay the exact codes and integer dot products.
+  private val e07: (String, QFn, Option[String]) = ("e07_quantized_knn",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.quantizedKnn(e.filter(col("id") < 20), e, 5)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |sca AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+      |qz AS (SELECT vec_id, CASE WHEN s > 0 THEN
+      |    list_transform(v, x -> greatest(-127.0, least(127.0,
+      |      floor(x / s + 0.5))))
+      |  ELSE list_transform(v, x -> 0.0) END AS q FROM sca),
+      |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM qz),
+      |sc2 AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |  CASE WHEN a.qn * b.qn > 0
+      |    THEN round(list_dot_product(a.q, b.q) / (a.qn * b.qn), 6)
+      |  END AS qsim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 20),
+      |r AS (SELECT qid, nid, qsim, row_number() OVER (PARTITION BY qid
+      |  ORDER BY qsim DESC, nid) AS rank FROM sc2)
+      |SELECT qid, nid, rank, qsim FROM r WHERE rank <= 5""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, e01, e02, e03, e04, e05, e06, m01, m02)
+    d29, e01, e02, e03, e04, e05, e06, e07, m01, m02)
 }

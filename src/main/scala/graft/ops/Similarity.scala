@@ -278,6 +278,47 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Brute-force KNN over INT8-QUANTIZED codes — the memory-footprint
+    * lever for a corpus-scale embedding store: symmetric per-vector
+    * quantization (scale = max|v|/127, code = clamp(floor(v/scale + 0.5),
+    * ±127)) shrinks float32 vectors 4× , and cosine over the codes needs
+    * NO dequantization — the two per-vector scales cancel in the ratio,
+    * so the approximate similarity is integer dot products (exact in
+    * double). At 100 TB of embeddings this is the difference between a
+    * memory-resident index and a disk-bound one; compose with the IVF/LSH
+    * bucketing the same way as the float paths.
+    *
+    * Determinism: `floor(x + 0.5)` instead of a round() whose half-way
+    * rule differs across engines — every engine replays the exact codes,
+    * so ranking on the rounded quantized cosine is reproducible. */
+  def quantizedKnn(queries: DataFrame, corpus: DataFrame, k: Int)
+  : DataFrame = {
+    def side(df: DataFrame, idAs: String): DataFrame = {
+      val vd = transform(col("vec"), x => x.cast("double"))
+      df.select(col("id").as(idAs), vd.as("_vd"))
+        .withColumn("_s",
+          array_max(transform(col("_vd"), x => abs(x))) / 127.0)
+        .withColumn(s"${idAs}_q", when(col("_s") > 0,
+          transform(col("_vd"), x =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(x / col("_s") + 0.5))).cast("int")))
+          .otherwise(transform(col("_vd"), _ => lit(0))))
+        .withColumn(s"${idAs}_qn",
+          sqrt(dot(col(s"${idAs}_q"), col(s"${idAs}_q"))))
+        .select(col(idAs), col(s"${idAs}_q"), col(s"${idAs}_qn"))
+    }
+    val q = broadcast(side(queries, "qid"))
+    val c = side(corpus, "nid")
+    val scored = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .withColumn("qsim", round(cosinePrenormed(col("qid_q"), col("nid_q"),
+        col("qid_qn"), col("nid_qn")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("qsim"))
+  }
+
   /** Per-label mean vector (centroid) and every vector's squared L2
     * distance to its label centroid, with an outlier flag at
     * `outlierFactor` × the label's mean distance — the embedding-space

@@ -93,6 +93,18 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash plan explodes the token array:\n$plan")
   }
 
+  test("window top-k pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    // Spark's rank-limit pushdown turns the per-key top-3 into a partial
+    // top-k BEFORE the exchange — only candidate survivors shuffle. This
+    // is why the declarative row_number().filter(rk <= 3) form is the
+    // right one at 100 TB: the optimizer supplies the two-phase plan.
+    val df = SparkEntry.queries("q24_window_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from window top-k plan:\n$plan")
+  }
+
   test("BM25 scoring: corpus stats are a 1-row broadcast, scoring map-side") {
     import graft.ops.Relevance
     val df = Relevance.bm25(Tables.documents(spark, sf), "doc_id", "text",
