@@ -93,6 +93,30 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash plan explodes the token array:\n$plan")
   }
 
+  test("partitioned write → partition pruning reaches the scan") {
+    // the 100 TB layout claim: a filter on the partition column prunes
+    // directories at planning time — the scan never opens non-matching
+    // partitions' files
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Tables.events(spark, sf).write.partitionBy("event_type")
+        .mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+        .filter(col("event_type") === "click").select("event_id")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+        s"no partition filter in scan:\n$plan")
+      assert(plan.contains("= click)"),
+        s"click pruning predicate missing:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("window top-k pushes the rank limit below the shuffle (WindowGroupLimit)") {
     // Spark's rank-limit pushdown turns the per-key top-3 into a partial
     // top-k BEFORE the exchange — only candidate survivors shuffle. This
