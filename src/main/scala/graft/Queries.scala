@@ -1245,9 +1245,45 @@ object Queries {
       | round(sum(value) / count(value), 6) AS value_avg
       |FROM events GROUP BY event_type""".stripMargin))
 
+  // ------------------------------------------- bucketed co-located join
+  // The shuffle-free persisted-join path: two per-user aggregates written
+  // as parquet tables BUCKETED 8 ways on user_id, re-read and merge-joined
+  // with ZERO exchanges (PlanShapeSpec asserts it). At 100 TB this is the
+  // difference between re-shuffling the corpus on every downstream join and
+  // paying the partitioning once at write time — the join keys only exact
+  // (count / countDistinct / min / max), so the bucketed round-trip must
+  // hash-match the flat oracle. External table paths are pid-keyed tmp dirs
+  // (rtDir) so concurrent JVMs don't collide and the shutdown hook cleans up.
+  private val q46: (String, QFn, Option[String]) = ("q46_bucketed_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val stats = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      val types = e.groupBy(col("user_id")).agg(
+        countDistinct(col("event_type")).as("n_types"))
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ta, tb) = (s"graft_q46a_$tag", s"graft_q46b_$tag")
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      stats.write.mode("overwrite").option("path", rtDir("q46a", d))
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
+      types.write.mode("overwrite").option("path", rtDir("q46b", d))
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(tb)
+      s.table(ta).hint("merge").join(s.table(tb), Seq("user_id"))
+    },
+    Some("""WITH a AS (SELECT user_id, count(*)::BIGINT AS n_events,
+      |  min(value) AS min_value, max(value) AS max_value
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events, min_value, max_value, n_types
+      |FROM a JOIN b USING (user_id)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45)
+    q42, q43, q44, q45, q46)
 }

@@ -39,6 +39,27 @@ object QueriesText {
   private def md5HashSql(expr: String) =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  // d03's linear quality score as a DuckDB expression — identical term
+  // order/associativity to TextOps.qualityCols (shared by d03's sibling
+  // d31, which ranks this score within each source)
+  private val qScoreSql: String = {
+    val stopList = TextOps.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString(", ")
+    val nToks = s"len($tokSql)"
+    val meanLen = s"CASE WHEN $nToks > 0 THEN " +
+      s"list_sum(list_transform($tokSql, x -> len(x))) / $nToks ELSE 0 END"
+    val stopRatio = s"CASE WHEN $nToks > 0 THEN " +
+      s"len(list_filter($tokSql, x -> list_contains([$stopList], x))) " +
+      s"/ $nToks ELSE 0 END"
+    val ttr = s"CASE WHEN $nToks > 0 THEN " +
+      s"len(list_distinct($tokSql)) / $nToks ELSE 0 END"
+    val digitRatio = s"CASE WHEN length(text) > 0 THEN " +
+      s"len(regexp_extract_all(text, '[0-9]')) / length(text) ELSE 0 END"
+    s"round(0.35 * ($ttr) + 0.35 * ($stopRatio) " +
+      s"+ 0.2 * (1.0 - ($digitRatio)) " +
+      s"+ 0.1 * least(($meanLen) / 10.0, 1.0), 6)"
+  }
+
   // ------------------------------------------------------- exact dedup
   private val d01: (String, QFn, Option[String]) = ("d01_exact_dedup",
     (s, d) => Dedup.exact(docs(s, d), "doc_id", md5(col("text"))),
@@ -964,6 +985,115 @@ object QueriesText {
       |FROM sc JOIN cc USING (tk) JOIN ns USING (source), nc
       |GROUP BY source, ns""".stripMargin))
 
+  // --------------------------------------------- duplicated-span fraction
+  // Per-doc fraction of n-gram OCCURRENCES whose n-gram appears in >= 2
+  // distinct docs — the linear-cost proxy for suffix-array substring dedup
+  // (Lee et al. 2022), used to cut boilerplate/mirror text. No pair join:
+  // the only shuffles are the df table build and the occurrence probe.
+  private val d30: (String, QFn, Option[String]) = ("d30_dup_spans",
+    (s, d) => Dedup.dupSpans(docs(s, d), "doc_id", "text", n = 3)
+      .withColumnRenamed("doc", "doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |occ AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      |  FROM toks),
+      |dfq AS (SELECT s, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, s FROM occ) GROUP BY s),
+      |per AS (SELECT doc_id, count(*) AS n_spans,
+      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      |  FROM occ JOIN dfq USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(n_spans, 0)::BIGINT AS n_spans,
+      | COALESCE(dup_spans, 0)::BIGINT AS dup_spans,
+      | round(COALESCE(dup_spans::DOUBLE / n_spans::DOUBLE, 0.0), 6)
+      |   AS dup_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+
+  // --------------------------------------- per-source quality calibration
+  // percent_rank / cume_dist of the d03 quality score WITHIN each source —
+  // cross-source score calibration (a 0.8 from a clean source and a 0.8
+  // from a spam-heavy one are not comparable; mixing decisions want the
+  // within-source quantile). Computed via RankStats: the window runs over
+  // the distinct-(source, score) table, NOT per row — the shape that
+  // survives a 10-source 100 TB corpus where a row-level window would fan
+  // every row of a source into one task.
+  private val d31: (String, QFn, Option[String]) = ("d31_quality_calibrate",
+    (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      RankStats.groupPercentRank(scored, "source", "quality_score",
+        "src_pct_rank", "src_cume_dist")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS quality_score
+      |  FROM documents)
+      |SELECT doc_id, source, quality_score,
+      | round(percent_rank() OVER
+      |   (PARTITION BY source ORDER BY quality_score), 6) AS src_pct_rank,
+      | round(cume_dist() OVER
+      |   (PARTITION BY source ORDER BY quality_score), 6) AS src_cume_dist
+      |FROM q""".stripMargin))
+
+  // --------------------------------------------- interpolated bigram LM
+  // Per-doc mean negative log2 prob under a Jelinek-Mercer bigram LM
+  // trained on the corpus itself: p(w2|w1) = 0.9·cb/cu(w1) + 0.1·cu(w2)/N.
+  // The KenLM-perplexity quality filter's deterministic stand-in — extends
+  // d26's unigram surprisal with first-order context. Count tables are
+  // vocabulary-sized (shuffled joins on bigram/word keys); the corpus total
+  // rides as a 1-row broadcast; never collected.
+  private val d32: (String, QFn, Option[String]) = ("d32_bigram_lm",
+    (s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("w"))
+      // occurrences feed the bigram count table AND the probe join —
+      // materialize once (same policy as jaccardPairs)
+      val occ = t.select(col("doc_id"),
+          explode(TextOps.shingles(col("w"), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .localCheckpoint(true)
+      val uni = t.select(explode(col("w")).as("t1"))
+        .groupBy(col("t1")).agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).cast("double").as("_tu"))
+      val bc = occ.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val nll = occ.join(bc, Seq("bg"))
+        .join(uni.select(col("t1").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("t1").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nll", log2(lit(1.0) /
+          (lit(0.9) * (col("cb").cast("double") / col("c1").cast("double"))
+            + lit(0.1) * (col("c2").cast("double") / col("_tu")))))
+      val per = nll.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("_nll")), 6).as("mean_nll"))
+      docs(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |occ AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w), 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg
+      |  FROM t),
+      |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+      |  string_split(bg, ' ')[2] AS w2 FROM occ),
+      |uc AS (SELECT t1, count(*) AS cu
+      |  FROM (SELECT unnest(w) AS t1 FROM t) GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS cb FROM occ GROUP BY 1),
+      |tu AS (SELECT sum(cu)::DOUBLE AS tu FROM uc),
+      |p AS (SELECT doc_id, log2(1.0 /
+      |    (0.9 * (cb::DOUBLE / c1.cu::DOUBLE)
+      |      + 0.1 * (c2.cu::DOUBLE / tu))) AS nll
+      |  FROM o2 JOIN bc USING (bg)
+      |    JOIN uc c1 ON o2.w1 = c1.t1
+      |    JOIN uc c2 ON o2.w2 = c2.t1, tu),
+      |per AS (SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(nll), 6) AS mean_nll FROM p GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+      | COALESCE(mean_nll, 0.0) AS mean_nll
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1017,5 +1147,5 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, e01, e02, e03, e04, e05, e06, e07, m01, m02)
+    d29, d30, d31, d32, e01, e02, e03, e04, e05, e06, e07, m01, m02)
 }

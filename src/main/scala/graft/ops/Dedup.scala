@@ -117,6 +117,41 @@ object Dedup {
       .withColumn("contaminated", (col("n_overlap") > 0).cast("long"))
   }
 
+  /** Duplicated-span fraction per document: the scalable proxy for
+    * suffix-array exact-substring dedup (Lee et al. 2022). A span is one
+    * n-gram OCCURRENCE (positions, not distinct shingles); it is "duplicated"
+    * when its n-gram occurs in >= 2 distinct documents. Returns one row per
+    * input doc: (id, n_spans, dup_spans, dup_frac) — the per-doc fraction of
+    * text covered by cross-document repeats, the usual cut feature for
+    * boilerplate/mirror removal.
+    *
+    * Scale shape: LINEAR, unlike the pair ops — no candidate join. The
+    * n-gram df table is vocabulary-sized (one shuffle to build it), and the
+    * occurrence→df join shuffles occurrences on the n-gram key once; per-doc
+    * rollup is the only other exchange. No posting-list cutoff is needed
+    * because nothing is ever paired. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int)
+  : DataFrame = {
+    // occurrences feed both the df table and the join probe — materialize
+    // once (same policy as jaccardPairs)
+    val occ = df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+      .localCheckpoint(true)
+    val docFreq = occ.distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val per = occ.join(docFreq, Seq("s"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    df.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans").cast("double")
+          / col("n_spans").cast("double"), lit(0.0)), 6).as("dup_frac"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     * Candidate pairs come from the shingle join (docs sharing >= 1 shingle);
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */

@@ -57,6 +57,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one hash exchange, found $n:\n$finalPlan")
   }
 
+  test("q46 bucketed join: ZERO exchanges between the persisted tables") {
+    val df = SparkEntry.queries("q46_bucketed_join")(spark, sf)
+    assert(df.count() > 0)
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange"),
+      s"bucketed join still exchanges:\n$finalPlan")
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over the bucketed tables:\n$finalPlan")
+  }
+
   test("KMV sketch: one wide exchange + one sketch-sized exchange, no skew") {
     // the two-phase top-k claim: dedup + per-bucket rank ride the single
     // (grp, bucket) repartition; only the <= buckets*k survivors cross the
