@@ -1094,6 +1094,93 @@ object QueriesText {
       | COALESCE(mean_nll, 0.0) AS mean_nll
       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
 
+  // --------------------------------------------- curriculum ordering
+  // Global training order: rank every doc by quality (desc, doc_id ties)
+  // and cut the corpus into 4 curriculum phases. The global row_number is
+  // computed via RankStats.globalOrderIndex — cumulative counts over the
+  // DISTINCT-score grid plus a within-tie window — never a whole-corpus
+  // single-task sort. Driver-checked equal to the naive SQL window.
+  private val d33: (String, QFn, Option[String]) = ("d33_curriculum_order",
+    (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      val ranked = RankStats.globalOrderIndex(scored, "quality_score",
+        "doc_id", "global_rank")
+      val tot = scored.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("quality_score"), col("global_rank"),
+          floor((col("global_rank") - 1) * 4 / col("_n")).cast("long")
+            .as("phase"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, $qScoreSql AS quality_score
+      |  FROM documents),
+      |n AS (SELECT count(*)::BIGINT AS n FROM q),
+      |r AS (SELECT doc_id, quality_score, row_number() OVER
+      |  (ORDER BY quality_score DESC, doc_id) AS global_rank FROM q)
+      |SELECT doc_id, quality_score, global_rank,
+      | ((global_rank - 1) * 4) // n AS phase FROM r, n""".stripMargin))
+
+  // ----------------------------------------- canonical doc per cluster
+  // The dedup DECISION step: d10's connected components + d03's quality
+  // score → one keeper per near-dup cluster (highest quality, lowest
+  // doc_id on ties). Spark side selects keepers with a single max(struct)
+  // aggregation — order-independent, no per-cluster window; the oracle
+  // re-derives clusters with d10's recursive CTE and picks by window.
+  private val d34: (String, QFn, Option[String]) = ("d34_cluster_keeper",
+    (s, d) => {
+      val cl = Dedup.dedupCorpus(docs(s, d), "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS, minEstJaccard = 0.5)
+      val q = docs(s, d).select(col("doc_id").as("doc"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      cl.join(q, Seq("doc"))
+        .groupBy(col("keep_id").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality_score"), (-col("doc")).as("negdoc")))
+            .as("m"))
+        .select(col("cluster"), col("n_docs"),
+          (-col("m.negdoc")).as("keeper_id"),
+          col("m.quality_score").as("keeper_quality"))
+    },
+    Some(s"""WITH RECURSIVE $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id),
+      |near AS (SELECT a, b FROM (
+      |  SELECT c.a, c.b,
+      |   round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |     / ${MINHASH_K.toDouble}, 6) AS ej
+      |  FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      |   JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |  GROUP BY c.a, c.b) WHERE ej >= 0.5),
+      |exg AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1),
+      |exp AS (SELECT d.doc_id AS doc, g.keep_id AS peer FROM documents d
+      |  JOIN exg g ON md5(d.text) = g.fp WHERE d.doc_id <> g.keep_id),
+      |edges AS (SELECT doc, peer FROM exp
+      |  UNION SELECT peer, doc FROM exp
+      |  UNION SELECT a, b FROM near
+      |  UNION SELECT b, a FROM near),
+      |cc(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc, c.label FROM edges e JOIN cc c ON c.doc = e.peer),
+      |cl AS (SELECT doc, min(label) AS cluster FROM cc GROUP BY doc),
+      |qv AS (SELECT doc_id, $qScoreSql AS q FROM documents),
+      |rk AS (SELECT cluster, doc, q,
+      |  row_number() OVER (PARTITION BY cluster
+      |    ORDER BY q DESC, doc ASC) AS rn,
+      |  count(*) OVER (PARTITION BY cluster) AS n_docs
+      |  FROM cl JOIN qv ON doc = doc_id)
+      |SELECT cluster, n_docs::BIGINT AS n_docs, doc AS keeper_id,
+      | q AS keeper_quality FROM rk WHERE rn = 1""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1147,5 +1234,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, e01, e02, e03, e04, e05, e06, e07, m01, m02)
+    d29, d30, d31, d32, d33, d34, e01, e02, e03, e04, e05, e06, e07, m01,
+    m02)
 }

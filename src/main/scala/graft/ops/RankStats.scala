@@ -42,4 +42,26 @@ object RankStats {
         .as(cumeCol))
     df.join(stats, Seq(grpCol, valueCol))
   }
+
+  /** Global position of every row under ORDER BY scoreCol DESC, tieCol ASC
+    * — `row_number()` over the whole corpus WITHOUT the whole corpus in one
+    * task. The strictly-above count comes from a cumulative window over the
+    * DISTINCT-score table (vocabulary-sized: scores live on a rounded
+    * grid), and the within-tie row_number windows on score groups — bounded
+    * partitions, never the full data. Equivalent to the naive global window
+    * whenever (scoreCol, tieCol) is a total order. */
+  def globalOrderIndex(df: DataFrame, scoreCol: String, tieCol: String,
+                       rankCol: String): DataFrame = {
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
+    // single-partition window, but over distinct scores only
+    val w = Window.orderBy(col(scoreCol).desc)
+    val cum = counts
+      .withColumn("_above", sum(col("_c")).over(w) - col("_c"))
+      .select(col(scoreCol), col("_above"))
+    val wg = Window.partitionBy(scoreCol).orderBy(col(tieCol))
+    df.withColumn("_rn", row_number().over(wg))
+      .join(cum, Seq(scoreCol))
+      .withColumn(rankCol, (col("_above") + col("_rn")).cast("long"))
+      .drop("_rn", "_above")
+  }
 }

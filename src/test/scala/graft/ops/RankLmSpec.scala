@@ -53,6 +53,37 @@ class RankLmSpec extends SparkSpec {
     assert(m(("b", 2.0)) == ((1.0, 1.0)))
   }
 
+  test("globalOrderIndex matches the naive global row_number window") {
+    val df = spark.range(500).select(col("id").as("doc"),
+      ((col("id") * 37) % 23).cast("double").as("score"))
+    val got = RankStats.globalOrderIndex(df, "score", "doc", "r")
+      .select("doc", "score", "r")
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy(col("score").desc, col("doc")))
+        .cast("long"))
+      .select("doc", "score", "r")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("cluster keeper: highest quality wins, lowest doc_id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc", "keep_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5))
+      .toDF("doc", "quality_score")
+    val out = clusters.join(quality, Seq("doc"))
+      .groupBy(col("keep_id").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality_score"), (-col("doc")).as("negdoc")))
+          .as("m"))
+      .select(col("cluster"), col("n_docs"),
+        (-col("m.negdoc")).as("keeper_id"),
+        col("m.quality_score").as("keeper_quality"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.9))) // docs 2,3 tie at 0.9 -> doc 2
+    assert(out(4L) == ((1L, 4L, 0.5)))
+  }
+
   test("bigram LM: Jelinek-Mercer hand values; short docs 0 bigrams") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
       .toDF("doc_id", "text")
