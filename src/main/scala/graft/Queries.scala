@@ -1281,9 +1281,33 @@ object Queries {
       |SELECT user_id, n_events, min_value, max_value, n_types
       |FROM a JOIN b USING (user_id)""".stripMargin))
 
+  // --------------------------------------------------- salted skew join
+  // The plan-level JOIN-skew answer, driver-verified: events (hot
+  // event_type keys) join a per-type dimension through Skew.saltedJoin —
+  // big side salted 16 ways, dim replicated 16×, shuffle-hash on
+  // (key, salt) — and every enriched row must hash-match the flat join
+  // oracle. Integer/min/max dim columns keep the compare exact.
+  private val q47: (String, QFn, Option[String]) = ("q47_salted_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val dim = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("type_n"),
+        min(col("value")).as("type_min"),
+        max(col("value")).as("type_max"))
+      Skew.saltedJoin(e.select(col("event_id"), col("event_type"),
+        col("value")), dim, "event_type", col("event_id"), 16)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_n"), col("type_min"), col("type_max"))
+    },
+    Some("""WITH dim AS (SELECT event_type, count(*)::BIGINT AS type_n,
+      |  min(value) AS type_min, max(value) AS type_max
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, event_type, value, type_n, type_min, type_max
+      |FROM events JOIN dim USING (event_type)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46)
+    q42, q43, q44, q45, q46, q47)
 }

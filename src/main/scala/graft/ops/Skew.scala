@@ -40,4 +40,23 @@ object Skew {
       max(col("_mx")).as(s"${valueCol}_max"),
       (sum(col("_s")) / sum(col("_c"))).as(s"${valueCol}_avg"))
   }
+
+  /** Salted equi-join for JOIN skew when the small side is too big to
+    * broadcast (or broadcast is disabled): the big side salts each row
+    * deterministically, the small side replicates `salts`× , and the join
+    * key becomes (key, salt) — a hot key's rows now land on `salts`
+    * reducers instead of one. Row-identical to `big.join(small, key)`.
+    * Replication cost is `salts × |small|`, which is the explicit price of
+    * dodging the hot reducer; AQE's runtime skew split covers the same
+    * case adaptively, this is the deterministic plan-level form. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltOn: Column, salts: Int = 16): DataFrame = {
+    val b = big.withColumn("_salt", salt(saltOn, salts))
+    val sm = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    // shuffle_hash: the whole point is spreading (key, salt) across
+    // reducers — a broadcast of the replicated side would both defeat the
+    // demonstration and pay the replication for nothing
+    b.join(sm.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
+  }
 }

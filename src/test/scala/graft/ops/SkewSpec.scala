@@ -22,6 +22,24 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin is row-identical to the plain join and shuffles (no broadcast)") {
+    // 90% of the big side lands on one hot key — the shape salting exists for
+    val big = (1 to 1000)
+      .map(i => (i.toLong, if (i % 10 == 0) i.toLong % 7 else 99L))
+      .toDF("id", "k")
+    val small = Seq((99L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, "k", saltOn = $"id", salts = 8)
+      .select("id", "k", "tag")
+    val plain = big.join(small, Seq("k")).select("id", "k", "tag")
+    assert(salted.count() == 1000)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    val planStr = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!planStr.contains("BroadcastHashJoin"),
+      s"salted join was broadcast — salting demonstrates the shuffle path:\n$planStr")
+  }
+
   test("salt is deterministic and bounded") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val a = df.select(Skew.salt($"v", 8)).as[Int].collect()
