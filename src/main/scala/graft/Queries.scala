@@ -1305,9 +1305,35 @@ object Queries {
       |SELECT event_id, event_type, value, type_n, type_min, type_max
       |FROM events JOIN dim USING (event_type)""".stripMargin))
 
+  // --------------------------------------------- trailing range window
+  // Velocity features: for EVERY event, count/sum/max of the same user's
+  // events in the trailing hour — a RANGE frame on epoch seconds, not a
+  // ROWS frame (RANGE is tie-stable: rows sharing a timestamp share a
+  // frame, so results are deterministic under any within-tie order).
+  // One shuffle on user_id, ordered scan, bounded frame state — the
+  // per-entity trailing-window shape that survives 100 TB.
+  private val q48: (String, QFn, Option[String]) = ("q48_range_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3599, 0)
+      ev(s, d).select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("sec"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum(col("value")).over(w), 6))
+        .withColumn("max_1h", max(col("value")).over(w))
+        .drop("value")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+      | count(*) OVER w AS n_1h,
+      | round(sum(value) OVER w, 6) AS sum_1h,
+      | max(value) OVER w AS max_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47)
+    q42, q43, q44, q45, q46, q47, q48)
 }

@@ -1181,6 +1181,50 @@ object QueriesText {
       |SELECT cluster, n_docs::BIGINT AS n_docs, doc AS keeper_id,
       | q AS keeper_quality FROM rk WHERE rn = 1""".stripMargin))
 
+  // ----------------------------------------- edit-distance verification
+  // The standard two-stage near-dup pipeline made explicit: cheap LSH
+  // candidates (d06's band join) -> EXPENSIVE exact verification, here
+  // Levenshtein distance + normalized similarity on the candidate pairs
+  // only. At 100 TB the O(len^2) edit distance is affordable precisely
+  // because it runs on the candidate set (thousands of pairs), never the
+  // corpus cross-product; both engines' levenshtein are exact integers.
+  private val d35: (String, QFn, Option[String]) = ("d35_edit_verify",
+    (s, d) => {
+      val t = docs(s, d)
+      val cand = Dedup.minhashLsh(t, "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS).select(col("a"), col("b"))
+      val ta = t.select(col("doc_id").as("a"), col("text").as("_ta"))
+      val tb = t.select(col("doc_id").as("b"), col("text").as("_tb"))
+      cand.join(ta, Seq("a")).join(tb, Seq("b"))
+        .withColumn("lev",
+          levenshtein(col("_ta"), col("_tb")).cast("long"))
+        .withColumn("nsim", round(lit(1.0) - col("lev").cast("double")
+          / greatest(length(col("_ta")), length(col("_tb")))
+            .cast("double"), 6))
+        .select(col("a"), col("b"), col("lev"), col("nsim"),
+          (col("nsim") >= 0.8).cast("long").as("verified"))
+    },
+    Some(s"""WITH $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id),
+      |v AS (SELECT a, b,
+      |  levenshtein(da.text, db.text)::BIGINT AS lev,
+      |  round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+      |    / greatest(length(da.text), length(db.text))::DOUBLE, 6) AS nsim
+      |  FROM cand JOIN documents da ON da.doc_id = a
+      |   JOIN documents db ON db.doc_id = b)
+      |SELECT a, b, lev, nsim,
+      | (CASE WHEN nsim >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS verified
+      |FROM v""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1234,6 +1278,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, e01, e02, e03, e04, e05, e06, e07, m01,
-    m02)
+    d29, d30, d31, d32, d33, d34, d35, e01, e02, e03, e04, e05, e06, e07,
+    m01, m02)
 }
