@@ -1331,9 +1331,60 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
       |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  // --------------------------------------------- explicit grouping sets
+  // The third multi-level aggregation form next to rollup (q28) and cube
+  // (q32): an EXPLICIT set list — per-flag, per-status, and grand total,
+  // but NOT the (flag, status) cross — the case rollup/cube can't express.
+  // Spark 4's Dataset.groupingSets plans one expand + one shuffle.
+  private val q49: (String, QFn, Option[String]) = ("q49_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty")),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      | COALESCE(l_linestatus, 'ALL') AS lstatus,
+      | count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+      .stripMargin))
+
+  // ------------------------------------------------- relational set ops
+  // INTERSECT / EXCEPT (distinct semantics) on user key sets between
+  // event-type slices — the audience-overlap shape. Spark plans both as
+  // hash joins on the key after local distinct; counted per op so the
+  // oracle stays compact.
+  private val q50: (String, QFn, Option[String]) = ("q50_set_ops",
+    (s, d) => {
+      val e = ev(s, d)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id"))
+      val both = users("click").intersect(users("view"))
+      val pureBuyers = users("purchase").except(users("error"))
+      both.agg(count(lit(1)).as("n")).select(lit("click_and_view").as("op"),
+          col("n"))
+        .unionByName(pureBuyers.agg(count(lit(1)).as("n"))
+          .select(lit("purchase_no_error").as("op"), col("n")))
+    },
+    Some("""SELECT 'click_and_view' AS op, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'view')
+      |UNION ALL
+      |SELECT 'purchase_no_error' AS op, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error')"""
+      .stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }
