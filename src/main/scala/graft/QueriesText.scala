@@ -1225,6 +1225,37 @@ object QueriesText {
       | (CASE WHEN nsim >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS verified
       |FROM v""".stripMargin))
 
+  // ----------------------------------------- Count-Min heavy hitters
+  // CMS counters (4×64, md5 hash family) over the token stream, queried
+  // back for every vocabulary term with the exact count alongside —
+  // est >= exact by construction (PropertiesSpec asserts; the driver
+  // hash-checks the full error audit). The counter table is 256 rows no
+  // matter the corpus size and merges across shards by addition — the
+  // bounded-state frequency path next to KMV (d19) and the histogram
+  // sketch (q44).
+  private val d36: (String, QFn, Option[String]) = ("d36_count_min",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      Sketches.countMin(toks, col("term"), depth = 4, width = 64)
+        .select(col("val").as("term"), col("n_exact"), col("est"),
+          col("overcount"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |cnt AS (SELECT j,
+      |   ${md5HashSql("term || '#' || 'cms' || j")} % 64 AS b,
+      |   count(*) AS cnt
+      |  FROM t, js GROUP BY 1, 2),
+      |ex AS (SELECT term, count(*) AS n_exact FROM t GROUP BY 1),
+      |pr AS (SELECT term, n_exact, j,
+      |   ${md5HashSql("term || '#' || 'cms' || j")} % 64 AS b
+      |  FROM ex, js)
+      |SELECT term, n_exact, min(cnt) AS est,
+      | min(cnt) - n_exact AS overcount
+      |FROM pr JOIN cnt USING (j, b) GROUP BY term, n_exact"""
+      .stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1278,6 +1309,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, e01, e02, e03, e04, e05, e06, e07,
-    m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, e01, e02, e03, e04, e05, e06,
+    e07, m01, m02)
 }

@@ -79,4 +79,43 @@ object Sketches {
       exact.join(sketch, Seq("grp"))
     }
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a value stream,
+    * queried back for every distinct value: (val, n_exact, est, overcount).
+    * `depth` independent md5-derived hash rows × `width` counters; a
+    * value's estimate is the MIN over its `depth` counters, so
+    * est >= exact ALWAYS (collisions only ever inflate) — `over` is the
+    * collision overestimate. Deterministic hash family → the oracle
+    * rebuilds the identical counter table.
+    *
+    * Scale shape: the counter table is depth×width rows NO MATTER how many
+    * values stream through — one aggregation with map-side combine builds
+    * it (occurrences shuffle once on (row, bucket)), and it merges across
+    * shards/windows by plain addition. The query joins probes to it on
+    * the bucket key; here the probe set is the full vocabulary (for the
+    * error audit), in production it is the handful of suspected heavy
+    * hitters. */
+  def countMin(df: DataFrame, value: Column, depth: Int, width: Int,
+               salt: String = "cms"): DataFrame = {
+    val v = value.cast("string")
+    val occ = df.select(v.as("val"))
+    // counters: one row per (hash row j, bucket); explode occurrences
+    // depth× BEFORE the aggregation — map-side combine collapses them to
+    // depth×width partials per task, so the exchange is sketch-sized
+    val rows = explode(array((0 until depth).map(lit): _*)).as("j")
+    val counters = occ.select(col("val"), rows)
+      .withColumn("b",
+        pmod(Dedup.md5Hash(col("val"), concat(lit(salt), col("j"))),
+          lit(width.toLong)))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+    val exact = occ.groupBy(col("val")).agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select(col("val"), col("n_exact"), rows)
+      .withColumn("b",
+        pmod(Dedup.md5Hash(col("val"), concat(lit(salt), col("j"))),
+          lit(width.toLong)))
+    probes.join(counters, Seq("j", "b"))
+      .groupBy(col("val"), col("n_exact"))
+      .agg(min(col("cnt")).as("est"))
+      .withColumn("overcount", col("est") - col("n_exact"))
+  }
 }

@@ -35,6 +35,23 @@ class SketchSampleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("countMin never underestimates; wide sketch is collision-free exact") {
+    val vals = (1 to 2000).map(i => s"v${i % 37}").toDF("x")
+    val narrow = Sketches.countMin(vals, col("x"), depth = 4, width = 8)
+      .collect()
+    assert(narrow.length == 37)
+    narrow.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS underestimated: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // width >> distinct values: still not guaranteed collision-free, but
+    // the min over 4 independent rows is exact unless a value collides in
+    // ALL rows — vanishingly unlikely at 37/4096; assert exactness
+    val wide = Sketches.countMin(vals, col("x"), depth = 4, width = 4096)
+      .collect()
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1)))
+  }
+
   test("prioritySample keeps k per group, deterministically, weight-biased") {
     // weight 3 for ids 0..49, weight 1 for 50..149; k=30 of 150
     val df = (0L until 150L).map(i => (i, if (i < 50) 3L else 1L))
