@@ -1256,6 +1256,38 @@ object QueriesText {
       |FROM pr JOIN cnt USING (j, b) GROUP BY term, n_exact"""
       .stripMargin))
 
+  // ----------------------------------------- token-stream sequence carve
+  // GPT-style packing: concatenate the corpus into one virtual token
+  // stream (doc_id order) and carve fixed 512-token training sequences —
+  // each doc reports its cumulative offset and which sequences it spans.
+  // The global running sum uses Sequences.globalCumsum (range partitions +
+  // per-partition window + broadcast prefix offsets), NOT a single-task
+  // `ORDER BY` window; the oracle is the naive global window, which must
+  // match exactly since token counts are integers.
+  private val d37: (String, QFn, Option[String]) = ("d37_token_stream_pack",
+    (s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sequences.globalCumsum(t, "doc_id", col("n_tokens"), "cum_tokens")
+        .withColumn("seq_first",
+          floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
+        .withColumn("seq_last",
+          floor((col("cum_tokens") - 1) / 512).cast("long"))
+        .withColumn("n_seqs", greatest(lit(0L),
+          col("seq_last") - col("seq_first") + 1))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  (sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens,
+      | ((cum_tokens - n_tokens) // 512)::BIGINT AS seq_first,
+      | ((cum_tokens - 1) // 512)::BIGINT AS seq_last,
+      | greatest(0, (cum_tokens - 1) // 512
+      |   - (cum_tokens - n_tokens) // 512 + 1)::BIGINT AS n_seqs
+      |FROM c""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1309,6 +1341,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, e01, e02, e03, e04, e05, e06,
-    e07, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, e01, e02, e03, e04, e05,
+    e06, e07, m01, m02)
 }

@@ -67,6 +67,36 @@ object Sequences {
     df.withColumn(packCol, floor((cum - 1) / budget).cast("long"))
   }
 
+  /** GLOBAL running sum over a total order — `sum() OVER (ORDER BY ...)`
+    * without dragging the whole table into one task. Classic two-pass
+    * distributed prefix sum: range-repartition on the order key, local
+    * cumsum per partition (a window PARTITIONED by partition id — bounded
+    * by partition size), and each partition's starting offset comes from a
+    * partition-count-sized table broadcast back. Values are independent of
+    * where the (sampled, nondeterministic) range boundaries land, so
+    * results are exact and reproducible as long as `orderCol` is a total
+    * order. Use integer `valueCol` for cross-engine exactness. */
+  def globalCumsum(df: DataFrame, orderCol: String, valueCol: Column,
+                   outCol: String, partitions: Int = 32): DataFrame = {
+    // freeze the pid assignment: the offsets table and the re-join must
+    // see the SAME partitioning of the same rows
+    val parts = df
+      .repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offs = parts.groupBy(col("_pid")).agg(sum(valueCol).as("_ps"))
+      .withColumn("_off", coalesce(
+        sum(col("_ps")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val local = sum(valueCol).over(Window.partitionBy(col("_pid"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    parts.join(broadcast(offs), Seq("_pid"))
+      .withColumn(outCol, (local + col("_off")).cast("long"))
+      .drop("_pid", "_off")
+  }
+
   /** W2+E2 (tensor form): per group, the last `n` events as a time-ordered
     * array of feature vectors, LEFT-padded with zero vectors to exactly `n`
     * (`model.py:188-196`). One groupBy + array ops; no per-user driver loop.

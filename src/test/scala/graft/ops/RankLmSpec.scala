@@ -84,6 +84,22 @@ class RankLmSpec extends SparkSpec {
     assert(out(4L) == ((1L, 4L, 0.5)))
   }
 
+  test("globalCumsum equals the naive global window at any partition count") {
+    val df = spark.range(1000).select(col("id").as("k"),
+      ((col("id") * 13) % 97 + 1).as("v"))
+    val want = df.withColumn("c",
+      sum($"v").over(Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select("k", "v", "c")
+    for (p <- Seq(1, 7, 32)) {
+      val got = Sequences.globalCumsum(df, "k", $"v", "c", partitions = p)
+        .select("k", "v", "c")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"mismatch at partitions=$p")
+    }
+  }
+
   test("bigram LM: Jelinek-Mercer hand values; short docs 0 bigrams") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
       .toDF("doc_id", "text")
