@@ -213,18 +213,42 @@ object Dedup {
     * collisions, scored by estimated Jaccard = matching signature fraction.
     * Returns (a, b, est_jaccard). The band join shuffles 16-byte band keys;
     * the scoring join moves one wide signature row per doc — nothing fans
-    * out k× or quadratically. */
+    * out k× or quadratically.
+    *
+    * With the default md5 family and no posting-list cutoff, signatures
+    * come from the NATIVE [[graft.functions.MinHashSigs]] expression — a
+    * pure projection per doc (no (doc, shingle) explode, no signature
+    * shuffle), bit-identical to the relational min-aggregation the oracle
+    * replays. Pass `hashFamily` explicitly (e.g. [[xxhashFamily]]) or a
+    * `maxPostings` cutoff to use the relational explode + min-agg path. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, bands: Int, maxPostings: Int = 0,
-                 hashFamily: (Column, Column) => Column = md5Hash)
+                 hashFamily: (Column, Column) => Column = null)
   : DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val sh = docShingles(df, idCol, textCol, n, maxPostings)
     // one wide row per doc — tiny vs the corpus; materialized because the
     // band join and both scoring sides reuse it (else k*|shingles| md5s
     // rerun 3x). Weak-ref checkpoint over cache for the same
     // no-CacheManager-pinning reason as jaccardPairs
-    val sigs = minhashSignatures(sh, k, hashFamily).localCheckpoint(true)
+    val sigs = (if (hashFamily == null && maxPostings == 0) {
+      val arr = graft.functions.MinHashSigs.minhashSigs(
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)), k)
+      // checkpoint the ARRAY form before any filter or column fan-out:
+      // project-collapse would otherwise substitute the expression into
+      // the null filter and all k element_at columns — k+1 recomputes of
+      // the full signature per doc (measured 4x slower than the explode
+      // path before this materialization barrier)
+      df.select(col(idCol).as("doc"), arr.as("_sig"))
+        .localCheckpoint(true)
+        .filter(col("_sig").isNotNull)
+        .select(col("doc") +: (0 until k).map(j =>
+          element_at(col("_sig"), j + 1).as(s"sig$j")): _*)
+    } else {
+      val fam = if (hashFamily == null) md5Hash _ else hashFamily
+      minhashSignatures(docShingles(df, idCol, textCol, n, maxPostings),
+        k, fam)
+        .localCheckpoint(true)
+    })
     val bk = lshBandKeys(sigs, k, bands)
     val cand = bk.select(col("doc").as("a"), col("band"), col("bkey"))
       .join(bk.select(col("doc").as("b"), col("band"), col("bkey")),

@@ -69,6 +69,35 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("native MinHashSigs is bit-identical to the relational md5 min-agg") {
+    import graft.functions.MinHashSigs.minhashSigs
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five"),
+      (3L, "alpha beta gamma"),
+      (4L, "xy")) // < 3 tokens -> no shingles -> null signature
+      .toDF("doc_id", "text")
+    val k = 16
+    val native = df.select($"doc_id",
+        minhashSigs(array_distinct(
+          TextOps.shingles(TextOps.tokens($"text"), 3)), k).as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id" +: (0 until k).map(j =>
+        element_at($"sig", j + 1).as(s"sig$j")): _*)
+    val relational = Dedup.minhashSignatures(
+        Dedup.docShingles(df, "doc_id", "text", 3), k)
+      .withColumnRenamed("doc", "doc_id")
+    assert(native.count() == 3) // doc 4 dropped, like the empty group
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
+    // and the full LSH pipeline (native path) matches the explode path
+    val nat = Dedup.minhashLsh(df, "doc_id", "text", 3, k, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val rel = Dedup.minhashLsh(df, "doc_id", "text", 3, k, 4,
+        hashFamily = Dedup.md5Hash)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(nat == rel)
+  }
+
   test("minhashLsh with the production xxhash64 family finds the same pair") {
     // the md5 family exists for oracle replay; the codegen'd xxhash64
     // family is the production swap-in — same operator shape, and it must
