@@ -76,6 +76,28 @@ object EventStream {
         col("bin"), col("cnt"))
   }
 
+  /** Windowed Count-Min counters over the stream — the incremental form of
+    * `ops.Sketches.countMin`, same md5 hash family, so each window's
+    * depth×width counter table merges into a standing sketch (or across
+    * late-arriving data) by PLAIN ADDITION, and heavy-hitter queries use
+    * the same min-over-rows arithmetic. State per window is depth×width
+    * counters regardless of stream volume, evicted by the watermark. */
+  def cmsCounts(events: DataFrame, keyCol: org.apache.spark.sql.Column,
+                depth: Int, width: Int, salt: String = "cms",
+                watermark: String = "2 hours"): DataFrame = {
+    val rows = explode(array((0 until depth).map(lit): _*)).as("j")
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), keyCol.cast("string").as("val"))
+      .select(col("ts"), col("val"), rows)
+      .withColumn("b", pmod(
+        graft.ops.Dedup.md5Hash(col("val"), concat(lit(salt), col("j"))),
+        lit(width.toLong)))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("j"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("j"), col("b"),
+        col("cnt"))
+  }
+
   case class Event(user_id: Long, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)

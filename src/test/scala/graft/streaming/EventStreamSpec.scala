@@ -98,6 +98,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsCounts: streaming counters match the batch sketch by addition") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = EventStream.cmsCounts(df, col("event_type"), depth = 4,
+      width = 64, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      in.addData((t(1), "click"), (t(2), "click"), (t(3), "view"))
+      q.processAllAvailable()
+      in.addData((t(4), "click")) // same window — counters must merge
+      q.processAllAvailable()
+      val counters = spark.table("cms")
+        .select("j", "b", "cnt").as[(Int, Long, Long)].collect()
+        .map { case (j, b, c) => (j, b) -> c }.toMap
+      // query "click" exactly like the batch sketch: min over its 4 buckets
+      val est = (0 until 4).map { j =>
+        val b = spark.range(1).select(pmod(graft.ops.Dedup.md5Hash(
+          lit("click"), lit("cms" + j)), lit(64L))).head.getLong(0)
+        counters.getOrElse((j, b), 0L)
+      }.min
+      assert(est == 3L) // 3 clicks across both micro-batches
+      // every counter row is bounded state: at most depth*width rows
+      assert(counters.size <= 4 * 64)
+    } finally q.stop()
+  }
+
   test("histogramCounts bins incrementally; late rows fold into their bin") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
