@@ -60,6 +60,23 @@ object QueriesText {
       s"+ 0.1 * least(($meanLen) / 10.0, 1.0), 6)"
   }
 
+  // d04's language-ID pieces as DuckDB fragments (shared by d38's corpus
+  // report): per-language stopword-hit scores and the argmax CASE
+  private val langScoreDefsSql: String = TextOps.langStopwords.map {
+    case (l, sw) =>
+      val list = sw.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($tokSql, x -> list_contains([$list], x))) AS s_$l"
+  }.mkString(", ")
+  private val langCaseSql: String = {
+    val langs = TextOps.langStopwords
+    val whens = langs.map { case (l, _) =>
+      val others = langs.collect { case (o, _) if o != l =>
+        s"s_$l >= s_$o" }.mkString(" AND ")
+      s"WHEN s_$l > 0 AND $others THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
   // ------------------------------------------------------- exact dedup
   private val d01: (String, QFn, Option[String]) = ("d01_exact_dedup",
     (s, d) => Dedup.exact(docs(s, d), "doc_id", md5(col("text"))),
@@ -116,22 +133,8 @@ object QueriesText {
   private val d04: (String, QFn, Option[String]) = ("d04_lang_id",
     (s, d) => docs(s, d).select(col("doc_id"),
       TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
-    Some {
-      val langs = TextOps.langStopwords
-      def score(l: String) = s"s_$l"
-      val scoreDefs = langs.map { case (l, sw) =>
-        val list = sw.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter($tokSql, x -> list_contains([$list], x))) AS s_$l"
-      }.mkString(", ")
-      val whens = langs.map { case (l, _) =>
-        val others = langs.collect { case (o, _) if o != l =>
-          s"${score(l)} >= ${score(o)}" }.mkString(" AND ")
-        s"WHEN ${score(l)} > 0 AND $others THEN '$l'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT doc_id, $scoreDefs FROM documents)
-        |SELECT doc_id, CASE $whens ELSE 'und' END AS lang_pred FROM sc"""
-        .stripMargin
-    })
+    Some(s"""WITH sc AS (SELECT doc_id, $langScoreDefsSql FROM documents)
+      |SELECT doc_id, $langCaseSql AS lang_pred FROM sc""".stripMargin))
 
   // --------------------------------------------- n-gram Jaccard near-dup
   // Hot-shingle df-cutoff (maxPostings=50) mirrored in the oracle: a
@@ -1288,6 +1291,45 @@ object QueriesText {
       |   - (cum_tokens - n_tokens) // 512 + 1)::BIGINT AS n_seqs
       |FROM c""".stripMargin))
 
+  // ----------------------------------------------- corpus data card
+  // The per-source report a dataset release ships with: volume (docs,
+  // tokens), corpus-wide exact-duplicate share, mean quality, and language
+  // spread — one grouped pass over per-doc projections plus the
+  // fingerprint-count join (dup status is CORPUS-wide, so a mirror source
+  // shows up even when its docs are unique within itself). Every column
+  // integer or round-6; the whole card is one shuffle on source plus the
+  // vocabulary-sized fp join.
+  private val d38: (String, QFn, Option[String]) = ("d38_corpus_report",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"), size(toks).cast("long").as("nt"),
+        TextOps.qualityCols(col("text"), toks).last,
+        TextOps.langId(toks).as("lang_pred"))
+      val fpc = t.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      t.join(fpc, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          round(avg(col("quality_score")), 6).as("mean_quality"),
+          countDistinct(col("lang_pred")).as("n_langs"),
+          round(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_frac"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, source, md5(text) AS fp,
+      |  len($tokSql)::BIGINT AS nt, $qScoreSql AS q, $langScoreDefsSql
+      |  FROM documents),
+      |t AS (SELECT doc_id, source, fp, nt, q,
+      |  $langCaseSql AS lang_pred FROM sc),
+      |fpc AS (SELECT fp, count(*) AS c FROM t GROUP BY 1)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      | sum(nt)::BIGINT AS n_tokens,
+      | round(avg(q), 6) AS mean_quality,
+      | count(DISTINCT lang_pred)::BIGINT AS n_langs,
+      | round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE
+      |   / count(*)::DOUBLE, 6) AS dup_frac
+      |FROM t JOIN fpc USING (fp) GROUP BY source""".stripMargin))
+
   // ------------------------------------------- centroid outlier scan
   // Per-label mean embedding + squared distance to own centroid + outlier
   // flag — the embedding-space label-quality sweep. Centroids are a
@@ -1341,6 +1383,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, d37, e01, e02, e03, e04, e05,
-    e06, e07, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, e01, e02, e03, e04,
+    e05, e06, e07, m01, m02)
 }
