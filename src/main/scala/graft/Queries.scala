@@ -1382,9 +1382,38 @@ object Queries {
       |  SELECT user_id FROM events WHERE event_type = 'error')"""
       .stripMargin))
 
+  // ------------------------------------------------ SQL-text API surface
+  // The same ANSI SQL string runs through spark.sql over temp views AND
+  // through the DuckDB oracle over the raw tables — the TPC-H Q3
+  // (shipping-priority) shape: segment-filtered customer dim (broadcast
+  // after pushdown prunes it) joined into the orders→lineitem chain,
+  // decimal-exact revenue. Exercises the SQL entry point end to end;
+  // every other query exercises the DataFrame DSL.
+  private def q51Sql(c: String, o: String, l: String) =
+    s"""SELECT l_orderkey, o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |   AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM $c JOIN $o ON c_custkey = o_custkey
+      | JOIN $l ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      | AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      | AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderpriority""".stripMargin
+  private val q51: (String, QFn, Option[String]) =
+    ("q51_sql_shipping_priority",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql(q51Sql("v_customer", "v_orders", "v_lineitem"))
+      },
+      Some(q51Sql("customer", "orders", "lineitem")))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }
