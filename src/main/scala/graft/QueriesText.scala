@@ -1351,6 +1351,40 @@ object QueriesText {
       | (d2 > 2.0 * md2)::BIGINT AS is_outlier
       |FROM d JOIN m USING (label)""".stripMargin))
 
+  // ------------------------------------------- embedding dim diagnostics
+  // Per-dimension mean/variance + variance rank over the embedding
+  // column — the collapsed-dimension audit (a dim whose variance ≈ 0
+  // carries no signal; a dominant dim distorts cosine). Dimension stats
+  // are a dim-sized aggregate (64 rows) no matter the corpus size; the
+  // rank window runs over those 64 rows only. Same exploded-position
+  // arithmetic as e06's centroids, mirrored exactly in the oracle.
+  private val e08: (String, QFn, Option[String]) = ("e08_dim_variance",
+    (s, d) => {
+      val e = emb(s, d).select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("v"))
+      val m = e.groupBy(col("pos"))
+        .agg(avg(col("v")).as("mu"), count(lit(1)).as("n"))
+      val vv = e.join(m, Seq("pos"))
+        .groupBy(col("pos"), col("n"), col("mu"))
+        .agg((sum((col("v") - col("mu")) * (col("v") - col("mu")))
+          / col("n")).as("vp"))
+        .select(col("pos"), col("n"), round(col("mu"), 6).as("mean_v"),
+          round(col("vp"), 6).as("var_pop"))
+      Relevance.topKRanks(vv, "var_pop", "pos", 64)
+        .withColumnRenamed("rank", "var_rank")
+        .withColumn("var_rank", col("var_rank").cast("long"))
+    },
+    Some("""WITH e AS (SELECT vec_id, pos, embedding[pos + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+      |m AS (SELECT pos, avg(v) AS mu, count(*) AS n FROM e GROUP BY 1),
+      |vv AS (SELECT e.pos, n, round(mu, 6) AS mean_v,
+      |  round(sum((v - mu) * (v - mu)) / n, 6) AS var_pop
+      |  FROM e JOIN m USING (pos) GROUP BY e.pos, n, mu)
+      |SELECT pos, n, mean_v, var_pop,
+      | row_number() OVER (ORDER BY var_pop DESC, pos) AS var_rank
+      |FROM vv""".stripMargin))
+
   // ------------------------------------------- int8-quantized KNN
   // Cosine top-k over symmetric int8 codes — the 4× memory lever for a
   // corpus-scale embedding store. floor(x + 0.5) quantization (no
@@ -1384,5 +1418,5 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, e01, e02, e03, e04,
-    e05, e06, e07, m01, m02)
+    e05, e06, e07, e08, m01, m02)
 }
