@@ -1351,6 +1351,49 @@ object QueriesText {
       | (d2 > 2.0 * md2)::BIGINT AS is_outlier
       |FROM d JOIN m USING (label)""".stripMargin))
 
+  // ----------------------------------------- cross-source overlap matrix
+  // Shingle containment at SOURCE granularity — the mirror detector ("is
+  // source B mostly a copy of source A?"). Collapsing (doc, shingle) to
+  // DISTINCT (source, shingle) first bounds every posting list at the
+  // number of sources, so the pair join is |vocab| × sources², never
+  // doc-quadratic — the aggregation-level analog of d27's df-cutoff.
+  private val d39: (String, QFn, Option[String]) = ("d39_source_overlap",
+    (s, d) => {
+      val ss = docs(s, d).select(col("source"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+        .distinct().localCheckpoint(true)
+      val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = ss.select(col("source").as("sa"), col("sh"))
+        .join(ss.select(col("source").as("sb"), col("sh")), Seq("sh"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("source").as("sa"), col("n_sh").as("na")),
+          Seq("sa"))
+        .join(sz.select(col("source").as("sb"), col("n_sh").as("nb")),
+          Seq("sb"))
+        .select(col("sa"), col("sb"), col("inter"),
+          round(col("inter").cast("double") / col("na").cast("double"), 6)
+            .as("cont_a_in_b"),
+          round(col("inter").cast("double") / col("nb").cast("double"), 6)
+            .as("cont_b_in_a"))
+    },
+    Some(s"""WITH toks AS (SELECT source, $tokSql AS w FROM documents),
+      |ss AS (SELECT DISTINCT source, s FROM (SELECT source,
+      |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      |  FROM toks)),
+      |sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+      |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+      |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, inter,
+      | round(inter::DOUBLE / za.n_sh::DOUBLE, 6) AS cont_a_in_b,
+      | round(inter::DOUBLE / zb.n_sh::DOUBLE, 6) AS cont_b_in_a
+      |FROM i JOIN sz za ON za.source = sa
+      | JOIN sz zb ON zb.source = sb""".stripMargin))
+
   // ------------------------------------------- embedding dim diagnostics
   // Per-dimension mean/variance + variance rank over the embedding
   // column — the collapsed-dimension audit (a dim whose variance ≈ 0
@@ -1417,6 +1460,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, e01, e02, e03, e04,
-    e05, e06, e07, e08, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, e01, e02, e03,
+    e04, e05, e06, e07, e08, m01, m02)
 }

@@ -68,6 +68,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a sort-merge join over the bucketed tables:\n$finalPlan")
   }
 
+  test("globalCumsum: the row-level window is partitioned, never global") {
+    import graft.ops.Sequences
+    val df = spark.range(2000).select(col("id").as("k"),
+      (col("id") % 13 + 1).as("v"))
+    val out = Sequences.globalCumsum(df, "k", col("v"), "c")
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every Window over row data must carry the _pid partition spec; a
+    // naive sum() OVER (ORDER BY k) would print an empty partition list
+    // and drag the table into one task
+    val windows = finalPlan.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty)
+    val rowWindow = windows.filter(_.contains("_pid"))
+    assert(rowWindow.nonEmpty,
+      s"row-level window lost its _pid partitioning:\n$finalPlan")
+  }
+
   test("KMV sketch: one wide exchange + one sketch-sized exchange, no skew") {
     // the two-phase top-k claim: dedup + per-bucket rank ride the single
     // (grp, bucket) repartition; only the <= buckets*k survivors cross the
