@@ -111,8 +111,9 @@ object DotProduct {
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
-/** SparkSessionExtensions hook: registers `dot_product(a, b)` for SQL use
-  * and the [[graft.plans.DotProductRewrite]] optimizer rule (HOF pattern →
+/** SparkSessionExtensions hook: registers `dot_product(a, b)` and
+  * `minhash_sigs(arr, k)` for SQL use and the
+  * [[graft.plans.DotProductRewrite]] optimizer rule (HOF pattern →
   * native expression). Enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or
   * `GraftExtensions.register(spark)` on an already-built session. */
@@ -122,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       GraftExtensions.info,
       GraftExtensions.builder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      GraftExtensions.mhInfo,
+      GraftExtensions.mhBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
@@ -131,10 +136,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
   private[graft] val builder: Seq[Expression] => Expression =
     children => DotProduct(children(0), children(1))
+  private[graft] val mhInfo =
+    new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs")
+  private[graft] val mhBuilder: Seq[Expression] => Expression = children => {
+    val k = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, t)
+        if t == IntegerType => v
+      case _ => throw new IllegalArgumentException(
+        "minhash_sigs(arr, k): k must be an integer literal")
+    }
+    MinHashSigs(children(0), k)
+  }
 
   /** Register on an existing session (extensions config only affects
     * sessions built afterwards). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
       spark, "dot_product", info, builder)
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
+      spark, "minhash_sigs", mhInfo, mhBuilder)
+  }
 }
