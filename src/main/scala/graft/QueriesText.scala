@@ -1351,6 +1351,56 @@ object QueriesText {
       | (d2 > 2.0 * md2)::BIGINT AS is_outlier
       |FROM d JOIN m USING (label)""".stripMargin))
 
+  // ------------------------------------------------- Zipf rank-frequency
+  // Least-squares fit of log2(freq) on log2(rank) over the top-500 terms —
+  // the classic corpus sanity check (natural language ≈ slope −1; far off
+  // → boilerplate or synthetic text). The fit runs over ONE 500-row
+  // top-k (TakeOrdered), then a single 1-row aggregate of the power sums;
+  // slope/intercept/R² use the textbook closed forms with the SAME
+  // parenthesization in both engines.
+  private val d40: (String, QFn, Option[String]) = ("d40_zipf_fit",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ranked = Relevance.topKRanks(counts, "cnt", "term", 500)
+      val pts = ranked.select(
+        log2(col("rank").cast("double")).as("x"),
+        log2(col("cnt").cast("double")).as("y"))
+      val agg = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("n").cast("long").as("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+      |r AS (SELECT term, cnt, row_number() OVER
+      |  (ORDER BY cnt DESC, term) AS rank
+      |  FROM c ORDER BY cnt DESC, term LIMIT 500),
+      |p AS (SELECT log2(rank::DOUBLE) AS x, log2(cnt::DOUBLE) AS y
+      |  FROM r),
+      |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
+      |SELECT n::BIGINT AS n_terms,
+      | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+      |   6) AS zipf_intercept,
+      | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin))
+
   // ----------------------------------------- cross-source overlap matrix
   // Shingle containment at SOURCE granularity — the mirror detector ("is
   // source B mostly a copy of source A?"). Collapsing (doc, shingle) to
@@ -1460,6 +1510,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, e01, e02, e03,
-    e04, e05, e06, e07, e08, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, e01, e02,
+    e03, e04, e05, e06, e07, e08, m01, m02)
 }
