@@ -1411,9 +1411,44 @@ object Queries {
       },
       Some(q51Sql("customer", "orders", "lineitem")))
 
+  // ---------------------------------------------- null-semantics audit
+  // The null contract, driver-verified: NULL group keys form ONE group,
+  // count(*) counts rows while count(col)/avg skip nulls, and the
+  // null-safe equality (<=> / IS NOT DISTINCT FROM) treats NULL = NULL as
+  // true. Money averages go through the decimal-exact sum so the compare
+  // is noise-free. Engines genuinely differ on these semantics (e.g.
+  // NaN/null sort order), so pinning them against the oracle is cheap
+  // insurance for every other query.
+  private val q52: (String, QFn, Option[String]) = ("q52_null_semantics",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(col("o_orderstatus")).as("st"),
+        when(col("o_totalprice") > 400000.0, lit(null))
+          .otherwise(col("o_totalprice")).as("tp"))
+      o.groupBy(col("st")).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("tp")).as("n_nonnull"),
+          sum(when(col("tp").isNull, 1L).otherwise(0L)).as("n_null"),
+          round(moneySum(dec2(col("tp"))) / count(col("tp")), 6)
+            .as("avg_tp"))
+        .withColumn("is_null_group", (col("st") <=> lit(null)).cast("long"))
+    },
+    Some("""WITH o AS (SELECT
+      |  CASE WHEN o_orderstatus = 'P' THEN NULL
+      |    ELSE o_orderstatus END AS st,
+      |  CASE WHEN o_totalprice > 400000.0 THEN NULL
+      |    ELSE o_totalprice END AS tp FROM orders)
+      |SELECT st, count(*) AS n_rows, count(tp) AS n_nonnull,
+      | sum(CASE WHEN tp IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+      | round(CAST(sum(CAST(tp AS DECIMAL(18,2))) AS DOUBLE) / count(tp),
+      |   6) AS avg_tp,
+      | (st IS NOT DISTINCT FROM NULL)::BIGINT AS is_null_group
+      |FROM o GROUP BY st""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
