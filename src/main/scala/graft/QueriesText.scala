@@ -1478,6 +1478,34 @@ object QueriesText {
       | row_number() OVER (ORDER BY var_pop DESC, pos) AS var_rank
       |FROM vv""".stripMargin))
 
+  // ------------------------------------------------- ANN recall audit
+  // recall@5 of the LSH index against the exact scan, PER QUERY, as a
+  // driver-verified table — the measurement that decides whether an ANN
+  // index is usable (spec-level recall asserts exist; this pins the exact
+  // per-query numbers). Composes e01's and e02's own query fns and oracle
+  // SQL (nested WITH subqueries), so the audit can never drift from the
+  // things it audits.
+  private val e09: (String, QFn, Option[String]) = ("e09_ann_recall",
+    (s, d) => {
+      val ex = e01._2(s, d).select(col("qid"), col("nid"))
+      val ap = e02._2(s, d).select(col("qid"), col("nid"))
+      val hits = ex.join(ap, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      ex.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+    },
+    Some(s"""WITH exact AS (${e01._3.get}),
+      |approx AS (${e02._3.get}),
+      |h AS (SELECT e.qid, count(*) AS hits FROM exact e
+      |  JOIN approx a ON a.qid = e.qid AND a.nid = e.nid GROUP BY 1)
+      |SELECT q.qid, COALESCE(hits, 0)::BIGINT AS hits,
+      | round(COALESCE(hits, 0) / 5.0, 6) AS recall_at_5
+      |FROM (SELECT DISTINCT qid FROM exact) q
+      |LEFT JOIN h USING (qid)""".stripMargin))
+
   // ------------------------------------------- int8-quantized KNN
   // Cosine top-k over symmetric int8 codes — the 4× memory lever for a
   // corpus-scale embedding store. floor(x + 0.5) quantization (no
@@ -1511,5 +1539,5 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, e01, e02,
-    e03, e04, e05, e06, e07, e08, m01, m02)
+    e03, e04, e05, e06, e07, e08, e09, m01, m02)
 }
