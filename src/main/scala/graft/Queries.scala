@@ -1446,9 +1446,41 @@ object Queries {
       | (st IS NOT DISTINCT FROM NULL)::BIGINT AS is_null_group
       |FROM o GROUP BY st""".stripMargin))
 
+  // --------------------------------------------- schema-evolution read
+  // The long-lived-dataset reality: generation v1 lacks a column that
+  // generation v2 added. Written as two parquet dirs, read back in ONE
+  // scan with mergeSchema — v1 rows surface NULL for the new column, and
+  // the decimal-exact aggregates must hash-match an oracle computed from
+  // the original table. Tmp dirs are pid-keyed (rtDir) with shutdown
+  // cleanup.
+  private val q53: (String, QFn, Option[String]) = ("q53_schema_evolution",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_id"), col("user_id"),
+        col("value"))
+      val dir = rtDir("schevo", d)
+      base.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      base.filter(col("event_id") % 2 === 1)
+        .withColumn("boost", col("value") * 2)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("boost")).as("n_with_boost"),
+          moneySum(dec2(col("value"))).as("sum_value"),
+          moneySum(dec2(col("boost"))).as("sum_boost"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+      | sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+      |   AS n_with_boost,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      | CAST(sum(CASE WHEN event_id % 2 = 1
+      |   THEN CAST(value * 2 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |   AS sum_boost
+      |FROM events""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
