@@ -1478,9 +1478,124 @@ object Queries {
       |   AS sum_boost
       |FROM events""".stripMargin))
 
+  // --------------------------------------------------- funnel analysis
+  // First-touch ordered funnel signup → view → click → purchase: a user
+  // reaches stage k when the FIRST occurrence of every stage up to k is
+  // strictly later than the previous stage's first occurrence. ONE
+  // corpus-sized shuffle (per-user conditional mins, map-side combined to
+  // 4 timestamps per user); the stage counts are a 1-row aggregate
+  // exploded to 4 stage rows, so conversion math never touches the
+  // corpus. Counts are integer-exact; conversion ratios divide two longs
+  // (round 6).
+  private val q54: (String, QFn, Option[String]) = ("q54_funnel",
+    (s, d) => EventAnalytics.funnel(ev(s, d), col("user_id"),
+      col("event_type"), col("ts"),
+      Seq("signup", "view", "click", "purchase")),
+    Some("""WITH f AS (SELECT user_id,
+      |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+      |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |  sum((t0 IS NOT NULL)::BIGINT) AS u0,
+      |  sum((t0 IS NOT NULL AND t1 > t0)::BIGINT) AS u1,
+      |  sum((t0 IS NOT NULL AND t1 > t0 AND t2 > t1)::BIGINT) AS u2,
+      |  sum((t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2)::BIGINT)
+      |    AS u3 FROM f)
+      |SELECT 1::BIGINT AS stage_idx, 'signup' AS stage,
+      |  u0::BIGINT AS users, CAST(NULL AS DOUBLE) AS conv_from_prev FROM a
+      |UNION ALL SELECT 2::BIGINT, 'view', u1::BIGINT,
+      |  CASE WHEN u0 > 0 THEN round(u1 / u0, 6) END FROM a
+      |UNION ALL SELECT 3::BIGINT, 'click', u2::BIGINT,
+      |  CASE WHEN u1 > 0 THEN round(u2 / u1, 6) END FROM a
+      |UNION ALL SELECT 4::BIGINT, 'purchase', u3::BIGINT,
+      |  CASE WHEN u2 > 0 THEN round(u3 / u2, 6) END FROM a""".stripMargin))
+
+  // -------------------------------------------------- cohort retention
+  // Weekly cohort retention: cohort = Monday (epoch seconds) of the
+  // user's first active week; one output row per (cohort, week offset)
+  // counts the users active that week. ONE corpus-sized shuffle: the
+  // per-user groupBy collects the user's distinct week set (map-side
+  // combined, bounded by weeks-in-history — a few hundred values even for
+  // a decade of data); cohort = array_min of that set, and the exploded
+  // (user, week) rows that feed the final (cohort, offset) agg are
+  // users × weeks, not events. Offsets are exact integer arithmetic on
+  // Monday-midnight epochs.
+  private val q55: (String, QFn, Option[String]) = ("q55_cohort_retention",
+    (s, d) => EventAnalytics.cohortRetention(ev(s, d), col("user_id"),
+      col("ts")),
+    Some("""WITH w AS (SELECT DISTINCT user_id,
+      |  epoch(date_trunc('week', ts))::BIGINT AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_week_s FROM w
+      |  GROUP BY user_id)
+      |SELECT c.cohort_week_s, (w.wk - c.cohort_week_s) // 604800
+      |   AS week_offset, count(*) AS n_users
+      |FROM w JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin))
+
+  // ------------------------------------- time-decay (half-life) features
+  // Recency-weighted user value: each event contributes
+  // value × 2^(−age_weeks), age_weeks = whole weeks from the event to a
+  // fixed reference instant (integer µs floor-division on BOTH engines —
+  // no float boundary). The weight is an exact power of two via shiftleft
+  // (never pow(), whose libm rounding is engine-specific), so each term
+  // is one exact double scaling and the rounded sum is noise-free. Pure
+  // projection + one user shuffle with map-side combine — the standard
+  // recency-feature shape for churn/LTV models.
+  private val q56: (String, QFn, Option[String]) = ("q56_decay_features",
+    // ref = 2024-02-05 00:00:00 UTC (the Monday after the data window)
+    (s, d) => EventAnalytics.decayedValue(ev(s, d), col("user_id"),
+      col("ts"), col("value"), refEpochUs = 1707091200000000L),
+    Some("""WITH t AS (SELECT user_id, value,
+      |  least(greatest((1707091200000000 - epoch_us(ts)) // 604800000000,
+      |    0), 40) AS age_weeks FROM events)
+      |SELECT user_id,
+      | round(sum(value / ((1::BIGINT << age_weeks)::DOUBLE)), 6)
+      |   AS decayed_value,
+      | count(*) AS n_events, min(age_weeks) AS latest_age_weeks
+      |FROM t GROUP BY user_id""".stripMargin))
+
+  // ------------------------------------------- arg-max / arg-min agg
+  // Per event type: the user with the highest / lowest total spend, via
+  // max_by/min_by over a composite (total, user_id) ordering. Totals are
+  // decimal-exact so the ordering is noise-free, and the struct tiebreak
+  // makes ties (same total, different users) deterministic — the oracle
+  // replays the same ordering with ranked windows. Two shuffles, both
+  // map-side combined: (type, user) partial sums, then a per-type argmax
+  // over user-count-sized input.
+  private val q57: (String, QFn, Option[String]) = ("q57_arg_extremes",
+    (s, d) => ev(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(dec2(col("value"))).as("tot"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("tot"), col("user_id")))
+          .as("top_user"),
+        max(col("tot")).cast("double").as("top_total"),
+        min_by(col("user_id"), struct(col("tot"), col("user_id")))
+          .as("bottom_user"),
+        min(col("tot")).cast("double").as("bottom_total")),
+    Some("""WITH t AS (SELECT event_type, user_id,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS tot
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY tot DESC, user_id DESC) AS rmax,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY tot ASC, user_id ASC) AS rmin FROM t)
+      |SELECT event_type,
+      | max(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
+      | CAST(max(CASE WHEN rmax = 1 THEN tot END) AS DOUBLE) AS top_total,
+      | max(CASE WHEN rmin = 1 THEN user_id END) AS bottom_user,
+      | CAST(max(CASE WHEN rmin = 1 THEN tot END) AS DOUBLE)
+      |   AS bottom_total
+      |FROM r GROUP BY event_type""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q56, q57)
 }

@@ -15,7 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // comma-separated allowlist for local iteration on a subset (same
+    // contract as Bench's SPARK_GRAFT_BENCH_ONLY); unset = the driver's
+    // mode, dump everything
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -27,6 +36,7 @@ object Verify {
     // reference-format CSV (header, user-sorted — run.py:484-486). Written
     // OUTSIDE outDir so the driver's per-query compare never mistakes it
     // for a query result directory.
+    if (only.forall(_.contains("q27_pipeline_submission")))
     try graft.schema.Tables.writeCsv(
       SparkEntry.queries("q27_pipeline_submission")(spark, sfDir),
       s"${sys.props("java.io.tmpdir")}/graft_submission_csv",

@@ -40,6 +40,9 @@ def cmp(name, spark_df, duck_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated allowlist (local iteration on a
+    # subset dumped with SPARK_GRAFT_VERIFY_ONLY)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,6 +51,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         pq = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not pq:
             results[name] = "MISSING spark output"
@@ -62,7 +67,7 @@ def main():
     # queries without oracle: rows-only
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
-        if name in oracle:
+        if name in oracle or (only is not None and name not in only):
             continue
         pq = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in pq) if pq else 0
