@@ -1535,9 +1535,110 @@ object QueriesText {
       |  ORDER BY qsim DESC, nid) AS rank FROM sc2)
       |SELECT qid, nid, rank, qsim FROM r WHERE rank <= 5""".stripMargin))
 
+  // ------------------------------------ sparse TF-IDF cosine near-dup
+  // Weighted sibling of d05: shared shingles weighted by rarity (smoothed
+  // sklearn idf, d21's formula), cosine over the FULL weighted vectors;
+  // candidate pairs only through shingles with df <= 50 (the same
+  // quadratic guard as d05, mirrored in the oracle). Boilerplate shared
+  // by everything barely moves the score; a shared rare phrase dominates.
+  private val d41: (String, QFn, Option[String]) = ("d41_sparse_cosine",
+    (s, d) => Relevance.sparseCosinePairs(docs(s, d), "doc_id",
+      TextOps.tokens(col("text")), n = 3, threshold = 0.3,
+      maxPostings = 50),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      |  FROM toks) GROUP BY 1, 2),
+      |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |dfq AS (SELECT s, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |wt AS (SELECT doc_id, s, df,
+      |  tf::DOUBLE * (ln((n + 1.0) / (df::DOUBLE + 1.0)) + 1.0) AS w
+      |  FROM tf JOIN dfq USING (s), nd),
+      |nrm AS (SELECT doc_id, round(sqrt(sum(w * w)), 9) AS nrm
+      |  FROM wt GROUP BY 1),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM wt x JOIN wt y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  WHERE x.df <= 50 AND y.df <= 50),
+      |num AS (SELECT c.a, c.b, sum(x.w * y.w) AS num
+      |  FROM cand c JOIN wt x ON x.doc_id = c.a
+      |  JOIN wt y ON y.doc_id = c.b AND y.s = x.s
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(num / (na.nrm * nb.nrm), 6) AS sim
+      |FROM num JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
+      |WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin))
+
+  // ------------------------------------------- product-quantized ANN
+  // PQ codes + asymmetric-distance scan: corpus vectors become m=4
+  // centroid codes (12 bits vs 256 float bytes — the memory lever that
+  // keeps a 100 TB embedding store scan-resident); queries rank via a
+  // per-query lookup table, fixed-order m-term sums, so the oracle
+  // replays the arithmetic bit-for-bit. Composes with e04's IVF buckets
+  // for candidate pruning; this registers the full-scan ADC baseline.
+  private val PQ_M = 4
+  private val PQ_KC = 8
+  private val e10: (String, QFn, Option[String]) = ("e10_knn_pq",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.pqKnn(e.filter(col("id") < 20), e, 5, m = PQ_M,
+        kCent = PQ_KC, dims = LSH_DIMS)
+    },
+    Some {
+      val sub = LSH_DIMS / PQ_M
+      def fixedSum(expr: Int => String): String =
+        (0 until PQ_M).map(expr).mkString(" + ")
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PQ_KC)),
+        |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+        |cw AS (SELECT samp.cid, ms.m,
+        |    list_slice(samp.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        |  FROM samp, ms),
+        |cw2 AS (SELECT cid, m, cv, list_dot_product(cv, cv) AS cn2
+        |  FROM cw),
+        |cs AS (SELECT c.vec_id AS nid, ms.m,
+        |    list_slice(c.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS sv
+        |  FROM c, ms),
+        |sc AS (SELECT nid, cs.m, cid, cn2,
+        |    round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+        |      + cn2, 6) AS d2
+        |  FROM cs JOIN cw2 ON cs.m = cw2.m),
+        |codes AS (SELECT nid, m, cid, cn2 FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY nid, m ORDER BY d2, cid) AS r FROM sc)
+        |  WHERE r = 1),
+        |enc AS (SELECT nid,
+        |    ${fixedSum(i => s"max(CASE WHEN m = $i THEN cn2 END)")} AS nb2
+        |  FROM codes GROUP BY nid),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+        |  FROM q),
+        |lut AS (SELECT q.vec_id AS qid, cw2.m, cw2.cid,
+        |    list_dot_product(list_slice(q.v, cw2.m * $sub + 1,
+        |      cw2.m * $sub + $sub), cw2.cv) AS part
+        |  FROM q, cw2),
+        |adc AS (SELECT l.qid, k.nid,
+        |    ${fixedSum(i => s"max(CASE WHEN l.m = $i THEN part END)")}
+        |      AS dp
+        |  FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        |  WHERE l.qid <> k.nid GROUP BY 1, 2),
+        |scored AS (SELECT adc.qid, adc.nid,
+        |    round(CASE WHEN qn.qn * sqrt(e.nb2) > 0
+        |      THEN adc.dp / (qn.qn * sqrt(e.nb2)) END, 6) AS sim
+        |  FROM adc JOIN enc e ON e.nid = adc.nid
+        |  JOIN qn ON qn.qid = adc.qid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY
+        |  qid ORDER BY sim DESC NULLS LAST, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, e01, e02,
-    e03, e04, e05, e06, e07, e08, e09, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, e01,
+    e02, e03, e04, e05, e06, e07, e08, e09, e10, m01, m02)
 }

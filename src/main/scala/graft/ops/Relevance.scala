@@ -73,6 +73,64 @@ object Relevance {
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
   }
 
+  /** Sparse TF-IDF cosine near-duplicate pairs (a < b, sim >= threshold)
+    * over word n-gram shingles — the weighted sibling of
+    * `Dedup.jaccardPairs`: where Jaccard counts shared shingles, this
+    * weights them by rarity, so boilerplate shared by everything barely
+    * moves the score while a shared rare phrase dominates it.
+    *
+    * Weights are the smoothed sklearn tf-idf ([[TextOps.tfidf]] formula:
+    * tf · (ln((N+1)/(df+1)) + 1)); per-doc norms cover the FULL weighted
+    * vector. Candidate pairs come from a posting-list equi-join restricted
+    * to shingles with df <= maxPostings — the quadratic-blowup guard: a
+    * shingle shared by every document would otherwise emit |corpus|² join
+    * rows, and docs qualify as candidates only through the discriminative
+    * end of their vocabulary, which is exactly what tf-idf rewards. The
+    * dot product then re-joins candidates against the full posting lists
+    * of BOTH sides, so `sim` is the true sparse cosine over every shared
+    * shingle, not just the rare ones that nominated the pair.
+    *
+    * Scale shape: every join is an equi-join on shingle or doc id; the
+    * posting-list join is bounded by maxPostings² per shingle; no step is
+    * ever all-pairs in corpus size. Norms round to 9 dp and sims to 6 dp
+    * so both sides of the oracle compare on the same grid. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, toks: Column, n: Int,
+                        threshold: Double, maxPostings: Int): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
+    val tf = df.select(col(idCol).as("doc"),
+        explode(TextOps.shingles(toks, n)).as("s"))
+      .groupBy(col("doc"), col("s")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    // weighted postings feed four branches (norms, both candidate sides,
+    // both dot sides) — weak-ref checkpoint so the tokenize/shingle/agg
+    // pipeline runs once and the ContextCleaner can still reclaim it
+    val w = tf.join(dfreq, Seq("s"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf").cast("double") *
+        (log((col("_nd") + 1.0) / (col("_df").cast("double") + 1.0)) + 1.0))
+      .select(col("doc"), col("s"), col("_df"), col("w"))
+      .localCheckpoint(true)
+    val norms = w.groupBy(col("doc"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 9).as("nrm"))
+    val rare = w.filter(col("_df") <= maxPostings)
+    val cand = rare.select(col("doc").as("a"), col("s"))
+      .join(rare.select(col("doc").as("b"), col("s")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val num = cand
+      .join(w.select(col("doc").as("a"), col("s"), col("w").as("wa")),
+        Seq("a"))
+      .join(w.select(col("doc").as("b"), col("s"), col("w").as("wb")),
+        Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("num"))
+    num
+      .join(norms.select(col("doc").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col("doc").as("b"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("sim", round(col("num") / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): each input list
     * contributes 1/(kRrf + rank) per id; ids missing from a list contribute
     * nothing. Input lists are (idCol, rankCol) — typically [[topKRanks]]

@@ -362,4 +362,90 @@ object Similarity {
         (col("_d2") > lit(outlierFactor) * col("_mean_d2")).cast("long")
           .as("is_outlier"))
   }
+
+  /** Product-quantized (PQ) approximate KNN (Jégou et al. 2011 shape) —
+    * the memory-compression scale path: each corpus vector is encoded as
+    * `m` small centroid codes (one per dims/m subspace, nearest by L2²),
+    * and queries rank the whole corpus with an asymmetric distance
+    * computation (ADC): dot(q,x) ≈ Σ_m q_m·c_{m,code_m(x)} and
+    * |x| ≈ sqrt(Σ_m |c_{m,code_m}|²), both read from a per-query lookup
+    * table — the corpus side touches only the m·log2(kCent)-bit codes,
+    * never the vectors. At 64 dims / m=4 / 8 centroids that is 256 bytes
+    * of floats replaced by 12 bits per vector; at a 100 TB embedding
+    * store PQ codes are what keeps the scan memory-resident, and the
+    * same codes compose with IVF bucketing ([[ivfKnn]]) for candidate
+    * pruning — ADC here scans all codes, which IS the PQ baseline.
+    *
+    * Codebook: sub-slices of the first `kCent` corpus vectors by id —
+    * the same deterministic-sample policy as [[ivfKnn]]/[[semanticDedup]]
+    * (production plugs k-means subspace codebooks into the same shape).
+    * Determinism: encode ranks on ROUNDED L2² (6 dp) with centroid-index
+    * tiebreak; the reconstructed norm and ADC dot are FIXED-ORDER m-term
+    * sums (column arithmetic, not a float agg); sims round to 6 dp with
+    * id tiebreaks — the oracle replays everything bit-for-bit. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+            kCent: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    val sub = dims / m
+    // dense centroid index 0..kCent-1 (array-lookup key): row_number over
+    // the kCent-row sample — single-partition window on a constant-sized
+    // input, never the corpus
+    val samp = corpus.orderBy(col("id")).limit(kCent)
+      .withColumn("_ci", row_number().over(Window.orderBy(col("id"))) - 1)
+    val cents = broadcast(samp.select(col("_ci").as("cid"),
+        explode(array((0 until m).map(mm => struct(lit(mm).as("m"),
+          slice(col("vec"), mm * sub + 1, sub).as("cv"))): _*)).as("x"))
+      .select(col("cid"), col("x.m").as("m"), col("x.cv").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv"))))
+    def subRows(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("id").as(idAs),
+        explode(array((0 until m).map(mm => struct(lit(mm).as("m"),
+          slice(col("vec"), mm * sub + 1, sub).as("sv"))): _*)).as("x"))
+      .select(col(idAs), col("x.m").as("m"), col("x.sv").as("sv"))
+    // encode: per (vector, subspace) the nearest centroid by rounded L2²
+    val wEnc = Window.partitionBy(col("nid"), col("m"))
+      .orderBy(col("_d2").asc, col("cid").asc)
+    val codes = subRows(corpus, "nid").join(cents, Seq("m"))
+      .withColumn("_d2", round(dot(col("sv"), col("sv"))
+        - lit(2.0) * dot(col("sv"), col("cv")) + col("cn2"), 6))
+      .withColumn("_r", row_number().over(wEnc)).filter(col("_r") === 1)
+      .select(col("nid"), col("m"), col("cid"), col("cn2"))
+    // assemble the per-vector code row: code_m columns + the FIXED-ORDER
+    // reconstructed norm² (m column adds, not a float aggregate)
+    val codeCols = (0 until m).map(mm =>
+      max(when(col("m") === mm, col("cid"))).as(s"_code$mm"))
+    val cn2Cols = (0 until m).map(mm =>
+      max(when(col("m") === mm, col("cn2"))).as(s"_cn2_$mm"))
+    val aggCols = codeCols ++ cn2Cols
+    val enc = codes.groupBy(col("nid")).agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("_nb2",
+        (0 until m).map(mm => col(s"_cn2_$mm")).reduce(_ + _))
+    // per-query ADC lookup table: part(m, cid) = q_m · c_{m,cid}, pivoted
+    // to m arrays indexed by cid (fixed construction order) + exact |q|
+    val partCols = for { mm <- 0 until m; c <- 0 until kCent } yield
+      max(when(col("m") === mm && col("cid") === c, col("_part")))
+        .as(s"_p_${mm}_$c")
+    val lut = subRows(queries, "qid").join(cents, Seq("m"))
+      .withColumn("_part", dot(col("sv"), col("cv")))
+      .groupBy(col("qid")).agg(partCols.head, partCols.tail: _*)
+    val qn = queries.select(col("id").as("qid"), norm(col("vec")).as("_qn"))
+    val qEnc = broadcast(lut.join(qn, Seq("qid"))
+      .select(col("qid") +: col("_qn") +: (0 until m).map(mm =>
+        array((0 until kCent).map(c => col(s"_p_${mm}_$c")): _*)
+          .as(s"_lut$mm")): _*))
+    // ADC scan: fixed-order m-term dot from the LUT; corpus vectors never
+    // move — only their codes
+    val scored = enc.crossJoin(qEnc).filter(col("qid") =!= col("nid"))
+      .withColumn("_dot", (0 until m).map(mm =>
+        element_at(col(s"_lut$mm"), col(s"_code$mm").cast("int") + 1))
+        .reduce(_ + _))
+      .withColumn("_den", col("_qn") * sqrt(col("_nb2")))
+      .withColumn("sim",
+        round(when(col("_den") > 0, col("_dot") / col("_den")), 6))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
 }

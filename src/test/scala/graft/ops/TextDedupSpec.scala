@@ -213,6 +213,53 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("pqKnn achieves high recall vs brute force on clustered vectors") {
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec)
+    }
+    val df = base.toDF("id", "vec")
+    val q = df.filter($"id" < 4)
+    val brute = Similarity.bruteKnn(q, df, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqKnn(q, df, 3, m = 4, kCent = 4, dims = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.75, s"pq recall $recall")
+    // every query ranks the full corpus: exactly k rows per query with
+    // ranks 1..k (ADC is a compression scheme, not a candidate filter)
+    val ranks = Similarity.pqKnn(q, df, 3, m = 4, kCent = 4, dims = 8)
+      .groupBy($"qid").agg(count(lit(1)), max($"rank"))
+      .as[(Long, Long, Long)].collect()
+    assert(ranks.forall { case (_, n, mx) => n == 3 && mx == 3 })
+  }
+
+  test("sparseCosinePairs: identical docs hit 1.0, rare phrase beats boilerplate") {
+    // all docs share the boilerplate prefix; only 1/2 also share a rare
+    // 3-gram phrase. tf-idf cosine must rank the rare-phrase pair above
+    // the boilerplate-only pairs; identical docs score exactly 1.0.
+    val boiler = "terms of service apply to all users of this site"
+    val docs = Seq(
+      (1L, s"$boiler unique alpha payload"),
+      (2L, s"$boiler unique alpha payload"), // identical to 1
+      (3L, s"$boiler rare shared phrase here"),
+      (4L, s"$boiler rare shared phrase elsewhere"),
+      (5L, s"$boiler completely different tail words")
+    ).toDF("doc_id", "text")
+    val pairs = Relevance.sparseCosinePairs(docs, "doc_id",
+        TextOps.tokens(col("text")), n = 3, threshold = 0.0,
+        maxPostings = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // (3,4) share the rare "rare shared phrase" 3-gram on top of the
+    // boilerplate; (3,5) share boilerplate only
+    assert(pairs((3L, 4L)) > pairs((3L, 5L)))
+    assert(pairs((3L, 5L)) > 0.0) // boilerplate still overlaps
+  }
+
   test("lshNearDupPairs matches exact all-pairs on near-dups, no nested loop") {
     // near-identical pairs (0,1) and (2,3) plus unrelated vectors — scaled
     // copies share every sign bit, so banding must surface both pairs
