@@ -1592,10 +1592,94 @@ object Queries {
       |   AS bottom_total
       |FROM r GROUP BY event_type""".stripMargin))
 
+  // ------------------------------------------------- full outer join
+  // Reconciling two per-user aggregates where EACH side has keys the
+  // other lacks (even-id clickers vs div-3 purchasers): full outer join,
+  // null-flagged sides, coalesced totals. Decimal-exact sums make the
+  // compare noise-free; both inputs pre-aggregate before the join so the
+  // outer join moves user-count-sized rows, never raw events.
+  private val q58: (String, QFn, Option[String]) = ("q58_full_outer",
+    (s, d) => {
+      val clicks = ev(s, d)
+        .filter(col("event_type") === "click" && col("user_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          moneySum(dec2(col("value"))).as("click_value"))
+      val buys = ev(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_buys"),
+          moneySum(dec2(col("value"))).as("buy_value"))
+      clicks.join(buys, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+          round(coalesce(col("click_value"), lit(0.0))
+            + coalesce(col("buy_value"), lit(0.0)), 2).as("total_value"),
+          when(col("n_clicks").isNull, "buy_only")
+            .when(col("n_buys").isNull, "click_only")
+            .otherwise(lit("both")).as("side"))
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n_clicks,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      |  FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+      |  GROUP BY user_id),
+      |b AS (SELECT user_id, count(*) AS n_buys,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_value
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+      |  GROUP BY user_id)
+      |SELECT coalesce(c.user_id, b.user_id) AS user_id,
+      | coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+      | coalesce(n_buys, 0)::BIGINT AS n_buys,
+      | round(coalesce(click_value, 0) + coalesce(buy_value, 0), 2)
+      |   AS total_value,
+      | CASE WHEN n_clicks IS NULL THEN 'buy_only'
+      |      WHEN n_buys IS NULL THEN 'click_only'
+      |      ELSE 'both' END AS side
+      |FROM c FULL OUTER JOIN b ON c.user_id = b.user_id"""
+      .stripMargin))
+
+  // ------------------------------------------- window-function breadth
+  // The remaining ANSI window shapes in one per-user pass: lag/lead,
+  // first/last value over the full frame, ntile quartiles, percent_rank,
+  // cume_dist — all over the SAME (user, ts, event_id) ordering, so
+  // Catalyst fuses them into ONE Window operator after one user_id
+  // shuffle (ties impossible: event_id is unique). percent_rank/cume_dist
+  // are exact k/n rationals → round 6 both sides.
+  private val q59: (String, QFn, Option[String]) = ("q59_window_shapes",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ev(s, d).select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(full).as("first_value"),
+        last(col("value")).over(full).as("last_value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""SELECT event_id, user_id, value,
+      | lag(value) OVER w AS prev_value,
+      | lead(value) OVER w AS next_value,
+      | first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |   AS first_value,
+      | last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |   AS last_value,
+      | ntile(4) OVER w AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+      .stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57)
+    q56, q57, q58, q59)
 }

@@ -1569,6 +1569,39 @@ object QueriesText {
       |FROM num JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
       |WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin))
 
+  // ------------------------------------ fuzzy benchmark decontamination
+  // d14's exact 4-gram probe misses paraphrased leakage; this flags train
+  // docs whose MinHash signature estimates Jaccard >= 0.5 against any
+  // eval doc (doc_id % 25 = 0) sharing an LSH band. Train×eval band join
+  // only — never train×train — with the eval side broadcast.
+  private val d42: (String, QFn, Option[String]) =
+    ("d42_fuzzy_decontaminate",
+      (s, d) => Dedup.fuzzyDecontaminate(docs(s, d), "doc_id", "text",
+        isEval = col("doc_id") % 25 === 0, n = 3, k = MINHASH_K,
+        bands = MINHASH_BANDS, minEstJaccard = 0.5),
+      Some(s"""WITH $shCte,
+        |mh AS (SELECT doc_id, j,
+        |    min(${md5HashSql("s || '#' || j")}) AS sig
+        |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+        |  GROUP BY doc_id, j),
+        |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+        |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT t.doc_id AS t, e.doc_id AS e
+        |  FROM bk t JOIN bk e ON t.band = e.band AND t.bkey = e.bkey
+        |  WHERE t.doc_id % 25 <> 0 AND e.doc_id % 25 = 0),
+        |m AS (SELECT c.t, c.e,
+        |    sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS eq
+        |  FROM cand c JOIN mh a ON a.doc_id = c.t
+        |  JOIN mh b ON b.doc_id = c.e AND b.j = a.j
+        |  GROUP BY 1, 2),
+        |f AS (SELECT t, count(*) AS n_flagged FROM m
+        |  WHERE round(eq / ${MINHASH_K}.0, 6) >= 0.5 GROUP BY 1)
+        |SELECT d.doc_id AS doc, coalesce(n_flagged, 0)::BIGINT AS n_flagged,
+        | (coalesce(n_flagged, 0) > 0)::BIGINT AS contaminated
+        |FROM documents d LEFT JOIN f ON f.t = d.doc_id
+        |WHERE d.doc_id % 25 <> 0""".stripMargin))
+
   // ------------------------------------------- product-quantized ANN
   // PQ codes + asymmetric-distance scan: corpus vectors become m=4
   // centroid codes (12 bits vs 256 float bytes — the memory lever that
@@ -1639,6 +1672,6 @@ object QueriesText {
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
-    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, e01,
-    e02, e03, e04, e05, e06, e07, e08, e09, e10, m01, m02)
+    d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, m01, m02)
 }

@@ -117,6 +117,61 @@ object Dedup {
       .withColumn("contaminated", (col("n_overlap") > 0).cast("long"))
   }
 
+  /** Fuzzy benchmark decontamination: MinHash-LSH between the training
+    * corpus and the eval slice. [[decontaminate]] catches EXACT n-gram
+    * overlap; this catches paraphrased / partially-edited leakage the
+    * exact probe misses — a train doc is flagged when it shares an LSH
+    * band with any eval doc AND the full-signature estimate puts the pair
+    * at est Jaccard >= `minEstJaccard`. Returns one row per non-eval doc:
+    * (doc, n_flagged = eval docs it matched, contaminated).
+    *
+    * Scale shape: signatures are the same native projection as
+    * [[minhashLsh]] (no (doc, shingle) explode); the candidate join is
+    * train-bands ⋈ eval-bands on (band, bkey) — the eval side is a
+    * benchmark suite (KBs against TBs), so it broadcasts, and no
+    * train×train pair is ever formed, unlike the self-join dedup path.
+    * The verify join moves one wide signature row per candidate doc. */
+  def fuzzyDecontaminate(df: DataFrame, idCol: String, textCol: String,
+                         isEval: Column, n: Int, k: Int, bands: Int,
+                         minEstJaccard: Double): DataFrame = {
+    val arr = graft.functions.MinHashSigs.minhashSigs(
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)), k)
+    // checkpoint the array form before the column fan-out (same
+    // project-collapse barrier as minhashLsh); shingle-less docs carry a
+    // null signature — they can't be candidates but must still appear in
+    // the output, which the final left join restores
+    val sigs = df.select(col(idCol).as("doc"), isEval.as("_eval"),
+        arr.as("_sig"))
+      .localCheckpoint(true)
+      .filter(col("_sig").isNotNull)
+      .select(col("doc") +: col("_eval") +: (0 until k).map(j =>
+        element_at(col("_sig"), j + 1).as(s"sig$j")): _*)
+    val bk = lshBandKeys(sigs, k, bands)
+    val evalIds = sigs.filter(col("_eval")).select(col("doc"))
+    val bkT = bk.join(sigs.filter(!col("_eval")).select(col("doc")),
+        Seq("doc")).select(col("doc").as("t"), col("band"), col("bkey"))
+    val bkE = bk.join(evalIds, Seq("doc"))
+      .select(col("doc").as("e"), col("band"), col("bkey"))
+    val cand = bkT.join(broadcast(bkE), Seq("band", "bkey"))
+      .select(col("t"), col("e")).distinct()
+    val st = sigs.select(col("doc").as("t") +:
+      (0 until k).map(j => col(s"sig$j").as(s"siga$j")): _*)
+    val se = sigs.select(col("doc").as("e") +:
+      (0 until k).map(j => col(s"sig$j").as(s"sigb$j")): _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"siga$j") === col(s"sigb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val flagged = cand.join(st, Seq("t")).join(broadcast(se), Seq("e"))
+      .withColumn("_est", round(matches.cast("double") / lit(k.toDouble), 6))
+      .filter(col("_est") >= minEstJaccard)
+      .groupBy(col("t")).agg(count(lit(1)).as("n_flagged"))
+    df.filter(!isEval).select(col(idCol).as("doc"))
+      .join(flagged, col("doc") === col("t"), "left")
+      .select(col("doc"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("contaminated", (col("n_flagged") > 0).cast("long"))
+  }
+
   /** Duplicated-span fraction per document: the scalable proxy for
     * suffix-array exact-substring dedup (Lee et al. 2022). A span is one
     * n-gram OCCURRENCE (positions, not distinct shingles); it is "duplicated"

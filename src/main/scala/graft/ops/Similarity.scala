@@ -385,63 +385,130 @@ object Similarity {
     * id tiebreaks — the oracle replays everything bit-for-bit. */
   def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
             kCent: Int = 8, dims: Int = 64): DataFrame = {
+    val cents = pqCodebook(corpus, m, kCent, dims)
+    val enc = pqEncode(corpus, cents, m)
+    val qEnc = pqQueryTable(queries, cents, m, kCent)
+    // ADC scan: corpus vectors never move — only their codes
+    rankTopK(pqAdcScore(enc.crossJoin(qEnc), m), k)
+  }
+
+  /** IVF + PQ composed ANN — the production-scale index shape: e04's
+    * inverted-file bucketing prunes WHICH codes each query scans (only
+    * its `nProbe` nearest centroids' buckets), and e10's PQ codes decide
+    * WHAT is scanned (12-bit codes instead of float vectors). The
+    * candidate join is an equi-join on the IVF centroid id; scoring reads
+    * the per-query ADC lookup table. Both centroid sets follow the
+    * deterministic-sample policy of [[ivfKnn]]/[[pqKnn]], so the oracle
+    * replays assignment, codes and arithmetic exactly. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nCentroids: Int = 16, nProbe: Int = 4, m: Int = 4,
+               kCent: Int = 8, dims: Int = 64): DataFrame = {
+    val ivfCents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("_ivfc"), col("vec").as("_icv"),
+        norm(col("vec")).as("_icn")))
+    def assign(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+      val scored = df.select(col("id").as(idAs), col("vec"),
+          norm(col("vec")).as("_vn"))
+        .crossJoin(ivfCents)
+        .withColumn("_cs", round(cosinePrenormed(col("vec"), col("_icv"),
+          col("_vn"), col("_icn")), 6))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("_cs").desc, col("_ivfc").asc)
+      scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= keep)
+        .select(col(idAs), col("_ivfc").as("bucket"))
+    }
+    val cents = pqCodebook(corpus, m, kCent, dims)
+    val enc = pqEncode(corpus, cents, m)
+      .join(assign(corpus, "nid", keep = 1), Seq("nid"))
+    val qEnc = pqQueryTable(queries, cents, m, kCent)
+      .join(assign(queries, "qid", keep = nProbe), Seq("qid"))
+    // bucket equi-join: each query scans only probed buckets' codes; a
+    // corpus vector lives in exactly one bucket so no pair duplicates
+    rankTopK(pqAdcScore(qEnc.join(enc, Seq("bucket")), m), k)
+  }
+
+  /** PQ codebook: per subspace, the sub-slices of the first `kCent`
+    * corpus vectors by id, with a DENSE centroid index 0..kCent-1 (the
+    * array-lookup key) from a row_number over the kCent-row sample —
+    * single-partition window on a constant-sized input, never the
+    * corpus. Returns broadcast-ready (cid, m, cv, cn2). */
+  private def pqCodebook(corpus: DataFrame, m: Int, kCent: Int,
+                         dims: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
     val sub = dims / m
-    // dense centroid index 0..kCent-1 (array-lookup key): row_number over
-    // the kCent-row sample — single-partition window on a constant-sized
-    // input, never the corpus
     val samp = corpus.orderBy(col("id")).limit(kCent)
       .withColumn("_ci", row_number().over(Window.orderBy(col("id"))) - 1)
-    val cents = broadcast(samp.select(col("_ci").as("cid"),
+    broadcast(samp.select(col("_ci").as("cid"),
         explode(array((0 until m).map(mm => struct(lit(mm).as("m"),
           slice(col("vec"), mm * sub + 1, sub).as("cv"))): _*)).as("x"))
       .select(col("cid"), col("x.m").as("m"), col("x.cv").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv"))))
-    def subRows(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("id").as(idAs),
+  }
+
+  private def pqSubRows(df: DataFrame, idAs: String, m: Int,
+                        dims: Int): DataFrame = {
+    val sub = dims / m
+    df.select(col("id").as(idAs),
         explode(array((0 until m).map(mm => struct(lit(mm).as("m"),
           slice(col("vec"), mm * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col(idAs), col("x.m").as("m"), col("x.sv").as("sv"))
-    // encode: per (vector, subspace) the nearest centroid by rounded L2²
+  }
+
+  /** Encode: per (vector, subspace) the nearest codebook centroid by
+    * ROUNDED L2² (6 dp, cid tiebreak), assembled to one row per vector:
+    * code_m columns + the FIXED-ORDER reconstructed norm² (m column
+    * adds, not a float aggregate — oracle-replayable). */
+  private def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int)
+  : DataFrame = {
     val wEnc = Window.partitionBy(col("nid"), col("m"))
       .orderBy(col("_d2").asc, col("cid").asc)
-    val codes = subRows(corpus, "nid").join(cents, Seq("m"))
+    val codes = pqSubRows(corpus, "nid", m).join(cents, Seq("m"))
       .withColumn("_d2", round(dot(col("sv"), col("sv"))
         - lit(2.0) * dot(col("sv"), col("cv")) + col("cn2"), 6))
       .withColumn("_r", row_number().over(wEnc)).filter(col("_r") === 1)
       .select(col("nid"), col("m"), col("cid"), col("cn2"))
-    // assemble the per-vector code row: code_m columns + the FIXED-ORDER
-    // reconstructed norm² (m column adds, not a float aggregate)
     val codeCols = (0 until m).map(mm =>
       max(when(col("m") === mm, col("cid"))).as(s"_code$mm"))
     val cn2Cols = (0 until m).map(mm =>
       max(when(col("m") === mm, col("cn2"))).as(s"_cn2_$mm"))
     val aggCols = codeCols ++ cn2Cols
-    val enc = codes.groupBy(col("nid")).agg(aggCols.head, aggCols.tail: _*)
+    codes.groupBy(col("nid")).agg(aggCols.head, aggCols.tail: _*)
       .withColumn("_nb2",
         (0 until m).map(mm => col(s"_cn2_$mm")).reduce(_ + _))
-    // per-query ADC lookup table: part(m, cid) = q_m · c_{m,cid}, pivoted
-    // to m arrays indexed by cid (fixed construction order) + exact |q|
+  }
+
+  /** Per-query ADC lookup table: part(m, cid) = q_m · c_{m,cid}, pivoted
+    * to m arrays indexed by cid (fixed construction order) + exact |q|.
+    * Broadcast-ready — the query block is small by the same policy as
+    * [[bruteKnn]]. */
+  private def pqQueryTable(queries: DataFrame, cents: DataFrame, m: Int,
+                           kCent: Int): DataFrame = {
     val partCols = for { mm <- 0 until m; c <- 0 until kCent } yield
       max(when(col("m") === mm && col("cid") === c, col("_part")))
         .as(s"_p_${mm}_$c")
-    val lut = subRows(queries, "qid").join(cents, Seq("m"))
+    val lut = pqSubRows(queries, "qid", m).join(cents, Seq("m"))
       .withColumn("_part", dot(col("sv"), col("cv")))
       .groupBy(col("qid")).agg(partCols.head, partCols.tail: _*)
     val qn = queries.select(col("id").as("qid"), norm(col("vec")).as("_qn"))
-    val qEnc = broadcast(lut.join(qn, Seq("qid"))
+    broadcast(lut.join(qn, Seq("qid"))
       .select(col("qid") +: col("_qn") +: (0 until m).map(mm =>
         array((0 until kCent).map(c => col(s"_p_${mm}_$c")): _*)
           .as(s"_lut$mm")): _*))
-    // ADC scan: fixed-order m-term dot from the LUT; corpus vectors never
-    // move — only their codes
-    val scored = enc.crossJoin(qEnc).filter(col("qid") =!= col("nid"))
-      .withColumn("_dot", (0 until m).map(mm =>
-        element_at(col(s"_lut$mm"), col(s"_code$mm").cast("int") + 1))
-        .reduce(_ + _))
-      .withColumn("_den", col("_qn") * sqrt(col("_nb2")))
-      .withColumn("sim",
-        round(when(col("_den") > 0, col("_dot") / col("_den")), 6))
+  }
+
+  /** Fixed-order m-term ADC similarity over joined (code row × query
+    * table) rows; excludes self-pairs. */
+  private def pqAdcScore(joined: DataFrame, m: Int): DataFrame = joined
+    .filter(col("qid") =!= col("nid"))
+    .withColumn("_dot", (0 until m).map(mm =>
+      element_at(col(s"_lut$mm"), col(s"_code$mm").cast("int") + 1))
+      .reduce(_ + _))
+    .withColumn("_den", col("_qn") * sqrt(col("_nb2")))
+    .withColumn("sim",
+      round(when(col("_den") > 0, col("_dot") / col("_den")), 6))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val wR = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(wR).cast("long"))
