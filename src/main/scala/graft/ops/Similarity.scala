@@ -386,8 +386,8 @@ object Similarity {
   def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
             kCent: Int = 8, dims: Int = 64): DataFrame = {
     val cents = pqCodebook(corpus, m, kCent, dims)
-    val enc = pqEncode(corpus, cents, m)
-    val qEnc = pqQueryTable(queries, cents, m, kCent)
+    val enc = pqEncode(corpus, cents, m, dims)
+    val qEnc = pqQueryTable(queries, cents, m, kCent, dims)
     // ADC scan: corpus vectors never move — only their codes
     rankTopK(pqAdcScore(enc.crossJoin(qEnc), m), k)
   }
@@ -419,9 +419,9 @@ object Similarity {
         .select(col(idAs), col("_ivfc").as("bucket"))
     }
     val cents = pqCodebook(corpus, m, kCent, dims)
-    val enc = pqEncode(corpus, cents, m)
+    val enc = pqEncode(corpus, cents, m, dims)
       .join(assign(corpus, "nid", keep = 1), Seq("nid"))
-    val qEnc = pqQueryTable(queries, cents, m, kCent)
+    val qEnc = pqQueryTable(queries, cents, m, kCent, dims)
       .join(assign(queries, "qid", keep = nProbe), Seq("qid"))
     // bucket equi-join: each query scans only probed buckets' codes; a
     // corpus vector lives in exactly one bucket so no pair duplicates
@@ -459,11 +459,11 @@ object Similarity {
     * ROUNDED L2² (6 dp, cid tiebreak), assembled to one row per vector:
     * code_m columns + the FIXED-ORDER reconstructed norm² (m column
     * adds, not a float aggregate — oracle-replayable). */
-  private def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int)
-  : DataFrame = {
+  private def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int,
+                       dims: Int): DataFrame = {
     val wEnc = Window.partitionBy(col("nid"), col("m"))
       .orderBy(col("_d2").asc, col("cid").asc)
-    val codes = pqSubRows(corpus, "nid", m).join(cents, Seq("m"))
+    val codes = pqSubRows(corpus, "nid", m, dims).join(cents, Seq("m"))
       .withColumn("_d2", round(dot(col("sv"), col("sv"))
         - lit(2.0) * dot(col("sv"), col("cv")) + col("cn2"), 6))
       .withColumn("_r", row_number().over(wEnc)).filter(col("_r") === 1)
@@ -483,11 +483,11 @@ object Similarity {
     * Broadcast-ready — the query block is small by the same policy as
     * [[bruteKnn]]. */
   private def pqQueryTable(queries: DataFrame, cents: DataFrame, m: Int,
-                           kCent: Int): DataFrame = {
+                           kCent: Int, dims: Int): DataFrame = {
     val partCols = for { mm <- 0 until m; c <- 0 until kCent } yield
       max(when(col("m") === mm && col("cid") === c, col("_part")))
         .as(s"_p_${mm}_$c")
-    val lut = pqSubRows(queries, "qid", m).join(cents, Seq("m"))
+    val lut = pqSubRows(queries, "qid", m, dims).join(cents, Seq("m"))
       .withColumn("_part", dot(col("sv"), col("cv")))
       .groupBy(col("qid")).agg(partCols.head, partCols.tail: _*)
     val qn = queries.select(col("id").as("qid"), norm(col("vec")).as("_qn"))
