@@ -1669,9 +1669,94 @@ object QueriesText {
         .stripMargin
     })
 
+  // ---------------------------------------------- IVF + PQ composed ANN
+  // The production index shape: e04's inverted file prunes WHICH corpus
+  // codes each query scans (bucket equi-join on the probed centroid ids),
+  // e10's PQ codes decide WHAT is scanned (12-bit codes, ADC lookup
+  // table). Both stages keep the deterministic-sample + rounded-rank
+  // policy, so the oracle replays assignment, codes and the fixed-order
+  // ADC arithmetic bit-for-bit.
+  private val e11: (String, QFn, Option[String]) = ("e11_knn_ivfpq",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.ivfPqKnn(e.filter(col("id") < 20), e, 5,
+        nCentroids = 16, nProbe = 4, m = PQ_M, kCent = PQ_KC,
+        dims = LSH_DIMS)
+    },
+    Some {
+      val sub = LSH_DIMS / PQ_M
+      def fixedSum(expr: Int => String): String =
+        (0 until PQ_M).map(expr).mkString(" + ")
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS icid, v AS icv FROM c
+        |  ORDER BY vec_id LIMIT 16),
+        |ica AS (SELECT c.vec_id, c.v, i.icid, ${cos("c.v", "i.icv")} AS cs
+        |  FROM c, icents i),
+        |corpusb AS (SELECT vec_id AS nid, icid AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, icid) AS r FROM ica) WHERE r = 1),
+        |queryb AS (SELECT vec_id AS qid, icid AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, icid) AS r FROM ica WHERE vec_id < 20)
+        |  WHERE r <= 4),
+        |cnd AS (SELECT qid, nid FROM queryb JOIN corpusb USING (bucket)
+        |  WHERE qid <> nid),
+        |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PQ_KC)),
+        |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+        |cw AS (SELECT samp.cid, ms.m,
+        |    list_slice(samp.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        |  FROM samp, ms),
+        |cw2 AS (SELECT cid, m, cv, list_dot_product(cv, cv) AS cn2
+        |  FROM cw),
+        |cs AS (SELECT c.vec_id AS nid, ms.m,
+        |    list_slice(c.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS sv
+        |  FROM c, ms),
+        |sc AS (SELECT nid, cs.m, cid, cn2,
+        |    round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+        |      + cn2, 6) AS d2
+        |  FROM cs JOIN cw2 ON cs.m = cw2.m),
+        |codes AS (SELECT nid, m, cid, cn2 FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY nid, m ORDER BY d2, cid) AS r FROM sc)
+        |  WHERE r = 1),
+        |enc AS (SELECT nid,
+        |    ${fixedSum(i => s"max(CASE WHEN m = $i THEN cn2 END)")} AS nb2
+        |  FROM codes GROUP BY nid),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+        |  FROM q),
+        |lut AS (SELECT q.vec_id AS qid, cw2.m, cw2.cid,
+        |    list_dot_product(list_slice(q.v, cw2.m * $sub + 1,
+        |      cw2.m * $sub + $sub), cw2.cv) AS part
+        |  FROM q, cw2),
+        |adc AS (SELECT cd.qid, cd.nid,
+        |    ${fixedSum(i => s"max(CASE WHEN l.m = $i THEN part END)")}
+        |      AS dp
+        |  FROM cnd cd JOIN codes k ON k.nid = cd.nid
+        |  JOIN lut l ON l.qid = cd.qid AND l.m = k.m AND l.cid = k.cid
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT adc.qid, adc.nid,
+        |    round(CASE WHEN qn.qn * sqrt(e.nb2) > 0
+        |      THEN adc.dp / (qn.qn * sqrt(e.nb2)) END, 6) AS sim
+        |  FROM adc JOIN enc e ON e.nid = adc.nid
+        |  JOIN qn ON qn.qid = adc.qid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY
+        |  qid ORDER BY sim DESC NULLS LAST, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, m01, m02)
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, m01, m02)
 }

@@ -236,6 +236,31 @@ class TextDedupSpec extends SparkSpec {
     assert(ranks.forall { case (_, n, mx) => n == 3 && mx == 3 })
   }
 
+  test("ivfPqKnn achieves high recall vs brute force on clustered vectors") {
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec)
+    }
+    val df = base.toDF("id", "vec")
+    val q = df.filter($"id" < 4)
+    val brute = Similarity.bruteKnn(q, df, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqKnn(q, df, 3, nCentroids = 4, nProbe = 2,
+      m = 4, kCent = 4, dims = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.75, s"ivf+pq recall $recall")
+    // IVF prunes candidates (unlike full-scan pqKnn) but within the
+    // probed buckets every query still gets k ranked rows 1..k
+    val ranks = Similarity.ivfPqKnn(q, df, 3, nCentroids = 4, nProbe = 2,
+      m = 4, kCent = 4, dims = 8)
+      .groupBy($"qid").agg(count(lit(1)), max($"rank"))
+      .as[(Long, Long, Long)].collect()
+    assert(ranks.forall { case (_, n, mx) => n == 3 && mx == 3 })
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, rare phrase beats boilerplate") {
     // all docs share the boilerplate prefix; only 1/2 also share a rare
     // 3-gram phrase. tf-idf cosine must rank the rare-phrase pair above
