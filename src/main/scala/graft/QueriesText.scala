@@ -1538,13 +1538,17 @@ object QueriesText {
   // ------------------------------------ sparse TF-IDF cosine near-dup
   // Weighted sibling of d05: shared shingles weighted by rarity (smoothed
   // sklearn idf, d21's formula), cosine over the FULL weighted vectors;
-  // candidate pairs only through shingles with df <= 50 (the same
-  // quadratic guard as d05, mirrored in the oracle). Boilerplate shared
-  // by everything barely moves the score; a shared rare phrase dominates.
+  // candidate pairs must share >= 2 distinct shingles with df <= 10 (both
+  // knobs mirrored in the oracle). One rare hit is weak evidence on this
+  // repetitive vocabulary — at sf0.1 the single-hit df<=50 rule emitted
+  // 1.13M candidates for 256 true pairs (13 s, 72M verify rows); the
+  // two-hit rule emits 17k candidates at 255/256 recall. Boilerplate
+  // shared by everything barely moves the score; shared rare phrases
+  // dominate.
   private val d41: (String, QFn, Option[String]) = ("d41_sparse_cosine",
     (s, d) => Relevance.sparseCosinePairs(docs(s, d), "doc_id",
       TextOps.tokens(col("text")), n = 3, threshold = 0.3,
-      maxPostings = 50),
+      maxPostings = 10, minShared = 2),
     Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
       |tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM (
       |  SELECT doc_id, unnest(list_transform(
@@ -1558,9 +1562,10 @@ object QueriesText {
       |  FROM tf JOIN dfq USING (s), nd),
       |nrm AS (SELECT doc_id, round(sqrt(sum(w * w)), 9) AS nrm
       |  FROM wt GROUP BY 1),
-      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
       |  FROM wt x JOIN wt y ON x.s = y.s AND x.doc_id < y.doc_id
-      |  WHERE x.df <= 50 AND y.df <= 50),
+      |  WHERE x.df <= 10 AND y.df <= 10
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |num AS (SELECT c.a, c.b, sum(x.w * y.w) AS num
       |  FROM cand c JOIN wt x ON x.doc_id = c.a
       |  JOIN wt y ON y.doc_id = c.b AND y.s = x.s
@@ -1754,9 +1759,58 @@ object QueriesText {
         .stripMargin
     })
 
+  // -------------------------------------------------- k-means clustering
+  // Lloyd iterations with order-independent centroid math: per-dim sums in
+  // DECIMAL(25,10) (exact — partial-agg order can't move the result), mean
+  // rounded 6 dp; assignment ranks rounded L2² with centroid-id tiebreak.
+  // Each Spark iteration is a narrow projection + a k-row aggregate
+  // (centroids live driver-side as literals, the Spark-ML pattern), and
+  // the oracle replays the SAME two iterations as chained CTEs. The
+  // learned centroids slot straight into ivfKnn's bucket shape — this is
+  // the "production plugs k-means into the same shape" path the IVF
+  // scaladocs promise.
+  private val KM_K = 4
+  private val KM_ITERS = 2
+  private val e12: (String, QFn, Option[String]) = ("e12_kmeans",
+    (s, d) => Similarity.kmeans(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      KM_K, KM_ITERS, dims = LSH_DIMS)
+      .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
+        col("d2")),
+    Some {
+      val comps = (0 until LSH_DIMS).map(i =>
+        s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(25,10))) AS DOUBLE)" +
+          s" / count(*), 6)").mkString(", ")
+      def assignCte(name: String, centsCte: String): String =
+        s"""$name AS (SELECT vec_id, v, cid, d2 FROM (
+           |  SELECT vec_id, v, cid, d2, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY d2, cid) AS r FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |      round(list_dot_product(e.v, e.v)
+           |        - 2 * list_dot_product(e.v, c.cv)
+           |        + list_dot_product(c.cv, c.cv), 6) AS d2
+           |    FROM e, $centsCte c)) WHERE r = 1)""".stripMargin
+      def updateCtes(i: Int): String =
+        s"""u$i AS (SELECT cid, list_value($comps) AS cv
+           |  FROM a$i GROUP BY cid),
+           |c$i AS (SELECT p.cid, coalesce(u$i.cv, p.cv) AS cv
+           |  FROM c${i - 1} p LEFT JOIN u$i USING (cid))""".stripMargin
+      val iterCtes = (1 to KM_ITERS).map(i =>
+        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCtes(i))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KM_K)),
+        |$iterCtes,
+        |${assignCte("fin", s"c$KM_ITERS")}
+        |SELECT vec_id, cid::BIGINT AS cid, d2 FROM fin""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, m01, m02)
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, m01, m02)
 }

@@ -95,7 +95,8 @@ object Relevance {
     * ever all-pairs in corpus size. Norms round to 9 dp and sims to 6 dp
     * so both sides of the oracle compare on the same grid. */
   def sparseCosinePairs(df: DataFrame, idCol: String, toks: Column, n: Int,
-                        threshold: Double, maxPostings: Int): DataFrame = {
+                        threshold: Double, maxPostings: Int,
+                        minShared: Int = 1): DataFrame = {
     val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
     val tf = df.select(col(idCol).as("doc"),
         explode(TextOps.shingles(toks, n)).as("s"))
@@ -112,11 +113,21 @@ object Relevance {
       .localCheckpoint(true)
     val norms = w.groupBy(col("doc"))
       .agg(round(sqrt(sum(col("w") * col("w"))), 9).as("nrm"))
+    // candidate rule = BOTH knobs: pairs must share >= minShared distinct
+    // shingles of df <= maxPostings. One rare-shingle hit is weak evidence
+    // on a repetitive vocabulary (measured at sf0.1: 1 hit -> 1.13M
+    // candidate pairs for 256 true near-dups; 2 hits at df<=10 -> 17k
+    // candidates, 255/256 recall) — and every candidate pays a full
+    // posting-list join in the verify stage below, so candidate count IS
+    // the cost of this operator. The count aggregate replaces the
+    // distinct() — same shuffle, and the (doc,s) input is already unique.
     val rare = w.filter(col("_df") <= maxPostings)
     val cand = rare.select(col("doc").as("a"), col("s"))
       .join(rare.select(col("doc").as("b"), col("s")), Seq("s"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_ns"))
+      .filter(col("_ns") >= minShared)
+      .select(col("a"), col("b"))
     val num = cand
       .join(w.select(col("doc").as("a"), col("s"), col("w").as("wa")),
         Seq("a"))

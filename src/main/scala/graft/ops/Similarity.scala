@@ -428,6 +428,74 @@ object Similarity {
     rankTopK(pqAdcScore(qEnc.join(enc, Seq("bucket")), m), k)
   }
 
+  /** Lloyd k-means over (id, vec) with deterministic init (first `k`
+    * vectors by id — same policy as [[ivfKnn]]'s centroid sample) and
+    * ORDER-INDEPENDENT centroid updates: per-dimension component sums run
+    * in DECIMAL(25,10) (exact, so partial-aggregation order can't change
+    * the result), then mean → round 6 dp. Assignment is a PROJECTION —
+    * centroids are driver-side literals (k×dims doubles, the same bounded
+    * driver-state pattern as [[planeVector]] and Spark ML's own KMeans),
+    * so each iteration costs one narrow scan + one k-row aggregate: no
+    * join, no window, no shuffle of the vectors themselves. Distances
+    * rank on ROUNDED L2² (6 dp) with centroid-index tiebreak and empty
+    * clusters keep their previous centroid, so a DuckDB oracle replays
+    * every iteration bit-for-bit. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int, dims: Int)
+  : Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus.orderBy(col("id")).limit(k)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sumCols = (0 until dims).map(i =>
+      sum(element_at(col("vec"), i + 1).cast("double")
+        .cast("decimal(25,10)")).as(s"_s$i"))
+    for (_ <- 0 until iters) {
+      val upd = assignStruct(corpus, cents)
+        .select(col("vec"), col("_x.cid").as("cid"))
+        .groupBy(col("cid")).agg(sumCols.head, (sumCols.tail :+
+          count(lit(1)).as("_n")): _*)
+        .select(col("cid") +: (0 until dims).map(i =>
+          round(col(s"_s$i").cast("double") / col("_n"), 6)
+            .as(s"_c$i")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach { r =>
+        val cid = r.getInt(0)
+        next(cid) = (0 until dims).map(i => r.getDouble(i + 1)).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment as a pure projection: per centroid a
+    * (rounded d2, cid) struct; `array_min` picks the lexicographic
+    * minimum — distance first, centroid index as the deterministic
+    * tiebreak. |c|² is folded driver-side in the same strict
+    * left-to-right order as the native DotProduct / DuckDB
+    * list_dot_product. Returns (id, cid, d2). */
+  def assignToCentroids(corpus: DataFrame, cents: Array[Array[Double]])
+  : DataFrame = assignStruct(corpus, cents)
+    .select(col("id"), col("_x.cid").as("cid"), col("_x.d2").as("d2"))
+
+  private def assignStruct(corpus: DataFrame, cents: Array[Array[Double]])
+  : DataFrame = {
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val cands = cents.zipWithIndex.map { case (c, i) =>
+      struct(round(col("_vn2") - lit(2.0) * dot(col("vec"), lit(c))
+        + lit(selfDot(c)), 6).as("d2"), lit(i).as("cid"))
+    }
+    corpus.withColumn("_vn2", dot(col("vec"), col("vec")))
+      .withColumn("_x", array_min(array(cands: _*)))
+  }
+
+  /** Fit + final assignment in one call — the registered e12 surface. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    assignToCentroids(corpus, kmeansFit(corpus, k, iters, dims))
+
   /** PQ codebook: per subspace, the sub-slices of the first `kCent`
     * corpus vectors by id, with a DENSE centroid index 0..kCent-1 (the
     * array-lookup key) from a row_number over the kCent-row sample —

@@ -261,6 +261,28 @@ class TextDedupSpec extends SparkSpec {
     assert(ranks.forall { case (_, n, mx) => n == 3 && mx == 3 })
   }
 
+  test("kmeans recovers two well-separated clusters deterministically") {
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec)
+    }
+    val df = base.toDF("id", "vec")
+    val out = Similarity.kmeans(df, k = 2, iters = 3, dims = 8)
+      .select($"id", $"cid").as[(Long, Int)].collect().toMap
+    // every member of a true cluster lands in the same learned cluster,
+    // and the two true clusters land in different ones
+    val byTrue = base.map(_._1).groupBy(_ % 2)
+      .map { case (t, ids) => t -> ids.map(out).toSet }
+    assert(byTrue.values.forall(_.size == 1), s"split cluster: $byTrue")
+    assert(byTrue(0L) != byTrue(1L), "clusters merged")
+    // refit is bit-identical (decimal-exact sums are order-independent)
+    val c1 = Similarity.kmeansFit(df.repartition(7), 2, 3, 8)
+    val c2 = Similarity.kmeansFit(df.repartition(3), 2, 3, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, rare phrase beats boilerplate") {
     // all docs share the boilerplate prefix; only 1/2 also share a rare
     // 3-gram phrase. tf-idf cosine must rank the rare-phrase pair above
