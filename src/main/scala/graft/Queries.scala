@@ -1676,10 +1676,90 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
       .stripMargin))
 
+  // --------------------------------------- partitioned layout + pruning
+  // The directory-layout half of the storage story (q46 covers bucketing):
+  // write events hive-partitioned by event_type, read back with a
+  // partition predicate. The filter resolves against DIRECTORIES at plan
+  // time — the scan never opens a non-matching file, which at 100 TB is
+  // the difference between reading one partition and reading the lake.
+  // PlanShapeSpec asserts the scan carries it as a PartitionFilter (no
+  // per-row evaluation); the oracle replays filter+agg over the source.
+  private val q60: (String, QFn, Option[String]) = ("q60_partition_prune",
+    (s, d) => {
+      val dir = rtDir("q60", d)
+      ev(s, d).select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          moneySum(dec2(col("value"))).as("purchase_value"))
+    },
+    Some("""SELECT user_id, count(*)::BIGINT AS n_purchases,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id""".stripMargin))
+
+  // ------------------------------------------- CDC snapshot delta (digest)
+  // Change-data-capture between two keyed snapshots WITHOUT comparing
+  // columns one by one: each side carries an md5 row digest over its
+  // canonicalized values (counts + DECIMAL-string money — no raw doubles
+  // in the digest, double→string formatting is engine-specific), the full
+  // outer join moves only (key, digest, values), and one digest compare
+  // classifies insert/update/delete. Emitting ONLY the delta is the point:
+  // at 100 TB the output is proportional to what changed, not to the
+  // table. Snapshots here are two overlapping event samples (7-mod vs
+  // 10-mod), so all three change classes occur.
+  private val q61: (String, QFn, Option[String]) = ("q61_cdc_delta",
+    (s, d) => {
+      def snap(pred: Column) = ev(s, d).filter(pred)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("total"))
+        .select(col("user_id"), col("n"), col("total"),
+          md5(concat_ws("|", col("n"), col("total"))).as("dig"))
+      val oldS = snap(col("event_id") % 10 =!= 0)
+        .select(col("user_id"), col("n").as("old_n"),
+          col("total").as("old_total"), col("dig").as("old_dig"))
+      val newS = snap(col("event_id") % 7 =!= 0)
+        .select(col("user_id"), col("n").as("new_n"),
+          col("total").as("new_total"), col("dig").as("new_dig"))
+      oldS.join(newS, Seq("user_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_dig").isNull, "insert")
+            .when(col("new_dig").isNull, "delete")
+            .when(col("old_dig") =!= col("new_dig"), "update")
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("user_id"), col("change_type"),
+          col("old_n"), col("new_n"),
+          col("old_total").cast("double").as("old_total"),
+          col("new_total").cast("double").as("new_total"))
+    },
+    Some("""WITH o AS (SELECT user_id, count(*)::BIGINT AS n,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  FROM events WHERE event_id % 10 <> 0 GROUP BY 1),
+      |n AS (SELECT user_id, count(*)::BIGINT AS n,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  FROM events WHERE event_id % 7 <> 0 GROUP BY 1),
+      |od AS (SELECT user_id, n AS old_n, total AS old_total,
+      |  md5(n::VARCHAR || '|' || total::VARCHAR) AS old_dig FROM o),
+      |nd AS (SELECT user_id, n AS new_n, total AS new_total,
+      |  md5(n::VARCHAR || '|' || total::VARCHAR) AS new_dig FROM n),
+      |j AS (SELECT coalesce(od.user_id, nd.user_id) AS user_id,
+      |  old_n, new_n, old_total, new_total,
+      |  CASE WHEN old_dig IS NULL THEN 'insert'
+      |       WHEN new_dig IS NULL THEN 'delete'
+      |       WHEN old_dig <> new_dig THEN 'update'
+      |       ELSE 'unchanged' END AS change_type
+      |  FROM od FULL OUTER JOIN nd ON od.user_id = nd.user_id)
+      |SELECT user_id, change_type, old_n, new_n,
+      | old_total::DOUBLE AS old_total, new_total::DOUBLE AS new_total
+      |FROM j WHERE change_type <> 'unchanged'""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59)
+    q56, q57, q58, q59, q60, q61)
 }

@@ -1607,6 +1607,89 @@ object QueriesText {
         |FROM documents d LEFT JOIN f ON f.t = d.doc_id
         |WHERE d.doc_id % 25 <> 0""".stripMargin))
 
+  // ------------------------------------- boilerplate strip + reconstruct
+  // d30 measures the duplicated-span fraction; this REWRITES the corpus:
+  // tokens covered by any 3-gram present in more than 10 documents are
+  // cut and the survivors reassemble in order (the header/footer removal
+  // pass of a web pipeline). The oracle rebuilds every document with the
+  // same zipped positional unnest and compares md5 digests of the cleaned
+  // text — a full-text equality check in 16 bytes per row.
+  private val d44: (String, QFn, Option[String]) =
+    ("d44_boilerplate_strip",
+      (s, d) => Dedup.stripBoilerplate(docs(s, d), "doc_id", "text",
+        n = 3, maxDf = 10),
+      Some(s"""WITH toks AS (SELECT doc_id AS doc, $tokSql AS w
+        |  FROM documents),
+        |tok AS (SELECT doc, unnest(range(1, len(w) + 1)) AS pos,
+        |    unnest(w) AS t FROM toks),
+        |sh AS (SELECT doc,
+        |    unnest(range(1, greatest(len(w) - 1, 1))) AS spos,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+        |  FROM toks),
+        |hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc) AS df
+        |  FROM sh GROUP BY 1) WHERE df > 10),
+        |cov AS (SELECT DISTINCT doc, spos + o AS pos
+        |  FROM sh JOIN hot USING (s),
+        |       (SELECT unnest(range(0, 3)) AS o) os),
+        |kept AS (SELECT tok.doc, tok.pos, tok.t FROM tok
+        |  LEFT JOIN cov ON cov.doc = tok.doc AND cov.pos = tok.pos
+        |  WHERE cov.doc IS NULL),
+        |reb AS (SELECT doc, string_agg(t, ' ' ORDER BY pos) AS clean
+        |  FROM kept GROUP BY 1),
+        |rem AS (SELECT doc, count(*) AS n_removed FROM cov GROUP BY 1)
+        |SELECT t.doc, len(t.w)::BIGINT AS n_tokens,
+        | coalesce(rem.n_removed, 0)::BIGINT AS n_removed,
+        | md5(coalesce(reb.clean, '')) AS clean_fp
+        |FROM toks t LEFT JOIN rem USING (doc)
+        |LEFT JOIN reb USING (doc)""".stripMargin))
+
+  // ------------------------------------- HyperLogLog distinct sketch
+  // Per-event-type distinct users via 64-register HLL. Register build is
+  // ALL-INTEGER (rho via the exact bitlen identity), the harmonic sum is
+  // an exact long sum of powers of two (order-independent — partial aggs
+  // can't move it), so the oracle replays the whole sketch bit-for-bit;
+  // the only floats are the final estimator division and the
+  // linear-counting ln, rounded 4 dp. Registers merge by MAX — this is
+  // the sketch a 1000-executor rollup (or a streaming window union)
+  // composes without re-reading raw data.
+  private val d43: (String, QFn, Option[String]) = ("d43_hll_distinct",
+    (s, d) => Sketches.hllDistinct(Tables.events(s, d), col("event_type"),
+      col("user_id"), p = 6)
+      .select(col("grp").as("event_type"), col("n_exact"),
+        col("est_distinct")),
+    Some {
+      val m = 64
+      val numConst = 0.709 * m * m * math.pow(2.0, 55)
+      s"""WITH h AS (SELECT event_type AS grp,
+        |    ${md5HashSql("user_id::VARCHAR || '#hll'")} AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rr AS (SELECT grp, h & 63 AS j,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT grp, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+        |grid AS (SELECT g.grp, gs.j
+        |  FROM (SELECT DISTINCT grp FROM regs) g,
+        |       (SELECT unnest(range(0, $m)) AS j) gs),
+        |fl AS (SELECT grid.grp, coalesce(regs.mj, 0) AS mj
+        |  FROM grid LEFT JOIN regs USING (grp, j)),
+        |agg AS (SELECT grp,
+        |    sum(1::BIGINT << (55 - mj))::BIGINT AS sint,
+        |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM fl GROUP BY 1),
+        |est AS (SELECT grp,
+        |    CASE WHEN $numConst / sint::DOUBLE <= ${2.5 * m} AND v > 0
+        |      THEN round($m.0 * ln($m.0 / v::DOUBLE), 4)
+        |      ELSE round($numConst / sint::DOUBLE, 4) END AS est_distinct
+        |  FROM agg),
+        |ex AS (SELECT event_type AS grp,
+        |    count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT ex.grp AS event_type, n_exact, est_distinct
+        |FROM ex JOIN est USING (grp)""".stripMargin
+    })
+
   // ------------------------------------------- product-quantized ANN
   // PQ codes + asymmetric-distance scan: corpus vectors become m=4
   // centroid codes (12 bits vs 256 float bytes — the memory lever that
@@ -1812,5 +1895,6 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
+    d43, d44,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, m01, m02)
 }

@@ -207,6 +207,48 @@ object Dedup {
           / col("n_spans").cast("double"), lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** Boilerplate stripping WITH document reconstruction — [[dupSpans]]'s
+    * rewrite sibling: tokens covered by any occurrence of a
+    * high-document-frequency n-gram (df > `maxDf`) are cut, and the
+    * surviving tokens reassemble IN ORDER. This is the
+    * header/footer/navigation removal pass of a web-corpus pipeline.
+    * Output: (doc, n_tokens, n_removed, clean_fp) — the cleaned text
+    * ships as its md5 so verification rows stay narrow.
+    *
+    * Scale shape: linear like dupSpans — the df table is
+    * vocabulary-sized, the hot set (df above cutoff) is its small tail
+    * and BROADCASTS to the occurrence probe; covered-position expansion
+    * is n× the hot occurrences only. The rebuild groupBy moves each doc's
+    * surviving (pos, token) pairs once; order is restored row-locally by
+    * array_sort, never by a global sort. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      TextOps.tokens(col(textCol)).as("w")).localCheckpoint(true)
+    val sh = toks.select(col("doc"),
+      posexplode(TextOps.shingles(col("w"), n)).as(Seq("spos", "s")))
+    val hot = sh.select(col("doc"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select(col("s"))
+    val covered = sh.join(broadcast(hot), Seq("s"))
+      .select(col("doc"),
+        explode(sequence(col("spos"), col("spos") + n - 1)).as("pos"))
+      .distinct()
+    val tok = toks.select(col("doc"), posexplode(col("w")).as(Seq("pos", "t")))
+    val rebuilt = tok.join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ").as("_clean"))
+    toks.select(col("doc"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered.groupBy(col("doc")).agg(count(lit(1)).as("n_removed")),
+        Seq("doc"), "left")
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(coalesce(col("_clean"), lit(""))).as("clean_fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     * Candidate pairs come from the shingle join (docs sharing >= 1 shingle);
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */

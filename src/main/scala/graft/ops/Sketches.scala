@@ -80,6 +80,76 @@ object Sketches {
     }
   }
 
+  /** Per-group HyperLogLog distinct-count estimate (Flajolet et al. 2007).
+    * Output: (grp, n_exact, est_distinct) — the production form drops
+    * n_exact, as with [[kmvDistinct]].
+    *
+    * m = 2^p registers; the 60-bit md5 hash splits into a p-bit register
+    * index (low bits) and a (60−p)-bit suffix whose leading-zero count
+    * feeds the register: rho = (60−p) + 1 − bitlen(suffix), computed via
+    * the EXACT integer identity floor(log2(w)) = length(bin(w)) − 1 — no
+    * float log anywhere in register construction. The harmonic sum runs
+    * in INTEGERS too: Σ 2^(−M_j) is computed as Σ 2^(scale−M_j) with
+    * scale = (60−p)+1, a 64-term exact long sum (≤ 2^61), so
+    * partial-aggregation order cannot move the result and a DuckDB oracle
+    * replays it bit-for-bit. Small-range linear counting applies below
+    * 2.5·m when zero registers exist (the standard correction); the
+    * 60-bit hash space makes large-range correction moot.
+    *
+    * Scale shape: registers build in ONE aggregation with map-side
+    * combine — the exchange carries at most |groups|×m partial rows, and
+    * register tables merge across shards/windows by MAX, which is how a
+    * 1000-executor rollup or a streaming window union composes sketches
+    * without touching raw data again. */
+  def hllDistinct(df: DataFrame, group: Column, value: Column, p: Int = 6,
+                  salt: String = "hll", withExact: Boolean = true)
+  : DataFrame = {
+    require(p >= 4 && p <= 12, "HLL wants 4 <= p <= 12")
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = wBits + 1
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // single driver-side constant (alpha·m²·2^scale): one double literal,
+    // interpolated verbatim into the oracle so both engines fold the same
+    // numerator
+    val numConst = alpha * m * m * math.pow(2.0, scale)
+    val regs = df
+      .select(group.as("grp"),
+        Dedup.md5Hash(value.cast("string"), lit(salt)).as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("j", col("h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("w", shiftright(col("h"), p))
+      .withColumn("rho", when(col("w") === 0, lit(scale))
+        .otherwise(lit(scale) - length(bin(col("w")))))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("mj"))
+    // dense m-register grid: absent registers are EXPLICIT zeros — they
+    // contribute the 2^scale terms of the harmonic sum and the zero count
+    // that triggers linear counting
+    val grid = regs.select(col("grp")).distinct()
+      .select(col("grp"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("j"))
+    val est = grid.join(regs, Seq("grp", "j"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+      .groupBy(col("grp"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - mj)"))
+        .as("_sint"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("_v"))
+      .withColumn("_raw", lit(numConst) / col("_sint").cast("double"))
+      .select(col("grp"), round(
+        when(col("_raw") <= lit(2.5 * m) && col("_v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
+          .otherwise(col("_raw")), 4).as("est_distinct"))
+    if (!withExact) est
+    else df.groupBy(group.as("grp"))
+      .agg(countDistinct(value).as("n_exact"))
+      .join(est, Seq("grp"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a value stream,
     * queried back for every distinct value: (val, n_exact, est, overcount).
     * `depth` independent md5-derived hash rows × `width` counters; a

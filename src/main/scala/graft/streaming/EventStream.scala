@@ -53,6 +53,31 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding `horizon` — streaming attribution
+    * ("which click led to this purchase"). BOTH sides carry watermarks
+    * and the join condition bounds click_ts to a FINITE interval around
+    * purchase_ts, which is what lets Spark evict buffered rows: without
+    * the range bound the state store would hold every click forever.
+    * Inner join → results emit as soon as both sides arrive; the
+    * watermark delays only state eviction, not output. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       horizon: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, col("user_id") === col("p_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Windowed value histogram over the stream — the drift-monitoring
     * form of `ops.Histogram`: per (hour, event_type, bin) counts against
     * FIXED bounds (streams can't do a two-pass min/max; production

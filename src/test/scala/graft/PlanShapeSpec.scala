@@ -68,6 +68,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a sort-merge join over the bucketed tables:\n$finalPlan")
   }
 
+  test("q60 partitioned layout: the event_type predicate prunes at the directory level") {
+    val df = SparkEntry.queries("q60_partition_prune")(spark, sf)
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the filter must live in PartitionFilters (resolved against the
+    // directory listing at planning time), NOT as a pushed data filter
+    // evaluated per row group
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*purchase[^\\]]*\\].*"),
+      s"event_type predicate not a partition filter:\n$scan")
+    assert(!scan.matches("(?s).*PushedFilters: \\[[^\\]]*purchase[^\\]]*\\].*"),
+      s"partition predicate leaked into data filters:\n$scan")
+  }
+
   test("globalCumsum: the row-level window is partitioned, never global") {
     import graft.ops.Sequences
     val df = spark.range(2000).select(col("id").as("k"),

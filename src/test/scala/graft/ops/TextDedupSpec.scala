@@ -283,6 +283,32 @@ class TextDedupSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("stripBoilerplate cuts covered spans, keeps unique text in order") {
+    // "terms of service apply" appears in all 3 docs -> its 3-grams are
+    // hot at maxDf=2; the unique tails must survive verbatim, in order
+    val docs = Seq(
+      (1L, "terms of service apply alpha beta gamma"),
+      (2L, "terms of service apply delta epsilon"),
+      (3L, "terms of service apply zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", n = 3,
+      maxDf = 2).orderBy("doc").collect()
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("clean_fp") == fp("alpha beta gamma"))
+    assert(out(0).getAs[Long]("n_removed") == 4L)
+    assert(out(1).getAs[String]("clean_fp") == fp("delta epsilon"))
+    assert(out(2).getAs[String]("clean_fp") == fp("zeta"))
+    // fully-boilerplate doc -> empty string, still present in the output
+    val all = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val stripped = Dedup.stripBoilerplate(all, "doc_id", "text", 3, 2)
+      .collect()
+    assert(stripped.length == 3)
+    assert(stripped.forall(_.getAs[String]("clean_fp") == fp("")))
+    assert(stripped.forall(_.getAs[Long]("n_removed") == 3L))
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, rare phrase beats boilerplate") {
     // all docs share the boilerplate prefix; only 1/2 also share a rare
     // 3-gram phrase. tf-idf cosine must rank the rare-phrase pair above

@@ -80,6 +80,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution joins streams within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pdf = buys.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = EventStream.clickAttribution(cdf, pdf, horizon = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 100L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, 101L, Timestamp.valueOf("2024-01-01 08:00:00")), // too old
+        (2L, 102L, Timestamp.valueOf("2024-01-01 10:10:00"))) // other user
+      buys.addData(
+        (1L, 200L, Timestamp.valueOf("2024-01-01 10:30:00"), 9.5))
+      q.processAllAvailable()
+      // a later click arriving in the next micro-batch still joins the
+      // buffered purchase (both sides are stateful)
+      clicks.addData((1L, 103L, Timestamp.valueOf("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("click_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((100L, 200L, 9.5), (103L, 200L, 9.5)))
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
