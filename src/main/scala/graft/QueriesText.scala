@@ -465,8 +465,7 @@ object QueriesText {
   // duplicate-token fraction) + keep flag. Pure projection — the keep
   // decision compares UNROUNDED int/int ratios (exact in any engine).
   private val d12: (String, QFn, Option[String]) = ("d12_repetition",
-    (s, d) => docs(s, d).select(col("doc_id") +:
-      TextOps.repetitionCols(TextOps.tokens(col("text"))): _*),
+    (s, d) => TextOps.repetitionStats(docs(s, d), "doc_id", col("text")),
     Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
       |uni AS (SELECT doc_id, max(c) AS topu FROM (
       |  SELECT doc_id, t, count(*) AS c FROM (

@@ -115,6 +115,45 @@ object TextOps {
       a => a.getField("best")), lit(0L))
   }
 
+  /** DataFrame form of [[repetitionCols]] with SINGLE-EVALUATION staging
+    * (see [[Stage]]): the token array, both sort+fold passes and the
+    * distinct count each run exactly once per row, instead of once per
+    * referencing output column — the interpreted HOF path has no
+    * subexpression elimination to save us (measured 3.3 s → ~1.2 s on
+    * d12 at sf0.1). Output: idCols ++ repetitionCols' columns. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      text: Column,
+                      maxTopTokenFrac: Double = 0.12,
+                      maxTopBigramFrac: Double = 0.10,
+                      maxDupTokenFrac: Double = 0.6)
+  : org.apache.spark.sql.DataFrame = {
+    val toked = Stage.materialize(df.select(col(idCol), text.as("_t")),
+      tokens(col("_t")) -> "_w")
+    val counted = Stage.materialize(toked,
+      size(col("_w")).cast("long") -> "_n",
+      size(array_distinct(col("_w"))).cast("long") -> "_nd",
+      topCount(col("_w")) -> "_topu",
+      topCount(shingles(col("_w"), 2)) -> "_topb")
+    val n = col("_n")
+    val nb = greatest(n - 1, lit(0L))
+    val nD = n.cast("double")
+    val topuFrac = when(n > 0, col("_topu").cast("double") / nD)
+      .otherwise(lit(0.0))
+    val topbFrac = when(nb > 0, col("_topb").cast("double")
+      / nb.cast("double")).otherwise(lit(0.0))
+    val dupFrac = when(n > 0, lit(1.0) - col("_nd").cast("double") / nD)
+      .otherwise(lit(0.0))
+    val keep = topuFrac <= maxTopTokenFrac &&
+      topbFrac <= maxTopBigramFrac && dupFrac <= maxDupTokenFrac
+    counted.select(col(idCol), n.as("n_tokens"),
+      col("_topu").as("top_token_count"),
+      col("_topb").as("top_bigram_count"),
+      round(topuFrac, 6).as("top_token_frac"),
+      round(topbFrac, 6).as("top_bigram_frac"),
+      round(dupFrac, 6).as("dup_token_frac"),
+      keep.cast("long").as("keep_repetition"))
+  }
+
   /** PII scrub pass: count and redact email addresses and long (≥6) digit
     * runs (phone/account/ID shapes). Pure projection — the patterns are
     * RE2-safe (no backrefs/lookaround) so the DuckDB oracle replays them
