@@ -1756,10 +1756,52 @@ object Queries {
       | old_total::DOUBLE AS old_total, new_total::DOUBLE AS new_total
       |FROM j WHERE change_type <> 'unchanged'""".stripMargin))
 
+  // ------------------------------------------------ PageRank (iterative)
+  // Influence ranking over the bidirectional customer↔supplier trade
+  // graph (edges from orders⋈lineitem) — the numeric iterative loop that
+  // complements d10's label propagation. Each GraphRank iteration = one
+  // edge⋈rank join + one decimal-exact aggregation; the oracle replays
+  // the same 3 iterations as a finite CTE chain (see GraphRank scaladoc
+  // for the cross-engine float policy).
+  private val q62: (String, QFn, Option[String]) = ("q62_pagerank",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphRank.pageRank(
+        base.union(base.select(col("dst").as("src"), col("src").as("dst"))),
+        iters = 3)
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(r.rank / deg.deg::DOUBLE AS DECIMAL(20,10)) AS c
+           |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN deg ON deg.src = e.src),
+           |s$i AS (SELECT node, sum(c) AS s FROM c$i GROUP BY 1),
+           |r$i AS (SELECT n.node,
+           |    CAST(round((1::DECIMAL(3,2) - 0.85) + 0.85
+           |      * coalesce(s.s, 0::DECIMAL(20,10)), 6) AS DOUBLE) AS rank
+           |  FROM nodes n LEFT JOIN s$i s USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges
+        |  UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+        |$iterCtes
+        |SELECT node, rank FROM r3""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61)
+    q56, q57, q58, q59, q60, q61, q62)
 }
