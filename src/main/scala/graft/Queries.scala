@@ -1798,10 +1798,41 @@ object Queries {
         |SELECT node, rank FROM r3""".stripMargin
     })
 
+  // --------------------------------- incremental aggregate maintenance
+  // Incremental view maintenance for a distributive aggregate: a standing
+  // per-user (count, decimal total) built from history merges with a
+  // delta batch by a keys-only outer join + component-wise ⊕ — history
+  // raw data is never re-read. The oracle is the SEMANTIC definition
+  // (recompute over ALL events), so the driver check asserts the IVM
+  // correctness theorem itself: merge(agg(H), agg(Δ)) == agg(H ∪ Δ),
+  // exact because decimal sums are associative and order-free. This is
+  // the nightly-snapshot + hourly-delta shape that keeps a 100 TB fact
+  // table's rollups fresh for the cost of the delta.
+  private val q63: (String, QFn, Option[String]) = ("q63_incremental_agg",
+    (s, d) => {
+      def agg(pred: Column) = ev(s, d).filter(pred)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("t"))
+      val hist = agg(col("event_id") % 10 =!= 0)
+        .select(col("user_id"), col("n").as("hn"), col("t").as("ht"))
+      val delta = agg(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("n").as("dn"), col("t").as("dt"))
+      hist.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("hn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("ht"), lit(0).cast("decimal(18,2)"))
+            + coalesce(col("dt"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total_value"))
+    },
+    Some("""SELECT user_id, count(*)::BIGINT AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62)
+    q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -105,9 +105,36 @@ object Sketches {
                   salt: String = "hll", withExact: Boolean = true)
   : DataFrame = {
     require(p >= 4 && p <= 12, "HLL wants 4 <= p <= 12")
+    val est = hllFromRegisters(hllRegisters(df, group, value, p, salt), p)
+    if (!withExact) est
+    else df.groupBy(group.as("grp"))
+      .agg(countDistinct(value).as("n_exact"))
+      .join(est, Seq("grp"))
+  }
+
+  /** The sparse register table (grp, j, mj) behind [[hllDistinct]] —
+    * public because registers are the MERGEABLE form: shard/window
+    * register tables union and max-merge into the corpus table
+    * (spec-asserted), which is how sketches compose without re-reading
+    * raw data. */
+  def hllRegisters(df: DataFrame, group: Column, value: Column, p: Int,
+                   salt: String = "hll"): DataFrame = {
     val m = 1 << p
-    val wBits = 60 - p
-    val scale = wBits + 1
+    val scale = (60 - p) + 1
+    df.select(group.as("grp"),
+        Dedup.md5Hash(value.cast("string"), lit(salt)).as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("j", col("h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("w", shiftright(col("h"), p))
+      .withColumn("rho", when(col("w") === 0, lit(scale))
+        .otherwise(lit(scale) - length(bin(col("w")))))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimator over a (grp, j, mj) register table → (grp, est_distinct). */
+  def hllFromRegisters(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val scale = (60 - p) + 1
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -118,22 +145,13 @@ object Sketches {
     // interpolated verbatim into the oracle so both engines fold the same
     // numerator
     val numConst = alpha * m * m * math.pow(2.0, scale)
-    val regs = df
-      .select(group.as("grp"),
-        Dedup.md5Hash(value.cast("string"), lit(salt)).as("h"))
-      .filter(col("h").isNotNull)
-      .withColumn("j", col("h").bitwiseAND(lit((m - 1).toLong)))
-      .withColumn("w", shiftright(col("h"), p))
-      .withColumn("rho", when(col("w") === 0, lit(scale))
-        .otherwise(lit(scale) - length(bin(col("w")))))
-      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("mj"))
     // dense m-register grid: absent registers are EXPLICIT zeros — they
     // contribute the 2^scale terms of the harmonic sum and the zero count
     // that triggers linear counting
     val grid = regs.select(col("grp")).distinct()
       .select(col("grp"),
         explode(sequence(lit(0L), lit((m - 1).toLong))).as("j"))
-    val est = grid.join(regs, Seq("grp", "j"), "left")
+    grid.join(regs, Seq("grp", "j"), "left")
       .withColumn("mj", coalesce(col("mj"), lit(0)))
       .groupBy(col("grp"))
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - mj)"))
@@ -144,10 +162,6 @@ object Sketches {
         when(col("_raw") <= lit(2.5 * m) && col("_v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
           .otherwise(col("_raw")), 4).as("est_distinct"))
-    if (!withExact) est
-    else df.groupBy(group.as("grp"))
-      .agg(countDistinct(value).as("n_exact"))
-      .join(est, Seq("grp"))
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a value stream,

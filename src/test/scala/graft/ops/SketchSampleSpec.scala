@@ -62,6 +62,23 @@ class SketchSampleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hll registers max-merge across shards into the corpus sketch") {
+    val df = (1 to 2000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val shardA = df.filter($"v" % 2 === 0)
+    val shardB = df.filter($"v" % 2 =!= 0)
+    val merged = Sketches.hllRegisters(shardA, col("g"), col("v"), p = 6)
+      .union(Sketches.hllRegisters(shardB, col("g"), col("v"), p = 6))
+      .groupBy($"grp", $"j").agg(max($"mj").as("mj"))
+    val full = Sketches.hllRegisters(df, col("g"), col("v"), p = 6)
+    assert(merged.as[(String, Long, Int)].collect().toSet ==
+      full.as[(String, Long, Int)].collect().toSet)
+    val estM = Sketches.hllFromRegisters(merged, 6)
+      .collect()(0).getAs[Double]("est_distinct")
+    val estF = Sketches.hllFromRegisters(full, 6)
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(estM == estF)
+  }
+
   test("countMin never underestimates; wide sketch is collision-free exact") {
     val vals = (1 to 2000).map(i => s"v${i % 37}").toDF("x")
     val narrow = Sketches.countMin(vals, col("x"), depth = 4, width = 8)
