@@ -33,15 +33,23 @@ import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 object GraphRank {
 
   /** Fixed-iteration PageRank over directed edges (src, dst).
-    * Returns (node, rank) for every node appearing on either side. */
-  def pageRank(edges0: DataFrame, iters: Int, damping: Double = 0.85)
-  : DataFrame = {
-    // distinct edges feed every iteration (and the degree table) —
-    // materialize once; ContextCleaner reclaims the weak-ref checkpoint
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    * Returns (node, rank) for every node appearing on either side.
+    * `assumeDistinct` skips the defensive dedup exchange when the caller
+    * can prove uniqueness structurally (e.g. a mirrored union of two
+    * namespace-disjoint distinct sets) — one full-edge-list shuffle
+    * saved. */
+  def pageRank(edges0: DataFrame, iters: Int, damping: Double = 0.85,
+               assumeDistinct: Boolean = false): DataFrame = {
+    // distinct edges feed every iteration — materialize ONCE with the
+    // out-degree already attached (the degree join would otherwise
+    // re-shuffle the full edge list every round).
+    // ContextCleaner reclaims the weak-ref checkpoints.
+    val raw = edges0.select(col("src"), col("dst"))
+    val distinctEdges = if (assumeDistinct) raw else raw.distinct()
+    val outdeg = distinctEdges.groupBy(col("src"))
+      .agg(count(lit(1)).as("_deg"))
+    val edges = distinctEdges.join(outdeg, Seq("src"))
       .localCheckpoint(true)
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("_deg")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -51,7 +59,6 @@ object GraphRank {
     for (_ <- 0 until iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("_deg").cast("double"))
             .cast("decimal(20,10)").as("_c"))
