@@ -244,28 +244,47 @@ object Similarity {
     * within candidates. Join is equi on (band, bandBits) — no crossJoin, so
     * the corpus side scales out; recall is tunable via planes/bands. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             dims: Int = 64, planes: Int = 16, bands: Int = 4): DataFrame = {
+             dims: Int = 64, planes: Int = 16, bands: Int = 4): DataFrame =
+    lshKnnIndexed(queries, lshIndexTable(corpus, dims, planes, bands), k,
+      dims, planes, bands)
+
+  private def lshBanded(df: DataFrame, idAs: String, vecAs: String,
+                        normAs: String, dims: Int, planes: Int, bands: Int)
+  : DataFrame = {
     require(planes % bands == 0,
       s"planes=$planes must be divisible by bands=$bands — integer floor " +
         "would silently drop the trailing sign bits from every band")
     val rows = planes / bands
     val mask = (1L << rows) - 1
-    def banded(df: DataFrame, idAs: String, vecAs: String, normAs: String)
-    : DataFrame = {
-      val sig = lshSignature(col("vec"), dims, planes)
-      df.select(col("id").as(idAs), col("vec").as(vecAs),
-          norm(col("vec")).as(normAs), sig.as("sig"))
-        .select(col(idAs), col(vecAs), col(normAs),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
-                .as("bits"))): _*)).as("bb"))
-        .select(col(idAs), col(vecAs), col(normAs),
-          col("bb.band").as("band"), col("bb.bits").as("bits"))
-    }
-    val qb = broadcast(banded(queries, "qid", "qv", "_qn"))
-    val cb = banded(corpus, "nid", "nv", "_nn")
-    val cand = qb.join(cb, Seq("band", "bits"))
+    val sig = lshSignature(col("vec"), dims, planes)
+    df.select(col("id").as(idAs), col("vec").as(vecAs),
+        norm(col("vec")).as(normAs), sig.as("sig"))
+      .select(col(idAs), col(vecAs), col(normAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
+              .as("bits"))): _*)).as("bb"))
+      .select(col(idAs), col(vecAs), col(normAs),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** The PERSISTABLE LSH index: one row per (nid, band, bits) with the
+    * vector and its norm carried alongside. Write it to parquet once,
+    * serve many query batches through [[lshKnnIndexed]] — signatures and
+    * norms are then never recomputed, and a bucketed/partitioned layout
+    * on (band, bits) turns each query batch into a pruned scan. */
+  def lshIndexTable(corpus: DataFrame, dims: Int = 64, planes: Int = 16,
+                    bands: Int = 4): DataFrame =
+    lshBanded(corpus, "nid", "nv", "_nn", dims, planes, bands)
+
+  /** [[lshKnn]]'s query half against a prebuilt (possibly re-read from
+    * storage) [[lshIndexTable]]. */
+  def lshKnnIndexed(queries: DataFrame, index: DataFrame, k: Int,
+                    dims: Int = 64, planes: Int = 16, bands: Int = 4)
+  : DataFrame = {
+    val qb = broadcast(lshBanded(queries, "qid", "qv", "_qn", dims,
+      planes, bands))
+    val cand = qb.join(index, Seq("band", "bits"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qv"), col("_qn"),
         col("nid"), col("nv"), col("_nn")).distinct()
