@@ -1838,10 +1838,56 @@ object Queries {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id""".stripMargin))
 
+  // ------------------------------------------------ equi-depth binning
+  // Learned quartile edges → bucketize → per-bin stats, with the edges
+  // computed EXACTLY (np.percentile interpolation) by Quantiles'
+  // distinct-value rank walk — no per-group array buffering (q12's trade)
+  // and no approximation (q44's trade). The oracle affords the sorted
+  // list and replays the same interpolation expression tree.
+  private val q64: (String, QFn, Option[String]) = ("q64_equidepth_bins",
+    (s, d) => {
+      val sv = ev(s, d).select(col("event_type"), col("value"))
+      val edges = Quantiles.exactGroupQuantiles(sv, col("event_type"),
+          col("value"), Seq(0.25, 0.5, 0.75))
+        .groupBy(col("grp").as("event_type"))
+        .agg(max(when(col("frac") === 0.25, col("q"))).as("q1"),
+          max(when(col("frac") === 0.5, col("q"))).as("q2"),
+          max(when(col("frac") === 0.75, col("q"))).as("q3"))
+      sv.join(broadcast(edges), Seq("event_type"))
+        .withColumn("bin", when(col("value") <= col("q1"), 0L)
+          .when(col("value") <= col("q2"), 1L)
+          .when(col("value") <= col("q3"), 2L).otherwise(3L))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("value"))).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    },
+    Some {
+      def interp(q: String) =
+        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
+           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
+           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
+           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH g AS (SELECT event_type, count(*) AS cnt,
+        |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
+        |e AS (SELECT event_type, ${interp("0.25")} AS q1,
+        |  ${interp("0.5")} AS q2, ${interp("0.75")} AS q3 FROM g),
+        |b AS (SELECT ev.event_type,
+        |  CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+        |       WHEN value <= q3 THEN 2 ELSE 3 END AS bin, value
+        |  FROM events ev JOIN e USING (event_type))
+        |SELECT event_type, bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM b GROUP BY 1, 2""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

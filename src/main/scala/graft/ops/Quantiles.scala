@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact per-group quantiles WITHOUT buffering groups: `Repair
+ * .interpPercentile` collects each group's sorted array (right for
+ * per-entity groups, wrong for corpus-wide ones) and q44's histogram is
+ * approximate. This is the third point of the trade: EXACT np.percentile /
+ * quantile_cont semantics with state bounded by DISTINCT values per group,
+ * not rows.
+ *
+ * Shape: one aggregation to (group, value, multiplicity), a window over
+ * the DISTINCT-value table only (the d31 trick — never a row-level
+ * per-group window, whose single task would take a whole group), then a
+ * broadcast range-join of the quantile target ranks against the cumulative
+ * intervals. The k-th sorted element (duplicates counted) is the distinct
+ * value whose cumulative interval covers rank k — selection is integer
+ * rank arithmetic, so both elements of the interpolation are exact and the
+ * final lerp is the only float, identical to the DuckDB oracle's
+ * sorted-list formula.
+ */
+object Quantiles {
+
+  /** (grp, frac, q): exact linear-interpolated quantile of `v` per group,
+    * for each fraction in `fracs` (np.percentile semantics). */
+  def exactGroupQuantiles(df: DataFrame, grp: Column, v: Column,
+                          fracs: Seq[Double]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f >= 0 && f <= 1))
+    val dv = df.select(grp.as("grp"), v.as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    // 1-based rank interval [lo_r, hi_r] this distinct value occupies in
+    // the group's sorted multiset
+    val cum = dv.withColumn("_hi_r", sum(col("_c")).over(w))
+      .withColumn("_lo_r", col("_hi_r") - col("_c") + 1)
+    val targets = dv.groupBy(col("grp")).agg(sum(col("_c")).as("_cnt"))
+      .select(col("grp").as("_tg"), col("_cnt"),
+        explode(array(fracs.map(lit): _*)).as("frac"))
+      .withColumn("_idx", col("frac") * (col("_cnt").cast("double") - 1))
+      .withColumn("_lo", floor(col("_idx")).cast("long") + 1)
+      .withColumn("_hi", ceil(col("_idx")).cast("long") + 1)
+    def pick(rank: Column, as: String): DataFrame = cum
+      .join(broadcast(targets), col("grp") === col("_tg")
+        && rank.between(col("_lo_r"), col("_hi_r")))
+      .select(col("grp"), col("frac"), col("_idx"), col("v").as(as))
+    pick(col("_lo"), "_vlo")
+      .join(pick(col("_hi"), "_vhi"), Seq("grp", "frac", "_idx"))
+      .select(col("grp"), col("frac"),
+        (col("_vlo") + (col("_idx") - floor(col("_idx")))
+          * (col("_vhi") - col("_vlo"))).as("q"))
+  }
+}
