@@ -1647,6 +1647,30 @@ object QueriesText {
         |FROM toks t LEFT JOIN rem USING (doc)
         |LEFT JOIN reb USING (doc)""".stripMargin))
 
+  // --------------------------------------------- vocabulary-id encoding
+  // The text→token-ids step between cleaning (d44) and sequence packing
+  // (d11/d37): top-256 vocabulary by (count desc, term asc) — ids are
+  // fully deterministic — OOV → 0, and the per-doc id sequence ships as
+  // an md5 digest with OOV accounting. The vocabulary is a TakeOrdered
+  // top-V broadcast to the positional token table; the oracle rebuilds
+  // the identical vocabulary and digests the same comma-joined stream.
+  private val d45: (String, QFn, Option[String]) = ("d45_vocab_encode",
+    (s, d) => TextOps.vocabEncode(docs(s, d), "doc_id", col("text"),
+      vocabSize = 256),
+    Some(s"""WITH toks AS (SELECT doc_id AS doc, $tokSql AS w
+      |  FROM documents),
+      |tok AS (SELECT doc, unnest(range(1, len(w) + 1)) AS pos,
+      |    unnest(w) AS t FROM toks),
+      |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      |voc AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS tid
+      |  FROM (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 256)),
+      |enc AS (SELECT tok.doc, tok.pos, coalesce(voc.tid, 0) AS tid
+      |  FROM tok LEFT JOIN voc USING (t))
+      |SELECT doc, count(*)::BIGINT AS n_tokens,
+      | sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      | md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_fp
+      |FROM enc GROUP BY doc""".stripMargin))
+
   // ------------------------------------- HyperLogLog distinct sketch
   // Per-event-type distinct users via 64-register HLL. Register build is
   // ALL-INTEGER (rho via the exact bitlen identity), the harmonic sum is
@@ -1918,7 +1942,7 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    d43, d44,
+    d43, d44, d45,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
     m01, m02)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 
@@ -152,6 +153,42 @@ object TextOps {
       round(topbFrac, 6).as("top_bigram_frac"),
       round(dupFrac, 6).as("dup_token_frac"),
       keep.cast("long").as("keep_repetition"))
+  }
+
+  /** Vocabulary-id encoding — the text→ids step between cleaning and
+    * sequence packing: build the top-`vocabSize` vocabulary (count desc,
+    * term asc — fully deterministic ids 1..V), map every token position
+    * through it (OOV → `unkId` = 0), and ship the id sequence as a digest
+    * plus OOV accounting. The id stream is what a trainer consumes; the
+    * digest keeps verification rows narrow (same policy as d44).
+    *
+    * Scale shape: the vocabulary is a vocabulary-sized aggregate + one
+    * TakeOrdered-style top-V (never a corpus-wide window) and BROADCASTS
+    * to the positional token table; encoding is then map-side. One
+    * doc-key shuffle reassembles sequences, order restored row-locally. */
+  def vocabEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  text: Column, vocabSize: Int)
+  : org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      posexplode(tokens(text)).as(Seq("pos", "t")))
+    // top-V by (count desc, term asc): TakeOrdered (orderBy+limit — a
+    // distributed partial top-k, same as Relevance.topKRanks), then the
+    // ranking window runs over V rows only, never the vocabulary
+    val ord = Seq(col("_c").desc, col("t").asc)
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("_c"))
+      .orderBy(ord: _*).limit(vocabSize)
+      .withColumn("tid",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("t"), col("tid"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .select(col("doc"), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), ",")).as("ids_fp"))
   }
 
   /** PII scrub pass: count and redact email addresses and long (≥6) digit

@@ -309,6 +309,25 @@ class TextDedupSpec extends SparkSpec {
     assert(stripped.forall(_.getAs[Long]("n_removed") == 3L))
   }
 
+  test("vocabEncode: deterministic ids, OOV to 0, order-preserving digest") {
+    val docs = Seq(
+      (1L, "b a b c"),   // b:2 within doc
+      (2L, "a b a"),     // a:2
+      (3L, "z a")
+    ).toDF("doc_id", "text")
+    // corpus counts: a=4, b=3, c=1, z=1 -> vocab(2): a->1, b->2; c,z OOV
+    val out = TextOps.vocabEncode(docs, "doc_id", col("text"), 2)
+      .orderBy("doc").collect()
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[Long]("n_oov") == 1L)
+    assert(out(0).getAs[String]("ids_fp") == fp("2,1,2,0"))
+    assert(out(1).getAs[Long]("n_oov") == 0L)
+    assert(out(1).getAs[String]("ids_fp") == fp("1,2,1"))
+    assert(out(2).getAs[Long]("n_oov") == 1L)
+    assert(out(2).getAs[String]("ids_fp") == fp("0,1"))
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, rare phrase beats boilerplate") {
     // all docs share the boilerplate prefix; only 1/2 also share a rare
     // 3-gram phrase. tf-idf cosine must rank the rare-phrase pair above
