@@ -1884,10 +1884,74 @@ object Queries {
         |FROM b GROUP BY 1, 2""".stripMargin
     })
 
+  // -------------------------------------------- corrupt-tolerant ingest
+  // Real feeds carry malformed records; the engine must quarantine, not
+  // crash. Every 10th event serializes as TRUNCATED JSON; the PERMISSIVE
+  // read nulls failed rows (detected via the never-null event_id — no
+  // _corrupt_record reference, which Spark restricts), good rows
+  // aggregate, and the quarantine count rides along. The oracle replays
+  // the corruption rule against the source table.
+  private val q65: (String, QFn, Option[String]) = ("q65_corrupt_tolerant",
+    (s, d) => {
+      val dir = rtDir("q65", d)
+      // corruption must be TOTAL (not truncated JSON): PERMISSIVE keeps
+      // any leading fields it managed to parse, so a prefix-valid record
+      // would smuggle its event_id through the null-detection
+      ev(s, d).select(
+          when(col("event_id") % 10 === 0,
+            concat(lit("#corrupt "), col("event_id")))
+            .otherwise(to_json(struct(col("event_id"), col("user_id"),
+              col("value"), col("event_type")))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = "event_id LONG, user_id LONG, value DOUBLE, " +
+        "event_type STRING"
+      val read = s.read.schema(schema).option("mode", "PERMISSIVE")
+        .json(dir)
+      val nCorrupt = read.filter(col("event_id").isNull)
+        .agg(count(lit(1)).as("n_corrupt"))
+      read.filter(col("event_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("value"))).as("sum_value"))
+        .crossJoin(broadcast(nCorrupt))
+    },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      | (SELECT count(*) FROM events WHERE event_id % 10 = 0)::BIGINT
+      |   AS n_corrupt
+      |FROM events WHERE event_id % 10 <> 0
+      |GROUP BY event_type""".stripMargin))
+
+  // ------------------------------------- dynamic partition overwrite
+  // Partition-level upsert without Delta: the initial load lands STALE
+  // data in the click partition (values zeroed); the refresh rewrites
+  // ONLY that partition (partitionOverwriteMode=dynamic — a static
+  // overwrite would delete every other partition and the oracle compare
+  // would catch it). After the refresh the lake equals the source table.
+  private val q66: (String, QFn, Option[String]) = ("q66_dynamic_overwrite",
+    (s, d) => {
+      val dir = rtDir("q66", d)
+      val ev0 = ev(s, d).select(col("event_id"), col("user_id"),
+        col("value"), col("event_type"))
+      ev0.withColumn("value",
+          when(col("event_type") === "click", 0.0).otherwise(col("value")))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      ev0.filter(col("event_type") === "click")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("value"))).as("sum_value"))
+    },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }
