@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -52,6 +52,23 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Windowed HyperLogLog registers over the stream — distinct users per
+    * (event-time window, key) with CONSTANT per-window state (m registers,
+    * never the id set; a streaming dropDuplicates+count would hold every
+    * distinct id in the state store). The batch `Sketches.hllRegisters`
+    * composes unchanged with a watermarked window group — one definition,
+    * two execution modes, like hourlyCounts/q25. The output is the
+    * REGISTER table (streams allow one aggregation, and registers are the
+    * mergeable form anyway — see Sketches scaladoc); estimate downstream
+    * with `Sketches.hllFromRegisters`, after max-merging windows/shards
+    * as needed. */
+  def hllWindowedRegisters(events: DataFrame, keyCol: Column,
+                           p: Int = 6, windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    graft.ops.Sketches.hllRegisters(
+      events.withWatermark("ts", watermark),
+      window(col("ts"), windowLen), keyCol, p)
 
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks from the preceding `horizon` — streaming attribution

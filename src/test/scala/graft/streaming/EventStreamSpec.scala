@@ -108,6 +108,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllWindowedRegisters: streaming registers equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = EventStream.hllWindowedRegisters(df, col("user_id"), p = 6)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      in.addData((1 to 300).map(i =>
+        (Timestamp.valueOf("2024-01-01 10:15:00"), (i % 120).toLong)): _*)
+      q.processAllAvailable()
+      in.addData((1 to 50).map(i =>
+        (Timestamp.valueOf("2024-01-01 10:45:00"), (i + 200).toLong)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .select($"j", $"mj").as[(Long, Int)].collect().toSet
+      // batch twin over the same rows, same window grouping
+      val batchDf = ((1 to 300).map(i => (i % 120).toLong)
+        ++ (1 to 50).map(i => (i + 200).toLong))
+        .toDF("user_id")
+        .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 10:30:00")))
+      val batch = graft.ops.Sketches.hllRegisters(batchDf,
+        window(col("ts"), "1 hour"), col("user_id"), 6)
+        .select($"j", $"mj").as[(Long, Int)].collect().toSet
+      assert(streamed == batch)
+      // and the estimate over the streamed registers is the batch estimate
+      // (rebuilt as a fresh DataFrame: hllFromRegisters self-joins its
+      // input, and a memory-sink view's watermark-tagged attributes can't
+      // self-join)
+      val regsFresh = spark.createDataFrame(
+        java.util.Arrays.asList(spark.table("hllregs").collect(): _*),
+        spark.table("hllregs").schema)
+      val est = graft.ops.Sketches.hllFromRegisters(regsFresh, 6)
+        .collect()(0).getAs[Double]("est_distinct")
+      val bEst = graft.ops.Sketches.hllFromRegisters(
+        graft.ops.Sketches.hllRegisters(batchDf,
+          window(col("ts"), "1 hour"), col("user_id"), 6), 6)
+        .collect()(0).getAs[Double]("est_distinct")
+      assert(est == bEst)
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
