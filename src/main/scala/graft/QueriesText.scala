@@ -1671,6 +1671,58 @@ object QueriesText {
       | md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_fp
       |FROM enc GROUP BY doc""".stripMargin))
 
+  // ------------------------------------------ release-set materialization
+  // The capstone composition — what a user actually runs to cut a corpus
+  // release: exact-dup keepers (d01) ∩ decontaminated (d14) ∩ quality
+  // floor (d03's score), rolled up per source with token budgets. Every
+  // stage is individually oracle-verified; this query verifies the
+  // PLUMBING between them (joins, filters, the decimal-exact quality
+  // mean). Per-source output rows: the release manifest.
+  private val d46: (String, QFn, Option[String]) = ("d46_release_set",
+    (s, d) => {
+      val base = docs(s, d)
+      val keepers = Dedup.exact(base, "doc_id",
+          TextOps.fingerprint(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      val clean = Dedup.decontaminate(base, "doc_id", "text", n = 4,
+          isEval = col("doc_id") % 25 === 0)
+        .filter(col("contaminated") === 0)
+        .select(col("doc").as("doc_id"))
+      base.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+        .join(keepers, Seq("doc_id"))
+        .join(clean, Seq("doc_id"))
+        .filter(col("quality_score") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("quality_score").cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"))
+    },
+    Some(s"""WITH exg AS (SELECT min(doc_id) AS keep_id FROM documents
+      |  GROUP BY md5(trim(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g')))),
+      |toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS s
+      |  FROM toks)),
+      |evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      |hit AS (SELECT doc_id, count(*) AS n_overlap
+      |  FROM sh JOIN evs USING (s) WHERE doc_id % 25 <> 0 GROUP BY 1),
+      |q AS (SELECT doc_id, source, len($tokSql)::BIGINT AS n_tokens,
+      |  $qScoreSql AS quality_score FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      | sum(n_tokens)::BIGINT AS n_tokens,
+      | round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE)
+      |   / count(*), 6) AS mean_quality
+      |FROM q JOIN exg ON q.doc_id = exg.keep_id
+      |LEFT JOIN hit h ON q.doc_id = h.doc_id
+      |WHERE q.doc_id % 25 <> 0 AND coalesce(h.n_overlap, 0) = 0
+      | AND quality_score >= 0.5
+      |GROUP BY source""".stripMargin))
+
   // ------------------------------------- HyperLogLog distinct sketch
   // Per-event-type distinct users via 64-register HLL. Register build is
   // ALL-INTEGER (rho via the exact bitlen identity), the harmonic sum is
@@ -1942,7 +1994,7 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    d43, d44, d45,
+    d43, d44, d45, d46,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
     m01, m02)
 }
