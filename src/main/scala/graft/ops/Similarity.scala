@@ -503,7 +503,7 @@ object Similarity {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     }
-    val cands = cents.zipWithIndex.map { case (c, i) =>
+    val cands = cents.toSeq.zipWithIndex.map { case (c, i) =>
       struct(round(col("_vn2") - lit(2.0) * dot(col("vec"), lit(c))
         + lit(selfDot(c)), 6).as("d2"), lit(i).as("cid"))
     }
