@@ -1671,6 +1671,31 @@ object QueriesText {
       | md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_fp
       |FROM enc GROUP BY doc""".stripMargin))
 
+  // --------------------------------------- temperature mixture sampling
+  // d15 reweights toward EXPLICIT target shares; this is the
+  // temperature form multilingual/multi-source training uses: keep rate
+  // ∝ cnt^(1/T)/cnt with T = 2 (sqrt — correctly rounded IEEE, so the
+  // oracle replays rates exactly), flattening the mix so small sources
+  // upsample. Same broadcast-rates + content-addressed membership as
+  // d15: re-runs and re-partitionings keep the identical set.
+  private val d47: (String, QFn, Option[String]) = ("d47_temperature_mix",
+    (s, d) => Sampling.domainMixByCount(
+        docs(s, d).select(col("doc_id"), col("source")),
+        key = col("doc_id"), domain = col("source"),
+        weightOfCount = sqrt(_), frac = 0.6, salt = "tmix")
+      .select(col("doc_id"), col("source"), col("rate")),
+    Some("""WITH c AS (SELECT source, count(*)::BIGINT AS cnt,
+      |  sqrt(count(*)::DOUBLE) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(cnt)::DOUBLE AS total, sum(w) AS sumw FROM c),
+      |r AS (SELECT source, least(1.0::DOUBLE,
+      |  round(0.6::DOUBLE * w * total / (sumw * cnt::DOUBLE), 6)) AS rate
+      |  FROM c, t)
+      |SELECT d.doc_id, d.source, r.rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#tmix'), 1, 15))::BIGINT
+      |  / 1152921504606846976.0 < r.rate""".stripMargin))
+
   // ------------------------------------------ release-set materialization
   // The capstone composition — what a user actually runs to cut a corpus
   // release: exact-dup keepers (d01) ∩ decontaminated (d14) ∩ quality
@@ -1994,7 +2019,7 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    d43, d44, d45, d46,
+    d43, d44, d45, d46, d47,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
     m01, m02)
 }

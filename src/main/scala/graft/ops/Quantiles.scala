@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
  * quantile_cont semantics with state bounded by DISTINCT values per group,
  * not rows.
  *
+ * Boundedness caveat: "distinct values" is the operative bound — right
+ * for prices, counts, scores and anything quantized (money data here is
+ * 2-dp), wrong for raw continuous measurements where distinct ≈ rows;
+ * there, pre-round the value to the precision the quantile actually
+ * needs, or accept q44's sketch. The per-group window sorts one group's
+ * distinct values in one task, so that bound is also the task bound.
+ *
  * Shape: one aggregation to (group, value, multiplicity), a window over
  * the DISTINCT-value table only (the d31 trick — never a row-level
  * per-group window, whose single task would take a whole group), then a

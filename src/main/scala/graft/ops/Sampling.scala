@@ -105,6 +105,33 @@ object Sampling {
       .drop("_dom")
   }
 
+  /** [[domainMix]] with the weight derived from the domain's observed
+    * COUNT — the temperature-sampling form (Lample & Conneau 2019 §3.1):
+    * w = cnt^(1/T), T > 1 flattens the mix toward uniform so
+    * low-resource domains are upsampled relative to their share. Same
+    * one-aggregation + broadcast-rates + linear-filter shape as
+    * domainMix. For T = 2 pass `sqrt` — correctly rounded in IEEE-754,
+    * so the oracle replays the rates bit-for-bit; arbitrary T needs
+    * pow(), whose last ulp is libm-specific (the 6-dp rate round then
+    * absorbs it in practice but not by construction). */
+  def domainMixByCount(df: DataFrame, key: Column, domain: Column,
+                       weightOfCount: Column => Column, frac: Double,
+                       salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(domain.as("_dom"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_w", weightOfCount(col("_cnt").cast("double")))
+    val tot = counts.agg(sum(col("_cnt")).cast("double").as("_total"),
+      sum(col("_w")).as("_sumw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0), graft.ops.CrossRound.round(
+        lit(frac) * col("_w") * col("_total")
+          / (col("_sumw") * col("_cnt").cast("double")), 6)))
+      .select(col("_dom"), col("rate"))
+    df.join(broadcast(rates), domain === col("_dom"))
+      .filter(hashUniform(key, lit(salt)) < col("rate"))
+      .drop("_dom")
+  }
+
   /** Weighted priority sampling (Duffield–Lund–Thorup shape): per group,
     * keep the k rows with the smallest priority u/w, where u is the
     * content-addressed md5 uniform and w an integer weight — selection
