@@ -1948,10 +1948,100 @@ object Queries {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin))
 
+  // ------------------------------------------- MAD robust outliers
+  // Median absolute deviation — the robust-statistics complement to
+  // q12's percentile clamp (one extreme value corrupts a z-score's mean
+  // AND σ; the median pair shrugs): per type, med = exact median of
+  // value, MAD = exact median of |value − med|, outlier ⇔
+  // |value − med| > 3·MAD. Both medians run through Quantiles'
+  // distinct-value walk (bounded state, chained passes), and every
+  // comparison happens on engine-identical doubles, so the oracle's
+  // sorted-list medians replay the exact flag set.
+  private val q67: (String, QFn, Option[String]) = ("q67_mad_outliers",
+    (s, d) => {
+      val sv = ev(s, d).select(col("event_type"), col("value"))
+      val med = Quantiles.exactGroupQuantiles(sv, col("event_type"),
+          col("value"), Seq(0.5))
+        .select(col("grp").as("event_type"), col("q").as("med"))
+      val dev = sv.join(broadcast(med), Seq("event_type"))
+        .withColumn("_dev", abs(col("value") - col("med")))
+      val mad = Quantiles.exactGroupQuantiles(dev, col("event_type"),
+          col("_dev"), Seq(0.5))
+        .select(col("grp").as("event_type"), col("q").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("_dev") > lit(3.0) * col("mad")).cast("long"))
+            .as("n_outliers"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"))
+    },
+    Some {
+      def interp(q: String, arr: String, cnt: String) =
+        s"""$arr[CAST(floor(($q)*($cnt-1)) AS INT)+1]
+           | + (($q)*($cnt-1) - floor(($q)*($cnt-1)))
+           |   * ($arr[CAST(ceil(($q)*($cnt-1)) AS INT)+1]
+           |      - $arr[CAST(floor(($q)*($cnt-1)) AS INT)+1])"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH g AS (SELECT event_type, count(*) AS cnt,
+        |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
+        |m AS (SELECT event_type, ${interp("0.5", "arr", "cnt")} AS med
+        |  FROM g),
+        |dv AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |g2 AS (SELECT event_type, count(*) AS cnt,
+        |  list_sort(list(dev)) AS arr FROM dv GROUP BY 1),
+        |md AS (SELECT event_type, ${interp("0.5", "arr", "cnt")} AS mad
+        |  FROM g2)
+        |SELECT dv.event_type, count(*)::BIGINT AS n,
+        | sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_outliers,
+        | round(max(dv.med), 6) AS med, round(max(md.mad), 6) AS mad
+        |FROM dv JOIN md USING (event_type)
+        |GROUP BY dv.event_type""".stripMargin
+    })
+
+  // ------------------------------------------- data-quality audit gate
+  // The deequ-style ingest contract: five named checks (null rates, key
+  // uniqueness, vocabulary width, value bounds) computed in ONE
+  // aggregation pass, reported one row per rule. An ETL job gates a
+  // load on `min(pass) == 1`; the driver check verifies the whole
+  // report against SQL-recomputed metrics.
+  private val q68: (String, QFn, Option[String]) = ("q68_dq_audit",
+    (s, d) => DataQuality.audit(ev(s, d), Seq(
+      DataQuality.AuditRule("event_id_not_null",
+        sum(col("event_id").isNull.cast("long")).cast("double")
+          / count(lit(1)), _ === 0.0),
+      DataQuality.AuditRule("event_id_unique",
+        (count(lit(1)) - countDistinct(col("event_id"))).cast("double"),
+        _ === 0.0),
+      DataQuality.AuditRule("value_not_null",
+        sum(col("value").isNull.cast("long")).cast("double")
+          / count(lit(1)), _ === 0.0),
+      DataQuality.AuditRule("type_vocab_bounded",
+        countDistinct(col("event_type")).cast("double"), _ <= 5.0),
+      DataQuality.AuditRule("value_nonnegative",
+        min(col("value")), _ >= 0.0))),
+    Some("""WITH a AS (SELECT count(*)::DOUBLE AS cnt,
+      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::DOUBLE AS idn,
+      |  (count(*) - count(DISTINCT event_id))::DOUBLE AS dup,
+      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE AS vn,
+      |  count(DISTINCT event_type)::DOUBLE AS tv,
+      |  min(value) AS mv
+      |  FROM events)
+      |SELECT 'event_id_not_null' AS rule, idn / cnt AS observed,
+      |  (idn / cnt = 0.0)::BIGINT AS pass FROM a
+      |UNION ALL SELECT 'event_id_unique', dup, (dup = 0.0)::BIGINT FROM a
+      |UNION ALL SELECT 'value_not_null', vn / cnt,
+      |  (vn / cnt = 0.0)::BIGINT FROM a
+      |UNION ALL SELECT 'type_vocab_bounded', tv, (tv <= 5.0)::BIGINT FROM a
+      |UNION ALL SELECT 'value_nonnegative', mv, (mv >= 0.0)::BIGINT
+      |  FROM a""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }
