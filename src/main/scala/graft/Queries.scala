@@ -2038,10 +2038,54 @@ object Queries {
       |UNION ALL SELECT 'value_nonnegative', mv, (mv >= 0.0)::BIGINT
       |  FROM a""".stripMargin))
 
+  // ------------------------------------------------- unpivot / melt
+  // The inverse of the pivot family: a wide per-user count matrix melts
+  // back to long via Dataset.unpivot (ANSI UNPIVOT), dropping the zero
+  // cells the wide form materialized. Round-tripping pivot → unpivot →
+  // filter must equal the direct long aggregate — the oracle IS that
+  // direct form.
+  private val q69: (String, QFn, Option[String]) = ("q69_unpivot",
+    (s, d) => {
+      val aggs = vocab.map(v =>
+        count(when(col("event_type") === v, 1)).as(v))
+      val wide = ev(s, d).groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+      wide.unpivot(Array(col("user_id")), vocab.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n") > 0)
+    },
+    Some("""SELECT user_id, event_type, count(*)::BIGINT AS n
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------- hopping time windows
+  // Overlapping (sliding) event-time windows in BATCH: 1-hour windows
+  // every 30 minutes — each event lands in exactly two, which is the
+  // trend-smoothing aggregation monitoring uses. Spark's window() emits
+  // struct starts aligned to the epoch grid; the oracle replays the two
+  // covering windows per event with integer µs floor-division.
+  private val q70: (String, QFn, Option[String]) = ("q70_hopping_window",
+    (s, d) => ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec2(col("value"))).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value")),
+    Some("""WITH x AS (SELECT event_type, value, epoch_us(ts) AS eu
+      |  FROM events),
+      |u AS (SELECT event_type, value, unnest([
+      |    make_timestamp((eu // 1800000000) * 1800000000),
+      |    make_timestamp((eu // 1800000000) * 1800000000 - 1800000000)
+      |  ]) AS win_start FROM x)
+      |SELECT win_start, event_type, count(*)::BIGINT AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY 1, 2""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q70)
 }
