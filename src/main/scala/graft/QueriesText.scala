@@ -1995,6 +1995,32 @@ object QueriesText {
         |SELECT vec_id, cid::BIGINT AS cid, d2 FROM fin""".stripMargin
     })
 
+  // ------------------------------------- JL random projection (64→16)
+  // Dimensionality reduction as a pure map-side projection: the same
+  // deterministic hyperplanes as e02's LSH (sign-quantized there, real-
+  // valued here), scaled √(3/16) (planes are uniform[-1,1), variance
+  // 1/3) so distances survive in expectation. Output scalarized to
+  // (vec_id, dim, comp) rows — the driver checker hashes scalars, not
+  // arrays (the q17 lesson).
+  private val PROJ_DIMS = 16
+  private val e14: (String, QFn, Option[String]) = ("e14_random_projection",
+    (s, d) => emb(s, d).select(col("vec_id"),
+      posexplode(Similarity.randomProject(col("embedding"), LSH_DIMS,
+        PROJ_DIMS)).as(Seq("dim", "comp"))),
+    Some {
+      val scale = math.sqrt(3.0 / PROJ_DIMS)
+      val comps = (0 until PROJ_DIMS).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"round(list_dot_product(v, $plane) * $scale, 6)"
+      }.mkString(",\n|    ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT vec_id, unnest(range(0, $PROJ_DIMS)) AS dim,
+        |  unnest([$comps]) AS comp
+        |FROM e""".stripMargin
+    })
+
   // --------------------------------------------- persisted ANN index
   // The serving shape: lshIndexTable (signatures + norms, banded) is
   // WRITTEN to parquet and the query half runs against the RE-READ table
@@ -2020,6 +2046,6 @@ object QueriesText {
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
     d43, d44, d45, d46, d47,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
     m01, m02)
 }

@@ -447,6 +447,22 @@ object Similarity {
     rankTopK(pqAdcScore(qEnc.join(enc, Seq("bucket")), m), k)
   }
 
+  /** Johnson–Lindenstrauss random projection: dims → outDims via the
+    * same deterministic md5-derived hyperplanes as [[lshSignature]],
+    * scaled by √(3/outDims) — the planes are uniform[-1,1) with variance
+    * 1/3, so the √3 restores unit variance and norms/distances are
+    * preserved in expectation (JL lemma; [[lshSignature]] is exactly
+    * this projection quantized to sign bits). A pure PROJECTION — each
+    * output component is one native DotProduct against a literal plane —
+    * so reducing a 100 TB embedding store 4× in width is a single
+    * map-side pass. Components round to 6 dp for cross-engine replay. */
+  def randomProject(vec: Column, dims: Int, outDims: Int): Column = {
+    val scale = math.sqrt(3.0 / outDims.toDouble)
+    array((0 until outDims).map { p =>
+      round(dot(vec, lit(planeVector(p, dims).toArray)) * lit(scale), 6)
+    }: _*)
+  }
+
   /** Lloyd k-means over (id, vec) with deterministic init (first `k`
     * vectors by id — same policy as [[ivfKnn]]'s centroid sample) and
     * ORDER-INDEPENDENT centroid updates: per-dimension component sums run

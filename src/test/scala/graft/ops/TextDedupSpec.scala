@@ -261,6 +261,37 @@ class TextDedupSpec extends SparkSpec {
     assert(ranks.forall { case (_, n, mx) => n == 3 && mx == 3 })
   }
 
+  test("randomProject preserves norms in expectation (JL) and LSH signs") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 64).map(d =>
+        (((i * 31 + d * 7) % 11) - 5).toFloat / 3.0f))
+    }
+    val df = base.toDF("id", "vec")
+    val out = df.select($"id",
+        Similarity.randomProject($"vec", 64, 16).as("p"),
+        $"vec")
+      .as[(Long, Seq[Double], Seq[Float])].collect()
+    // mean squared-norm ratio over 30 vectors: E=1, sd ~ 25%/sqrt(30)
+    val ratios = out.map { case (_, p, v) =>
+      val pn = p.map(x => x * x).sum
+      val vn = v.map(x => x.toDouble * x).sum
+      pn / vn
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"JL norm ratio $mean")
+    // sign structure equals the LSH signature bits (same planes)
+    val sigs = df.select($"id",
+        Similarity.lshSignature($"vec", 64, 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, p, _) =>
+      p.zipWithIndex.filter { case (c, _) => math.abs(c) > 1e-5 }
+        .foreach { case (c, i) =>
+          val bit = (sigs(id) >> i) & 1L
+          assert((c >= 0) == (bit == 1L), s"id $id plane $i")
+        }
+    }
+  }
+
   test("kmeans recovers two well-separated clusters deterministically") {
     val base = (0 until 30).map { i =>
       val cluster = i % 2
