@@ -2081,11 +2081,67 @@ object Queries {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM u GROUP BY 1, 2""".stripMargin))
 
+  // --------------------------------------- feature correlation matrix
+  // Pearson correlation between per-user spend features, with every
+  // MOMENT decimal-exact: per-user totals are DECIMAL(18,2), products
+  // DECIMAL(37,4) (under the 38 cap — no precision-loss rounding), sums
+  // exact — so Σx, Σy, Σxy, Σx², Σy² are order-independent integers in
+  // disguise. Only the final textbook formula runs in IEEE doubles
+  // (identical expression tree both engines), rounded 6 dp. The breadth
+  // complement to e08's per-dim variance: cross-feature diagnostics.
+  private val q71: (String, QFn, Option[String]) = ("q71_correlation",
+    (s, d) => {
+      val perUser = ev(s, d).groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("event_type") === "click",
+          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("y"),
+        coalesce(sum(when(col("event_type") === "view",
+          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("z"))
+      def corrOf(a: Column, b: Column): Column = {
+        val n = count(lit(1)).cast("double")
+        val num = (n * sum(a * b).cast("double")
+          - sum(a).cast("double") * sum(b).cast("double"))
+        val dx = (n * sum(a * a).cast("double")
+          - sum(a).cast("double") * sum(a).cast("double"))
+        val dy = (n * sum(b * b).cast("double")
+          - sum(b).cast("double") * sum(b).cast("double"))
+        round(num / sqrt(dx * dy), 6)
+      }
+      perUser.agg(count(lit(1)).as("n_users"),
+        corrOf(col("x"), col("y")).as("r_click_purchase"),
+        corrOf(col("x"), col("z")).as("r_click_view"),
+        corrOf(col("y"), col("z")).as("r_purchase_view"))
+    },
+    Some {
+      def corrSql(a: String, b: String) =
+        s"""round((count(*)::DOUBLE * sum($a * $b)::DOUBLE
+           | - sum($a)::DOUBLE * sum($b)::DOUBLE)
+           | / sqrt((count(*)::DOUBLE * sum($a * $a)::DOUBLE
+           |     - sum($a)::DOUBLE * sum($a)::DOUBLE)
+           |   * (count(*)::DOUBLE * sum($b * $b)::DOUBLE
+           |     - sum($b)::DOUBLE * sum($b)::DOUBLE)), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH u AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS x,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y,
+        |  coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS z
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*)::BIGINT AS n_users,
+        | ${corrSql("x", "y")} AS r_click_purchase,
+        | ${corrSql("x", "z")} AS r_click_view,
+        | ${corrSql("y", "z")} AS r_purchase_view
+        |FROM u""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70)
+    q70, q71)
 }
