@@ -2137,11 +2137,85 @@ object Queries {
         |FROM u""".stripMargin
     })
 
+  // --------------------------------------- entity resolution (blocked)
+  // Fuzzy record linkage with the classic two-stage shape: BLOCK first
+  // (equi-join on (nation, name length) — candidate pairs bounded per
+  // block, never |customers|²), then VERIFY with edit distance on
+  // candidates only (the d35 discipline applied to structured records).
+  // Pairs within distance 2 are potential duplicates for a steward
+  // queue; at scale only the block key changes, not the plan.
+  private val q72: (String, QFn, Option[String]) = ("q72_entity_resolution",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_nationkey").as("nat"),
+        length(col("c_name")).as("_len"))
+      c.select(col("id").as("a"), col("name").as("na"), col("nat"),
+          col("_len"))
+        .join(c.select(col("id").as("b"), col("name").as("nb"),
+          col("nat"), col("_len")), Seq("nat", "_len"))
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+      |  c_nationkey AS nat, length(c_name) AS len FROM customer),
+      |p AS (SELECT x.nat, levenshtein(x.name, y.name) AS dist
+      |  FROM c x JOIN c y ON x.nat = y.nat AND x.len = y.len
+      |   AND x.id < y.id)
+      |SELECT nat, count(*)::BIGINT AS n_pairs,
+      | min(dist)::BIGINT AS min_dist
+      |FROM p WHERE dist <= 2 GROUP BY nat""".stripMargin))
+
+  // --------------------------------------- percent-of-parent hierarchy
+  // BI-style hierarchical shares: revenue per (region, nation) with each
+  // nation's share of its region and each region's share of the total —
+  // windows over the AGGREGATED frame (region-count-sized), never over
+  // fact rows; decimal-exact revenue so the ratios are noise-free.
+  private val q73: (String, QFn, Option[String]) = ("q73_pct_of_parent",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+      val wr = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double")
+            / sum(col("rev")).over(wr).cast("double"), 6)
+            .as("pct_of_region"),
+          round(sum(col("rev")).over(wr).cast("double")
+            / sum(col("rev")).over(wAll).cast("double"), 6)
+            .as("region_pct_of_total"))
+    },
+    Some("""WITH rev AS (SELECT r_name, n_name,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem
+      |   JOIN orders ON l_orderkey = o_orderkey
+      |   JOIN customer ON o_custkey = c_custkey
+      |   JOIN nation ON c_nationkey = n_nationkey
+      |   JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev::DOUBLE AS revenue,
+      | round(rev::DOUBLE
+      |   / (sum(rev) OVER (PARTITION BY r_name))::DOUBLE, 6)
+      |   AS pct_of_region,
+      | round((sum(rev) OVER (PARTITION BY r_name))::DOUBLE
+      |   / (sum(rev) OVER ())::DOUBLE, 6) AS region_pct_of_total
+      |FROM rev""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71)
+    q70, q71, q72, q73)
 }
