@@ -2211,11 +2211,56 @@ object Queries {
       |   / (sum(rev) OVER ())::DOUBLE, 6) AS region_pct_of_total
       |FROM rev""".stripMargin))
 
+  // ------------------------------------------------ winsorized mean
+  // The third robust-stats form (q12 repairs, q67 flags, this AGGREGATES
+  // robustly): clamp values at the exact [p05, p95] quantiles, then a
+  // decimal-exact mean of the clamped values — the headline metric that
+  // one fat-finger row can no longer move. Clamped doubles pass through
+  // DECIMAL(18,6) (half-up both engines) so the mean is order-free.
+  private val q74: (String, QFn, Option[String]) = ("q74_winsorized_mean",
+    (s, d) => {
+      val sv = ev(s, d).select(col("event_type"), col("value"))
+      val edges = Quantiles.exactGroupQuantiles(sv, col("event_type"),
+          col("value"), Seq(0.05, 0.95))
+        .groupBy(col("grp").as("event_type"))
+        .agg(max(when(col("frac") === 0.05, col("q"))).as("lo"),
+          max(when(col("frac") === 0.95, col("q"))).as("hi"))
+      sv.join(broadcast(edges), Seq("event_type"))
+        .withColumn("_w", least(greatest(col("value"), col("lo")),
+          col("hi")).cast("decimal(18,6)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("_w")).cast("double") / count(lit(1)), 6)
+            .as("winsorized_mean"),
+          round(sum(dec2(col("value"))).cast("double") / count(lit(1)), 6)
+            .as("raw_mean"))
+    },
+    Some {
+      def interp(q: String) =
+        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
+           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
+           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
+           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH g AS (SELECT event_type, count(*) AS cnt,
+        |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
+        |e AS (SELECT event_type, ${interp("0.05")} AS lo,
+        |  ${interp("0.95")} AS hi FROM g),
+        |w AS (SELECT ev.event_type,
+        |  CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6)) AS wv,
+        |  CAST(value AS DECIMAL(18,2)) AS rv
+        |  FROM events ev JOIN e USING (event_type))
+        |SELECT event_type, count(*)::BIGINT AS n,
+        | round(sum(wv)::DOUBLE / count(*), 6) AS winsorized_mean,
+        | round(sum(rv)::DOUBLE / count(*), 6) AS raw_mean
+        |FROM w GROUP BY 1""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73)
+    q70, q71, q72, q73, q74)
 }
