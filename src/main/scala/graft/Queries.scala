@@ -2256,11 +2256,53 @@ object Queries {
         |FROM w GROUP BY 1""".stripMargin
     })
 
+  // --------------------------------------- calendar gap fill + carry
+  // Time-series regularization: a per-user DAILY spine (sequence from the
+  // user's first to last active day), daily totals left-joined onto it,
+  // gaps forward-filled with the last known total (ignore-nulls window).
+  // The spine explode is bounded by each user's active SPAN, the fill
+  // window rides the one user shuffle, and totals stay decimal-exact —
+  // this is the resample().ffill() of the pandas world as one plan.
+  private val q75: (String, QFn, Option[String]) = ("q75_gap_fill",
+    (s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(dec2(col("value"))).as("total"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+        .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("total"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("day_total"),
+          last(col("total"), ignoreNulls = true).over(w)
+            .cast("double").as("carried"),
+          col("total").isNull.cast("long").as("is_gap"))
+    },
+    Some("""WITH t AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM t GROUP BY 1),
+      |spine AS (SELECT user_id,
+      |  unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      |j AS (SELECT spine.user_id, spine.day, t.total
+      |  FROM spine LEFT JOIN t USING (user_id, day))
+      |SELECT user_id, day, coalesce(total, 0)::DOUBLE AS day_total,
+      | (last_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+      |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  )::DOUBLE AS carried,
+      | (total IS NULL)::BIGINT AS is_gap
+      |FROM j""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q26b, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74)
+    q70, q71, q72, q73, q74, q75)
 }
