@@ -1218,10 +1218,10 @@ object Queries {
       |    ROWS UNBOUNDED PRECEDING) AS cum,
       |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM c),
       |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
-      |pick AS (SELECT event_type, q, n, round(greatest(lo, least(hi,
+      |pick AS (SELECT event_type, q, n, floor(greatest(lo, least(hi,
       |    lo + (hi - lo) / 32 * (bin::DOUBLE
-      |      + (q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE))), 6)
-      |    AS est,
+      |      + (q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE))) * 1e6)
+      |    / 1e6 AS est,
       |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
       |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
       |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin))

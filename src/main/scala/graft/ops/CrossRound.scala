@@ -33,4 +33,25 @@ object CrossRound {
       val p = F.lit(math.pow(10, scale))
       F.round(c * p) / p
     }
+
+  /**
+   * Tie-FREE cross-engine fixed-point: `floor(x * 10^scale) / 10^scale`.
+   *
+   * The multiply form above still has one residual failure mode: when
+   * `x * 10^n` lands within half an output ulp of the rounding grid at
+   * large magnitude (ulp(2.4e8 * 1e6) ≈ 3e-8 — well above the grid
+   * resolution), Spark's BigDecimal.valueOf shortest-string semantics and
+   * C `round()` can disagree on which side of the half the value sits.
+   * `floor` has no half to disagree about: it is exact on every finite
+   * double and identical in IEEE 754, Spark, DuckDB, and C. Use this for
+   * sketch/interpolation estimates where the value is a computed double
+   * (not a decimal-natured ratio) and any fixed grid point is acceptable.
+   *
+   * Spark's `floor` returns LONG, so `|x| * 10^scale` must stay below
+   * 2^63; at scale 6 that is |x| < ~9.2e12 — far above any estimate here.
+   */
+  def truncate(c: Column, scale: Int): Column = {
+    val p = F.lit(math.pow(10, scale))
+    F.floor(c * p) / p
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.ops.CrossRound.truncate // tie-free cross-engine fixed-point
 
 /**
  * Histogram-sketch quantiles: the bounded-state percentile shape that
@@ -16,7 +16,11 @@ import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
  * binning projection; (2) per-(group, bin) counts. The quantile is then a
  * linear interpolation inside the first bin whose cumulative count reaches
  * q·n — integer counts + one fixed double expression, so the DuckDB oracle
- * replays it bit-for-bit at round(6).
+ * replays it bit-for-bit. The published estimate is TRUNCATED to 6 dp
+ * (`floor(est*1e6)/1e6`, CrossRound.truncate) rather than rounded: at
+ * 1e8-magnitude values the ×1e6 product's ulp exceeds the half-grid
+ * resolution, so half-up rounding can disagree by one output ulp between
+ * Spark's BigDecimal semantics and C round(); floor has no tie to lose.
  */
 object Histogram {
 
@@ -66,6 +70,6 @@ object Histogram {
       // than everything before it can only happen for the group's first
       // occupied bin) still interpolates within that bin, floor at _lo
       .select(col("grp"), col("q"), col("n"),
-        round(greatest(col("_lo"), least(col("_hi"), est)), 6).as("est"))
+        truncate(greatest(col("_lo"), least(col("_hi"), est)), 6).as("est"))
   }
 }
