@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.schema.Tables
+import graft.streaming.EventStream
+
+/**
+ * Driver-contract query registry, part 3: BATCH TWINS of the streaming
+ * surface (SURVEY.md §2.10). Each query here calls the SAME EventStream
+ * function the streaming specs drive — `withWatermark` is a no-op on a
+ * batch Dataset (Catalyst's EliminateEventTimeWatermark) and
+ * `mapGroupsWithState` runs in batch with empty initial state — so the
+ * driver's DuckDB hash check covers the exact plan the stream executes.
+ * One definition, two execution modes; the remaining twins (q25/d01/q29/
+ * d43/d36) live in Queries/QueriesText for historical ordering.
+ *
+ * Determinism notes:
+ *  - s01 outputs timestamps as `unix_micros` (exact integers; DuckDB's
+ *    `epoch_us`) — second-level `epoch(ts)::BIGINT` would ROUND the
+ *    microsecond fraction in DuckDB but TRUNCATE in Spark.
+ *  - s02 folds per-event values in shuffle order, so the summed value is
+ *    pre-scaled to CENTS (`round(value*100)` — integer-valued doubles):
+ *    integer-double addition is exact and order-independent up to 2^53,
+ *    and the final mean is a single IEEE division both engines replay.
+ */
+object QueriesStream {
+  import Queries.QFn
+
+  // --------------------------------------------- stream-stream interval join
+  // Streaming attribution (EventStream.clickAttribution): each purchase
+  // pairs with the same user's clicks from the preceding hour. In batch
+  // the interval join degenerates to a plain range-predicate equi-join on
+  // user_id — the shape AQE broadcasts when one side is small.
+  private val s01: (String, QFn, Option[String]) = ("s01_click_attribution",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      EventStream.clickAttribution(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+      | p.event_id AS purchase_id,
+      | epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+      | p.value AS purchase_value
+      |FROM events c JOIN events p
+      | ON c.user_id = p.user_id AND c.ts <= p.ts
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+      .stripMargin))
+
+  // --------------------------------------------------- mapGroupsWithState
+  // Per-user running stats (EventStream.runningUserStats): the batch run
+  // processes each user's whole history in one state update, so the final
+  // snapshot equals the streaming query's last emitted row per user.
+  private val s02: (String, QFn, Option[String]) = ("s02_running_stats",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("double").as("value"))
+        .as[EventStream.Event]
+      EventStream.runningUserStats(evs).toDF()
+        .select(col("user_id"), col("n"), col("total").as("total_cents"),
+          col("mean").as("mean_cents"))
+    },
+    Some("""SELECT user_id, count(*) AS n,
+      | sum(round(value * 100)) AS total_cents,
+      | sum(round(value * 100)) / count(*) AS mean_cents
+      |FROM events GROUP BY user_id""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02)
+}

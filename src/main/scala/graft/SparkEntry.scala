@@ -12,7 +12,7 @@ import graft.schema.Tables
 object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame,
-    Option[String])] = Queries.defs ++ QueriesText.defs
+    Option[String])] = Queries.defs ++ QueriesText.defs ++ QueriesStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.3 spine: scan → time attrs → per-group trim →
