@@ -1548,11 +1548,11 @@ object QueriesText {
   // two-hit rule emits 17k candidates at 255/256 recall. Boilerplate
   // shared by everything barely moves the score; shared rare phrases
   // dominate.
-  private val d41: (String, QFn, Option[String]) = ("d41_sparse_cosine",
-    (s, d) => Relevance.sparseCosinePairs(docs(s, d), "doc_id",
-      TextOps.tokens(col("text")), n = 3, threshold = 0.3,
-      maxPostings = 10, minShared = 2),
-    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+  /** d41's oracle, parametrized by the minimum shared-rare-shingle count
+    * so d48's recall audit can replay the single-hit truth set with the
+    * same SQL text (nested as a WITH subquery, like e09 does for e01/e02). */
+  private def sparseCosineSql(minShared: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
       |tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM (
       |  SELECT doc_id, unnest(list_transform(
       |    range(1, greatest(len(w) - 1, 1)),
@@ -1568,14 +1568,51 @@ object QueriesText {
       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
       |  FROM wt x JOIN wt y ON x.s = y.s AND x.doc_id < y.doc_id
       |  WHERE x.df <= 10 AND y.df <= 10
-      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
       |num AS (SELECT c.a, c.b, sum(x.w * y.w) AS num
       |  FROM cand c JOIN wt x ON x.doc_id = c.a
       |  JOIN wt y ON y.doc_id = c.b AND y.s = x.s
       |  GROUP BY 1, 2)
       |SELECT a, b, round(num / (na.nrm * nb.nrm), 6) AS sim
       |FROM num JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
-      |WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin))
+      |WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin
+
+  private val d41: (String, QFn, Option[String]) = ("d41_sparse_cosine",
+    (s, d) => Relevance.sparseCosinePairs(docs(s, d), "doc_id",
+      TextOps.tokens(col("text")), n = 3, threshold = 0.3,
+      maxPostings = 10, minShared = 2),
+    Some(sparseCosineSql(minShared = 2)))
+
+  // ------------------------------------ d41 candidate-rule recall audit
+  // The two-hit rule buys 66× fewer candidates (measured: 1.13M -> 17k at
+  // sf0.1) at a recall cost this query makes DRIVER-VISIBLE instead of a
+  // code-comment claim: truth = the single-hit candidate rule's output
+  // (every pair >= threshold reachable through any df<=10 shingle), found
+  // = d41's registered two-hit output. Same composition move as e09 for
+  // the ANN index: both sides reuse the audited query's own fn/SQL, so
+  // the audit can't drift from the thing it audits.
+  private val d48: (String, QFn, Option[String]) = ("d48_sparse_recall",
+    (s, d) => {
+      val truth = Relevance.sparseCosinePairs(docs(s, d), "doc_id",
+        TextOps.tokens(col("text")), n = 3, threshold = 0.3,
+        maxPostings = 10, minShared = 1)
+        .select(col("a"), col("b"))
+      val found = d41._2(s, d).select(col("a"), col("b"))
+      found.join(truth, Seq("a", "b"))
+        .agg(count(lit(1)).as("found"))
+        .crossJoin(truth.agg(count(lit(1)).as("true_pairs")))
+        .select(col("found"), col("true_pairs"),
+          round(col("found").cast("double") /
+            col("true_pairs").cast("double"), 6).as("recall"))
+    },
+    Some(s"""WITH truth AS (${sparseCosineSql(minShared = 1)}),
+      |two AS (${sparseCosineSql(minShared = 2)}),
+      |f AS (SELECT count(*)::BIGINT AS found FROM two
+      |  JOIN truth USING (a, b)),
+      |t AS (SELECT count(*)::BIGINT AS true_pairs FROM truth)
+      |SELECT found, true_pairs,
+      | round(found::DOUBLE / true_pairs::DOUBLE, 6) AS recall
+      |FROM f, t""".stripMargin))
 
   // ------------------------------------ fuzzy benchmark decontamination
   // d14's exact 4-gram probe misses paraphrased leakage; this flags train
@@ -2045,7 +2082,7 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    d43, d44, d45, d46, d47,
+    d43, d44, d45, d46, d47, d48,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
     m01, m02)
 }
