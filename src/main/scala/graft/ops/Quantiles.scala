@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
  * 2-dp), wrong for raw continuous measurements where distinct ≈ rows;
  * there, pre-round the value to the precision the quantile actually
  * needs, or accept q44's sketch. The per-group window sorts one group's
- * distinct values in one task, so that bound is also the task bound.
+ * distinct values in one task, so that bound is also the task bound —
+ * and it is ENFORCED, not just documented: `maxDistinctPerGroup`
+ * (default 4M ≈ tens of MB of (value, count) state per task) fails the
+ * job with a named-group error instead of letting a raw-continuous
+ * misuse OOM an executor mid-sort at 100 TB. The check rides the
+ * target-rank aggregation the plan already does (count(*) over the
+ * distinct-value table per group — no extra shuffle).
  *
  * Shape: one aggregation to (group, value, multiplicity), a window over
  * the DISTINCT-value table only (the d31 trick — never a row-level
@@ -32,10 +38,15 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** (grp, frac, q): exact linear-interpolated quantile of `v` per group,
-    * for each fraction in `fracs` (np.percentile semantics). */
+    * for each fraction in `fracs` (np.percentile semantics). Fails fast
+    * (SparkException naming the group) if any group exceeds
+    * `maxDistinctPerGroup` distinct values — the state bound this
+    * operator's exactness rests on. */
   def exactGroupQuantiles(df: DataFrame, grp: Column, v: Column,
-                          fracs: Seq[Double]): DataFrame = {
+                          fracs: Seq[Double],
+                          maxDistinctPerGroup: Long = 4000000L): DataFrame = {
     require(fracs.nonEmpty && fracs.forall(f => f >= 0 && f <= 1))
+    require(maxDistinctPerGroup > 0, "maxDistinctPerGroup must be positive")
     val dv = df.select(grp.as("grp"), v.as("v"))
       .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(col("grp")).orderBy(col("v"))
@@ -43,7 +54,19 @@ object Quantiles {
     // the group's sorted multiset
     val cum = dv.withColumn("_hi_r", sum(col("_c")).over(w))
       .withColumn("_lo_r", col("_hi_r") - col("_c") + 1)
-    val targets = dv.groupBy(col("grp")).agg(sum(col("_c")).as("_cnt"))
+    // _ndv rides the aggregation the targets need anyway; assert_true
+    // raises per offending group BEFORE the broadcast range-join consumes
+    // the targets (the window sort may run concurrently, but the job
+    // fails at this cheap aggregate instead of grinding to completion)
+    val guardMsg = concat(
+      lit("exactGroupQuantiles: group "), col("grp").cast("string"),
+      lit(" has "), col("_ndv").cast("string"),
+      lit(s" distinct values (> maxDistinctPerGroup=$maxDistinctPerGroup);"),
+      lit(" pre-round the value or use Histogram.quantiles"))
+    val targets = dv.groupBy(col("grp"))
+      .agg(sum(col("_c")).as("_cnt"), count(lit(1)).as("_ndv"))
+      .filter(assert_true(
+        col("_ndv") <= lit(maxDistinctPerGroup), guardMsg).isNull)
       .select(col("grp").as("_tg"), col("_cnt"),
         explode(array(fracs.map(lit): _*)).as("frac"))
       .withColumn("_idx", col("frac") * (col("_cnt").cast("double") - 1))

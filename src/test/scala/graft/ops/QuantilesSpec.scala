@@ -33,4 +33,24 @@ class QuantilesSpec extends SparkSpec {
     assert(a == b)
     assert(a == Seq(50.5, 76.5)) // np.percentile(1..100, 50), (3..150 step 3, 50)
   }
+
+  test("exactGroupQuantiles fails fast past maxDistinctPerGroup, names the group") {
+    val df = ((1 to 200).map(i => ("big", i.toDouble))
+      ++ (1 to 10).map(i => ("small", i.toDouble))).toDF("g", "v")
+    // over the bound: a raw-continuous misuse must fail with a diagnostic,
+    // not OOM a sort task at scale
+    val e = intercept[Exception] {
+      Quantiles.exactGroupQuantiles(df, col("g"), col("v"), Seq(0.5),
+        maxDistinctPerGroup = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    val msg = messages(e).mkString("\n")
+    assert(msg.contains("exactGroupQuantiles") && msg.contains("big"), msg)
+    // at the bound: both groups fit, result identical to the unguarded run
+    val ok = Quantiles.exactGroupQuantiles(df, col("g"), col("v"), Seq(0.5),
+      maxDistinctPerGroup = 200L).orderBy("grp")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(ok == Seq(100.5, 5.5))
+  }
 }
