@@ -178,6 +178,21 @@ object QueriesText {
       | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
       |GROUP BY c.a, c.b""".stripMargin))
 
+  // ---------------------------------------- MinHash, production hash family
+  // d06 with hashFamily = xxhash64 — the family a real deployment runs
+  // (Dedup.scala:33: codegen'd, one pass, no hex round-trip; the md5-hex
+  // conv() family exists only so DuckDB can replay signatures). DuckDB has
+  // no xxhash64, so this registers WITHOUT an oracle (rows-only check);
+  // its purpose is the BENCH row: d06 vs d49 in the same bench run is the
+  // measured cost of oracle-parity hashing, i.e. what switching families
+  // buys a production corpus run. Row count differs slightly from d06 —
+  // different hash family, different band collisions — that is expected.
+  private val d49: (String, QFn, Option[String]) = ("d49_minhash_xxhash",
+    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS,
+      hashFamily = Dedup.xxhashFamily),
+    None)
+
   // ------------------------------------------------------------ SimHash
   private val SIMHASH_BITS = 60
   private val d07: (String, QFn, Option[String]) = ("d07_simhash",
@@ -2082,7 +2097,7 @@ object QueriesText {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
-    d43, d44, d45, d46, d47, d48,
+    d43, d44, d45, d46, d47, d48, d49,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
     m01, m02)
 }

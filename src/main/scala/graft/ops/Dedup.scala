@@ -312,12 +312,16 @@ object Dedup {
     * the scoring join moves one wide signature row per doc — nothing fans
     * out k× or quadratically.
     *
-    * With the default md5 family and no posting-list cutoff, signatures
-    * come from the NATIVE [[graft.functions.MinHashSigs]] expression — a
-    * pure projection per doc (no (doc, shingle) explode, no signature
-    * shuffle), bit-identical to the relational min-aggregation the oracle
-    * replays. Pass `hashFamily` explicitly (e.g. [[xxhashFamily]]) or a
-    * `maxPostings` cutoff to use the relational explode + min-agg path. */
+    * With no posting-list cutoff, signatures are a PURE PROJECTION per
+    * doc (no (doc, shingle) explode, no signature shuffle): the default
+    * md5 family uses the NATIVE [[graft.functions.MinHashSigs]] codegen
+    * expression, bit-identical to the relational min-aggregation the
+    * oracle replays; a custom `hashFamily` (e.g. [[xxhashFamily]] — the
+    * production form, measured as d49 vs d06 in the bench) folds through
+    * `transform` + `array_min` in the same projection shape, so the two
+    * paths differ ONLY in hash primitive. A `maxPostings` cutoff needs
+    * corpus-wide document frequencies and takes the relational explode +
+    * min-agg path. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, bands: Int, maxPostings: Int = 0,
                  hashFamily: (Column, Column) => Column = null)
@@ -327,15 +331,37 @@ object Dedup {
     // band join and both scoring sides reuse it (else k*|shingles| md5s
     // rerun 3x). Weak-ref checkpoint over cache for the same
     // no-CacheManager-pinning reason as jaccardPairs
-    val sigs = (if (hashFamily == null && maxPostings == 0) {
-      val arr = graft.functions.MinHashSigs.minhashSigs(
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)), k)
+    val sigs = (if (maxPostings == 0) {
+      val shArr =
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
       // checkpoint the ARRAY form before any filter or column fan-out:
       // project-collapse would otherwise substitute the expression into
       // the null filter and all k element_at columns — k+1 recomputes of
       // the full signature per doc (measured 4x slower than the explode
       // path before this materialization barrier)
-      df.select(col(idCol).as("doc"), arr.as("_sig"))
+      val sigArrDf =
+        if (hashFamily == null)
+          df.select(col(idCol).as("doc"),
+            graft.functions.MinHashSigs.minhashSigs(shArr, k).as("_sig"))
+        else {
+          // same projection shape as the native path, hash swapped:
+          // sig_j = min over shingles of hashFamily(s, j). The shingle
+          // array is MATERIALIZED first — lambda-functions block Catalyst
+          // subexpression elimination, so folding shArr into the k
+          // transforms below would re-tokenize every doc k times
+          // (measured 5x slower than this two-step form); after the
+          // barrier each transform reads a plain attribute. array_min of
+          // an empty doc is null -> whole-array null via the guard,
+          // matching the native expression's null-for-empty contract.
+          df.select(col(idCol).as("doc"), shArr.as("_sh"))
+            .localCheckpoint(true)
+            .select(col("doc"),
+              when(size(col("_sh")) === 0, lit(null)).otherwise(
+                array((0 until k).map(j => array_min(
+                  transform(col("_sh"), x => hashFamily(x, lit(j))))): _*))
+                .as("_sig"))
+        }
+      sigArrDf
         .localCheckpoint(true)
         .filter(col("_sig").isNotNull)
         .select(col("doc") +: (0 until k).map(j =>
