@@ -1147,7 +1147,9 @@ object Queries {
       }
       rtDirs.synchronized(rtDirs.toSeq).foreach(p => rm(new java.io.File(p)))
     }))
-  private def rtDir(tag: String, d: String): String = {
+  /** Package-visible so QueriesText (e13's index dir) shares the same
+    * pid-keyed, shutdown-hook-cleaned tmp-dir discipline. */
+  private[graft] def rtDir(tag: String, d: String): String = {
     rtCleanupHook
     val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"p${ProcessHandle.current().pid()}_" +
@@ -2083,21 +2085,30 @@ object Queries {
 
   // --------------------------------------- feature correlation matrix
   // Pearson correlation between per-user spend features, with every
-  // MOMENT decimal-exact: per-user totals are DECIMAL(18,2), products
-  // DECIMAL(37,4) (under the 38 cap — no precision-loss rounding), sums
-  // exact — so Σx, Σy, Σxy, Σx², Σy² are order-independent integers in
-  // disguise. Only the final textbook formula runs in IEEE doubles
-  // (identical expression tree both engines), rounded 6 dp. The breadth
-  // complement to e08's per-dim variance: cross-feature diagnostics.
+  // MOMENT decimal-exact: per-user totals are narrowed to DECIMAL(15,2)
+  // (covers 10^13 cents per user), so products are DECIMAL(31,4) and the
+  // moment sums — which Spark caps at DECIMAL(38,4) — keep 10^7 digits'
+  // worth of headroom above the max single product (the SUM cap, not the
+  // product cap, is the binding constraint at scale: 18,2-wide totals
+  // would leave ONE decimal digit and a non-ANSI overflow silently nulls
+  // the correlation). At the 38,4 cap the exact form holds ~10^8 users at
+  // max-magnitude totals; Σx, Σy, Σxy, Σx², Σy² stay order-independent
+  // integers in disguise. Only the final textbook formula runs in IEEE
+  // doubles (identical expression tree both engines), rounded 6 dp. The
+  // breadth complement to e08's per-dim variance: cross-feature
+  // diagnostics.
   private val q71: (String, QFn, Option[String]) = ("q71_correlation",
     (s, d) => {
       val perUser = ev(s, d).groupBy(col("user_id")).agg(
         coalesce(sum(when(col("event_type") === "click",
-          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("x"),
+          dec2(col("value")))), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(15,2)").as("x"),
         coalesce(sum(when(col("event_type") === "purchase",
-          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("y"),
+          dec2(col("value")))), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(15,2)").as("y"),
         coalesce(sum(when(col("event_type") === "view",
-          dec2(col("value")))), lit(0).cast("decimal(18,2)")).as("z"))
+          dec2(col("value")))), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(15,2)").as("z"))
       def corrOf(a: Column, b: Column): Column = {
         val n = count(lit(1)).cast("double")
         val num = (n * sum(a * b).cast("double")
@@ -2123,12 +2134,15 @@ object Queries {
            |     - sum($b)::DOUBLE * sum($b)::DOUBLE)), 6)"""
           .stripMargin.replaceAll("\n", "")
       s"""WITH u AS (SELECT user_id,
-        |  coalesce(sum(CASE WHEN event_type = 'click'
-        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS x,
-        |  coalesce(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y,
-        |  coalesce(sum(CASE WHEN event_type = 'view'
-        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS z
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |    AS DECIMAL(15,2)) AS x,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |    AS DECIMAL(15,2)) AS y,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |    AS DECIMAL(15,2)) AS z
         |  FROM events GROUP BY user_id)
         |SELECT count(*)::BIGINT AS n_users,
         | ${corrSql("x", "y")} AS r_click_purchase,

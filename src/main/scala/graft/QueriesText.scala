@@ -1717,11 +1717,14 @@ object QueriesText {
       |voc AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS tid
       |  FROM (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 256)),
       |enc AS (SELECT tok.doc, tok.pos, coalesce(voc.tid, 0) AS tid
-      |  FROM tok LEFT JOIN voc USING (t))
-      |SELECT doc, count(*)::BIGINT AS n_tokens,
-      | sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-      | md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_fp
-      |FROM enc GROUP BY doc""".stripMargin))
+      |  FROM tok LEFT JOIN voc USING (t)),
+      |agg AS (SELECT doc, count(*)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |  md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_fp
+      |  FROM enc GROUP BY doc)
+      |SELECT doc_id AS doc, coalesce(n_tokens, 0) AS n_tokens,
+      | coalesce(n_oov, 0) AS n_oov, coalesce(ids_fp, md5('')) AS ids_fp
+      |FROM documents LEFT JOIN agg ON doc_id = doc""".stripMargin))
 
   // --------------------------------------- temperature mixture sampling
   // d15 reweights toward EXPLICIT target shares; this is the
@@ -2083,9 +2086,9 @@ object QueriesText {
     (s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_e13_" +
-        s"p${ProcessHandle.current().pid()}_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+      // Queries.rtDir registers the path with the shutdown-hook cleanup
+      // (an inline tmpdir here leaked one index dir per run)
+      val dir = Queries.rtDir("e13", d)
       Similarity.lshIndexTable(e, LSH_DIMS, LSH_PLANES, LSH_BANDS)
         .write.mode("overwrite").parquet(dir)
       Similarity.lshKnnIndexed(e.filter(col("id") < 20),

@@ -477,9 +477,12 @@ object Similarity {
     * every iteration bit-for-bit. */
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int, dims: Int)
   : Array[Array[Double]] = {
+    // element-type-agnostic init pull: every Column-side step here casts
+    // through double, so the driver-side seed read must too — a
+    // getSeq[Float] would ClassCastException on an array<double> corpus
     var cents: Array[Array[Double]] = corpus.orderBy(col("id")).limit(k)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col("vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
     val sumCols = (0 until dims).map(i =>
       sum(element_at(col("vec"), i + 1).cast("double")
         .cast("decimal(25,10)")).as(s"_s$i"))

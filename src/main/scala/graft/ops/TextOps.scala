@@ -180,7 +180,7 @@ object TextOps {
       .withColumn("tid",
         row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select(col("t"), col("tid"))
-    tok.join(broadcast(vocab), Seq("t"), "left")
+    val enc = tok.join(broadcast(vocab), Seq("t"), "left")
       .select(col("doc"), col("pos"),
         coalesce(col("tid"), lit(0L)).as("tid"))
       .groupBy(col("doc"))
@@ -189,6 +189,16 @@ object TextOps {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tid")))),
           x => x.getField("tid").cast("string")), ",")).as("ids_fp"))
+    // retain zero-token docs (posexplode emits no rows for them, so they
+    // are absent from `enc`): left-join back to the corpus — same policy
+    // as stripBoilerplate — so a consumer joining encodings to documents
+    // never silently loses docs. Empty sequence = n_tokens 0, n_oov 0,
+    // ids_fp md5('').
+    df.select(col(idCol).as("doc")).join(enc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids_fp"), md5(lit(""))).as("ids_fp"))
   }
 
   /** PII scrub pass: count and redact email addresses and long (≥6) digit

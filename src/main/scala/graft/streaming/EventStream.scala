@@ -53,22 +53,26 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
-  /** Windowed HyperLogLog registers over the stream — distinct users per
-    * (event-time window, key) with CONSTANT per-window state (m registers,
-    * never the id set; a streaming dropDuplicates+count would hold every
-    * distinct id in the state store). The batch `Sketches.hllRegisters`
-    * composes unchanged with a watermarked window group — one definition,
-    * two execution modes, like hourlyCounts/q25. The output is the
-    * REGISTER table (streams allow one aggregation, and registers are the
-    * mergeable form anyway — see Sketches scaladoc); estimate downstream
-    * with `Sketches.hllFromRegisters`, after max-merging windows/shards
-    * as needed. */
-  def hllWindowedRegisters(events: DataFrame, keyCol: Column,
+  /** Windowed HyperLogLog registers over the stream — distinct `valueCol`
+    * values per event-time window with CONSTANT per-window state (m
+    * registers, never the value set; a streaming dropDuplicates+count
+    * would hold every distinct value in the state store). `valueCol` is
+    * the COUNTED value (e.g. user_id for distinct-users-per-hour), not a
+    * grouping dimension — per-(window, event_type) cardinalities need an
+    * extra grouping column threaded into the underlying
+    * `Sketches.hllRegisters` group, not this signature. The batch
+    * `Sketches.hllRegisters` composes unchanged with a watermarked window
+    * group — one definition, two execution modes, like hourlyCounts/q25.
+    * The output is the REGISTER table (streams allow one aggregation, and
+    * registers are the mergeable form anyway — see Sketches scaladoc);
+    * estimate downstream with `Sketches.hllFromRegisters`, after
+    * max-merging windows/shards as needed. */
+  def hllWindowedRegisters(events: DataFrame, valueCol: Column,
                            p: Int = 6, windowLen: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =
     graft.ops.Sketches.hllRegisters(
       events.withWatermark("ts", watermark),
-      window(col("ts"), windowLen), keyCol, p)
+      window(col("ts"), windowLen), valueCol, p)
 
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks from the preceding `horizon` — streaming attribution

@@ -312,6 +312,12 @@ class TextDedupSpec extends SparkSpec {
     val c1 = Similarity.kmeansFit(df.repartition(7), 2, 3, 8)
     val c2 = Similarity.kmeansFit(df.repartition(3), 2, 3, 8)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // element-type-agnostic: an array<double> corpus fits identically
+    // (the init collect used to hardcode getSeq[Float] and throw)
+    val dfD = base.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("id", "vec")
+    val cD = Similarity.kmeansFit(dfD.repartition(5), 2, 3, 8)
+    assert(cD.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
   }
 
   test("stripBoilerplate cuts covered spans, keeps unique text in order") {
