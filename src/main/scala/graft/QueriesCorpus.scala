@@ -1,0 +1,603 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.ops._
+import graft.schema.Tables
+import graft.QueriesText._
+
+/** Registry slice d25-d49: corpus-level statistics, language modeling, decontamination, release assembly and the production-hash bench row.
+  * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
+  * the MinHash constants) live in [[QueriesText]]; registration order is
+  * assembled there. */
+private[graft] object QueriesCorpus {
+
+  // ------------------------------------------------- vocabulary top-k
+  // Corpus-wide term frequencies, top 500 — the vocab/BPE-seed builder.
+  // One shuffle (term counts with map-side combine), then TakeOrdered
+  // top-k: per-partition top-500 + a 500-row merge, never a global sort
+  // or a single-partition window over the vocabulary.
+  private val d25: (String, QFn, Option[String]) = ("d25_vocab_topk",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      Relevance.topKRanks(counts, "cnt", "term", 500)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      |SELECT term, cnt,
+      | row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+      |FROM c ORDER BY cnt DESC, term ASC LIMIT 500""".stripMargin))
+
+  // --------------------------------------------- unigram LM surprisal
+  // Mean per-token surprisal −log2 p(t) under the corpus's own unigram
+  // LM — the deterministic stand-in for perplexity-based quality
+  // filtering (CCNet-style: implausibly low/high surprisal → machine
+  // text / noise). LM table is vocabulary-sized: joined SHUFFLED on term
+  // (same policy as d21 TF-IDF — never collected; AQE may broadcast a
+  // small vocab on its own), total count rides as a 1-row broadcast.
+  private val d26: (String, QFn, Option[String]) = ("d26_unigram_surprisal",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+      val tot = lm.agg(sum(col("tc")).cast("double").as("_tot"))
+      toks.join(lm, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nll", log2(col("_tot") / col("tc").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("_nll")), 6).as("mean_surprisal"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term
+      |  FROM documents),
+      |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY 1),
+      |tot AS (SELECT sum(tc)::DOUBLE AS tt FROM lm)
+      |SELECT doc_id, count(*) AS n_tokens,
+      | round(avg(log2(tt / tc::DOUBLE)), 6) AS mean_surprisal
+      |FROM t JOIN lm USING (term), tot
+      |GROUP BY doc_id""".stripMargin))
+
+  // --------------------------------------------- shingle containment
+  // Asymmetric containment |A∩B|/|A| over the same posting-list join as
+  // d05 — catches a short doc wholly quoted inside a longer one, which
+  // symmetric Jaccard dilutes away. Integer intersection counts; the two
+  // ratios are the only floats.
+  private val d27: (String, QFn, Option[String]) = ("d27_containment",
+    (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 3,
+      threshold = 0.5, maxPostings = 50),
+    Some(s"""WITH $shCte,
+      |shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s
+      |  HAVING count(*) <= 50) ok ON sh.s = ok.s),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i / sa.n_sh, 6) AS cont_a_in_b,
+      | round(i / sb.n_sh, 6) AS cont_b_in_a
+      |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE round(i / sa.n_sh, 6) >= 0.5
+      |   OR round(i / sb.n_sh, 6) >= 0.5""".stripMargin))
+
+  // --------------------------------------------- PMI collocations
+  // Pointwise mutual information of adjacent token pairs vs their unigram
+  // marginals — phrase mining over the corpus. Bigram/unigram count
+  // tables are vocabulary-sized (shuffled joins on the word keys; totals
+  // are 1-row broadcasts); the final ranking is a TakeOrdered top-200.
+  private val d28: (String, QFn, Option[String]) = ("d28_pmi_collocations",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      val big = toks.select(explode(TextOps.shingles(col("w"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val totU = uni.agg(sum(col("cu")).cast("double").as("_tu"))
+      val totB = big.agg(sum(col("cb")).cast("double").as("_tb"))
+      val scored = big.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .withColumn("pmi", round(log2(
+          (col("cb").cast("double") / col("_tb")) /
+            ((col("c1").cast("double") / col("_tu")) *
+              (col("c2").cast("double") / col("_tu")))), 6))
+        .select(col("bg"), col("cb"), col("pmi"))
+      Relevance.topKRanks(scored, "pmi", "bg", 200)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |uc AS (SELECT t, count(*) AS cu FROM (SELECT unnest(w) AS t FROM t)
+      |  GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS cb FROM (SELECT
+      |    unnest(list_transform(range(1, greatest(len(w), 1)),
+      |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg
+      |  FROM t) GROUP BY 1),
+      |tu AS (SELECT sum(cu)::DOUBLE AS tu FROM uc),
+      |tb AS (SELECT sum(cb)::DOUBLE AS tb FROM bc),
+      |p AS (SELECT bg, cb, round(log2((cb::DOUBLE / tb)
+      |    / ((c1.cu::DOUBLE / tu) * (c2.cu::DOUBLE / tu))), 6) AS pmi
+      |  FROM bc JOIN uc c1 ON string_split(bg, ' ')[1] = c1.t
+      |    JOIN uc c2 ON string_split(bg, ' ')[2] = c2.t, tu, tb
+      |  WHERE cb >= 5)
+      |SELECT bg, cb, pmi,
+      | row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rank
+      |FROM p ORDER BY pmi DESC, bg ASC LIMIT 200""".stripMargin))
+
+  // --------------------------------------------- per-source KL drift
+  // KL(source token distribution ‖ corpus distribution) in bits — the
+  // domain-shift score deciding whether a source needs its own mixing
+  // weight. Count tables are integer and vocabulary-sized; only the final
+  // Σ p·log2(p/q) is float (round 6; accumulation noise ~1e-13).
+  private val d29: (String, QFn, Option[String]) = ("d29_source_kl",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tk"))
+      val sc = toks.groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("cs"))
+      val cc = toks.groupBy(col("tk")).agg(count(lit(1)).as("cc2"))
+      val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      val nc = toks.agg(count(lit(1)).as("nc"))
+      val ps = col("cs").cast("double") / col("ns").cast("double")
+      val pc = col("cc2").cast("double") / col("nc").cast("double")
+      sc.join(cc, Seq("tk")).join(ns, Seq("source"))
+        .crossJoin(broadcast(nc))
+        .groupBy(col("source"), col("ns"))
+        .agg(round(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
+        .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
+    },
+    Some(s"""WITH t AS (SELECT source, unnest($tokSql) AS tk
+      |  FROM documents),
+      |sc AS (SELECT source, tk, count(*) AS cs FROM t GROUP BY 1, 2),
+      |cc AS (SELECT tk, count(*) AS cc2 FROM t GROUP BY 1),
+      |ns AS (SELECT source, sum(cs)::BIGINT AS ns FROM sc GROUP BY 1),
+      |nc AS (SELECT count(*)::BIGINT AS nc FROM t)
+      |SELECT source, ns AS n_tokens,
+      | round(sum((cs::DOUBLE / ns::DOUBLE)
+      |   * log2((cs::DOUBLE / ns::DOUBLE) / (cc2::DOUBLE / nc::DOUBLE))), 6)
+      |   AS kl_bits
+      |FROM sc JOIN cc USING (tk) JOIN ns USING (source), nc
+      |GROUP BY source, ns""".stripMargin))
+
+  // --------------------------------------------- duplicated-span fraction
+  // Per-doc fraction of n-gram OCCURRENCES whose n-gram appears in >= 2
+  // distinct docs — the linear-cost proxy for suffix-array substring dedup
+  // (Lee et al. 2022), used to cut boilerplate/mirror text. No pair join:
+  // the only shuffles are the df table build and the occurrence probe.
+  private val d30: (String, QFn, Option[String]) = ("d30_dup_spans",
+    (s, d) => Dedup.dupSpans(docs(s, d), "doc_id", "text", n = 3)
+      .withColumnRenamed("doc", "doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |occ AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      |  FROM toks),
+      |dfq AS (SELECT s, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, s FROM occ) GROUP BY s),
+      |per AS (SELECT doc_id, count(*) AS n_spans,
+      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      |  FROM occ JOIN dfq USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(n_spans, 0)::BIGINT AS n_spans,
+      | COALESCE(dup_spans, 0)::BIGINT AS dup_spans,
+      | round(COALESCE(dup_spans::DOUBLE / n_spans::DOUBLE, 0.0), 6)
+      |   AS dup_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+
+  // --------------------------------------- per-source quality calibration
+  // percent_rank / cume_dist of the d03 quality score WITHIN each source —
+  // cross-source score calibration (a 0.8 from a clean source and a 0.8
+  // from a spam-heavy one are not comparable; mixing decisions want the
+  // within-source quantile). Computed via RankStats: the window runs over
+  // the distinct-(source, score) table, NOT per row — the shape that
+  // survives a 10-source 100 TB corpus where a row-level window would fan
+  // every row of a source into one task.
+  private val d31: (String, QFn, Option[String]) = ("d31_quality_calibrate",
+    (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      RankStats.groupPercentRank(scored, "source", "quality_score",
+        "src_pct_rank", "src_cume_dist")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS quality_score
+      |  FROM documents)
+      |SELECT doc_id, source, quality_score,
+      | round(percent_rank() OVER
+      |   (PARTITION BY source ORDER BY quality_score), 6) AS src_pct_rank,
+      | round(cume_dist() OVER
+      |   (PARTITION BY source ORDER BY quality_score), 6) AS src_cume_dist
+      |FROM q""".stripMargin))
+
+  // --------------------------------------------- interpolated bigram LM
+  // Per-doc mean negative log2 prob under a Jelinek-Mercer bigram LM
+  // trained on the corpus itself: p(w2|w1) = 0.9·cb/cu(w1) + 0.1·cu(w2)/N.
+  // The KenLM-perplexity quality filter's deterministic stand-in — extends
+  // d26's unigram surprisal with first-order context. Count tables are
+  // vocabulary-sized (shuffled joins on bigram/word keys); the corpus total
+  // rides as a 1-row broadcast; never collected.
+  private val d32: (String, QFn, Option[String]) = ("d32_bigram_lm",
+    (s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("w"))
+      // occurrences feed the bigram count table AND the probe join —
+      // materialize once (same policy as jaccardPairs)
+      val occ = t.select(col("doc_id"),
+          explode(TextOps.shingles(col("w"), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .localCheckpoint(true)
+      val uni = t.select(explode(col("w")).as("t1"))
+        .groupBy(col("t1")).agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).cast("double").as("_tu"))
+      val bc = occ.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val nll = occ.join(bc, Seq("bg"))
+        .join(uni.select(col("t1").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("t1").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nll", log2(lit(1.0) /
+          (lit(0.9) * (col("cb").cast("double") / col("c1").cast("double"))
+            + lit(0.1) * (col("c2").cast("double") / col("_tu")))))
+      val per = nll.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("_nll")), 6).as("mean_nll"))
+      docs(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |occ AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(w), 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg
+      |  FROM t),
+      |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+      |  string_split(bg, ' ')[2] AS w2 FROM occ),
+      |uc AS (SELECT t1, count(*) AS cu
+      |  FROM (SELECT unnest(w) AS t1 FROM t) GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS cb FROM occ GROUP BY 1),
+      |tu AS (SELECT sum(cu)::DOUBLE AS tu FROM uc),
+      |p AS (SELECT doc_id, log2(1.0 /
+      |    (0.9 * (cb::DOUBLE / c1.cu::DOUBLE)
+      |      + 0.1 * (c2.cu::DOUBLE / tu))) AS nll
+      |  FROM o2 JOIN bc USING (bg)
+      |    JOIN uc c1 ON o2.w1 = c1.t1
+      |    JOIN uc c2 ON o2.w2 = c2.t1, tu),
+      |per AS (SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(nll), 6) AS mean_nll FROM p GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+      | COALESCE(mean_nll, 0.0) AS mean_nll
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+
+  // --------------------------------------------- curriculum ordering
+  // Global training order: rank every doc by quality (desc, doc_id ties)
+  // and cut the corpus into 4 curriculum phases. The global row_number is
+  // computed via RankStats.globalOrderIndex — cumulative counts over the
+  // DISTINCT-score grid plus a within-tie window — never a whole-corpus
+  // single-task sort. Driver-checked equal to the naive SQL window.
+  private val d33: (String, QFn, Option[String]) = ("d33_curriculum_order",
+    (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      val ranked = RankStats.globalOrderIndex(scored, "quality_score",
+        "doc_id", "global_rank")
+      val tot = scored.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("quality_score"), col("global_rank"),
+          floor((col("global_rank") - 1) * 4 / col("_n")).cast("long")
+            .as("phase"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, $qScoreSql AS quality_score
+      |  FROM documents),
+      |n AS (SELECT count(*)::BIGINT AS n FROM q),
+      |r AS (SELECT doc_id, quality_score, row_number() OVER
+      |  (ORDER BY quality_score DESC, doc_id) AS global_rank FROM q)
+      |SELECT doc_id, quality_score, global_rank,
+      | ((global_rank - 1) * 4) // n AS phase FROM r, n""".stripMargin))
+
+  // ----------------------------------------- canonical doc per cluster
+  // The dedup DECISION step: d10's connected components + d03's quality
+  // score → one keeper per near-dup cluster (highest quality, lowest
+  // doc_id on ties). Spark side selects keepers with a single max(struct)
+  // aggregation — order-independent, no per-cluster window; the oracle
+  // re-derives clusters with d10's recursive CTE and picks by window.
+  private val d34: (String, QFn, Option[String]) = ("d34_cluster_keeper",
+    (s, d) => {
+      val cl = Dedup.dedupCorpus(docs(s, d), "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS, minEstJaccard = 0.5)
+      val q = docs(s, d).select(col("doc_id").as("doc"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      cl.join(q, Seq("doc"))
+        .groupBy(col("keep_id").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality_score"), (-col("doc")).as("negdoc")))
+            .as("m"))
+        .select(col("cluster"), col("n_docs"),
+          (-col("m.negdoc")).as("keeper_id"),
+          col("m.quality_score").as("keeper_quality"))
+    },
+    Some(s"""WITH RECURSIVE $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id),
+      |near AS (SELECT a, b FROM (
+      |  SELECT c.a, c.b,
+      |   round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |     / ${MINHASH_K.toDouble}, 6) AS ej
+      |  FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      |   JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |  GROUP BY c.a, c.b) WHERE ej >= 0.5),
+      |exg AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1),
+      |exp AS (SELECT d.doc_id AS doc, g.keep_id AS peer FROM documents d
+      |  JOIN exg g ON md5(d.text) = g.fp WHERE d.doc_id <> g.keep_id),
+      |edges AS (SELECT doc, peer FROM exp
+      |  UNION SELECT peer, doc FROM exp
+      |  UNION SELECT a, b FROM near
+      |  UNION SELECT b, a FROM near),
+      |cc(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc, c.label FROM edges e JOIN cc c ON c.doc = e.peer),
+      |cl AS (SELECT doc, min(label) AS cluster FROM cc GROUP BY doc),
+      |qv AS (SELECT doc_id, $qScoreSql AS q FROM documents),
+      |rk AS (SELECT cluster, doc, q,
+      |  row_number() OVER (PARTITION BY cluster
+      |    ORDER BY q DESC, doc ASC) AS rn,
+      |  count(*) OVER (PARTITION BY cluster) AS n_docs
+      |  FROM cl JOIN qv ON doc = doc_id)
+      |SELECT cluster, n_docs::BIGINT AS n_docs, doc AS keeper_id,
+      | q AS keeper_quality FROM rk WHERE rn = 1""".stripMargin))
+
+  // ----------------------------------------- edit-distance verification
+  // The standard two-stage near-dup pipeline made explicit: cheap LSH
+  // candidates (d06's band join) -> EXPENSIVE exact verification, here
+  // Levenshtein distance + normalized similarity on the candidate pairs
+  // only. At 100 TB the O(len^2) edit distance is affordable precisely
+  // because it runs on the candidate set (thousands of pairs), never the
+  // corpus cross-product; both engines' levenshtein are exact integers.
+  private val d35: (String, QFn, Option[String]) = ("d35_edit_verify",
+    (s, d) => {
+      val t = docs(s, d)
+      val cand = Dedup.minhashLsh(t, "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS).select(col("a"), col("b"))
+      val ta = t.select(col("doc_id").as("a"), col("text").as("_ta"))
+      val tb = t.select(col("doc_id").as("b"), col("text").as("_tb"))
+      cand.join(ta, Seq("a")).join(tb, Seq("b"))
+        .withColumn("lev",
+          levenshtein(col("_ta"), col("_tb")).cast("long"))
+        .withColumn("nsim", round(lit(1.0) - col("lev").cast("double")
+          / greatest(length(col("_ta")), length(col("_tb")))
+            .cast("double"), 6))
+        .select(col("a"), col("b"), col("lev"), col("nsim"),
+          (col("nsim") >= 0.8).cast("long").as("verified"))
+    },
+    Some(s"""WITH $shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id),
+      |v AS (SELECT a, b,
+      |  levenshtein(da.text, db.text)::BIGINT AS lev,
+      |  round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+      |    / greatest(length(da.text), length(db.text))::DOUBLE, 6) AS nsim
+      |  FROM cand JOIN documents da ON da.doc_id = a
+      |   JOIN documents db ON db.doc_id = b)
+      |SELECT a, b, lev, nsim,
+      | (CASE WHEN nsim >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS verified
+      |FROM v""".stripMargin))
+
+  // ----------------------------------------- Count-Min heavy hitters
+  // CMS counters (4×64, md5 hash family) over the token stream, queried
+  // back for every vocabulary term with the exact count alongside —
+  // est >= exact by construction (PropertiesSpec asserts; the driver
+  // hash-checks the full error audit). The counter table is 256 rows no
+  // matter the corpus size and merges across shards by addition — the
+  // bounded-state frequency path next to KMV (d19) and the histogram
+  // sketch (q44).
+  private val d36: (String, QFn, Option[String]) = ("d36_count_min",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      Sketches.countMin(toks, col("term"), depth = 4, width = 64)
+        .select(col("val").as("term"), col("n_exact"), col("est"),
+          col("overcount"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |cnt AS (SELECT j,
+      |   ${md5HashSql("term || '#' || 'cms' || j")} % 64 AS b,
+      |   count(*) AS cnt
+      |  FROM t, js GROUP BY 1, 2),
+      |ex AS (SELECT term, count(*) AS n_exact FROM t GROUP BY 1),
+      |pr AS (SELECT term, n_exact, j,
+      |   ${md5HashSql("term || '#' || 'cms' || j")} % 64 AS b
+      |  FROM ex, js)
+      |SELECT term, n_exact, min(cnt) AS est,
+      | min(cnt) - n_exact AS overcount
+      |FROM pr JOIN cnt USING (j, b) GROUP BY term, n_exact"""
+      .stripMargin))
+
+  // ----------------------------------------- token-stream sequence carve
+  // GPT-style packing: concatenate the corpus into one virtual token
+  // stream (doc_id order) and carve fixed 512-token training sequences —
+  // each doc reports its cumulative offset and which sequences it spans.
+  // The global running sum uses Sequences.globalCumsum (range partitions +
+  // per-partition window + broadcast prefix offsets), NOT a single-task
+  // `ORDER BY` window; the oracle is the naive global window, which must
+  // match exactly since token counts are integers.
+  private val d37: (String, QFn, Option[String]) = ("d37_token_stream_pack",
+    (s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sequences.globalCumsum(t, "doc_id", col("n_tokens"), "cum_tokens")
+        .withColumn("seq_first",
+          floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
+        .withColumn("seq_last",
+          floor((col("cum_tokens") - 1) / 512).cast("long"))
+        .withColumn("n_seqs", greatest(lit(0L),
+          col("seq_last") - col("seq_first") + 1))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  (sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens,
+      | ((cum_tokens - n_tokens) // 512)::BIGINT AS seq_first,
+      | ((cum_tokens - 1) // 512)::BIGINT AS seq_last,
+      | greatest(0, (cum_tokens - 1) // 512
+      |   - (cum_tokens - n_tokens) // 512 + 1)::BIGINT AS n_seqs
+      |FROM c""".stripMargin))
+
+  // ----------------------------------------------- corpus data card
+  // The per-source report a dataset release ships with: volume (docs,
+  // tokens), corpus-wide exact-duplicate share, mean quality, and language
+  // spread — one grouped pass over per-doc projections plus the
+  // fingerprint-count join (dup status is CORPUS-wide, so a mirror source
+  // shows up even when its docs are unique within itself). Every column
+  // integer or round-6; the whole card is one shuffle on source plus the
+  // vocabulary-sized fp join.
+  private val d38: (String, QFn, Option[String]) = ("d38_corpus_report",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"), size(toks).cast("long").as("nt"),
+        TextOps.qualityCols(col("text"), toks).last,
+        TextOps.langId(toks).as("lang_pred"))
+      val fpc = t.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      t.join(fpc, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          round(avg(col("quality_score")), 6).as("mean_quality"),
+          countDistinct(col("lang_pred")).as("n_langs"),
+          round(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_frac"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, source, md5(text) AS fp,
+      |  len($tokSql)::BIGINT AS nt, $qScoreSql AS q, $langScoreDefsSql
+      |  FROM documents),
+      |t AS (SELECT doc_id, source, fp, nt, q,
+      |  $langCaseSql AS lang_pred FROM sc),
+      |fpc AS (SELECT fp, count(*) AS c FROM t GROUP BY 1)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      | sum(nt)::BIGINT AS n_tokens,
+      | round(avg(q), 6) AS mean_quality,
+      | count(DISTINCT lang_pred)::BIGINT AS n_langs,
+      | round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE
+      |   / count(*)::DOUBLE, 6) AS dup_frac
+      |FROM t JOIN fpc USING (fp) GROUP BY source""".stripMargin))
+
+  // ------------------------------------------------- Zipf rank-frequency
+  // Least-squares fit of log2(freq) on log2(rank) over the top-500 terms —
+  // the classic corpus sanity check (natural language ≈ slope −1; far off
+  // → boilerplate or synthetic text). The fit runs over ONE 500-row
+  // top-k (TakeOrdered), then a single 1-row aggregate of the power sums;
+  // slope/intercept/R² use the textbook closed forms with the SAME
+  // parenthesization in both engines.
+  private val d40: (String, QFn, Option[String]) = ("d40_zipf_fit",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ranked = Relevance.topKRanks(counts, "cnt", "term", 500)
+      val pts = ranked.select(
+        log2(col("rank").cast("double")).as("x"),
+        log2(col("cnt").cast("double")).as("y"))
+      val agg = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("n").cast("long").as("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($tokSql) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+      |r AS (SELECT term, cnt, row_number() OVER
+      |  (ORDER BY cnt DESC, term) AS rank
+      |  FROM c ORDER BY cnt DESC, term LIMIT 500),
+      |p AS (SELECT log2(rank::DOUBLE) AS x, log2(cnt::DOUBLE) AS y
+      |  FROM r),
+      |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
+      |SELECT n::BIGINT AS n_terms,
+      | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+      |   6) AS zipf_intercept,
+      | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin))
+
+  // ----------------------------------------- cross-source overlap matrix
+  // Shingle containment at SOURCE granularity — the mirror detector ("is
+  // source B mostly a copy of source A?"). Collapsing (doc, shingle) to
+  // DISTINCT (source, shingle) first bounds every posting list at the
+  // number of sources, so the pair join is |vocab| × sources², never
+  // doc-quadratic — the aggregation-level analog of d27's df-cutoff.
+  private val d39: (String, QFn, Option[String]) = ("d39_source_overlap",
+    (s, d) => {
+      val ss = docs(s, d).select(col("source"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+        .distinct().localCheckpoint(true)
+      val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = ss.select(col("source").as("sa"), col("sh"))
+        .join(ss.select(col("source").as("sb"), col("sh")), Seq("sh"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("source").as("sa"), col("n_sh").as("na")),
+          Seq("sa"))
+        .join(sz.select(col("source").as("sb"), col("n_sh").as("nb")),
+          Seq("sb"))
+        .select(col("sa"), col("sb"), col("inter"),
+          round(col("inter").cast("double") / col("na").cast("double"), 6)
+            .as("cont_a_in_b"),
+          round(col("inter").cast("double") / col("nb").cast("double"), 6)
+            .as("cont_b_in_a"))
+    },
+    Some(s"""WITH toks AS (SELECT source, $tokSql AS w FROM documents),
+      |ss AS (SELECT DISTINCT source, s FROM (SELECT source,
+      |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      |  FROM toks)),
+      |sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+      |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+      |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, inter,
+      | round(inter::DOUBLE / za.n_sh::DOUBLE, 6) AS cont_a_in_b,
+      | round(inter::DOUBLE / zb.n_sh::DOUBLE, 6) AS cont_b_in_a
+      |FROM i JOIN sz za ON za.source = sa
+      | JOIN sz zb ON zb.source = sb""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
+}

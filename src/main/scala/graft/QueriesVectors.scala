@@ -1,0 +1,598 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.ops._
+import graft.schema.Tables
+import graft.QueriesText._
+
+/** Registry slice e01-e14 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index and multimodal plumbing.
+  * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
+  * the MinHash constants) live in [[QueriesText]]; registration order is
+  * assembled there. */
+private[graft] object QueriesVectors {
+
+  // ------------------------------------------------- brute-force cosine KNN
+  private val e01: (String, QFn, Option[String]) = ("e01_knn_brute",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.bruteKnn(e.filter(col("id") < 20), e, 5)
+    },
+    Some("""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  round(list_dot_product(q.v, c.v)
+      |    / (sqrt(list_dot_product(q.v, q.v))
+      |       * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+      |ranked AS (SELECT qid, nid, sim, row_number() OVER
+      |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+      |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+      .stripMargin))
+
+  // -------------------------------------------- LSH-bucketed approximate NN
+  // The hyperplanes are deterministic driver-side constants, so the oracle
+  // gets them as literal arrays and replays the full pipeline: sign-bit
+  // signature → band buckets → exact cosine rerank within candidates.
+  private val LSH_DIMS = 64
+
+  private val LSH_PLANES = 16
+
+  private val LSH_BANDS = 4
+
+  // shared by e02 (inline index) and e13 (the SAME pipeline through a
+  // persisted parquet index — storage must not change a single bit)
+  private lazy val lshKnnOracleSql: String = {
+    val rows = LSH_PLANES / LSH_BANDS
+    val mask = (1L << rows) - 1
+    val sigExpr = (0 until LSH_PLANES).map { p =>
+      val plane = Similarity.planeVector(p, LSH_DIMS)
+        .map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
+      |banded AS (SELECT vec_id, v, band,
+      |   (sig >> (band * $rows)) & $mask AS bits
+      |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, q.v AS qv,
+      |   c.vec_id AS nid, c.v AS nv
+      |  FROM banded q JOIN banded c
+      |   ON q.band = c.band AND q.bits = c.bits AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20),
+      |scored AS (SELECT qid, nid,
+      |   round(list_dot_product(qv, nv)
+      |     / (sqrt(list_dot_product(qv, qv))
+      |        * sqrt(list_dot_product(nv, nv))), 6) AS sim FROM cand),
+      |ranked AS (SELECT qid, nid, sim, row_number() OVER
+      |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+      |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+      .stripMargin
+  }
+
+  private val e02: (String, QFn, Option[String]) = ("e02_knn_lsh",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.lshKnn(e.filter(col("id") < 20), e, 5,
+        dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
+    },
+    Some(lshKnnOracleSql))
+
+  // ------------------------------------------------ IVF approximate NN
+  // Assignment ranks on rounded cosine with centroid-id tiebreak, so the
+  // whole pipeline (centroid sample → inverted file → nProbe rerank) is
+  // deterministic and the oracle replays it exactly.
+  private val e04: (String, QFn, Option[String]) = ("e04_knn_ivf",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.ivfKnn(e.filter(col("id") < 20), e, 5,
+        nCentroids = 16, nProbe = 4)
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS cs
+        |  FROM e, cents c),
+        |corpusb AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca) WHERE r = 1),
+        |queryb AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca WHERE vec_id < 20)
+        |  WHERE r <= 4),
+        |cand AS (SELECT DISTINCT qid, qv, nid, nv
+        |  FROM queryb JOIN corpusb USING (cid) WHERE qid <> nid),
+        |scored AS (SELECT qid, nid, ${cos("qv", "nv")} AS sim FROM cand),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
+
+  // ---------------------------------------- embedding-cosine near-dup
+  // Vector-space dedup, registered in its SCALE form: LSH band equi-join
+  // generates candidate pairs (same banding as e02_knn_lsh), exact cosine
+  // verifies them — no corpus×corpus nested loop anywhere in the plan. The
+  // oracle replays the banding with the same literal hyperplanes. The exact
+  // all-pairs form survives as Similarity.cosineNearDupExact, cross-checked
+  // against this plan by SimilarityNearDupSpec.
+  private val e03: (String, QFn, Option[String]) = ("e03_cosine_neardup",
+    (s, d) => Similarity.lshNearDupPairs(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      0.5, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS),
+    Some {
+      val rows = LSH_PLANES / LSH_BANDS
+      val mask = (1L << rows) - 1
+      val sigExpr = (0 until LSH_PLANES).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
+        |banded AS (SELECT vec_id, v, band,
+        |   (sig >> (band * $rows)) & $mask AS bits
+        |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
+        |   y.vec_id AS b, y.v AS vb
+        |  FROM banded x JOIN banded y
+        |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+        |scored AS (SELECT a, b,
+        |   round(list_dot_product(va, vb)
+        |     / (sqrt(list_dot_product(va, va))
+        |        * sqrt(list_dot_product(vb, vb))), 6) AS sim FROM cand)
+        |SELECT a, b, sim FROM scored WHERE sim >= 0.5""".stripMargin
+    })
+
+  // ------------------------------------------------- multimodal plumbing
+  private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",
+    (s, d) => Multimodal.withPayloadMeta(
+      docs(s, d).withColumn("payload", col("text").cast("binary")), "payload")
+      .select(col("doc_id"), col("n_bytes"), col("digest")),
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      | md5(text) AS digest FROM documents""".stripMargin))
+
+  // Stubbed decode + frame sampling through the per-partition batch path
+  // (typed-Dataset mapPartitions with amortized per-partition decoder init).
+  // The stand-in decoder is md5-derived ON PURPOSE: DuckDB replays it
+  // exactly, so the whole mapPartitions stage is hash-checked, and the
+  // outputs are SCALAR columns (array cells crash the driver's checker).
+  private val m02: (String, QFn, Option[String]) = ("m02_decode_stub",
+    (s, d) => {
+      val withPayload = docs(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      val feats = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
+      val frames = docs(s, d).select(
+        col("doc_id") +: Multimodal.frameSampleMd5(col("text"), 4): _*)
+      feats.join(frames, Seq("doc_id"))
+    },
+    Some {
+      def res(hexExpr: String, m: Int) =
+        s"(('0x'||substr($hexExpr,1,15))::BIGINT % $m)::DOUBLE"
+      val frs = (0 until 4).map { i =>
+        val off = s"floor($i * (length(text) - 1) / 3.0)::BIGINT + 1"
+        s"""CASE WHEN length(text) > 0
+           | THEN ${res(s"md5(substr(text, $off, 1))", 251)}
+           | ELSE 0.0 END AS fr$i""".stripMargin
+      }.mkString(", ")
+      s"""SELECT doc_id,
+        | octet_length(encode(text)) / 1024.0 AS f0,
+        | ${res("md5(text)", 997)} AS f1,
+        | ${res("md5(text)", 251)} AS f2,
+        | ${res("md5(text)", 127)} AS f3,
+        | $frs
+        |FROM documents""".stripMargin
+    })
+
+  // ------------------------------------------------- semantic dedup
+  // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
+  // bucket size; a vector is dropped when an earlier same-bucket member is
+  // 0.3-similar. Same deterministic assignment policy as e04.
+  private val e05: (String, QFn, Option[String]) = ("e05_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(
+        emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3, nCentroids = 16)
+      .select(col("id").as("vec_id"), col("cid"), col("keep")),
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS cs
+        |  FROM e, cents c),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, cid) AS r FROM ca) WHERE r = 1),
+        |drp AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE ${cos("x.v", "y.v")} >= 0.3)
+        |SELECT a.vec_id, a.cid,
+        | (d.vec_id IS NULL)::BIGINT AS keep
+        |FROM asg a LEFT JOIN drp d USING (vec_id)""".stripMargin
+    })
+
+  // ------------------------------------------- centroid outlier scan
+  // Per-label mean embedding + squared distance to own centroid + outlier
+  // flag — the embedding-space label-quality sweep. Centroids are a
+  // dim × labels aggregate broadcast back; vectors shuffle zero times.
+  private val e06: (String, QFn, Option[String]) = ("e06_centroid_dist",
+    (s, d) => Similarity.centroidDistances(
+        emb(s, d), "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        col("label_mean_dist2"), col("is_outlier")),
+    Some("""WITH e AS (SELECT vec_id, label, pos,
+      |  embedding[pos + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+      |c AS (SELECT label, pos, avg(v) AS mu FROM e GROUP BY 1, 2),
+      |d AS (SELECT vec_id, e.label, sum((v - mu) * (v - mu)) AS d2
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos GROUP BY 1, 2),
+      |m AS (SELECT label, avg(d2) AS md2 FROM d GROUP BY 1)
+      |SELECT vec_id, d.label, round(d2, 6) AS dist2,
+      | round(md2, 6) AS label_mean_dist2,
+      | (d2 > 2.0 * md2)::BIGINT AS is_outlier
+      |FROM d JOIN m USING (label)""".stripMargin))
+
+  // ------------------------------------------- embedding dim diagnostics
+  // Per-dimension mean/variance + variance rank over the embedding
+  // column — the collapsed-dimension audit (a dim whose variance ≈ 0
+  // carries no signal; a dominant dim distorts cosine). Dimension stats
+  // are a dim-sized aggregate (64 rows) no matter the corpus size; the
+  // rank window runs over those 64 rows only. Same exploded-position
+  // arithmetic as e06's centroids, mirrored exactly in the oracle.
+  private val e08: (String, QFn, Option[String]) = ("e08_dim_variance",
+    (s, d) => {
+      val e = emb(s, d).select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("v"))
+      val m = e.groupBy(col("pos"))
+        .agg(avg(col("v")).as("mu"), count(lit(1)).as("n"))
+      val vv = e.join(m, Seq("pos"))
+        .groupBy(col("pos"), col("n"), col("mu"))
+        .agg((sum((col("v") - col("mu")) * (col("v") - col("mu")))
+          / col("n")).as("vp"))
+        .select(col("pos"), col("n"), round(col("mu"), 6).as("mean_v"),
+          round(col("vp"), 6).as("var_pop"))
+      Relevance.topKRanks(vv, "var_pop", "pos", 64)
+        .withColumnRenamed("rank", "var_rank")
+        .withColumn("var_rank", col("var_rank").cast("long"))
+    },
+    Some("""WITH e AS (SELECT vec_id, pos, embedding[pos + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+      |m AS (SELECT pos, avg(v) AS mu, count(*) AS n FROM e GROUP BY 1),
+      |vv AS (SELECT e.pos, n, round(mu, 6) AS mean_v,
+      |  round(sum((v - mu) * (v - mu)) / n, 6) AS var_pop
+      |  FROM e JOIN m USING (pos) GROUP BY e.pos, n, mu)
+      |SELECT pos, n, mean_v, var_pop,
+      | row_number() OVER (ORDER BY var_pop DESC, pos) AS var_rank
+      |FROM vv""".stripMargin))
+
+  // ------------------------------------------------- ANN recall audit
+  // recall@5 of the LSH index against the exact scan, PER QUERY, as a
+  // driver-verified table — the measurement that decides whether an ANN
+  // index is usable (spec-level recall asserts exist; this pins the exact
+  // per-query numbers). Composes e01's and e02's own query fns and oracle
+  // SQL (nested WITH subqueries), so the audit can never drift from the
+  // things it audits.
+  private val e09: (String, QFn, Option[String]) = ("e09_ann_recall",
+    (s, d) => {
+      val ex = e01._2(s, d).select(col("qid"), col("nid"))
+      val ap = e02._2(s, d).select(col("qid"), col("nid"))
+      val hits = ex.join(ap, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      ex.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+    },
+    Some(s"""WITH exact AS (${e01._3.get}),
+      |approx AS (${e02._3.get}),
+      |h AS (SELECT e.qid, count(*) AS hits FROM exact e
+      |  JOIN approx a ON a.qid = e.qid AND a.nid = e.nid GROUP BY 1)
+      |SELECT q.qid, COALESCE(hits, 0)::BIGINT AS hits,
+      | round(COALESCE(hits, 0) / 5.0, 6) AS recall_at_5
+      |FROM (SELECT DISTINCT qid FROM exact) q
+      |LEFT JOIN h USING (qid)""".stripMargin))
+
+  // ------------------------------------------- int8-quantized KNN
+  // Cosine top-k over symmetric int8 codes — the 4× memory lever for a
+  // corpus-scale embedding store. floor(x + 0.5) quantization (no
+  // engine-dependent rounding rule), scales cancel in the cosine ratio,
+  // so both engines replay the exact codes and integer dot products.
+  private val e07: (String, QFn, Option[String]) = ("e07_quantized_knn",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.quantizedKnn(e.filter(col("id") < 20), e, 5)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |sca AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+      |qz AS (SELECT vec_id, CASE WHEN s > 0 THEN
+      |    list_transform(v, x -> greatest(-127.0, least(127.0,
+      |      floor(x / s + 0.5))))
+      |  ELSE list_transform(v, x -> 0.0) END AS q FROM sca),
+      |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM qz),
+      |sc2 AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |  CASE WHEN a.qn * b.qn > 0
+      |    THEN round(list_dot_product(a.q, b.q) / (a.qn * b.qn), 6)
+      |  END AS qsim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 20),
+      |r AS (SELECT qid, nid, qsim, row_number() OVER (PARTITION BY qid
+      |  ORDER BY qsim DESC, nid) AS rank FROM sc2)
+      |SELECT qid, nid, rank, qsim FROM r WHERE rank <= 5""".stripMargin))
+
+  // ------------------------------------------- product-quantized ANN
+  // PQ codes + asymmetric-distance scan: corpus vectors become m=4
+  // centroid codes (12 bits vs 256 float bytes — the memory lever that
+  // keeps a 100 TB embedding store scan-resident); queries rank via a
+  // per-query lookup table, fixed-order m-term sums, so the oracle
+  // replays the arithmetic bit-for-bit. Composes with e04's IVF buckets
+  // for candidate pruning; this registers the full-scan ADC baseline.
+  private val PQ_M = 4
+
+  private val PQ_KC = 8
+
+  private val e10: (String, QFn, Option[String]) = ("e10_knn_pq",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.pqKnn(e.filter(col("id") < 20), e, 5, m = PQ_M,
+        kCent = PQ_KC, dims = LSH_DIMS)
+    },
+    Some {
+      val sub = LSH_DIMS / PQ_M
+      def fixedSum(expr: Int => String): String =
+        (0 until PQ_M).map(expr).mkString(" + ")
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PQ_KC)),
+        |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+        |cw AS (SELECT samp.cid, ms.m,
+        |    list_slice(samp.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        |  FROM samp, ms),
+        |cw2 AS (SELECT cid, m, cv, list_dot_product(cv, cv) AS cn2
+        |  FROM cw),
+        |cs AS (SELECT c.vec_id AS nid, ms.m,
+        |    list_slice(c.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS sv
+        |  FROM c, ms),
+        |sc AS (SELECT nid, cs.m, cid, cn2,
+        |    round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+        |      + cn2, 6) AS d2
+        |  FROM cs JOIN cw2 ON cs.m = cw2.m),
+        |codes AS (SELECT nid, m, cid, cn2 FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY nid, m ORDER BY d2, cid) AS r FROM sc)
+        |  WHERE r = 1),
+        |enc AS (SELECT nid,
+        |    ${fixedSum(i => s"max(CASE WHEN m = $i THEN cn2 END)")} AS nb2
+        |  FROM codes GROUP BY nid),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+        |  FROM q),
+        |lut AS (SELECT q.vec_id AS qid, cw2.m, cw2.cid,
+        |    list_dot_product(list_slice(q.v, cw2.m * $sub + 1,
+        |      cw2.m * $sub + $sub), cw2.cv) AS part
+        |  FROM q, cw2),
+        |adc AS (SELECT l.qid, k.nid,
+        |    ${fixedSum(i => s"max(CASE WHEN l.m = $i THEN part END)")}
+        |      AS dp
+        |  FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        |  WHERE l.qid <> k.nid GROUP BY 1, 2),
+        |scored AS (SELECT adc.qid, adc.nid,
+        |    round(CASE WHEN qn.qn * sqrt(e.nb2) > 0
+        |      THEN adc.dp / (qn.qn * sqrt(e.nb2)) END, 6) AS sim
+        |  FROM adc JOIN enc e ON e.nid = adc.nid
+        |  JOIN qn ON qn.qid = adc.qid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY
+        |  qid ORDER BY sim DESC NULLS LAST, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
+
+  // ---------------------------------------------- IVF + PQ composed ANN
+  // The production index shape: e04's inverted file prunes WHICH corpus
+  // codes each query scans (bucket equi-join on the probed centroid ids),
+  // e10's PQ codes decide WHAT is scanned (12-bit codes, ADC lookup
+  // table). Both stages keep the deterministic-sample + rounded-rank
+  // policy, so the oracle replays assignment, codes and the fixed-order
+  // ADC arithmetic bit-for-bit.
+  private val e11: (String, QFn, Option[String]) = ("e11_knn_ivfpq",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.ivfPqKnn(e.filter(col("id") < 20), e, 5,
+        nCentroids = 16, nProbe = 4, m = PQ_M, kCent = PQ_KC,
+        dims = LSH_DIMS)
+    },
+    Some {
+      val sub = LSH_DIMS / PQ_M
+      def fixedSum(expr: Int => String): String =
+        (0 until PQ_M).map(expr).mkString(" + ")
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS icid, v AS icv FROM c
+        |  ORDER BY vec_id LIMIT 16),
+        |ica AS (SELECT c.vec_id, c.v, i.icid, ${cos("c.v", "i.icv")} AS cs
+        |  FROM c, icents i),
+        |corpusb AS (SELECT vec_id AS nid, icid AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, icid) AS r FROM ica) WHERE r = 1),
+        |queryb AS (SELECT vec_id AS qid, icid AS bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, icid) AS r FROM ica WHERE vec_id < 20)
+        |  WHERE r <= 4),
+        |cnd AS (SELECT qid, nid FROM queryb JOIN corpusb USING (bucket)
+        |  WHERE qid <> nid),
+        |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $PQ_KC)),
+        |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+        |cw AS (SELECT samp.cid, ms.m,
+        |    list_slice(samp.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        |  FROM samp, ms),
+        |cw2 AS (SELECT cid, m, cv, list_dot_product(cv, cv) AS cn2
+        |  FROM cw),
+        |cs AS (SELECT c.vec_id AS nid, ms.m,
+        |    list_slice(c.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS sv
+        |  FROM c, ms),
+        |sc AS (SELECT nid, cs.m, cid, cn2,
+        |    round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+        |      + cn2, 6) AS d2
+        |  FROM cs JOIN cw2 ON cs.m = cw2.m),
+        |codes AS (SELECT nid, m, cid, cn2 FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY nid, m ORDER BY d2, cid) AS r FROM sc)
+        |  WHERE r = 1),
+        |enc AS (SELECT nid,
+        |    ${fixedSum(i => s"max(CASE WHEN m = $i THEN cn2 END)")} AS nb2
+        |  FROM codes GROUP BY nid),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+        |  FROM q),
+        |lut AS (SELECT q.vec_id AS qid, cw2.m, cw2.cid,
+        |    list_dot_product(list_slice(q.v, cw2.m * $sub + 1,
+        |      cw2.m * $sub + $sub), cw2.cv) AS part
+        |  FROM q, cw2),
+        |adc AS (SELECT cd.qid, cd.nid,
+        |    ${fixedSum(i => s"max(CASE WHEN l.m = $i THEN part END)")}
+        |      AS dp
+        |  FROM cnd cd JOIN codes k ON k.nid = cd.nid
+        |  JOIN lut l ON l.qid = cd.qid AND l.m = k.m AND l.cid = k.cid
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT adc.qid, adc.nid,
+        |    round(CASE WHEN qn.qn * sqrt(e.nb2) > 0
+        |      THEN adc.dp / (qn.qn * sqrt(e.nb2)) END, 6) AS sim
+        |  FROM adc JOIN enc e ON e.nid = adc.nid
+        |  JOIN qn ON qn.qid = adc.qid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY
+        |  qid ORDER BY sim DESC NULLS LAST, nid) AS rank FROM scored)
+        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
+        .stripMargin
+    })
+
+  // -------------------------------------------------- k-means clustering
+  // Lloyd iterations with order-independent centroid math: per-dim sums in
+  // DECIMAL(25,10) (exact — partial-agg order can't move the result), mean
+  // rounded 6 dp; assignment ranks rounded L2² with centroid-id tiebreak.
+  // Each Spark iteration is a narrow projection + a k-row aggregate
+  // (centroids live driver-side as literals, the Spark-ML pattern), and
+  // the oracle replays the SAME two iterations as chained CTEs. The
+  // learned centroids slot straight into ivfKnn's bucket shape — this is
+  // the "production plugs k-means into the same shape" path the IVF
+  // scaladocs promise.
+  private val KM_K = 4
+
+  private val KM_ITERS = 2
+
+  private val e12: (String, QFn, Option[String]) = ("e12_kmeans",
+    (s, d) => Similarity.kmeans(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      KM_K, KM_ITERS, dims = LSH_DIMS)
+      .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
+        col("d2")),
+    Some {
+      val comps = (0 until LSH_DIMS).map(i =>
+        s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(25,10))) AS DOUBLE)" +
+          s" / count(*), 6)").mkString(", ")
+      def assignCte(name: String, centsCte: String): String =
+        s"""$name AS (SELECT vec_id, v, cid, d2 FROM (
+           |  SELECT vec_id, v, cid, d2, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY d2, cid) AS r FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |      round(list_dot_product(e.v, e.v)
+           |        - 2 * list_dot_product(e.v, c.cv)
+           |        + list_dot_product(c.cv, c.cv), 6) AS d2
+           |    FROM e, $centsCte c)) WHERE r = 1)""".stripMargin
+      def updateCtes(i: Int): String =
+        s"""u$i AS (SELECT cid, list_value($comps) AS cv
+           |  FROM a$i GROUP BY cid),
+           |c$i AS (SELECT p.cid, coalesce(u$i.cv, p.cv) AS cv
+           |  FROM c${i - 1} p LEFT JOIN u$i USING (cid))""".stripMargin
+      val iterCtes = (1 to KM_ITERS).map(i =>
+        assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCtes(i))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KM_K)),
+        |$iterCtes,
+        |${assignCte("fin", s"c$KM_ITERS")}
+        |SELECT vec_id, cid::BIGINT AS cid, d2 FROM fin""".stripMargin
+    })
+
+  // ------------------------------------- JL random projection (64→16)
+  // Dimensionality reduction as a pure map-side projection: the same
+  // deterministic hyperplanes as e02's LSH (sign-quantized there, real-
+  // valued here), scaled √(3/16) (planes are uniform[-1,1), variance
+  // 1/3) so distances survive in expectation. Output scalarized to
+  // (vec_id, dim, comp) rows — the driver checker hashes scalars, not
+  // arrays (the q17 lesson).
+  private val PROJ_DIMS = 16
+
+  private val e14: (String, QFn, Option[String]) = ("e14_random_projection",
+    (s, d) => emb(s, d).select(col("vec_id"),
+      posexplode(Similarity.randomProject(col("embedding"), LSH_DIMS,
+        PROJ_DIMS)).as(Seq("dim", "comp"))),
+    Some {
+      val scale = math.sqrt(3.0 / PROJ_DIMS)
+      val comps = (0 until PROJ_DIMS).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"round(list_dot_product(v, $plane) * $scale, 6)"
+      }.mkString(",\n|    ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT vec_id, unnest(range(0, $PROJ_DIMS)) AS dim,
+        |  unnest([$comps]) AS comp
+        |FROM e""".stripMargin
+    })
+
+  // --------------------------------------------- persisted ANN index
+  // The serving shape: lshIndexTable (signatures + norms, banded) is
+  // WRITTEN to parquet and the query half runs against the RE-READ table
+  // — index built once, amortized over every query batch, with signature
+  // computation never repeated. Hash-equal to e02's inline pipeline: the
+  // storage round-trip must not change a single bit.
+  private val e13: (String, QFn, Option[String]) = ("e13_ann_persisted",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      // Queries.rtDir registers the path with the shutdown-hook cleanup
+      // (an inline tmpdir here leaked one index dir per run)
+      val dir = Queries.rtDir("e13", d)
+      Similarity.lshIndexTable(e, LSH_DIMS, LSH_PLANES, LSH_BANDS)
+        .write.mode("overwrite").parquet(dir)
+      Similarity.lshKnnIndexed(e.filter(col("id") < 20),
+        s.read.parquet(dir), 5, LSH_DIMS, LSH_PLANES, LSH_BANDS)
+    },
+    Some(lshKnnOracleSql))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, m01, m02)
+}
