@@ -73,5 +73,23 @@ object QueriesStream {
       | sum(round(value * 100)) / count(*) AS mean_cents
       |FROM events GROUP BY user_id""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02)
+  // ------------------------------------------ windowed drift histogram
+  // EventStream.histogramCounts with pinned bounds [0, 500) x 20 bins:
+  // per (hour, event_type, bin) counts, the fixed-bound streaming form of
+  // q44's histogram sketch. (hi-lo)/bins = 25.0 is exact in binary, so
+  // the bin arithmetic replays bit-for-bit in DuckDB.
+  private val s03: (String, QFn, Option[String]) = ("s03_histogram_counts",
+    (s, d) => EventStream.histogramCounts(Tables.events(s, d),
+        lo = 0.0, hi = 500.0, bins = 20)
+      .select(unix_timestamp(col("hour_start")).as("hour_start"),
+        col("event_type"), col("bin"), col("cnt")),
+    Some("""WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+      |  event_type,
+      |  least(19, greatest(0, floor(value / 25.0)))::INT AS bin
+      |  FROM events)
+      |SELECT epoch(h)::BIGINT AS hour_start, event_type, bin,
+      | count(*) AS cnt
+      |FROM b GROUP BY 1, 2, 3""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03)
 }
