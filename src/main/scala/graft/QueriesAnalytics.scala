@@ -10,7 +10,7 @@ import graft.pipeline.{LinearScorer, Pipeline, TreeEnsembleModel,
 import graft.schema.Tables
 import graft.Queries._
 
-/** Driver-contract registry slice q61-q75: CDC deltas, graph ranking, incremental aggregates, robust statistics and calendar analytics.
+/** Driver-contract registry slice q61-q76: CDC deltas, graph ranking, incremental aggregates, robust statistics, calendar analytics and the sketch-accuracy audit.
   * Shared helpers (sval/dec2/ev/freqCols/repairCtesSql/rtDir and the
   * float-determinism policy) live in [[Queries]]; registration order is
   * assembled there. */
@@ -627,5 +627,55 @@ private[graft] object QueriesAnalytics {
       |FROM j""".stripMargin))
 
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  // ------------------------------------- sketch-accuracy audit (q44 vs q64)
+  // How wrong IS the bounded-state quantile sketch? The repo ships three
+  // percentile paths (q12 exact-but-buffering, q64/Quantiles exact with
+  // distinct-value state, q44 histogram sketch with bins-bounded state);
+  // this row makes the sketch's error DRIVER-VISIBLE instead of a scaladoc
+  // claim — the same composition move as e09 (ANN recall) and d48 (candidate
+  // recall): both sides reuse the audited queries' own fn/SQL, so the audit
+  // can't drift from what it audits. abs_err is computed on the sketch's
+  // published (truncated) estimate vs the raw exact quantile — both
+  // engine-identical doubles — then truncated to the same 6-dp grid.
+  private val q76: (String, QFn, Option[String]) = ("q76_sketch_accuracy",
+    (s, d) => {
+      val e = ev(s, d)
+      val fracs = Seq(0.5, 0.9, 0.99)
+      val sketch = Histogram.quantiles(e, col("event_type"), col("value"),
+          32, fracs)
+        .select(col("grp").as("event_type"), col("q"), col("est"))
+      val exact = Quantiles.exactGroupQuantiles(
+          e.select(col("event_type"), col("value")), col("event_type"),
+          col("value"), fracs)
+        .select(col("grp").as("event_type"), col("frac"),
+          col("q").as("_exact"))
+      sketch.join(exact, sketch("event_type") === exact("event_type")
+          && sketch("q") === exact("frac"))
+        .select(sketch("event_type"), sketch("q"), col("est"),
+          CrossRound.truncate(col("_exact"), 6).as("exact"),
+          CrossRound.truncate(abs(col("est") - col("_exact")), 6)
+            .as("abs_err"))
+    },
+    Some {
+      def interp(q: String) =
+        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
+           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
+           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
+           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH sk AS (${QueriesScale.histQuantileSql}),
+        |g AS (SELECT event_type, count(*) AS cnt,
+        |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
+        |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+        |  AS q),
+        |ex AS (SELECT event_type, q, ${interp("q")} AS exact
+        |  FROM g CROSS JOIN qq)
+        |SELECT sk.event_type, sk.q, sk.est,
+        | floor(ex.exact * 1e6) / 1e6 AS exact,
+        | floor(abs(sk.est - ex.exact) * 1e6) / 1e6 AS abs_err
+        |FROM sk JOIN ex ON sk.event_type = ex.event_type
+        | AND sk.q = ex.q""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -7,7 +7,7 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d25-d49: corpus-level statistics, language modeling, decontamination, release assembly and the production-hash bench row.
+/** Registry slice d25-d40: corpus-level statistics, language modeling, phrase mining, drift scoring and the Zipf fit.
   * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
   * the MinHash constants) live in [[QueriesText]]; registration order is
   * assembled there. */

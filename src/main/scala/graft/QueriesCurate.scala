@@ -7,9 +7,10 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d41-d49: weighted near-dup + its recall audit, fuzzy
+/** Registry slice d41-d50: weighted near-dup + its recall audit, fuzzy
   * decontamination, boilerplate stripping, vocab encoding, mixture
-  * sampling, release assembly, HLL and the production-hash bench row.
+  * sampling, release assembly, HLL, the production-hash bench row and
+  * the training-shard manifest.
   * Shared helpers live in [[QueriesText]]; registration order is
   * assembled there. */
 private[graft] object QueriesCurate {
@@ -325,5 +326,42 @@ private[graft] object QueriesCurate {
         |FROM ex JOIN est USING (grp)""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49)
+  // --------------------------------------------- training-shard manifest
+  // The WRITE side of a curation run: a 100 TB release ships as N shards,
+  // and the shard a document lands in must be CONTENT-ADDRESSED (hashFold
+  // — stable across runs, engines, partitionings and re-ingests) so
+  // incremental rebuilds touch only changed shards and a re-run is
+  // byte-reproducible. The query assigns shards, writes the corpus
+  // partitioned BY shard (each task writes only its own shard dirs;
+  // readers prune to the shards they want — q60's directory pruning),
+  // re-reads the written layout, and emits the per-shard release
+  // manifest: doc count, char volume, and an order-independent bit_xor
+  // id digest proving the write→read roundtrip lost nothing. The oracle
+  // replays assignment + manifest straight from the source table, so a
+  // dropped or duplicated row in the roundtrip fails the hash compare.
+  private val d50: (String, QFn, Option[String]) = ("d50_shard_manifest",
+    (s, d) => {
+      val nShards = 16
+      val dir = Queries.rtDir("d50", d)
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+          Sampling.hashFold(col("doc_id"), nShards, "shard").as("shard"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      s.read.parquet(dir)
+        .withColumn("_h",
+          Dedup.md5Hash(col("doc_id").cast("string"), lit("d50")))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(_h)").as("id_digest"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, n_chars,
+      |  ${md5HashSql("doc_id::VARCHAR || '#shard'")} % 16 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*)::BIGINT AS n_docs,
+      | sum(n_chars)::BIGINT AS total_chars,
+      | bit_xor(${md5HashSql("doc_id::VARCHAR || '#d50'")}) AS id_digest
+      |FROM a GROUP BY shard""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50)
 }

@@ -21,11 +21,11 @@ private[graft] object QueriesScale {
   // instead of buffering whole groups (q12's exact collect_list sort) —
   // the percentile shape that survives 100 TB. Estimate = linear
   // interpolation inside the first bin whose cumulative count covers q·n.
-  private val q44: (String, QFn, Option[String]) = ("q44_hist_quantile",
-    (s, d) => Histogram.quantiles(Tables.events(s, d), col("event_type"),
-        col("value"), 32, Seq(0.5, 0.9, 0.99))
-      .select(col("grp").as("event_type"), col("q"), col("n"), col("est")),
-    Some("""WITH s AS (SELECT min(value::DOUBLE) AS lo,
+  /** q44's full oracle text, shared with q76's accuracy audit (nested
+    * there as a WITH subquery, the d48/e09 composition move — the audit
+    * replays the audited query's own SQL so the two can't drift). */
+  private[graft] val histQuantileSql: String =
+    """WITH s AS (SELECT min(value::DOUBLE) AS lo,
       |  max(value::DOUBLE) AS hi FROM events),
       |b AS (SELECT event_type,
       |  CASE WHEN hi = lo THEN 0
@@ -44,7 +44,13 @@ private[graft] object QueriesScale {
       |    / 1e6 AS est,
       |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
       |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
-      |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin))
+      |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin
+
+  private val q44: (String, QFn, Option[String]) = ("q44_hist_quantile",
+    (s, d) => Histogram.quantiles(Tables.events(s, d), col("event_type"),
+        col("value"), 32, Seq(0.5, 0.9, 0.99))
+      .select(col("grp").as("event_type"), col("q"), col("n"), col("est")),
+    Some(histQuantileSql))
 
   // ------------------------------------------- salted aggregation
   // The skew-resistant two-phase combine, driver-verified: the salted

@@ -91,5 +91,25 @@ object QueriesStream {
       | count(*) AS cnt
       |FROM b GROUP BY 1, 2, 3""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03)
+  // ------------------------------------------ stream-static enrichment
+  // EventStream.enrichWithDim: events pick up customer profile columns
+  // via a broadcast join against the STATIC dimension table — the only
+  // join shape with zero state store (the static side re-plans per
+  // micro-batch). In batch the same plan is a plain broadcast left join;
+  // events whose user_id has no customer row surface NULL dims.
+  private val s04: (String, QFn, Option[String]) = ("s04_stream_enrich",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      EventStream.enrichWithDim(Tables.events(s, d), dim,
+        col("user_id"), col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("c_mktsegment"), col("c_nationkey"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.event_type, e.value,
+      | c.c_mktsegment, c.c_nationkey
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+      .stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04)
 }

@@ -99,6 +99,20 @@ object EventStream {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up
+    * dimension attributes from a STATIC batch table (user → customer
+    * profile here). This is the one join shape with NO state store at
+    * all — the static side is re-planned per micro-batch and broadcast,
+    * the stream side never buffers — so it costs a map-side hash probe
+    * per event regardless of stream age, where a stream-stream join
+    * (clickAttribution) pays watermark-bounded state. Left join keeps
+    * events whose key has no dimension row (nulls), the usual
+    * enrichment semantics: losing events because a profile is missing
+    * is a silent-data-loss bug at 100 TB/day. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: Column, dimKey: Column): DataFrame =
+    events.join(broadcast(dim), eventKey === dimKey, "left")
+
   /** Windowed value histogram over the stream — the drift-monitoring
     * form of `ops.Histogram`: per (hour, event_type, bin) counts against
     * FIXED bounds (streams can't do a two-pass min/max; production

@@ -197,6 +197,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim joins each micro-batch against the static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE")).toDF("key", "segment")
+    val q = EventStream.enrichWithDim(df, dim, col("user_id"), col("key"))
+      .select("event_id", "user_id", "segment")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      in.addData((100L, 1L), (101L, 9L)) // 9 has no dim row -> null segment
+      q.processAllAvailable()
+      in.addData((102L, 2L)) // next micro-batch re-probes the static side
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(rows == Set((100L, 1L, Some("AUTO")), (101L, 9L, None),
+        (102L, 2L, Some("HOUSE"))))
+    } finally q.stop()
+  }
+
   test("histogramCounts bins incrementally; late rows fold into their bin") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
