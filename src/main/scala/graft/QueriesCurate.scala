@@ -7,10 +7,10 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d41-d50: weighted near-dup + its recall audit, fuzzy
+/** Registry slice d41-d51: weighted near-dup + its recall audit, fuzzy
   * decontamination, boilerplate stripping, vocab encoding, mixture
-  * sampling, release assembly, HLL, the production-hash bench row and
-  * the training-shard manifest.
+  * sampling, release assembly, HLL, the production-hash bench row, the
+  * training-shard manifest and the per-group fixed-count sample.
   * Shared helpers live in [[QueriesText]]; registration order is
   * assembled there. */
 private[graft] object QueriesCurate {
@@ -363,5 +363,24 @@ private[graft] object QueriesCurate {
       | bit_xor(${md5HashSql("doc_id::VARCHAR || '#d50'")}) AS id_digest
       |FROM a GROUP BY shard""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50)
+  // --------------------------------------- per-group fixed-count sample
+  // "Ten example docs per source" — the eval-set / spot-check draw.
+  // stratifiedKeep's rate gives a BINOMIAL per-group count; this gives
+  // exactly min(n, |group|) via a content-addressed rank (hash, then
+  // doc_id against 60-bit collisions), so the same docs are drawn across
+  // runs, engines and partitionings. The rank filter compiles to
+  // WindowGroupLimit (q24's pushdown — per-task state is n rows per
+  // group, never the group; PlanShapeSpec asserts it for this exact fn).
+  private val d51: (String, QFn, Option[String]) = ("d51_group_sample",
+    (s, d) => Sampling.groupSample(docs(s, d).select(col("doc_id"),
+        col("source")), col("source"), col("doc_id"), n = 10)
+      .select(col("doc_id"), col("source"), col("rank")),
+    Some(s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
+      |  PARTITION BY source
+      |  ORDER BY ${md5HashSql("doc_id::VARCHAR || '#gsamp'")}, doc_id)
+      |  AS rank FROM documents)
+      |SELECT doc_id, source, rank FROM r WHERE rank <= 10"""
+      .stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51)
 }

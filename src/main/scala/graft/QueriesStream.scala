@@ -111,5 +111,27 @@ object QueriesStream {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
       .stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04)
+  // --------------------------------- windowed HLL registers (drift HLL)
+  // EventStream.hllWindowedRegisters: distinct users per hour with
+  // CONSTANT per-window state (64 registers, never the user set). The
+  // twin hash-checks the REGISTER table itself — registers are the
+  // mergeable contract (shards/windows max-merge; d43 checks the
+  // estimator over the same register arithmetic), so verifying registers
+  // verifies what a downstream rollup actually consumes.
+  private val s05: (String, QFn, Option[String]) = ("s05_hll_windowed",
+    (s, d) => EventStream.hllWindowedRegisters(Tables.events(s, d),
+        col("user_id"), p = 6)
+      .select(unix_timestamp(col("grp.start")).as("hour_start"),
+        col("j"), col("mj").cast("long").as("mj")),
+    Some("""WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+      |  ('0x'||substr(md5(user_id::VARCHAR||'#hll'),1,15))::BIGINT AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |rr AS (SELECT w, h & 63 AS j,
+      |  CASE WHEN (h >> 6) = 0 THEN 55
+      |       ELSE 55 - length(bin(h >> 6)) END AS rho
+      |  FROM h)
+      |SELECT epoch(w)::BIGINT AS hour_start, j, max(rho) AS mj
+      |FROM rr GROUP BY 1, 2""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05)
 }

@@ -61,6 +61,27 @@ object Sampling {
   def hashFold(key: Column, k: Int, salt: String = "fold"): Column =
     (Dedup.md5Hash(key.cast("string"), lit(salt)) % k).cast("long")
 
+  /** Deterministic per-group FIXED-COUNT sample: rank each group's rows
+    * by content-addressed hash (then by key, so a 60-bit hash collision
+    * can't make the cut nondeterministic) and keep the first `n` — "10
+    * example docs per source", the eval-set / spot-check shape that
+    * rate-based [[stratifiedKeep]] can't express (a rate gives a
+    * BINOMIAL count per group; this gives exactly min(n, |group|)).
+    * Content-addressed like the other samplers: the same rows are kept
+    * across runs, engines and partitionings. Scale shape: the rank
+    * filter is a `row_number` ≤ n, which Catalyst pushes into the sort
+    * as WindowGroupLimit (same as q24's top-k) — per-task state is n
+    * rows per group, never the group. */
+  def groupSample(df: DataFrame, group: Column, key: Column, n: Int,
+                  salt: String = "gsamp"): DataFrame = {
+    require(n > 0, "groupSample: n must be positive")
+    val w = Window.partitionBy(group)
+      .orderBy(Dedup.md5Hash(key.cast("string"), lit(salt)), key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .withColumn("rank", col("_rn").cast("long")).drop("_rn")
+  }
+
   /** Deterministic stratified subsampling: keep a row iff its md5-derived
     * uniform is below the stratum's rate. Replays exactly in any engine
     * with md5 (same trick as the bootstrap); no shuffle, no RNG state,

@@ -174,6 +174,17 @@ class PlanShapeSpec extends SparkSpec {
       s"rank-limit pushdown missing from window top-k plan:\n$plan")
   }
 
+  test("groupSample's rank filter pushes down as WindowGroupLimit") {
+    // the per-group fixed-count draw must inherit q24's two-phase top-k:
+    // partial limit before the exchange, n rows of state per group —
+    // otherwise a hot source's whole group would buffer in one task
+    val df = SparkEntry.queries("d51_group_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from groupSample plan:\n$plan")
+  }
+
   test("BM25 scoring: corpus stats are a 1-row broadcast, scoring map-side") {
     import graft.ops.Relevance
     val df = Relevance.bm25(Tables.documents(spark, sf), "doc_id", "text",

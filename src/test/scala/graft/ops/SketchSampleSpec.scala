@@ -119,6 +119,24 @@ class SketchSampleSpec extends SparkSpec {
     got.foreach(p => assert(p == expect))
   }
 
+  test("groupSample draws exactly min(n, |group|), stable under repartition") {
+    val df = (0L until 100L).map(i => (i, if (i < 80) "big" else "small"))
+      .toDF("id", "g")
+    def ids(part: Int) = Sampling.groupSample(
+      df.repartition(part), col("g"), col("id"), n = 25)
+      .select("id").as[Long].collect().toSet
+    val out = Sampling.groupSample(df, col("g"), col("id"), n = 25)
+      .select("g", "id", "rank").collect()
+    val byG = out.groupBy(_.getAs[String]("g"))
+    assert(byG("big").length == 25)        // capped at n
+    assert(byG("small").length == 20)      // whole group when |group| < n
+    // ranks are 1..count within each group
+    assert(byG("small").map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to 20L))
+    // content-addressed: identical draw regardless of partitioning
+    assert(ids(1) == ids(7))
+  }
+
   test("tfidf matches the smoothed sklearn form on a crafted corpus") {
     val df = Seq(
       (1L, "apple apple banana"),
