@@ -7,10 +7,11 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d41-d51: weighted near-dup + its recall audit, fuzzy
+/** Registry slice d41-d52: weighted near-dup + its recall audit, fuzzy
   * decontamination, boilerplate stripping, vocab encoding, mixture
   * sampling, release assembly, HLL, the production-hash bench row, the
-  * training-shard manifest and the per-group fixed-count sample.
+  * training-shard manifest, the per-group fixed-count sample and the
+  * fold-leakage audit.
   * Shared helpers live in [[QueriesText]]; registration order is
   * assembled there. */
 private[graft] object QueriesCurate {
@@ -382,5 +383,70 @@ private[graft] object QueriesCurate {
       |SELECT doc_id, source, rank FROM r WHERE rank <= 10"""
       .stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51)
+  // ------------------------------------------------ fold-leakage audit
+  // Near-dup pairs that STRADDLE a train/eval fold boundary are test-set
+  // contamination q41's split can't see: the split is per-document, but
+  // near-duplicate content leaks across documents. Truth side = d06's
+  // registered MinHash pairs at est-Jaccard >= 0.5; fold side needs NO
+  // corpus join at all — the content-addressed payoff: fold =
+  // hashFold(doc_id) is DERIVED, so both folds compute as projections on
+  // the (tiny) pair list. Output = leaked-pair counts per (fold_a,
+  // fold_b); the fix for flagged mass is d10-style clustering before
+  // splitting (assign clusters, not docs, to folds).
+  private val d52: (String, QFn, Option[String]) = ("d52_fold_leakage",
+    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a"), col("b"),
+        Sampling.hashFold(col("a"), 5).as("fold_a"),
+        Sampling.hashFold(col("b"), 5).as("fold_b"))
+      .filter(col("fold_a") =!= col("fold_b"))
+      .groupBy(col("fold_a"), col("fold_b"))
+      .agg(count(lit(1)).as("leaked_pairs")),
+    Some(s"""WITH p AS (${QueriesDocs.minhashPairsSql}),
+      |f AS (SELECT a, b,
+      |  ${md5HashSql("a::VARCHAR || '#fold'")} % 5 AS fold_a,
+      |  ${md5HashSql("b::VARCHAR || '#fold'")} % 5 AS fold_b
+      |  FROM p WHERE est_jaccard >= 0.5)
+      |SELECT fold_a, fold_b, count(*)::BIGINT AS leaked_pairs
+      |FROM f WHERE fold_a <> fold_b GROUP BY 1, 2""".stripMargin))
+
+  // ------------------------------------- duplicate-span excision (substring dedup)
+  // d44 strips spans hot across MANY docs; d30 only MEASURES duplication.
+  // This is the rewrite pass between them — the suffix-array substring
+  // dedup of Lee et al. 2022 as posting arithmetic: every 8-token span
+  // occurring more than once in the corpus survives only at its first
+  // occurrence (min packed doc·10⁶+spos key), other occurrences' tokens
+  // are cut, survivors reassemble in order, and the cleaned text ships
+  // as md5 so the whole rewrite is hash-verified.
+  private val d53: (String, QFn, Option[String]) = ("d53_span_excise",
+    (s, d) => Dedup.exciseDupSpans(docs(s, d), "doc_id", "text", k = 8),
+    Some(s"""WITH toks AS (SELECT doc_id AS doc, $tokSql AS w
+      |  FROM documents),
+      |tok AS (SELECT doc, unnest(range(1, len(w) + 1)) AS pos,
+      |    unnest(w) AS t FROM toks),
+      |gr AS (SELECT doc,
+      |    unnest(range(1, greatest(len(w) - 6, 1))) AS spos,
+      |    unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+      |      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+      |  FROM toks),
+      |kp AS (SELECT g, min(doc * 1000000 + spos) AS keep,
+      |    count(*) AS occ FROM gr GROUP BY 1),
+      |exc AS (SELECT doc, spos FROM gr JOIN kp USING (g)
+      |  WHERE occ >= 2 AND doc * 1000000 + spos <> keep),
+      |cov AS (SELECT DISTINCT doc, spos + o AS pos
+      |  FROM exc, (SELECT unnest(range(0, 8)) AS o) os),
+      |kept AS (SELECT tok.doc, tok.pos, tok.t FROM tok
+      |  LEFT JOIN cov ON cov.doc = tok.doc AND cov.pos = tok.pos
+      |  WHERE cov.doc IS NULL),
+      |reb AS (SELECT doc, string_agg(t, ' ' ORDER BY pos) AS clean
+      |  FROM kept GROUP BY 1),
+      |nx AS (SELECT doc, count(*) AS n_excised FROM cov GROUP BY 1)
+      |SELECT t.doc, len(t.w)::BIGINT AS n_tokens,
+      | coalesce(nx.n_excised, 0)::BIGINT AS n_excised,
+      | md5(coalesce(reb.clean, '')) AS clean_fp
+      |FROM toks t LEFT JOIN nx USING (doc)
+      |LEFT JOIN reb USING (doc)""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53)
 }

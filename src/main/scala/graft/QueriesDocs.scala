@@ -90,10 +90,11 @@ private[graft] object QueriesDocs {
       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
       |WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.2""".stripMargin))
 
-  private val d06: (String, QFn, Option[String]) = ("d06_minhash_lsh",
-    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
-      k = MINHASH_K, bands = MINHASH_BANDS),
-    Some(s"""WITH $shCte,
+  /** d06's full oracle text, shared with d52's fold-leakage audit (nested
+    * there as a WITH subquery — the e09/d48/q76 composition move: the
+    * audit replays the audited query's own SQL so the two can't drift). */
+  private[graft] val minhashPairsSql: String =
+    s"""WITH $shCte,
       |mh AS (SELECT doc_id, j,
       |    min(${md5HashSql("s || '#' || j")}) AS sig
       |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
@@ -109,7 +110,12 @@ private[graft] object QueriesDocs {
       |   / ${MINHASH_K.toDouble}, 6) AS est_jaccard
       |FROM cand c JOIN mh ma ON ma.doc_id = c.a
       | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
-      |GROUP BY c.a, c.b""".stripMargin))
+      |GROUP BY c.a, c.b""".stripMargin
+
+  private val d06: (String, QFn, Option[String]) = ("d06_minhash_lsh",
+    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS),
+    Some(minhashPairsSql))
 
   // ------------------------------------------------------------ SimHash
   private val SIMHASH_BITS = 60

@@ -249,6 +249,56 @@ object Dedup {
         md5(coalesce(col("_clean"), lit(""))).as("clean_fp"))
   }
 
+  /** Cross-document duplicate-SPAN excision — the substring-dedup pass
+    * (the suffix-array dedup of Lee et al. 2022, re-expressed as n-gram
+    * posting arithmetic): any k-token span occurring MORE THAN ONCE in
+    * the corpus (across docs or within one) survives only at its first
+    * occurrence; every other occurrence's covered tokens are cut and the
+    * survivors reassemble in order. [[stripBoilerplate]] cuts spans hot
+    * across MANY docs (df > maxDf, hot set broadcastable);
+    * this cuts ANY repeat and keeps one canonical copy — the pass that
+    * removes templated mirrors and licensing blocks without losing the
+    * one copy the model should still see.
+    *
+    * First occurrence = minimum of the packed key doc·10⁶ + spos
+    * (integer, exact in both engines; assumes spos < 10⁶ and
+    * doc < 9.2·10¹² — swap to a struct min for wider ids). Scale shape:
+    * occurrences shuffle ONCE on the gram key for the min/count
+    * aggregate; the keeper join reuses that partitioning (no broadcast —
+    * unlike boilerplate's hot tail, the df ≥ 2 set is corpus-sized);
+    * covered-position expansion is k× the NON-KEEPER occurrences only;
+    * the rebuild is stripBoilerplate's per-doc row-local sort, never a
+    * global one. */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      TextOps.tokens(col(textCol)).as("w")).localCheckpoint(true)
+    val gr = toks.select(col("doc"),
+      posexplode(TextOps.shingles(col("w"), k)).as(Seq("spos", "g")))
+    def packed = col("doc") * lit(1000000L) + col("spos")
+    val dupKeep = gr.groupBy(col("g"))
+      .agg(min(packed).as("_keep"), count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2)
+    val covered = gr.join(dupKeep, Seq("g"))
+      .filter(packed =!= col("_keep"))
+      .select(col("doc"),
+        explode(sequence(col("spos"), col("spos") + k - 1)).as("pos"))
+      .distinct()
+    val tok = toks.select(col("doc"), posexplode(col("w")).as(Seq("pos", "t")))
+    val rebuilt = tok.join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ").as("_clean"))
+    toks.select(col("doc"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered.groupBy(col("doc")).agg(count(lit(1)).as("n_excised")),
+        Seq("doc"), "left")
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+        md5(coalesce(col("_clean"), lit(""))).as("clean_fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     * Candidate pairs come from the shingle join (docs sharing >= 1 shingle);
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */

@@ -58,6 +58,29 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).count() == 0)
   }
 
+  test("exciseDupSpans keeps the first span occurrence, cuts the rest") {
+    // docs 1 and 2 share the 3-token span "a b c"; doc 2 also repeats its
+    // own "p q r" tail. First occurrence wins by (doc, pos): doc 1 keeps
+    // "a b c"; doc 2 loses it, and keeps only the FIRST "p q r".
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c p q r p q r"),
+      (3L, "u v w u2 v2 w2")).toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc")
+      .select("doc", "n_tokens", "n_excised", "clean_fp").collect()
+    val fp = (s: String) => df.sparkSession.range(1)
+      .select(md5(lit(s))).head.getString(0)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 6L, 0L), (2L, 9L, 6L), (3L, 6L, 0L)))
+    assert(out(0).getString(3) == fp("a b c x y z")) // keeper untouched
+    // doc 2: "a b c" cut (positions 0-2), second "p q r" cut (6-8);
+    // note the repeated-span grams overlap ("q r p", "r p q" also occur
+    // once each) — only grams occurring twice drive exclusion
+    assert(out(1).getString(3) == fp("p q r"))
+    assert(out(2).getString(3) == fp("u v w u2 v2 w2"))
+  }
+
   test("minhashLsh surfaces true near-duplicates with sane estimates") {
     val near1 = "alpha beta gamma delta epsilon zeta eta theta"
     val near2 = "alpha beta gamma delta epsilon zeta eta iota"
