@@ -7,11 +7,12 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d41-d52: weighted near-dup + its recall audit, fuzzy
+/** Registry slice d41-d54: weighted near-dup + its recall audit, fuzzy
   * decontamination, boilerplate stripping, vocab encoding, mixture
   * sampling, release assembly, HLL, the production-hash bench row, the
-  * training-shard manifest, the per-group fixed-count sample and the
-  * fold-leakage audit.
+  * training-shard manifest, the per-group fixed-count sample, the
+  * fold-leakage audit, duplicate-span excision and the persisted
+  * inverted index.
   * Shared helpers live in [[QueriesText]]; registration order is
   * assembled there. */
 private[graft] object QueriesCurate {
@@ -448,5 +449,65 @@ private[graft] object QueriesCurate {
       |FROM toks t LEFT JOIN nx USING (doc)
       |LEFT JOIN reb USING (doc)""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53)
+  // ---------------------------------- persisted inverted index (text e13)
+  // Build-once-serve-many for lexical retrieval: impact-pruned BM25
+  // postings (top-50 docs per term by weight — the Lucene/WAND static
+  // pruning trade) written to parquet, re-read, and served for d23's
+  // query terms. Weights are integer micros (floor(w·1e6) — tie-free
+  // cross-engine), so serving is an exact integer sum; the top-10 also
+  // carries each doc's FULL unpruned BM25 (d23's formula) so the driver
+  // hash locks index path and direct path together — pruning loss on
+  // this corpus is visible as score_micro/1e6 vs bm25_full divergence.
+  private val d54: (String, QFn, Option[String]) = ("d54_inverted_index",
+    (s, d) => {
+      val dir = Queries.rtDir("d54", d)
+      Relevance.bm25IndexPostings(docs(s, d), "doc_id", "text",
+        maxPostings = 50).write.mode("overwrite").parquet(dir)
+      val top = Relevance.bm25IndexQuery(s.read.parquet(dir),
+        QueriesDocs.bm25Terms, k = 10)
+      val full = Relevance.bm25(docs(s, d), "doc_id", "text",
+        QueriesDocs.bm25Terms)
+      top.join(full, top("doc") === full("doc_id"))
+        .select(col("doc"), col("score_micro"),
+          col("rank").cast("long").as("rank"),
+          col("bm25").as("bm25_full"))
+    },
+    Some {
+      val tfs = QueriesDocs.bm25Terms.indices.map(i =>
+        s"len(list_filter(w, x -> x = '${QueriesDocs.bm25Terms(i)}'))::DOUBLE AS tf$i")
+        .mkString(", ")
+      val dfs = QueriesDocs.bm25Terms.indices.map(i =>
+        s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
+      val score = QueriesDocs.bm25Terms.indices.map(i =>
+        s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
+           | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
+          .stripMargin.replaceAll("\n", "")).mkString(" + ")
+      val qTerms = QueriesDocs.bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id AS doc, $tokSql AS w FROM documents),
+        |dl AS (SELECT doc, len(w)::DOUBLE AS dl FROM t),
+        |tfc AS (SELECT doc, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc, unnest(w) AS term FROM t) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT term, count(*)::DOUBLE AS dft FROM tfc GROUP BY 1),
+        |wt AS (SELECT tfc.doc, tfc.term,
+        |  floor(ln(1.0 + (nd - dft + 0.5) / (dft + 0.5))
+        |    * (tf * (1.2 + 1.0)
+        |       / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))
+        |    * 1e6)::BIGINT AS wm
+        |  FROM tfc JOIN dl USING (doc) JOIN dft USING (term), st),
+        |pr AS (SELECT term, doc, wm, row_number() OVER (
+        |    PARTITION BY term ORDER BY wm DESC, doc ASC) AS rn FROM wt),
+        |q AS (SELECT doc, sum(wm)::BIGINT AS score_micro FROM pr
+        |  WHERE rn <= 50 AND term IN ($qTerms) GROUP BY doc),
+        |top AS (SELECT doc, score_micro, row_number() OVER (
+        |    ORDER BY score_micro DESC, doc ASC) AS rank
+        |  FROM q ORDER BY score_micro DESC, doc ASC LIMIT 10),
+        |p AS (SELECT doc AS doc_id, len(w)::DOUBLE AS n, $tfs FROM t),
+        |s2 AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p),
+        |fl AS (SELECT doc_id, round($score, 6) AS bm25 FROM p, s2)
+        |SELECT top.doc, top.score_micro, top.rank, fl.bm25 AS bm25_full
+        |FROM top JOIN fl ON fl.doc_id = top.doc""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54)
 }

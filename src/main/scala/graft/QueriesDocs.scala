@@ -496,7 +496,7 @@ private[graft] object QueriesDocs {
   // are ONE 1-row aggregate broadcast to a map-side scoring projection.
   // The oracle spells the literals as the same arithmetic ((1.2 + 1.0),
   // (1 - 0.75)) so both engines run the identical double expression.
-  private val bm25Terms = Seq("spark", "join", "data")
+  private[graft] val bm25Terms = Seq("spark", "join", "data")
 
   private val d23: (String, QFn, Option[String]) = ("d23_bm25",
     (s, d) => Relevance.bm25(docs(s, d), "doc_id", "text", bm25Terms),

@@ -133,5 +133,30 @@ object QueriesStream {
       |SELECT epoch(w)::BIGINT AS hour_start, j, max(rho) AS mj
       |FROM rr GROUP BY 1, 2""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05)
+  // --------------------------------- unattributed clicks (outer interval)
+  // s01's left-outer form: clicks that converted to NO purchase within
+  // the hour — the funnel-drop-off stream. In streaming the NULL-extended
+  // rows emit only after the watermark proves no in-horizon purchase can
+  // still arrive; in batch the same plan is an outer range join filtered
+  // to the null side. Output is the unmatched click list.
+  private val s06: (String, QFn, Option[String]) = ("s06_unattributed",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      EventStream.clickAttribution(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        joinType = "leftOuter")
+        .filter(col("purchase_id").isNull)
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_us"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+      | epoch_us(c.ts) AS click_us
+      |FROM events c LEFT JOIN events p
+      | ON c.user_id = p.user_id AND p.event_type = 'purchase'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |WHERE c.event_type = 'click' AND p.event_id IS NULL"""
+      .stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -59,6 +59,69 @@ object Relevance {
       round(score, 6).as("bm25"))
   }
 
+  /** Impact-ordered inverted-index postings — the persisted text-retrieval
+    * sibling of the e13 ANN index: build once, serve many. Each posting is
+    * (term, doc, weight_micro) where the weight is the query-INDEPENDENT
+    * part of BM25 (idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·|d|/avgdl)) — the
+    * whole per-term summand, since none of it depends on the query), so
+    * serving any term bag is just Σ weights per doc over matched terms.
+    * Static pruning keeps the top `maxPostings` postings per term by
+    * impact (weight desc, doc asc) — the Lucene/WAND-style trade: a hot
+    * term's low-impact tail can't reach any top-k anyway, and the index
+    * size bound becomes |vocab|·maxPostings instead of corpus-sized.
+    *
+    * Weights ship as integer MICROS (`floor(w·1e6)` — floor, not round:
+    * tie-free cross-engine, the q44 lesson), so serving sums are exact
+    * and order-independent — no float accumulation across partitions.
+    *
+    * Scale shape: one (doc, term) shuffle for tf, one term shuffle shared
+    * by the df aggregate and the pruning window (WindowGroupLimit keeps
+    * per-task state at maxPostings per term), corpus stats broadcast as
+    * one row. */
+  def bm25IndexPostings(df: DataFrame, idCol: String, textCol: String,
+                        maxPostings: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    require(maxPostings > 0, "bm25IndexPostings: maxPostings must be > 0")
+    val toks = df.select(col(idCol).as("doc"),
+      TextOps.tokens(col(textCol)).as("_w"))
+    val tf = toks
+      .select(col("doc"), size(col("_w")).cast("double").as("_dl"),
+        explode(col("_w")).as("term"))
+      .groupBy(col("doc"), col("term"), col("_dl"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("_ndocs"),
+      avg(size(col("_w")).cast("double")).as("_avgdl"))
+    val dft = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_dft"))
+    val idf = log(lit(1.0) +
+      (col("_ndocs") - col("_dft") + 0.5) / (col("_dft") + 0.5))
+    val tfPart = col("_tf") * lit(k1 + 1.0) /
+      (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    val wnd = Window.partitionBy(col("term"))
+      .orderBy(col("weight_micro").desc, col("doc").asc)
+    tf.join(dft, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("weight_micro",
+        floor(idf * tfPart * 1e6).cast("long"))
+      .withColumn("_rn", row_number().over(wnd))
+      .filter(col("_rn") <= maxPostings)
+      .select(col("term"), col("doc"), col("weight_micro"))
+  }
+
+  /** Serve a term-bag query from a [[bm25IndexPostings]] table: Σ matched
+    * posting weights per doc (exact integer sum), global top-`k` via
+    * [[topKRanks]]. The term filter is a tiny isin against the index scan
+    * — with the index written partitioned/bucketed by term it becomes
+    * partition pruning; nothing here touches raw documents. */
+  def bm25IndexQuery(index: DataFrame, terms: Seq[String], k: Int)
+  : DataFrame = {
+    require(terms.nonEmpty, "bm25IndexQuery: empty query")
+    topKRanks(
+      index.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc"))
+        .agg(sum(col("weight_micro")).as("score_micro")),
+      "score_micro", "doc", k)
+  }
+
   /** Global top-`k` of `df` by (`scoreCol` desc, `idCol` asc), with a dense
     * 1-based `rank` column. The sort+limit is Spark's TakeOrdered (per
     * partition top-k, then a k-row merge on the driver-side exchange) — no

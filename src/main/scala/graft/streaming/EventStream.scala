@@ -80,11 +80,17 @@ object EventStream {
     * and the join condition bounds click_ts to a FINITE interval around
     * purchase_ts, which is what lets Spark evict buffered rows: without
     * the range bound the state store would hold every click forever.
-    * Inner join → results emit as soon as both sides arrive; the
-    * watermark delays only state eviction, not output. */
+    * Inner join (the default) → results emit as soon as both sides
+    * arrive; the watermark delays only state eviction, not output.
+    * `joinType = "leftOuter"` is the funnel-drop-off form: clicks that
+    * never matched a purchase emit with NULL purchase columns — but only
+    * once the watermark proves no in-horizon purchase can still arrive,
+    * which is why outer results trail the watermark where inner results
+    * don't. */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
                        horizon: String = "1 hour",
-                       watermark: String = "2 hours"): DataFrame = {
+                       watermark: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
@@ -94,7 +100,8 @@ object EventStream {
       .withWatermark("purchase_ts", watermark)
     c.join(p, col("user_id") === col("p_user") &&
       col("click_ts") <= col("purchase_ts") &&
-      col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }

@@ -108,6 +108,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution leftOuter emits unmatched clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pdf = buys.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = EventStream.clickAttribution(cdf, pdf, horizon = "1 hour",
+      watermark = "10 minutes", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("outer_attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 100L, Timestamp.valueOf("2024-01-01 10:00:00")), // converts
+        (2L, 101L, Timestamp.valueOf("2024-01-01 10:05:00"))) // never does
+      buys.addData(
+        (1L, 200L, Timestamp.valueOf("2024-01-01 10:30:00"), 9.5))
+      q.processAllAvailable()
+      // advance BOTH watermarks past click+horizon+delay so the engine
+      // can prove click 101 has no possible match left...
+      clicks.addData((9L, 900L, Timestamp.valueOf("2024-01-01 14:00:00")))
+      buys.addData((9L, 901L, Timestamp.valueOf("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      // ...and one more micro-batch for the post-watermark eviction pass
+      clicks.addData((9L, 902L, Timestamp.valueOf("2024-01-01 14:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("outer_attrib")
+        .select("click_id", "purchase_id")
+        .as[(Long, Option[Long])].collect()
+      assert(rows.contains((100L, Some(200L)))) // matched pair intact
+      assert(rows.contains((101L, None)),       // drop-off surfaced
+        s"unmatched click missing from ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("hllWindowedRegisters: streaming registers equal the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
