@@ -185,6 +185,49 @@ class PlanShapeSpec extends SparkSpec {
       s"rank-limit pushdown missing from groupSample plan:\n$plan")
   }
 
+  test("inverted-index build prunes per term via WindowGroupLimit; " +
+    "serving never touches raw documents") {
+    import graft.ops.Relevance
+    val idx = Relevance.bm25IndexPostings(Tables.documents(spark, sf),
+      "doc_id", "text", maxPostings = 50)
+    idx.collect()
+    val buildPlan = idx.queryExecution.executedPlan.toString
+    // the top-50-per-term impact pruning must run as a partial top-k
+    // before the full sort, or a hot term's whole posting list buffers
+    assert(buildPlan.contains("WindowGroupLimit"),
+      s"impact pruning not pushed down:\n$buildPlan")
+    // serving scans ONLY the persisted index: one filter + one aggregate
+    // + TakeOrdered, no document table in the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec")
+      .toString
+    idx.write.mode("overwrite").parquet(dir)
+    val served = Relevance.bm25IndexQuery(spark.read.parquet(dir),
+      Seq("spark", "data"), k = 5)
+    served.collect()
+    val servePlan = served.queryExecution.executedPlan.toString
+    assert(servePlan.contains("TakeOrderedAndProject"),
+      s"serving top-k is not TakeOrdered:\n$servePlan")
+    assert(!servePlan.contains("documents"),
+      s"serving plan touches the raw corpus:\n$servePlan")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  test("span excision's keeper join stays an equi-join on the gram key") {
+    val df = SparkEntry.queries("d53_span_excise")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the df>=2 gram set is corpus-sized at scale (unlike d44's hot
+    // tail, which is deliberately broadcast): every join here must be an
+    // equi-join (hash/merge — AQE may legitimately broadcast at spec
+    // scale), never a nested-loop or cartesian fallback
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"span excision fell back to a non-equi join:\n$plan")
+  }
+
   test("BM25 scoring: corpus stats are a 1-row broadcast, scoring map-side") {
     import graft.ops.Relevance
     val df = Relevance.bm25(Tables.documents(spark, sf), "doc_id", "text",
