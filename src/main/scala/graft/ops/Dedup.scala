@@ -260,9 +260,14 @@ object Dedup {
     * removes templated mirrors and licensing blocks without losing the
     * one copy the model should still see.
     *
-    * First occurrence = minimum of the packed key doc·10⁶ + spos
-    * (integer, exact in both engines; assumes spos < 10⁶ and
-    * doc < 9.2·10¹² — swap to a struct min for wider ids). Scale shape:
+    * First occurrence = minimum of the packed key doc·`posCap` + spos
+    * (integer, exact in both engines). The bound is ENFORCED, not just
+    * documented (the Quantiles precedent): any occurrence with
+    * spos ≥ `posCap` (default 10⁶ ≈ a 4 MB document) fails the job with
+    * a named error instead of silently mis-ordering keepers — raise
+    * `posCap` for longer documents, keeping doc·posCap < 2⁶³ (swap to a
+    * struct min for genuinely wider ids). The check rides the gram
+    * projection, no extra pass. Scale shape:
     * occurrences shuffle ONCE on the gram key for the min/count
     * aggregate; the keeper join reuses that partitioning (no broadcast —
     * unlike boilerplate's hot tail, the df ≥ 2 set is corpus-sized);
@@ -270,12 +275,17 @@ object Dedup {
     * the rebuild is stripBoilerplate's per-doc row-local sort, never a
     * global one. */
   def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, posCap: Long = 1000000L): DataFrame = {
+    require(posCap > 0, "exciseDupSpans: posCap must be positive")
     val toks = df.select(col(idCol).as("doc"),
       TextOps.tokens(col(textCol)).as("w")).localCheckpoint(true)
     val gr = toks.select(col("doc"),
       posexplode(TextOps.shingles(col("w"), k)).as(Seq("spos", "g")))
-    def packed = col("doc") * lit(1000000L) + col("spos")
+      .filter(assert_true(col("spos") < posCap, concat(
+        lit("exciseDupSpans: doc "), col("doc").cast("string"),
+        lit(s" has a span position >= posCap=$posCap;"),
+        lit(" raise posCap (keep doc*posCap < 2^63)"))).isNull)
+    def packed = col("doc") * lit(posCap) + col("spos")
     val dupKeep = gr.groupBy(col("g"))
       .agg(min(packed).as("_keep"), count(lit(1)).as("_occ"))
       .filter(col("_occ") >= 2)

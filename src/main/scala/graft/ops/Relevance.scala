@@ -111,7 +111,9 @@ object Relevance {
     * posting weights per doc (exact integer sum), global top-`k` via
     * [[topKRanks]]. The term filter is a tiny isin against the index scan
     * — with the index written partitioned/bucketed by term it becomes
-    * partition pruning; nothing here touches raw documents. */
+    * partition pruning; nothing here touches raw documents. Query terms
+    * must match the index's token normalization ([[TextOps.tokens]]:
+    * lowercase alphanumerics) — an uppercase query term matches nothing. */
   def bm25IndexQuery(index: DataFrame, terms: Seq[String], k: Int)
   : DataFrame = {
     require(terms.nonEmpty, "bm25IndexQuery: empty query")

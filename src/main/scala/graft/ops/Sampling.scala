@@ -68,10 +68,11 @@ object Sampling {
     * rate-based [[stratifiedKeep]] can't express (a rate gives a
     * BINOMIAL count per group; this gives exactly min(n, |group|)).
     * Content-addressed like the other samplers: the same rows are kept
-    * across runs, engines and partitionings. Scale shape: the rank
-    * filter is a `row_number` ≤ n, which Catalyst pushes into the sort
-    * as WindowGroupLimit (same as q24's top-k) — per-task state is n
-    * rows per group, never the group. */
+    * across runs, engines and partitionings. Appends (or overwrites) a
+    * 1-based `rank` column with each row's position in its group's draw.
+    * Scale shape: the rank filter is a `row_number` ≤ n, which Catalyst
+    * pushes into the sort as WindowGroupLimit (same as q24's top-k) —
+    * per-task state is n rows per group, never the group. */
   def groupSample(df: DataFrame, group: Column, key: Column, n: Int,
                   salt: String = "gsamp"): DataFrame = {
     require(n > 0, "groupSample: n must be positive")

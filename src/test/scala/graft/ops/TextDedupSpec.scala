@@ -81,6 +81,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2).getString(3) == fp("u v w u2 v2 w2"))
   }
 
+  test("exciseDupSpans enforces the packed-key position bound") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    // positions 0..3 at k=3; posCap=4 admits them, posCap=3 must fail fast
+    Dedup.exciseDupSpans(df, "doc_id", "text", k = 3, posCap = 4).collect()
+    val e = intercept[Exception] {
+      Dedup.exciseDupSpans(df, "doc_id", "text", k = 3, posCap = 3).collect()
+    }
+    assert(e.getMessage.contains("posCap"))
+  }
+
   test("minhashLsh surfaces true near-duplicates with sane estimates") {
     val near1 = "alpha beta gamma delta epsilon zeta eta theta"
     val near2 = "alpha beta gamma delta epsilon zeta eta iota"
