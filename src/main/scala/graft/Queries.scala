@@ -55,16 +55,25 @@ object Queries {
 
   private[graft] def freqCols: Seq[String] = vocab.map(v => s"freq_$v")
 
+  /** Shared DuckDB sorted-array percentile interpolation (np.percentile
+    * semantics) — the ONE copy of the lambda every affording oracle nests
+    * (repair, q64, q67, q74, q76). Must stay expression-tree-identical to
+    * `Quantiles.exactGroupQuantiles` / `Repair.interpPercentile` for the
+    * hash compares to hold; `arr`/`cnt` name the sorted-list and count
+    * columns in the caller's CTE scope. */
+  private[graft] def interpSql(q: String, arr: String = "arr",
+                               cnt: String = "cnt"): String =
+    s"""$arr[CAST(floor(($q)*($cnt-1)) AS INT)+1]
+       | + (($q)*($cnt-1) - floor(($q)*($cnt-1)))
+       |   * ($arr[CAST(ceil(($q)*($cnt-1)) AS INT)+1]
+       |      - $arr[CAST(floor(($q)*($cnt-1)) AS INT)+1])"""
+      .stripMargin.replaceAll("\n", "")
+
   /** Shared repair CTE chain: exact np.percentile interpolation over the
     * sorted group array — identical expression tree to
     * Repair.interpPercentile. Final CTE `rep` = repaired rows, unrounded. */
   private[graft] def repairCtesSql: String = {
-    def interp(q: String) =
-      s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
-         | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
-         |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
-         |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
-        .stripMargin.replaceAll("\n", "")
+    def interp(q: String) = interpSql(q)
     s"""sv AS (SELECT event_id, user_id, ts, event_type AS code,
       |  $svalSql AS amt FROM events),
       |g AS (SELECT user_id, code, count(*) AS cnt,

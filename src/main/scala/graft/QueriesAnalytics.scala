@@ -180,12 +180,7 @@ private[graft] object QueriesAnalytics {
           max(col("value")).as("max_value"))
     },
     Some {
-      def interp(q: String) =
-        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
-           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
-           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
-           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
-          .stripMargin.replaceAll("\n", "")
+      def interp(q: String) = interpSql(q)
       s"""WITH g AS (SELECT event_type, count(*) AS cnt,
         |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
         |e AS (SELECT event_type, ${interp("0.25")} AS q1,
@@ -293,12 +288,7 @@ private[graft] object QueriesAnalytics {
           round(max(col("mad")), 6).as("mad"))
     },
     Some {
-      def interp(q: String, arr: String, cnt: String) =
-        s"""$arr[CAST(floor(($q)*($cnt-1)) AS INT)+1]
-           | + (($q)*($cnt-1) - floor(($q)*($cnt-1)))
-           |   * ($arr[CAST(ceil(($q)*($cnt-1)) AS INT)+1]
-           |      - $arr[CAST(floor(($q)*($cnt-1)) AS INT)+1])"""
-          .stripMargin.replaceAll("\n", "")
+      def interp(q: String, arr: String, cnt: String) = interpSql(q, arr, cnt)
       s"""WITH g AS (SELECT event_type, count(*) AS cnt,
         |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
         |m AS (SELECT event_type, ${interp("0.5", "arr", "cnt")} AS med
@@ -564,12 +554,7 @@ private[graft] object QueriesAnalytics {
             .as("raw_mean"))
     },
     Some {
-      def interp(q: String) =
-        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
-           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
-           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
-           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
-          .stripMargin.replaceAll("\n", "")
+      def interp(q: String) = interpSql(q)
       s"""WITH g AS (SELECT event_type, count(*) AS cnt,
         |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
         |e AS (SELECT event_type, ${interp("0.05")} AS lo,
@@ -657,12 +642,7 @@ private[graft] object QueriesAnalytics {
             .as("abs_err"))
     },
     Some {
-      def interp(q: String) =
-        s"""arr[CAST(floor(($q)*(cnt-1)) AS INT)+1]
-           | + (($q)*(cnt-1) - floor(($q)*(cnt-1)))
-           |   * (arr[CAST(ceil(($q)*(cnt-1)) AS INT)+1]
-           |      - arr[CAST(floor(($q)*(cnt-1)) AS INT)+1])"""
-          .stripMargin.replaceAll("\n", "")
+      def interp(q: String) = interpSql(q)
       s"""WITH sk AS (${QueriesScale.histQuantileSql}),
         |g AS (SELECT event_type, count(*) AS cnt,
         |  list_sort(list(value)) AS arr FROM events GROUP BY 1),

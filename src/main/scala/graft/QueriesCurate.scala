@@ -473,15 +473,6 @@ private[graft] object QueriesCurate {
           col("bm25").as("bm25_full"))
     },
     Some {
-      val tfs = QueriesDocs.bm25Terms.indices.map(i =>
-        s"len(list_filter(w, x -> x = '${QueriesDocs.bm25Terms(i)}'))::DOUBLE AS tf$i")
-        .mkString(", ")
-      val dfs = QueriesDocs.bm25Terms.indices.map(i =>
-        s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
-      val score = QueriesDocs.bm25Terms.indices.map(i =>
-        s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
-           | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
-          .stripMargin.replaceAll("\n", "")).mkString(" + ")
       val qTerms = QueriesDocs.bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id AS doc, $tokSql AS w FROM documents),
         |dl AS (SELECT doc, len(w)::DOUBLE AS dl FROM t),
@@ -502,9 +493,7 @@ private[graft] object QueriesCurate {
         |top AS (SELECT doc, score_micro, row_number() OVER (
         |    ORDER BY score_micro DESC, doc ASC) AS rank
         |  FROM q ORDER BY score_micro DESC, doc ASC LIMIT 10),
-        |p AS (SELECT doc AS doc_id, len(w)::DOUBLE AS n, $tfs FROM t),
-        |s2 AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p),
-        |fl AS (SELECT doc_id, round($score, 6) AS bm25 FROM p, s2)
+        |fl AS (SELECT doc_id, bm25 FROM (${QueriesDocs.bm25FullSql}))
         |SELECT top.doc, top.score_micro, top.rank, fl.bm25 AS bm25_full
         |FROM top JOIN fl ON fl.doc_id = top.doc""".stripMargin
     })

@@ -498,24 +498,29 @@ private[graft] object QueriesDocs {
   // (1 - 0.75)) so both engines run the identical double expression.
   private[graft] val bm25Terms = Seq("spark", "join", "data")
 
+  /** d23's full oracle text, shared with d54's bm25_full lock (nested
+    * there as a WITH subquery — same drift-proofing as minhashPairsSql:
+    * the audit replays the audited query's own SQL). */
+  private[graft] val bm25FullSql: String = {
+    val tfs = bm25Terms.indices.map(i =>
+      s"len(list_filter(w, x -> x = '${bm25Terms(i)}'))::DOUBLE AS tf$i")
+      .mkString(", ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
+    val score = bm25Terms.indices.map(i =>
+      s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
+         | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
+        .stripMargin.replaceAll("\n", "")).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |p AS (SELECT doc_id, len(w)::DOUBLE AS n, $tfs FROM t),
+      |s AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p)
+      |SELECT doc_id, n::BIGINT AS n_tokens, round($score, 6) AS bm25
+      |FROM p, s""".stripMargin
+  }
+
   private val d23: (String, QFn, Option[String]) = ("d23_bm25",
     (s, d) => Relevance.bm25(docs(s, d), "doc_id", "text", bm25Terms),
-    Some {
-      val tfs = bm25Terms.indices.map(i =>
-        s"len(list_filter(w, x -> x = '${bm25Terms(i)}'))::DOUBLE AS tf$i")
-        .mkString(", ")
-      val dfs = bm25Terms.indices.map(i =>
-        s"sum((tf$i > 0)::INT)::DOUBLE AS df$i").mkString(", ")
-      val score = bm25Terms.indices.map(i =>
-        s"""ln(1.0 + (nd - df$i + 0.5) / (df$i + 0.5)) * tf$i * (1.2 + 1.0)
-           | / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * n / avgdl))"""
-          .stripMargin.replaceAll("\n", "")).mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
-        |p AS (SELECT doc_id, len(w)::DOUBLE AS n, $tfs FROM t),
-        |s AS (SELECT count(*)::DOUBLE AS nd, avg(n) AS avgdl, $dfs FROM p)
-        |SELECT doc_id, n::BIGINT AS n_tokens, round($score, 6) AS bm25
-        |FROM p, s""".stripMargin
-    })
+    Some(bm25FullSql))
 
   // ------------------------------------------------- rank fusion
   // Reciprocal-rank fusion of two top-100 rankings: BM25 (rounded score)

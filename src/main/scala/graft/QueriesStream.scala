@@ -123,8 +123,8 @@ object QueriesStream {
         col("user_id"), p = 6)
       .select(unix_timestamp(col("grp.start")).as("hour_start"),
         col("j"), col("mj").cast("long").as("mj")),
-    Some("""WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
-      |  ('0x'||substr(md5(user_id::VARCHAR||'#hll'),1,15))::BIGINT AS h
+    Some(s"""WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+      |  ${QueriesText.md5HashSql("user_id::VARCHAR || '#hll'")} AS h
       |  FROM events WHERE user_id IS NOT NULL),
       |rr AS (SELECT w, h & 63 AS j,
       |  CASE WHEN (h >> 6) = 0 THEN 55

@@ -230,7 +230,19 @@ object Dedup {
     val hot = sh.select(col("doc"), col("s")).distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select(col("s"))
-    val covered = sh.join(broadcast(hot), Seq("s"))
+    rebuildWithoutSpans(toks, sh.join(broadcast(hot), Seq("s")), n,
+      "n_removed")
+  }
+
+  /** Shared rewrite tail for the span-cutting passes ([[stripBoilerplate]],
+    * [[exciseDupSpans]]): expand cut span starts (doc, spos) to their n
+    * covered token positions, drop those tokens, reassemble the survivors
+    * in order (row-local array_sort, never a global sort) and emit
+    * (doc, n_tokens, `cutCountName`, clean_fp) with md5('') for fully-cut
+    * or token-less docs — ONE copy of the rebuild contract. */
+  private def rebuildWithoutSpans(toks: DataFrame, cutStarts: DataFrame,
+                                  n: Int, cutCountName: String): DataFrame = {
+    val covered = cutStarts
       .select(col("doc"),
         explode(sequence(col("spos"), col("spos") + n - 1)).as("pos"))
       .distinct()
@@ -241,11 +253,11 @@ object Dedup {
         array_sort(collect_list(struct(col("pos"), col("t")))),
         x => x.getField("t")), " ").as("_clean"))
     toks.select(col("doc"), size(col("w")).cast("long").as("n_tokens"))
-      .join(covered.groupBy(col("doc")).agg(count(lit(1)).as("n_removed")),
+      .join(covered.groupBy(col("doc")).agg(count(lit(1)).as(cutCountName)),
         Seq("doc"), "left")
       .join(rebuilt, Seq("doc"), "left")
       .select(col("doc"), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col(cutCountName), lit(0L)).as(cutCountName),
         md5(coalesce(col("_clean"), lit(""))).as("clean_fp"))
   }
 
@@ -289,24 +301,9 @@ object Dedup {
     val dupKeep = gr.groupBy(col("g"))
       .agg(min(packed).as("_keep"), count(lit(1)).as("_occ"))
       .filter(col("_occ") >= 2)
-    val covered = gr.join(dupKeep, Seq("g"))
-      .filter(packed =!= col("_keep"))
-      .select(col("doc"),
-        explode(sequence(col("spos"), col("spos") + k - 1)).as("pos"))
-      .distinct()
-    val tok = toks.select(col("doc"), posexplode(col("w")).as(Seq("pos", "t")))
-    val rebuilt = tok.join(covered, Seq("doc", "pos"), "left_anti")
-      .groupBy(col("doc"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("t")))),
-        x => x.getField("t")), " ").as("_clean"))
-    toks.select(col("doc"), size(col("w")).cast("long").as("n_tokens"))
-      .join(covered.groupBy(col("doc")).agg(count(lit(1)).as("n_excised")),
-        Seq("doc"), "left")
-      .join(rebuilt, Seq("doc"), "left")
-      .select(col("doc"), col("n_tokens"),
-        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
-        md5(coalesce(col("_clean"), lit(""))).as("clean_fp"))
+    rebuildWithoutSpans(toks,
+      gr.join(dupKeep, Seq("g")).filter(packed =!= col("_keep")), k,
+      "n_excised")
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).

@@ -82,8 +82,11 @@ object Relevance {
                         maxPostings: Int, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
     require(maxPostings > 0, "bm25IndexPostings: maxPostings must be > 0")
+    // consumed by the tf pipeline AND the corpus-stats aggregate —
+    // materialize once so the corpus isn't tokenized twice (the
+    // jaccardPairs/minhashLsh multi-consumer policy)
     val toks = df.select(col(idCol).as("doc"),
-      TextOps.tokens(col(textCol)).as("_w"))
+      TextOps.tokens(col(textCol)).as("_w")).localCheckpoint(true)
     val tf = toks
       .select(col("doc"), size(col("_w")).cast("double").as("_dl"),
         explode(col("_w")).as("term"))

@@ -154,12 +154,11 @@ class PlanShapeSpec extends SparkSpec {
         s"no partition filter in scan:\n$plan")
       assert(plan.contains("= click)"),
         s"click pruning predicate missing:\n$plan")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   test("window top-k pushes the rank limit below the shuffle (WindowGroupLimit)") {
@@ -200,19 +199,17 @@ class PlanShapeSpec extends SparkSpec {
     // + TakeOrdered, no document table in the plan
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec")
       .toString
-    idx.write.mode("overwrite").parquet(dir)
-    val served = Relevance.bm25IndexQuery(spark.read.parquet(dir),
-      Seq("spark", "data"), k = 5)
-    served.collect()
-    val servePlan = served.queryExecution.executedPlan.toString
-    assert(servePlan.contains("TakeOrderedAndProject"),
-      s"serving top-k is not TakeOrdered:\n$servePlan")
-    assert(!servePlan.contains("documents"),
-      s"serving plan touches the raw corpus:\n$servePlan")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
+    try {
+      idx.write.mode("overwrite").parquet(dir)
+      val served = Relevance.bm25IndexQuery(spark.read.parquet(dir),
+        Seq("spark", "data"), k = 5)
+      served.collect()
+      val servePlan = served.queryExecution.executedPlan.toString
+      assert(servePlan.contains("TakeOrderedAndProject"),
+        s"serving top-k is not TakeOrdered:\n$servePlan")
+      assert(!servePlan.contains("documents"),
+        s"serving plan touches the raw corpus:\n$servePlan")
+    } finally rmTree(new java.io.File(dir))
   }
 
   test("span excision's keeper join stays an equi-join on the gram key") {
