@@ -48,6 +48,51 @@ class SkewSpec extends SparkSpec {
     assert(a.forall(s => s >= 0 && s < 8))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the RUNTIME complement to saltedJoin's plan-level answer: with AQE
+    // skew handling on and test-sized thresholds, a join whose hot key
+    // owns ~90% of one side must come back with the skewed partition
+    // split (the SMJ node reports skew=true) — no manual salting in the
+    // query. Production keeps the default 256 MB threshold; the lowered
+    // values only scale the demo to spec-sized data.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // enough partitions that the median is an un-skewed one — with the
+      // suite's 2, the hot partition IS the median and never flags
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val hot = spark.range(60000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
+      val dim = spark.range(2000).selectExpr("id AS k", "id * 2 AS w")
+      val joined = hot.join(dim, "k")
+      // collect() drives THIS df's queryExecution — a noop write would
+      // execute a separate instance and leave this plan isFinalPlan=false
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("repair approx mode stays close to exact mode") {
     val rows = (1 to 200).map(i => (1L, s"c${i % 2}", i.toLong, i.toDouble))
     val df = rows.toDF("u", "code", "id", "amt")

@@ -202,6 +202,52 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStats state survives a checkpointed restart") {
+    // the fault-tolerance contract a 100 TB/day stream actually relies
+    // on: stop the query, start a NEW query from the same checkpoint,
+    // and the per-user state store must carry over — the post-restart
+    // snapshot continues the count/total, not restart them from zero
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape, collecting snapshots into a local buffer
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def start() = EventStream.runningUserStats(in.toDS())
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStream.UserSnapshot],
+         _: Long) =>
+        val rows = batch.collect().map(s => (s.user_id, s.n, s.total))
+        seen.synchronized { seen ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      val q1 = start()
+      try {
+        in.addData(EventStream.Event(1L, 10.0), EventStream.Event(1L, 20.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        in.addData(EventStream.Event(1L, 30.0))
+        q2.processAllAvailable()
+        // n=3/total=60 proves recovered state: a fresh state store would
+        // report n=1/total=30 for the post-restart event
+        val last = seen.synchronized(seen.toSet)
+        assert(last.contains((1L, 3L, 60.0)),
+          s"state did not survive the restart: $last")
+      } finally q2.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("cmsCounts: streaming counters match the batch sketch by addition") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
