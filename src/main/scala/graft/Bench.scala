@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
@@ -41,7 +42,32 @@ object Bench {
     // near-identical pivot plans). The min of two runs is the steady-state
     // cost — the number that actually predicts cluster behavior.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // SPARK_GRAFT_BENCH_METRICS=1: additionally attribute shuffle
+    // read/write and spill bytes to each query via a stage listener —
+    // the "is this operator actually shuffle-light" evidence that
+    // timings alone can't give. Off by default: attribution needs a
+    // short post-query settle (listener events are async), which would
+    // tax the default timing run.
+    val withMetrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
+    object Acc {
+      @volatile var read = 0L
+      @volatile var write = 0L
+      @volatile var spill = 0L
+      def reset(): Unit = { read = 0L; write = 0L; spill = 0L }
+    }
+    if (withMetrics) spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          Acc.read += m.shuffleReadMetrics.totalBytesRead
+          Acc.write += m.shuffleWriteMetrics.bytesWritten
+          Acc.spill += m.memoryBytesSpilled + m.diskBytesSpilled
+        }
+      }
+    })
+    val qMetrics = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val results = selected.map { case (name, fn) =>
+      if (withMetrics) { Thread.sleep(100); Acc.reset() }
       val times = (0 until iters).flatMap { _ =>
         // isolate queries: drop caches left by prior queries (dedup signature
         // caches etc.) so storage-memory eviction churn can't skew timings,
@@ -61,7 +87,21 @@ object Bench {
       }
       // all iterations failed → no time at all (omitted from the JSON,
       // listed under "failed"), not a Double.MaxValue poison min
+      if (withMetrics) {
+        Thread.sleep(100) // let async stage-completed events land
+        qMetrics(name) = (Acc.read, Acc.write, Acc.spill)
+      }
       name -> (if (times.nonEmpty) Some(times.min) else None)
+    }
+    if (withMetrics) {
+      // bytes summed over the query's iterations (stable plans → each
+      // iteration moves the same bytes; divide by iters for per-run)
+      val line = qMetrics.toSeq.sortBy(_._1).map { case (n, (r, w, s)) =>
+        s""""$n":{"shuffle_read":$r,"shuffle_write":$w,"spilled":$s}"""
+      }.mkString("{\"iters\":" + iters + ",\"queries\":{", ",", "}}")
+      for (p <- Seq("/tmp/graft_bench_metrics.json", "bench_metrics_last.json"))
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+        catch { case _: Throwable => () }
     }
     // Rounded values: the harness captures only the TAIL (~2000 chars) of
     // the output, and a full-precision 66-query line (~2.9KB) overflows
