@@ -158,5 +158,22 @@ object QueriesStream {
       |WHERE c.event_type = 'click' AND p.event_id IS NULL"""
       .stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05, s06)
+  // ------------------------------------- windowed Count-Min counters
+  // EventStream.cmsCounts: per-hour depth×width counter tables with the
+  // batch sketch's md5 family (d36), so windows merge into a standing
+  // sketch by plain addition. The twin hash-checks the counter table —
+  // like s05, verifying the mergeable form a rollup consumes.
+  private val s07: (String, QFn, Option[String]) = ("s07_cms_windowed",
+    (s, d) => EventStream.cmsCounts(Tables.events(s, d),
+        col("event_type"), depth = 4, width = 256)
+      .select(unix_timestamp(col("hour_start")).as("hour_start"),
+        col("j").cast("long").as("j"), col("b"), col("cnt")),
+    Some(s"""WITH r AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+      |  event_type AS val, unnest(range(0, 4)) AS j FROM events)
+      |SELECT epoch(w)::BIGINT AS hour_start, j,
+      | ${QueriesText.md5HashSql("val || '#cms' || j::VARCHAR")} % 256 AS b,
+      | count(*)::BIGINT AS cnt
+      |FROM r GROUP BY 1, 2, 3""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }
