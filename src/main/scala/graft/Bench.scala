@@ -45,29 +45,35 @@ object Bench {
     // SPARK_GRAFT_BENCH_METRICS=1: additionally attribute shuffle
     // read/write and spill bytes to each query via a stage listener —
     // the "is this operator actually shuffle-light" evidence that
-    // timings alone can't give. Off by default: attribution needs a
-    // short post-query settle (listener events are async), which would
-    // tax the default timing run.
+    // timings alone can't give. Off by default: attribution drains the
+    // listener bus after every query, which would tax the timing run.
+    // AtomicLongs (listener thread vs main thread) + a deterministic
+    // bus drain before reset/read — no sleep-based attribution.
     val withMetrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
     object Acc {
-      @volatile var read = 0L
-      @volatile var write = 0L
-      @volatile var spill = 0L
-      def reset(): Unit = { read = 0L; write = 0L; spill = 0L }
+      import java.util.concurrent.atomic.AtomicLong
+      val read = new AtomicLong; val write = new AtomicLong
+      val spill = new AtomicLong
+      def reset(): Unit = { read.set(0L); write.set(0L); spill.set(0L) }
     }
     if (withMetrics) spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
         if (m != null) {
-          Acc.read += m.shuffleReadMetrics.totalBytesRead
-          Acc.write += m.shuffleWriteMetrics.bytesWritten
-          Acc.spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          Acc.read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          Acc.write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          Acc.spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         }
       }
     })
     val qMetrics = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val results = selected.map { case (name, fn) =>
-      if (withMetrics) { Thread.sleep(100); Acc.reset() }
+      if (withMetrics) {
+        // deliver any straggler events from the PREVIOUS query before
+        // zeroing, or its bytes would resurrect into this query's row
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        Acc.reset()
+      }
       val times = (0 until iters).flatMap { _ =>
         // isolate queries: drop caches left by prior queries (dedup signature
         // caches etc.) so storage-memory eviction churn can't skew timings,
@@ -87,9 +93,11 @@ object Bench {
       }
       // all iterations failed → no time at all (omitted from the JSON,
       // listed under "failed"), not a Double.MaxValue poison min
-      if (withMetrics) {
-        Thread.sleep(100) // let async stage-completed events land
-        qMetrics(name) = (Acc.read, Acc.write, Acc.spill)
+      // metrics only when EVERY iteration succeeded — partial-execution
+      // bytes from a failed run would poison the divide-by-iters read
+      if (withMetrics && times.size == iters) {
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        qMetrics(name) = (Acc.read.get, Acc.write.get, Acc.spill.get)
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }

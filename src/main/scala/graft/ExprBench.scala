@@ -60,7 +60,10 @@ object ExprBench {
       s
     })
 
-    run(native) // warmup: codegen + JIT on the shared scan
+    // symmetric warmup: every tier pays its codegen/JIT compile before
+    // ANY timing — an asymmetric warmup would hand the first-timed tier
+    // a best-of-4 while the others amortize compilation into their min
+    run(native); run(hof); run(dotUdf($"embedding"))
     val tNative = best(run(native))
     val tHof = best(run(hof))
     val tUdf = best(run(dotUdf($"embedding")))

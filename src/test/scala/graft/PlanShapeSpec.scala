@@ -157,10 +157,6 @@ class PlanShapeSpec extends SparkSpec {
     } finally rmTree(new java.io.File(dir))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
-
   test("window top-k pushes the rank limit below the shuffle (WindowGroupLimit)") {
     // Spark's rank-limit pushdown turns the per-key top-3 into a partial
     // top-k BEFORE the exchange — only candidate survivors shuffle. This

@@ -8,6 +8,12 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Recursive temp-dir cleanup for specs that write files — one copy,
+    * not one per suite. */
+  protected def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
 }
 
 object SparkSpec {

@@ -240,12 +240,7 @@ class EventStreamSpec extends SparkSpec {
         assert(last.contains((1L, 3L, 60.0)),
           s"state did not survive the restart: $last")
       } finally q2.stop()
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(ckpt))
-    }
+    } finally rmTree(new java.io.File(ckpt))
   }
 
   test("cmsCounts: streaming counters match the batch sketch by addition") {
