@@ -293,6 +293,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogramCounts shard tables merge by addition into the corpus table") {
+    // the mergeability contract the scaladoc claims: fixed bounds make
+    // per-shard (window, type, bin) counts combinable by plain SUM —
+    // how a 1000-executor rollup (or late data) folds into a standing
+    // histogram without re-reading raw events
+    val rows = (1 to 200).map { i =>
+      (Timestamp.valueOf("2024-01-01 10:15:00"), if (i % 2 == 0) "click"
+        else "view", (i % 37) * 3.0)
+    }
+    val all = rows.toDF("ts", "event_type", "value")
+    val (shardA, shardB) = (all.filter($"value" < 50), all.filter($"value" >= 50))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      EventStream.histogramCounts(df, lo = 0.0, hi = 120.0, bins = 12)
+    val merged = hist(shardA).unionByName(hist(shardB))
+      .groupBy("hour_start", "event_type", "bin")
+      .agg(sum("cnt").as("cnt"))
+      .as[(Timestamp, String, Int, Long)].collect().toSet
+    val corpus = hist(all)
+      .as[(Timestamp, String, Int, Long)].collect().toSet
+    assert(merged == corpus)
+  }
+
   test("histogramCounts bins incrementally; late rows fold into their bin") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
