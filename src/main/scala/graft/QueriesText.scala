@@ -87,7 +87,7 @@ object QueriesText {
 
   private[graft] val MINHASH_BANDS = 4
 
-  /** Registration order is the public contract: d01..d54, e01..e14,
+  /** Registration order is the public contract: d01..d54, e01..e15,
     * m01..m02 — ordered slices assembled from the three sub-registries. */
   val defs: Seq[(String, QFn, Option[String])] =
     QueriesDocs.defs ++ QueriesCorpus.defs ++

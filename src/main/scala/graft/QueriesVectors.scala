@@ -7,7 +7,7 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice e01-e14 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index and multimodal plumbing.
+/** Registry slice e01-e15 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN and multimodal plumbing.
   * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
   * the MinHash constants) live in [[QueriesText]]; registration order is
   * assembled there. */
@@ -43,9 +43,10 @@ private[graft] object QueriesVectors {
 
   private val LSH_BANDS = 4
 
-  // shared by e02 (inline index) and e13 (the SAME pipeline through a
-  // persisted parquet index — storage must not change a single bit)
-  private lazy val lshKnnOracleSql: String = {
+  // shared by e02 (inline index), e13 (the SAME pipeline through a
+  // persisted parquet index — storage must not change a single bit) and
+  // e15 (corpus restricted by a metadata predicate)
+  private def lshKnnOracleSql(corpusPred: String = "TRUE"): String = {
     val rows = LSH_PLANES / LSH_BANDS
     val mask = (1L << rows) - 1
     val sigExpr = (0 until LSH_PLANES).map { p =>
@@ -53,17 +54,17 @@ private[graft] object QueriesVectors {
         .map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
       |  FROM embeddings),
-      |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
-      |banded AS (SELECT vec_id, v, band,
+      |sigs AS (SELECT vec_id, label, v, ($sigExpr)::BIGINT AS sig FROM e),
+      |banded AS (SELECT vec_id, label, v, band,
       |   (sig >> (band * $rows)) & $mask AS bits
       |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
       |cand AS (SELECT DISTINCT q.vec_id AS qid, q.v AS qv,
       |   c.vec_id AS nid, c.v AS nv
       |  FROM banded q JOIN banded c
       |   ON q.band = c.band AND q.bits = c.bits AND q.vec_id <> c.vec_id
-      |  WHERE q.vec_id < 20),
+      |  WHERE q.vec_id < 20 AND ($corpusPred)),
       |scored AS (SELECT qid, nid,
       |   round(list_dot_product(qv, nv)
       |     / (sqrt(list_dot_product(qv, qv))
@@ -81,7 +82,7 @@ private[graft] object QueriesVectors {
       Similarity.lshKnn(e.filter(col("id") < 20), e, 5,
         dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
     },
-    Some(lshKnnOracleSql))
+    Some(lshKnnOracleSql()))
 
   // ------------------------------------------------ IVF approximate NN
   // Assignment ranks on rounded cosine with centroid-id tiebreak, so the
@@ -592,7 +593,26 @@ private[graft] object QueriesVectors {
       Similarity.lshKnnIndexed(e.filter(col("id") < 20),
         s.read.parquet(dir), 5, LSH_DIMS, LSH_PLANES, LSH_BANDS)
     },
-    Some(lshKnnOracleSql))
+    Some(lshKnnOracleSql()))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, m01, m02)
+  // ----------------------------------------- metadata-filtered ANN
+  // The hybrid-serving shape every vector store is asked for: "nearest
+  // neighbors WHERE label = 1" — the metadata predicate restricts the
+  // corpus BEFORE banding, as a plain scan filter pushed to parquet
+  // (PlanShapeSpec asserts PushedFilters carries it), so the index probe
+  // and the exact rerank only ever touch qualifying vectors. Same LSH
+  // pipeline as e02; queries stay unfiltered (any vector may ask).
+  private val e15: (String, QFn, Option[String]) = ("e15_filtered_knn",
+    (s, d) => {
+      val e = emb(s, d)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = e.filter(col("label") === 1)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshKnn(queries, corpus, 5,
+        dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
+    },
+    Some(lshKnnOracleSql(corpusPred = "c.label = 1")))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, m01, m02)
 }

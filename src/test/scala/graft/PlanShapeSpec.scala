@@ -208,6 +208,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("filtered ANN pushes the metadata predicate to the parquet scan") {
+    // e15's hybrid-serving claim: the label filter restricts the corpus
+    // at the SCAN (through the loader's repartition), so banding and
+    // rerank never see non-qualifying vectors
+    val df = SparkEntry.queries("e15_filtered_knn")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,1)") &&
+      plan.contains("PushedFilters"),
+      s"label predicate not pushed to the embeddings scan:\n$plan")
+  }
+
   test("span excision's keeper join stays an equi-join on the gram key") {
     val df = SparkEntry.queries("d53_span_excise")(spark, sf)
     df.collect()
