@@ -10,7 +10,7 @@ import graft.pipeline.{LinearScorer, Pipeline, TreeEnsembleModel,
 import graft.schema.Tables
 import graft.Queries._
 
-/** Driver-contract registry slice q61-q76: CDC deltas, graph ranking, incremental aggregates, robust statistics, calendar analytics and the sketch-accuracy audit.
+/** Driver-contract registry slice q61-q77: CDC deltas, graph ranking, incremental aggregates, robust statistics, calendar analytics, the sketch-accuracy audit and SCD2 history.
   * Shared helpers (sval/dec2/ev/freqCols/repairCtesSql/rtDir and the
   * float-determinism policy) live in [[Queries]]; registration order is
   * assembled there. */
@@ -657,5 +657,40 @@ private[graft] object QueriesAnalytics {
         | AND sk.q = ex.q""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+  // ---------------------------------------- SCD2 history (change-log compaction)
+  // The slowly-changing-dimension build q61's digest delta doesn't cover:
+  // compact each user's event-type CHANGE LOG into type-2 validity rows
+  // (value, valid_from, valid_to, version) — consecutive repeats collapse,
+  // the open row carries NULL valid_to. One user shuffle; both windows
+  // (change detection and interval close) share the ordering, so Catalyst
+  // fuses them into one Window operator; output is proportional to state
+  // CHANGES, not events — the compaction that keeps a 100 TB dimension
+  // history queryable. Timestamps ship as exact integer micros (s01's
+  // rule); ordering ties break on event_id.
+  private val q77: (String, QFn, Option[String]) = ("q77_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      val changes = ev(s, d)
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      changes.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(wc)).as("valid_to_us"),
+        row_number().over(wc).cast("long").as("version"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, event_type, ts, event_id FROM c
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+      | epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |   ORDER BY ts, event_id)) AS valid_to_us,
+      | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS version
+      |FROM ch""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }
