@@ -659,25 +659,26 @@ private[graft] object QueriesAnalytics {
 
   // ---------------------------------------- SCD2 history (change-log compaction)
   // The slowly-changing-dimension build q61's digest delta doesn't cover:
-  // compact each user's event-type CHANGE LOG into type-2 validity rows
-  // (value, valid_from, valid_to, version) — consecutive repeats collapse,
-  // the open row carries NULL valid_to. One user shuffle; both windows
-  // (change detection and interval close) share the ordering, so Catalyst
-  // fuses them into one Window operator; output is proportional to state
-  // CHANGES, not events — the compaction that keeps a 100 TB dimension
-  // history queryable. Timestamps ship as exact integer micros (s01's
-  // rule); ordering ties break on event_id.
+  // compact each user's event_type CHANGE LOG into type-2 validity rows
+  // (event_type, valid_from, valid_to, version) — consecutive repeats
+  // collapse, the open row carries NULL valid_to. One user shuffle: the
+  // change-detection window and the interval-close window share the same
+  // partitioning+ordering, so the second rides the first's exchange and
+  // sort (two Window operators — the Filter between them rules out
+  // CollapseWindow fusion — but zero extra shuffles); output is
+  // proportional to state CHANGES, not events — the compaction that
+  // keeps a 100 TB dimension history queryable. Timestamps ship as exact
+  // integer micros (s01's rule); ordering ties break on event_id.
   private val q77: (String, QFn, Option[String]) = ("q77_scd2_history",
     (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(ord: _*)
       val changes = ev(s, d)
         .withColumn("_prev", lag(col("event_type"), 1).over(w))
         .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
-      val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
       changes.select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("valid_from_us"),
-        unix_micros(lead(col("ts"), 1).over(wc)).as("valid_to_us"),
-        row_number().over(wc).cast("long").as("version"))
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
+        row_number().over(w).cast("long").as("version"))
     },
     Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
       |  lag(event_type) OVER (PARTITION BY user_id

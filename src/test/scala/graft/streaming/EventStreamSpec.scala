@@ -300,10 +300,13 @@ class EventStreamSpec extends SparkSpec {
     // histogram without re-reading raw events
     val rows = (1 to 200).map { i =>
       (Timestamp.valueOf("2024-01-01 10:15:00"), if (i % 2 == 0) "click"
-        else "view", (i % 37) * 3.0)
+        else "view", (i % 37) * 3.0, i)
     }
-    val all = rows.toDF("ts", "event_type", "value")
-    val (shardA, shardB) = (all.filter($"value" < 50), all.filter($"value" >= 50))
+    val all = rows.toDF("ts", "event_type", "value", "i")
+    // shard by row parity so the SAME (window, type, bin) key gets
+    // nonzero counts from BOTH shards — a value-range split would give
+    // each bin to exactly one shard and never exercise the SUM
+    val (shardA, shardB) = (all.filter($"i" % 2 === 0), all.filter($"i" % 2 === 1))
     def hist(df: org.apache.spark.sql.DataFrame) =
       EventStream.histogramCounts(df, lo = 0.0, hi = 120.0, bins = 12)
     val merged = hist(shardA).unionByName(hist(shardB))
