@@ -233,6 +233,25 @@ class PlanShapeSpec extends SparkSpec {
       s"span excision fell back to a non-equi join:\n$plan")
   }
 
+  test("hot paths run inside whole-stage codegen") {
+    // the codegen-friendliness contract: the submission spine, the
+    // histogram sketch and the native-MinHash signature pass must all
+    // compile into WholeStageCodegen spans — a non-codegen Expression or
+    // a lambda-bearing operator in the hot path would drop the plan back
+    // to interpreted row-at-a-time evaluation
+    for (q <- Seq("q27_pipeline_submission", "q44_hist_quantile",
+        "d06_minhash_lsh")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // AQE-final plans print codegen stages as the "*(id) " node prefix
+      // (the WholeStageCodegen node name only appears in treeString
+      // formats); either marker proves compiled spans exist
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"$q plan has no codegen span:\n$plan")
+    }
+  }
+
   test("BM25 scoring: corpus stats are a 1-row broadcast, scoring map-side") {
     import graft.ops.Relevance
     val df = Relevance.bm25(Tables.documents(spark, sf), "doc_id", "text",
