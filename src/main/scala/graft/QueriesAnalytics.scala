@@ -619,27 +619,26 @@ private[graft] object QueriesAnalytics {
   // this row makes the sketch's error DRIVER-VISIBLE instead of a scaladoc
   // claim — the same composition move as e09 (ANN recall) and d48 (candidate
   // recall): both sides reuse the audited queries' own fn/SQL, so the audit
-  // can't drift from what it audits. abs_err is computed on the sketch's
-  // published (truncated) estimate vs the raw exact quantile — both
-  // engine-identical doubles — then truncated to the same 6-dp grid.
+  // can't drift from what it audits. All published values are integer
+  // micros (q44's rule): abs_err_us = |est_micros - floor(exact*1e6)| is
+  // BIGINT arithmetic end to end, so no double ever reaches the hash.
   private val q76: (String, QFn, Option[String]) = ("q76_sketch_accuracy",
     (s, d) => {
       val e = ev(s, d)
       val fracs = Seq(0.5, 0.9, 0.99)
       val sketch = Histogram.quantiles(e, col("event_type"), col("value"),
           32, fracs)
-        .select(col("grp").as("event_type"), col("q"), col("est"))
+        .select(col("grp").as("event_type"), col("q"), col("est_micros"))
       val exact = Quantiles.exactGroupQuantiles(
           e.select(col("event_type"), col("value")), col("event_type"),
           col("value"), fracs)
         .select(col("grp").as("event_type"), col("frac"),
-          col("q").as("_exact"))
+          CrossRound.micros(col("q")).as("_exact_us"))
       sketch.join(exact, sketch("event_type") === exact("event_type")
           && sketch("q") === exact("frac"))
-        .select(sketch("event_type"), sketch("q"), col("est"),
-          CrossRound.truncate(col("_exact"), 6).as("exact"),
-          CrossRound.truncate(abs(col("est") - col("_exact")), 6)
-            .as("abs_err"))
+        .select(sketch("event_type"), sketch("q"), col("est_micros"),
+          col("_exact_us").as("exact_micros"),
+          abs(col("est_micros") - col("_exact_us")).as("abs_err_us"))
     },
     Some {
       def interp(q: String) = interpSql(q)
@@ -648,11 +647,12 @@ private[graft] object QueriesAnalytics {
         |  list_sort(list(value)) AS arr FROM events GROUP BY 1),
         |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
         |  AS q),
-        |ex AS (SELECT event_type, q, ${interp("q")} AS exact
+        |ex AS (SELECT event_type, q,
+        |  floor((${interp("q")}) * 1e6)::BIGINT AS exact_micros
         |  FROM g CROSS JOIN qq)
-        |SELECT sk.event_type, sk.q, sk.est,
-        | floor(ex.exact * 1e6) / 1e6 AS exact,
-        | floor(abs(sk.est - ex.exact) * 1e6) / 1e6 AS abs_err
+        |SELECT sk.event_type, sk.q, sk.est_micros,
+        | ex.exact_micros,
+        | abs(sk.est_micros - ex.exact_micros) AS abs_err_us
         |FROM sk JOIN ex ON sk.event_type = ex.event_type
         | AND sk.q = ex.q""".stripMargin
     })

@@ -40,16 +40,17 @@ private[graft] object QueriesScale {
       |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
       |pick AS (SELECT event_type, q, n, floor(greatest(lo, least(hi,
       |    lo + (hi - lo) / 32 * (bin::DOUBLE
-      |      + (q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE))) * 1e6)
-      |    / 1e6 AS est,
+      |      + (q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE))) * 1e6
+      |    )::BIGINT AS est_micros,
       |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
       |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
-      |SELECT event_type, q, n, est FROM pick WHERE rn = 1""".stripMargin
+      |SELECT event_type, q, n, est_micros FROM pick WHERE rn = 1""".stripMargin
 
   private val q44: (String, QFn, Option[String]) = ("q44_hist_quantile",
     (s, d) => Histogram.quantiles(Tables.events(s, d), col("event_type"),
         col("value"), 32, Seq(0.5, 0.9, 0.99))
-      .select(col("grp").as("event_type"), col("q"), col("n"), col("est")),
+      .select(col("grp").as("event_type"), col("q"), col("n"),
+        col("est_micros")),
     Some(histQuantileSql))
 
   // ------------------------------------------- salted aggregation

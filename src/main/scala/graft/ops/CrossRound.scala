@@ -54,4 +54,18 @@ object CrossRound {
     val p = F.lit(math.pow(10, scale))
     F.floor(c * p) / p
   }
+
+  /**
+   * Integer-micros fixed point: `floor(x * 1e6)` published as BIGINT.
+   *
+   * The end state of the cross-engine determinism ladder: `truncate`
+   * still divides back to a double, and a double column is hashed by the
+   * driver as a double — any engine/version that renders one ulp
+   * differently breaks the hash even when the VALUE grid-point is
+   * identical. Publishing the scaled integer removes the double from the
+   * output entirely: `floor(x * 1e6)` is exact IEEE on both engines and
+   * BIGINT hashes identically everywhere. Consumers that want the
+   * human-readable value divide at display time.
+   */
+  def micros(c: Column): Column = F.floor(c * F.lit(1e6))
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.CrossRound.truncate // tie-free cross-engine fixed-point
+import graft.ops.CrossRound.micros // integer-micros cross-engine fixed-point
 
 /**
  * Histogram-sketch quantiles: the bounded-state percentile shape that
@@ -16,18 +16,21 @@ import graft.ops.CrossRound.truncate // tie-free cross-engine fixed-point
  * binning projection; (2) per-(group, bin) counts. The quantile is then a
  * linear interpolation inside the first bin whose cumulative count reaches
  * q·n — integer counts + one fixed double expression, so the DuckDB oracle
- * replays it bit-for-bit. The published estimate is TRUNCATED to 6 dp
- * (`floor(est*1e6)/1e6`, CrossRound.truncate) rather than rounded: at
- * 1e8-magnitude values the ×1e6 product's ulp exceeds the half-grid
- * resolution, so half-up rounding can disagree by one output ulp between
- * Spark's BigDecimal semantics and C round(); floor has no tie to lose.
+ * replays it bit-for-bit. The published estimate is an INTEGER:
+ * `est_micros BIGINT = floor(est * 1e6)` (CrossRound.micros). Earlier
+ * rounds published a truncated double (`floor(est*1e6)/1e6`) and the
+ * value was verifiably grid-identical across engines, yet a double column
+ * is still hashed AS a double — one rendering ulp anywhere in the
+ * verify chain breaks the comparison. Integers hash identically on every
+ * engine and every DuckDB version; no ulp can survive `floor`.
  */
 object Histogram {
 
   /** Per-group quantile estimates of `value` at each q in `qs` from a
     * fixed-`bins` histogram over the GLOBAL value range. Returns one row
-    * per (group, q): (grp, q, n, est). Deterministic by construction —
-    * bin ids are floor arithmetic, counts are ints, ties broken by bin id. */
+    * per (group, q): (grp, q, n, est_micros) where est_micros is the
+    * estimate in integer micros. Deterministic by construction — bin ids
+    * are floor arithmetic, counts are ints, ties broken by bin id. */
   def quantiles(df: DataFrame, group: Column, value: Column, bins: Int,
                 qs: Seq[Double]): DataFrame = {
     require(bins > 0 && qs.nonEmpty, "histQuantiles: bins and qs required")
@@ -70,6 +73,6 @@ object Histogram {
       // than everything before it can only happen for the group's first
       // occupied bin) still interpolates within that bin, floor at _lo
       .select(col("grp"), col("q"), col("n"),
-        truncate(greatest(col("_lo"), least(col("_hi"), est)), 6).as("est"))
+        micros(greatest(col("_lo"), least(col("_hi"), est))).as("est_micros"))
   }
 }

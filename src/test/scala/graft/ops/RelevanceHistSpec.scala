@@ -58,7 +58,7 @@ class RelevanceHistSpec extends SparkSpec {
       .head()
     assert(out.getAs[Long]("n") == 100L)
     // exact median 50.5; a 10-bin sketch must land within one bin width
-    val est = out.getAs[Double]("est")
+    val est = out.getAs[Long]("est_micros") / 1e6
     assert(math.abs(est - 50.5) <= 9.9, s"est $est")
   }
 
@@ -67,7 +67,7 @@ class RelevanceHistSpec extends SparkSpec {
     val r = Histogram.quantiles(flat, col("k"), col("v"), 8, Seq(0.5, 1.0))
       .orderBy("q").collect()
     assert(r.length == 2)
-    r.foreach(row => approx(row.getAs[Double]("est"), 5.0))
+    r.foreach(row => assert(row.getAs[Long]("est_micros") == 5000000L))
   }
 
   test("histogram quantiles per group use the global range") {
@@ -77,8 +77,8 @@ class RelevanceHistSpec extends SparkSpec {
       .orderBy("grp").collect()
     // group a lives entirely in the bottom bin, b in the top: estimates
     // must sit inside each group's own bin despite the shared [10,90] range
-    assert(out(0).getAs[Double]("est") <= 30.0)
-    assert(out(1).getAs[Double]("est") >= 70.0)
+    assert(out(0).getAs[Long]("est_micros") <= 30000000L)
+    assert(out(1).getAs[Long]("est_micros") >= 70000000L)
   }
 
   test("histogram quantile error is bounded by one bin width (deterministic corpus)") {
@@ -91,7 +91,7 @@ class RelevanceHistSpec extends SparkSpec {
     val sorted = vals.sorted
     for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
       val est = Histogram.quantiles(df, col("k"), col("v"), bins, Seq(q))
-        .head().getAs[Double]("est")
+        .head().getAs[Long]("est_micros") / 1e6
       // exact order statistic at ceil(q*n): the value the cumulative-count
       // definition targets
       val exact = sorted(math.min(vals.size - 1,
@@ -107,10 +107,10 @@ class RelevanceHistSpec extends SparkSpec {
     // distributed/partial aggregation is exact, not approximate-on-top
     val all = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "v")
     val full = Histogram.quantiles(all, col("k"), col("v"), 16, Seq(0.5))
-      .head().getAs[Double]("est")
+      .head().getAs[Long]("est_micros")
     val shuffled = all.repartition(13) // arbitrary re-partitioning
     val re = Histogram.quantiles(shuffled, col("k"), col("v"), 16, Seq(0.5))
-      .head().getAs[Double]("est")
+      .head().getAs[Long]("est_micros")
     assert(full == re, s"partitioning changed the sketch: $full vs $re")
   }
 
