@@ -457,9 +457,17 @@ private[graft] object QueriesAnalytics {
 
   // --------------------------------------- entity resolution (blocked)
   // Fuzzy record linkage with the classic two-stage shape: BLOCK first
-  // (equi-join on (nation, name length) — candidate pairs bounded per
-  // block, never |customers|²), then VERIFY with edit distance on
+  // (equi-join on (nation, BANDED name length) — candidate pairs bounded
+  // per block, never |customers|²), then VERIFY with edit distance on
   // candidates only (the d35 discipline applied to structured records).
+  // The band is ±2: levenshtein ≤ 2 can change the length by up to two
+  // (two insertions/deletions) — blocking on EXACT length, as this query
+  // did through round 6, silently missed every true duplicate whose typo
+  // changed the length, i.e. precisely the case edit distance exists for.
+  // The probe side explodes its length into the five keys len-2..len+2
+  // while the build side keeps its exact length, so a pair with
+  // |Δlen| ≤ 2 matches on exactly ONE key (probe key = build len): no
+  // distinct-dedup pass, still a pure equi-join, 5× candidates not 25×.
   // Pairs within distance 2 are potential duplicates for a steward
   // queue; at scale only the block key changes, not the plan.
   private val q72: (String, QFn, Option[String]) = ("q72_entity_resolution",
@@ -468,9 +476,9 @@ private[graft] object QueriesAnalytics {
         col("c_name").as("name"), col("c_nationkey").as("nat"),
         length(col("c_name")).as("_len"))
       c.select(col("id").as("a"), col("name").as("na"), col("nat"),
-          col("_len"))
+          explode(array((-2 to 2).map(o => col("_len") + o): _*)).as("_blk"))
         .join(c.select(col("id").as("b"), col("name").as("nb"),
-          col("nat"), col("_len")), Seq("nat", "_len"))
+          col("nat"), col("_len").as("_blk")), Seq("nat", "_blk"))
         .filter(col("a") < col("b"))
         .withColumn("dist", levenshtein(col("na"), col("nb")))
         .filter(col("dist") <= 2)
@@ -479,8 +487,10 @@ private[graft] object QueriesAnalytics {
     },
     Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name,
       |  c_nationkey AS nat, length(c_name) AS len FROM customer),
+      |a AS (SELECT id, name, nat,
+      |  unnest([len - 2, len - 1, len, len + 1, len + 2]) AS blk FROM c),
       |p AS (SELECT x.nat, levenshtein(x.name, y.name) AS dist
-      |  FROM c x JOIN c y ON x.nat = y.nat AND x.len = y.len
+      |  FROM a x JOIN c y ON x.nat = y.nat AND x.blk = y.len
       |   AND x.id < y.id)
       |SELECT nat, count(*)::BIGINT AS n_pairs,
       | min(dist)::BIGINT AS min_dist

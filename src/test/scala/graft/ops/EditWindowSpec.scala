@@ -52,4 +52,30 @@ class EditWindowSpec extends SparkSpec {
     assert(out((1L, 2L))._2 > 0.9)
     assert(out((1L, 3L))._2 < 0.5)
   }
+
+  test("q72 banded blocking finds duplicates whose typo changes the length") {
+    // the case exact-length blocking (rounds 1-6) silently missed: a
+    // deletion typo shifts the name length, so the true pair never shared
+    // a block. Planted: id2 = id1 minus one char (dist 1, Δlen 1) and
+    // id3 = id1 minus two chars (dist 2, Δlen 2 — needs the full ±2 band;
+    // a ±1 band would still miss it).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q72").toFile
+    try {
+      Seq(
+        (1L, "Customer#000000001", 7L),
+        (2L, "Customer#00000001", 7L),
+        (3L, "Customer#0000001", 7L),
+        (4L, "Totally Unrelated Name!!", 7L))
+        .toDF("c_custkey", "c_name", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = graft.SparkEntry.queries("q72_entity_resolution")(
+        spark, dir.toString).collect()
+      assert(out.length == 1)
+      // (1,2) d=1, (2,3) d=1, (1,3) d=2 — each found exactly once
+      assert(out.head.getAs[Long]("n_pairs") == 3L)
+      assert(out.head.getAs[Int]("min_dist") == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }
