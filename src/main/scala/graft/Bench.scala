@@ -36,12 +36,16 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    // best-of-N per query (default 2): a single timed pass conflates the
+    // best-of-N per query (default 3): a single timed pass conflates the
     // query's cost with one-off JIT/codegen/GC events that land on whichever
     // query runs when they fire (round-1 profile showed 2.8s vs 0.6s for
-    // near-identical pivot plans). The min of two runs is the steady-state
-    // cost — the number that actually predicts cluster behavior.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // near-identical pivot plans; rounds 5 AND 6 each produced ~2x phantom
+    // "regressions" that an isolated re-measurement dissolved). The min of
+    // three runs is the steady-state cost — the number that predicts
+    // cluster behavior — and the per-iteration times are published as a
+    // side artifact so a future reader can see the noise amplitude
+    // directly instead of re-deriving the counter-measurement protocol.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // SPARK_GRAFT_BENCH_METRICS=1: additionally attribute shuffle
     // read/write and spill bytes to each query via a stage listener —
     // the "is this operator actually shuffle-light" evidence that
@@ -99,7 +103,7 @@ object Bench {
         org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
         qMetrics(name) = (Acc.read.get, Acc.write.get, Acc.spill.get)
       }
-      name -> (if (times.nonEmpty) Some(times.min) else None)
+      name -> times
     }
     if (withMetrics) {
       // bytes summed over the query's iterations (stable plans → each
@@ -129,15 +133,34 @@ object Bench {
         s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
+    // per-iteration noise artifact: every raw time plus the spread, so a
+    // reader comparing two rounds can tell "one slow iteration" (noise —
+    // min stable, max inflated) from "every iteration slow" (a real plan
+    // regression). This replaces the ad-hoc isolated counter-measurement
+    // that rounds 5/6 had to run by hand for e04/d07/e11/e12/e13.
+    locally {
+      val line = results.toSeq.sortBy(_._1).map { case (n, ts) =>
+        val arr = ts.map(t => fmt(t, 3)).mkString("[", ",", "]")
+        val spread = if (ts.isEmpty) "null" else fmt(ts.max - ts.min, 3)
+        s""""$n":{"times":$arr,"spread":$spread}"""
+      }.mkString(s"""{"iters":$iters,"queries":{""", ",", "}}")
+      for (p <- Seq("/tmp/graft_bench_iters.json", "bench_iters_last.json"))
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+        catch { case _: Throwable => () }
+    }
     def jsonLine(dp: Int, key: String => String = identity): String = {
       val qs = results.collect {
-        case (k, Some(v)) => "\"" + key(k) + "\":" + fmt(v, dp)
+        case (k, ts) if ts.nonEmpty => "\"" + key(k) + "\":" + fmt(ts.min, dp)
       }.mkString("{", ",", "}")
-      val failed = results.collect { case (k, None) => "\"" + key(k) + "\"" }
+      val failed = results.collect {
+        case (k, ts) if ts.isEmpty => "\"" + key(k) + "\""
+      }
       val failedPart =
         if (failed.isEmpty) ""
         else failed.mkString(""","failed":[""", ",", "]")
-      val total = results.values.flatten.sum
+      val total = results.values.collect {
+        case ts if ts.nonEmpty => ts.min
+      }.sum
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec"""" +
         s""","queries":$qs$failedPart,"sf":"$sfDir"}"""
     }
