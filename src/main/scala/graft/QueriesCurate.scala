@@ -18,19 +18,31 @@ import graft.QueriesText._
 private[graft] object QueriesCurate {
 
   // ---------------------------------------- MinHash, production hash family
-  // d06 with hashFamily = xxhash64 — the family a real deployment runs
-  // (Dedup.scala:33: codegen'd, one pass, no hex round-trip; the md5-hex
-  // conv() family exists only so DuckDB can replay signatures). DuckDB has
-  // no xxhash64, so this registers WITHOUT an oracle (rows-only check);
-  // its purpose is the BENCH row: d06 vs d49 in the same bench run is the
-  // measured cost of oracle-parity hashing, i.e. what switching families
-  // buys a production corpus run. Row count differs slightly from d06 —
-  // different hash family, different band collisions — that is expected.
+  // Through round 6 this registered d06's pipeline with hashFamily =
+  // xxhash64 (Dedup.scala:33: codegen'd, one pass, no hex round-trip; the
+  // md5-hex conv() family exists only so DuckDB can replay signatures) and
+  // shipped WITHOUT an oracle — rows-only, so nothing driver-visible would
+  // have caught broken xxhash64 banding. Now the EQUIVALENCE is the query
+  // (the e09/d48/q76 composition move): run the full LSH pipeline under
+  // BOTH families and emit one row — md5-side counts the oracle replays
+  // exactly, plus wide-margin set-agreement verdicts the oracle expects as
+  // literal `true` (DuckDB cannot compute xxhash64, but it CAN check that
+  // the family the production path runs still finds the same near-dups).
+  // Measured at sf0.001/sf0.01: the two pair sets are IDENTICAL, so the
+  // 0.8 pair-set-Jaccard floor and est≥0.9 strong-recall checks have full
+  // margin. The isolated xxhash-vs-md5 primitive cost stays measured by
+  // HashBench; this row's bench time now covers both pipelines.
   private val d49: (String, QFn, Option[String]) = ("d49_minhash_xxhash",
-    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+    (s, d) => Dedup.hashFamilyAudit(docs(s, d), "doc_id", "text", n = 3,
       k = MINHASH_K, bands = MINHASH_BANDS,
-      hashFamily = Dedup.xxhashFamily),
-    None)
+      family = Dedup.xxhashFamily),
+    Some(s"""WITH mp AS (${QueriesDocs.minhashPairsSql})
+      |SELECT count(*)::BIGINT AS n_pairs_md5,
+      | coalesce(sum(CASE WHEN est_jaccard >= 0.9 THEN 1 ELSE 0 END),
+      |   0)::BIGINT AS n_strong_md5,
+      | true AS family_jaccard_ok,
+      | true AS strong_recall_ok
+      |FROM mp""".stripMargin))
 
   // ------------------------------------ sparse TF-IDF cosine near-dup
   // Weighted sibling of d05: shared shingles weighted by rarity (smoothed

@@ -447,6 +447,58 @@ object Dedup {
         round(matches.cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
   }
 
+  /** Hash-family equivalence audit: run the SAME MinHash+LSH pipeline under
+    * the oracle-replayable md5 family AND a production `family`
+    * (e.g. [[xxhashFamily]]), and compact the comparison into ONE row:
+    *
+    *   - `n_pairs_md5`, `n_strong_md5` — md5-side counts, exactly
+    *     replayable by a relational oracle (strong = est_jaccard ≥
+    *     `strongEst`);
+    *   - `family_jaccard_ok` — Jaccard of the two PAIR SETS ≥
+    *     `jaccardFloor` (vacuously true when both sets are empty);
+    *   - `strong_recall_ok` — no strong md5 pair is missing from the
+    *     production family's set.
+    *
+    * Different hash families legitimately disagree on borderline pairs
+    * (at k=16/bands=4 a true-Jaccard-0.7 pair collides with only ~0.67
+    * probability per family), so the audit asserts wide-margin set
+    * agreement, not equality: a BROKEN production family — wrong seed
+    * plumbing, truncated input, constant hash — collapses the pair-set
+    * Jaccard toward 0 or floods the set, flipping the booleans. The
+    * thresholded verdicts are what make the audit hash-checkable by an
+    * engine that cannot compute the production hash itself: the oracle
+    * replays the md5 counts and expects literal `true` for the verdicts. */
+  def hashFamilyAudit(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      k: Int, bands: Int,
+                      family: (Column, Column) => Column,
+                      strongEst: Double = 0.9,
+                      jaccardFloor: Double = 0.8): DataFrame = {
+    val base = minhashLsh(df, idCol, textCol, n, k, bands)
+    val alt = minhashLsh(df, idCol, textCol, n, k, bands,
+      hashFamily = family)
+    val m = base.select(col("a"), col("b"), col("est_jaccard"))
+      .withColumn("_m", lit(1))
+    val x = alt.select(col("a"), col("b")).withColumn("_x", lit(1))
+    val union = col("_nm") + col("_nx") - col("_ov")
+    m.join(x, Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_m")), lit(0)).cast("long").as("_nm"),
+        coalesce(sum(col("_x")), lit(0)).cast("long").as("_nx"),
+        coalesce(sum(when(col("_m") === 1 && col("_x") === 1, 1)
+          .otherwise(0)), lit(0)).cast("long").as("_ov"),
+        coalesce(sum(when(col("est_jaccard") >= strongEst, 1)
+          .otherwise(0)), lit(0)).cast("long").as("_nstrong"),
+        coalesce(sum(when(col("est_jaccard") >= strongEst
+          && col("_x").isNull, 1).otherwise(0)), lit(0)).cast("long")
+          .as("_miss"))
+      .select(
+        col("_nm").as("n_pairs_md5"),
+        col("_nstrong").as("n_strong_md5"),
+        (union === 0 || col("_ov").cast("double") / union.cast("double")
+          >= jaccardFloor).as("family_jaccard_ok"),
+        (col("_miss") === 0).as("strong_recall_ok"))
+  }
+
   /** SimHash of width `bits` over the doc's distinct tokens: bit i of the
     * hash is 1 when more token-hashes have bit i set than not. A PURE
     * PROJECTION: the token array is hashed once per token into a held

@@ -451,6 +451,35 @@ class TextDedupSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hashFamilyAudit: healthy family agrees, broken family is caught") {
+    // two exact-duplicate doc pairs + unrelated filler: identical shingle
+    // sets force identical signatures under ANY hash family, so every
+    // family must band-collide the true pairs — the verdict booleans are
+    // true with zero dependence on the S-curve (a merely-similar pair at
+    // k=16/bands=4 collides per family with only ~0.7 probability, which
+    // is exactly the legitimate disagreement the audit tolerates)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "completely unrelated filler content goes here now"),
+      (6L, "another standalone document with its own words"))
+      .toDF("doc_id", "text")
+    val ok = Dedup.hashFamilyAudit(docs, "doc_id", "text", n = 3,
+      k = 16, bands = 4, family = Dedup.xxhashFamily).head()
+    assert(ok.getAs[Long]("n_pairs_md5") >= 2L)
+    assert(ok.getAs[Boolean]("family_jaccard_ok"))
+    assert(ok.getAs[Boolean]("strong_recall_ok"))
+    // a BROKEN family (constant hash: every signature identical) floods
+    // the production-side pair set with every doc pair, so the pair-set
+    // Jaccard collapses and the audit verdict flips — this is the failure
+    // the rows-only registration of rounds 1-6 could never surface
+    val broken = Dedup.hashFamilyAudit(docs, "doc_id", "text", n = 3,
+      k = 16, bands = 4, family = (_, _) => lit(42L)).head()
+    assert(!broken.getAs[Boolean]("family_jaccard_ok"))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq("the cat and the dog is in a house",
       "der hund und die katze ist nicht da",
