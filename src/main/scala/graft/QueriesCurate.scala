@@ -57,31 +57,35 @@ private[graft] object QueriesCurate {
   /** d41's oracle, parametrized by the minimum shared-rare-shingle count
     * so d48's recall audit can replay the single-hit truth set with the
     * same SQL text (nested as a WITH subquery, like e09 does for e01/e02). */
-  private def sparseCosineSql(minShared: Int): String =
-    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+  private def sparseCosineSql(minShared: Int,
+                              table: String = "documents",
+                              withShared: Boolean = false): String = {
+    val nsCol = if (withShared) ", ns" else ""
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM $table),
       |tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM (
       |  SELECT doc_id, unnest(list_transform(
       |    range(1, greatest(len(w) - 1, 1)),
       |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
       |  FROM toks) GROUP BY 1, 2),
-      |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |nd AS (SELECT count(*)::DOUBLE AS n FROM $table),
       |dfq AS (SELECT s, count(*)::BIGINT AS df FROM tf GROUP BY 1),
       |wt AS (SELECT doc_id, s, df,
       |  tf::DOUBLE * (ln((n + 1.0) / (df::DOUBLE + 1.0)) + 1.0) AS w
       |  FROM tf JOIN dfq USING (s), nd),
       |nrm AS (SELECT doc_id, round(sqrt(sum(w * w)), 9) AS nrm
       |  FROM wt GROUP BY 1),
-      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+      |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ns
       |  FROM wt x JOIN wt y ON x.s = y.s AND x.doc_id < y.doc_id
       |  WHERE x.df <= 10 AND y.df <= 10
       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
-      |num AS (SELECT c.a, c.b, sum(x.w * y.w) AS num
+      |num AS (SELECT c.a, c.b$nsCol, sum(x.w * y.w) AS num
       |  FROM cand c JOIN wt x ON x.doc_id = c.a
       |  JOIN wt y ON y.doc_id = c.b AND y.s = x.s
-      |  GROUP BY 1, 2)
-      |SELECT a, b, round(num / (na.nrm * nb.nrm), 6) AS sim
+      |  GROUP BY ALL)
+      |SELECT a, b, round(num / (na.nrm * nb.nrm), 6) AS sim$nsCol
       |FROM num JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
       |WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin
+  }
 
   private val d41: (String, QFn, Option[String]) = ("d41_sparse_cosine",
     (s, d) => Relevance.sparseCosinePairs(docs(s, d), "doc_id",
@@ -94,31 +98,52 @@ private[graft] object QueriesCurate {
   // sf0.1) at a recall cost this query makes DRIVER-VISIBLE instead of a
   // code-comment claim: truth = the single-hit candidate rule's output
   // (every pair >= threshold reachable through any df<=10 shingle), found
-  // = d41's registered two-hit output. Same composition move as e09 for
-  // the ANN index: both sides reuse the audited query's own fn/SQL, so
-  // the audit can't drift from the thing it audits.
+  // = the two-hit rule's output. Same composition move as e09 for the
+  // ANN index: both sides reuse the audited query's own fn/SQL, so the
+  // audit can't drift from the thing it audits.
+  //
+  // SAMPLED + SINGLE-PASS: recall is a RATE, and the truth side
+  // deliberately replays the rejected single-hit rule — at sf0.1 that was
+  // 1.13M candidates / 72M verify rows, 11.7 s, 7.5% of the whole bench
+  // for one audit row. Two cost levers, both exact:
+  //  (1) Both rules run on a content-addressed 1-of-4 document sample
+  //      (hashFold(doc_id, 4) = 0 — same fold family as d52/q41, so the
+  //      oracle replays the draw exactly). Pair-stage work drops ~16×
+  //      (both endpoints must survive the draw); df/idf statistics are
+  //      computed WITHIN the sample so both rules see identical weights.
+  //  (2) One pipeline, not two: the two-hit rule's verified output IS the
+  //      single-hit output filtered to n_shared >= 2 (same weights, same
+  //      verify — only the candidate HAVING differs), so `keepShared`
+  //      carries the shared-rare-shingle count through the verify and
+  //      found/truth are two conditional counts over ONE result.
+  // When the sample holds no qualifying pair at all (sf0.001) recall is
+  // NULL, guarded on both engines. d41 itself still runs the full corpus.
   private val d48: (String, QFn, Option[String]) = ("d48_sparse_recall",
     (s, d) => {
-      val truth = Relevance.sparseCosinePairs(docs(s, d), "doc_id",
-        TextOps.tokens(col("text")), n = 3, threshold = 0.3,
-        maxPostings = 10, minShared = 1)
-        .select(col("a"), col("b"))
-      val found = d41._2(s, d).select(col("a"), col("b"))
-      found.join(truth, Seq("a", "b"))
-        .agg(count(lit(1)).as("found"))
-        .crossJoin(truth.agg(count(lit(1)).as("true_pairs")))
+      val sampled = docs(s, d)
+        .filter(Sampling.hashFold(col("doc_id"), 4) === 0)
+      Relevance.sparseCosinePairs(sampled, "doc_id",
+          TextOps.tokens(col("text")), n = 3, threshold = 0.3,
+          maxPostings = 10, minShared = 1, keepShared = true)
+        .agg(coalesce(sum(when(col("n_shared") >= 2, 1).otherwise(0)),
+            lit(0)).as("found"),
+          count(lit(1)).as("true_pairs"))
         .select(col("found"), col("true_pairs"),
-          round(col("found").cast("double") /
-            col("true_pairs").cast("double"), 6).as("recall"))
+          when(col("true_pairs") === 0, lit(null).cast("double"))
+            .otherwise(round(col("found").cast("double") /
+              col("true_pairs").cast("double"), 6)).as("recall"))
     },
-    Some(s"""WITH truth AS (${sparseCosineSql(minShared = 1)}),
-      |two AS (${sparseCosineSql(minShared = 2)}),
-      |f AS (SELECT count(*)::BIGINT AS found FROM two
-      |  JOIN truth USING (a, b)),
-      |t AS (SELECT count(*)::BIGINT AS true_pairs FROM truth)
-      |SELECT found, true_pairs,
-      | round(found::DOUBLE / true_pairs::DOUBLE, 6) AS recall
-      |FROM f, t""".stripMargin))
+    Some(s"""WITH ds AS (SELECT * FROM documents
+      |  WHERE ${md5HashSql("doc_id::VARCHAR || '#fold'")} % 4 = 0),
+      |v AS (${sparseCosineSql(minShared = 1, table = "ds",
+                withShared = true)})
+      |SELECT coalesce(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END),
+      |   0)::BIGINT AS found,
+      | count(*)::BIGINT AS true_pairs,
+      | CASE WHEN count(*) = 0 THEN NULL
+      |   ELSE round(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)::DOUBLE
+      |     / count(*)::DOUBLE, 6) END AS recall
+      |FROM v""".stripMargin))
 
   // ------------------------------------ fuzzy benchmark decontamination
   // d14's exact 4-gram probe misses paraphrased leakage; this flags train

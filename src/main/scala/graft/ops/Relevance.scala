@@ -164,7 +164,8 @@ object Relevance {
     * so both sides of the oracle compare on the same grid. */
   def sparseCosinePairs(df: DataFrame, idCol: String, toks: Column, n: Int,
                         threshold: Double, maxPostings: Int,
-                        minShared: Int = 1): DataFrame = {
+                        minShared: Int = 1,
+                        keepShared: Boolean = false): DataFrame = {
     val nDocs = df.agg(count(lit(1)).cast("double").as("_nd"))
     val tf = df.select(col(idCol).as("doc"),
         explode(TextOps.shingles(toks, n)).as("s"))
@@ -190,24 +191,34 @@ object Relevance {
     // the cost of this operator. The count aggregate replaces the
     // distinct() — same shuffle, and the (doc,s) input is already unique.
     val rare = w.filter(col("_df") <= maxPostings)
+    // `keepShared` carries the shared-rare-shingle count through the
+    // verify: the minShared=m rule's verified output is EXACTLY the
+    // minShared=1 output filtered to n_shared >= m (same weights, same
+    // verify), so an audit comparing candidate rules needs ONE pipeline
+    // pass, not one per rule — the verify join over the loosest rule's
+    // candidates is the dominant cost and runs once either way.
     val cand = rare.select(col("doc").as("a"), col("s"))
       .join(rare.select(col("doc").as("b"), col("s")), Seq("s"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_ns"))
       .filter(col("_ns") >= minShared)
-      .select(col("a"), col("b"))
+      .select(col("a") +: col("b") +:
+        (if (keepShared) Seq(col("_ns").as("n_shared")) else Nil): _*)
     val num = cand
       .join(w.select(col("doc").as("a"), col("s"), col("w").as("wa")),
         Seq("a"))
       .join(w.select(col("doc").as("b"), col("s"), col("w").as("wb")),
         Seq("b", "s"))
-      .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("num"))
+      .groupBy(col("a") +: col("b") +:
+        (if (keepShared) Seq(col("n_shared")) else Nil): _*)
+      .agg(sum(col("wa") * col("wb")).as("num"))
     num
       .join(norms.select(col("doc").as("a"), col("nrm").as("na")), Seq("a"))
       .join(norms.select(col("doc").as("b"), col("nrm").as("nb")), Seq("b"))
       .withColumn("sim", round(col("num") / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"), col("sim"))
+      .select(col("a") +: col("b") +: col("sim") +:
+        (if (keepShared) Seq(col("n_shared")) else Nil): _*)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): each input list
