@@ -535,5 +535,44 @@ private[graft] object QueriesCurate {
         |FROM top JOIN fl ON fl.doc_id = top.doc""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54)
+  // ------------------------------- BPE-style subword encoding (d45's gap)
+  // d45 encodes whole-token ids; real tokenizers encode SUBWORDS against a
+  // committed merge table. Subword.encode applies the merge list in rank
+  // order, each exhaustively (= standard BPE encode — see Subword.scala for
+  // the equivalence argument), as a pure chain of native replace() calls:
+  // no UDF, no shuffle, embarrassingly parallel per document, and replayed
+  // VERBATIM by the oracle because replace() has identical
+  // non-overlapping left-scan semantics in both engines. Published as
+  // counts + an md5 of the full encoded stream so the driver hash locks
+  // the entire encoding, not a summary.
+  private val d55: (String, QFn, Option[String]) = ("d55_bpe_subwords",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val enc = Subword.encode(array_join(toks, " "),
+        Subword.defaultMerges)
+      docs(s, d).select(col("doc_id"), toks.as("_t"), enc.as("_e"))
+        .select(col("doc_id"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          Subword.unitCount(col("_e"), size(col("_t"))).as("n_subwords"),
+          md5(col("_e")).as("enc_fp"))
+    },
+    Some {
+      val framed =
+        s"'·' || regexp_replace(array_to_string($tokSql, ' '), " +
+          "'(.)', '\\1·', 'g')"
+      val encSql = Subword.defaultMerges.foldLeft(framed) {
+        case (acc, (x, y)) =>
+          (1 to 6).foldLeft(acc)((c, _) =>
+            s"replace($c, '·${x}·${y}·', '·${x}${y}·')")
+      }
+      s"""WITH e AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens,
+        |  $encSql AS enc FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CASE WHEN n_tokens = 0 THEN 0 ELSE
+        |   length(enc) - length(replace(enc, '·', '')) - 1
+        |   - (n_tokens - 1) END::BIGINT AS n_subwords,
+        | md5(enc) AS enc_fp FROM e""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55)
 }

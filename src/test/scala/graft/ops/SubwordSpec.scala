@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE-style) encoding: the replace-chain must equal classic
+  * "repeatedly merge the lowest-rank pair present" BPE, merges must never
+  * jump word boundaries, and `passes`=6 must exhaust long runs. */
+class SubwordSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Classic BPE encode, per word: find the lowest-rank merge whose pair
+    * occurs, merge its occurrences left-to-right non-overlapping, repeat
+    * until no merge applies. The convention Subword.encode claims to be
+    * equivalent to. */
+  private def classicBpe(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    def encodeWord(w: String): Seq[String] = {
+      var units: Vector[String] = w.map(_.toString).toVector
+      var changed = true
+      while (changed) {
+        changed = false
+        merges.iterator
+          .find { case (x, y) =>
+            units.indices.dropRight(1).exists(i => units(i) == x && units(i + 1) == y)
+          }
+          .foreach { case (x, y) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < units.length) {
+              if (i + 1 < units.length && units(i) == x && units(i + 1) == y) {
+                out += (x + y); i += 2
+              } else { out += units(i); i += 1 }
+            }
+            units = out.result(); changed = true
+          }
+      }
+      units
+    }
+    text.split(" ").filter(_.nonEmpty).toSeq.flatMap(encodeWord)
+  }
+
+  private def sparkEncode(text: String, merges: Seq[(String, String)]): String =
+    Seq(text).toDF("t").select(Subword.encode(col("t"), merges)).as[String].head()
+
+  /** Parse "·th·e· ·a·" back into word-wise unit lists for comparison. */
+  private def units(encoded: String): Seq[String] =
+    encoded.split("·").filter(u => u.nonEmpty && u != " ").toSeq
+
+  test("encode matches hand-computed merges, stops at word boundaries") {
+    // defaultMerges rank order: t+h first, then th+e — "the" collapses to
+    // one unit; the space between words blocks any cross-word merge.
+    val got = sparkEncode("the thin in", Subword.defaultMerges)
+    assert(units(got) == classicBpe("the thin in", Subword.defaultMerges))
+    assert(units(got).head == "the")
+    assert(got.contains("· ·"), "space must remain its own framed unit")
+  }
+
+  test("replace-chain equals classic BPE on randomized corpora") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "thein aorgs".toSeq
+    val texts = (Seq.tabulate(60) { _ =>
+      (1 to (3 + rnd.nextInt(20)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        .split(" ").filter(_.nonEmpty).mkString(" ")
+    } ++ Seq("ththththththth", "thethethethe", "iiiiii",
+      "ininininin in ththth")).filter(_.nonEmpty)
+    val enc = texts.toDF("t")
+      .select(col("t"), Subword.encode(col("t"), Subword.defaultMerges).as("e"))
+      .as[(String, String)].collect()
+    enc.foreach { case (t, e) =>
+      assert(units(e) == classicBpe(t, Subword.defaultMerges), s"text=<$t>")
+    }
+  }
+
+  test("passes=6 exhausts a 64-pair x·y run; unitCount excludes spaces") {
+    // each pass halves the unmerged x·y pairs: 64 pairs need 6 passes.
+    val run = "xy" * 64
+    val got = sparkEncode(run, Seq("x" -> "y"))
+    assert(units(got) == Seq.fill(64)("xy"),
+      "64 xy pairs must all merge within the pass budget")
+    assert(units(got) == classicBpe(run, Seq("x" -> "y")))
+    val df = Seq(("the in", 2), ("", 0)).toDF("t", "n")
+    val counts = df.select(
+      Subword.unitCount(Subword.encode(col("t"), Subword.defaultMerges), col("n")))
+      .as[Long].collect()
+    // "the"→1 unit, "in"→1 unit, the space excluded; empty doc → 0
+    assert(counts.toSeq == Seq(2L, 0L))
+  }
+
+  test("framing chars and same-symbol merges are rejected") {
+    intercept[IllegalArgumentException] {
+      Subword.encode(lit("x"), Seq("a" -> "b c"))
+    }
+    intercept[IllegalArgumentException] {
+      Subword.encode(lit("x"), Seq("·" -> "a"))
+    }
+    // (a,a) on "aaa" would orphan the middle unit vs classic BPE — the
+    // chain refuses rather than silently diverging.
+    intercept[IllegalArgumentException] {
+      Subword.encode(lit("x"), Seq("a" -> "a"))
+    }
+  }
+}
