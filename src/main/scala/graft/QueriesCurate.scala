@@ -574,5 +574,116 @@ private[graft] object QueriesCurate {
         | md5(enc) AS enc_fp FROM e""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55)
+  // ------------------------------------------- end-to-end curation funnel
+  // The pipeline a 100 TB pre-training run actually executes, as ONE
+  // registered query: quality floor → exact dedup → MinHash near-dup
+  // prune → decontamination, with one summary row PER STAGE (survivor
+  // count, token total, and two order-independent id checksums) so the
+  // driver hash locks the exact surviving document SET after every stage,
+  // not just the final rollup (d46 verifies the final rollup; this
+  // verifies the funnel). Each stage runs on the previous stage's
+  // survivors — the realistic composition order — and reuses the
+  // registered op shapes: the corpus is scanned ONCE into an eager
+  // checkpoint; exact keepers are a fingerprint groupBy; near-dup drops
+  // are d06's band-join pairs (pair-prune policy: drop the greater id of
+  // each ≥0.5-est pair — the cheap pass; d10 is the registered
+  // full-connected-components shape); contamination is d14's eval-shingle
+  // semi-join against the FULL corpus eval set (the eval set is external
+  // to the funnel). Stage summaries are 1-row aggregates unioned —
+  // nothing driver-side. id_chk sums md5Hash(id) % p — the hash makes it
+  // NONLINEAR in id (a plain multiplicative ((id%p)*K)%p form collides on
+  // equal-sum set swaps like {1,4}→{2,3}; FunnelSpec pins this), the mod
+  // keeps terms < 1e9 so the BIGINT sum is safe to ~9e9 docs per stage.
+  private val c01: (String, QFn, Option[String]) = ("c01_curation_funnel",
+    (s, d) => {
+      val P = 1000000007L
+      val base = docs(s, d).select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last,
+          TextOps.fingerprint(col("text")).as("_fp"),
+          (col("doc_id") % 25 === 0).as("_eval"))
+        .localCheckpoint(true)
+      def stage(id: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+            coalesce(sum(
+              Dedup.md5Hash(col("doc_id").cast("string"), lit(0)) % P),
+              lit(0L)).as("id_chk"))
+          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"), col("id_sum"), col("id_chk"))
+      val s1 = base.filter(col("quality_score") >= 0.5)
+      val keep = s1.groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
+      val s2 = s1.join(keep.select(col("doc_id")), Seq("doc_id"))
+      val drops = Dedup.minhashLsh(s2.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, k = MINHASH_K, bands = MINHASH_BANDS)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+      val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+      val contam = Dedup.decontaminate(docs(s, d), "doc_id", "text", n = 4,
+          isEval = col("doc_id") % 25 === 0)
+        .filter(col("contaminated") === 1)
+        .select(col("doc").as("doc_id"))
+      val s4 = s3.filter(!col("_eval"))
+        .join(contam, Seq("doc_id"), "left_anti")
+      Seq(stage(0, "raw", base), stage(1, "quality", s1),
+        stage(2, "exact_dedup", s2), stage(3, "neardup_prune", s3),
+        stage(4, "release", s4)).reduce(_.unionByName(_))
+    },
+    Some {
+      val chk = s"${md5HashSql("doc_id::VARCHAR || '#0'")} % 1000000007"
+      def st(id: Int, name: String, src: String) =
+        s"""SELECT $id::BIGINT AS stage_id, '$name' AS stage,
+           | count(*)::BIGINT AS n_docs,
+           | coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens,
+           | coalesce(sum(doc_id), 0)::BIGINT AS id_sum,
+           | coalesce(sum($chk), 0)::BIGINT AS id_chk FROM $src""".stripMargin
+      s"""WITH base AS (SELECT doc_id, text,
+        |  len($tokSql)::BIGINT AS n_tokens, $qScoreSql AS q,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS fp,
+        |  (doc_id % 25 = 0) AS is_eval FROM documents),
+        |s1 AS (SELECT * FROM base WHERE q >= 0.5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY fp),
+        |s2 AS (SELECT s1.* FROM s1 JOIN keep USING (doc_id)),
+        |toks AS (SELECT doc_id, $tokSql AS w FROM s2),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+        |  FROM toks)),
+        |mh AS (SELECT doc_id, j,
+        |    min(${md5HashSql("s || '#' || j")}) AS sig
+        |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+        |  GROUP BY doc_id, j),
+        |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+        |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id),
+        |drops AS (SELECT DISTINCT b AS doc_id FROM (
+        |  SELECT c.a, c.b,
+        |   round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+        |     / ${MINHASH_K.toDouble}, 6) AS ej
+        |  FROM cand c JOIN mh ma ON ma.doc_id = c.a
+        |   JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+        |  GROUP BY c.a, c.b) WHERE ej >= 0.5),
+        |s3 AS (SELECT s2.* FROM s2 ANTI JOIN drops USING (doc_id)),
+        |ctoks AS (SELECT doc_id, $tokSql AS w FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+        |    i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS s
+        |  FROM ctoks)),
+        |evs AS (SELECT DISTINCT s FROM csh WHERE doc_id % 25 = 0),
+        |contam AS (SELECT DISTINCT csh.doc_id FROM csh JOIN evs USING (s)
+        |  WHERE doc_id % 25 <> 0),
+        |s4 AS (SELECT s3.* FROM s3 ANTI JOIN contam USING (doc_id)
+        |  WHERE NOT is_eval)
+        |${st(0, "raw", "base")} UNION ALL ${st(1, "quality", "s1")}
+        |UNION ALL ${st(2, "exact_dedup", "s2")}
+        |UNION ALL ${st(3, "neardup_prune", "s3")}
+        |UNION ALL ${st(4, "release", "s4")}""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, c01)
 }
