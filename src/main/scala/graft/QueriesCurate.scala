@@ -574,6 +574,51 @@ private[graft] object QueriesCurate {
         | md5(enc) AS enc_fp FROM e""".stripMargin
     })
 
+  // ----------------------------------------------- BPE merge LEARNING
+  // d55 encodes against a committed merge table; this derives one — the
+  // trainer half of the tokenizer story. The corpus collapses ONCE to
+  // its word histogram (the only corpus-sized step: one map-side-
+  // combinable shuffle), then each of the 6 learning iterations runs
+  // over that vocabulary-sized table: explode adjacent sentinel-unit
+  // pairs weighted by word count, argmax under (count DESC, x, y) — a
+  // total order, so both engines pick the same winner on ties — and
+  // rewrite the histogram with the winning merge through the same
+  // native replace chain d55 applies (column-arg replace over the
+  // broadcast 1-row winner; nothing is collected). The oracle replays
+  // the entire loop as a CTE chain, its own argmax included — integer
+  // counts and ASCII ordering make every iteration engine-identical.
+  private val d56: (String, QFn, Option[String]) = ("d56_bpe_learn",
+    (s, d) => {
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      Subword.learnMerges(words, "word", "cnt", nMerges = 6)
+    },
+    Some {
+      def rep6(src: String): String = (1 to 6).foldLeft(src)((c, _) =>
+        s"replace($c, '·' || t.x || '·' || t.y || '·', " +
+          "'·' || t.x || t.y || '·')")
+      val its = (1 to 6).map { k =>
+        s"""p$k AS (SELECT u[i] AS x, u[i + 1] AS y, cnt FROM (
+           |  SELECT u, cnt, unnest(range(1, len(u))) AS i FROM (
+           |    SELECT str_split(trim(enc, '·'), '·') AS u, cnt
+           |    FROM it${k - 1}))),
+           |t$k AS (SELECT $k::BIGINT AS rank, x, y, x || y AS merged,
+           |   sum(cnt)::BIGINT AS cnt
+           |  FROM p$k WHERE x <> y GROUP BY x, y
+           |  ORDER BY cnt DESC, x, y LIMIT 1),
+           |it$k AS (SELECT ${rep6("enc")} AS enc, it${k - 1}.cnt AS cnt
+           |  FROM it${k - 1}, t$k t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT word, count(*)::BIGINT AS cnt FROM (
+        |  SELECT unnest($tokSql) AS word FROM documents) GROUP BY 1),
+        |it0 AS (SELECT '·' || regexp_replace(word, '(.)', '\\1·', 'g')
+        |    AS enc, cnt FROM w),
+        |$its
+        |${(1 to 6).map(k => s"SELECT * FROM t$k").mkString(" UNION ALL ")}"""
+        .stripMargin
+    })
+
   // ------------------------------------------- end-to-end curation funnel
   // The pipeline a 100 TB pre-training run actually executes, as ONE
   // registered query: quality floor → exact dedup → MinHash near-dup
@@ -685,5 +730,5 @@ private[graft] object QueriesCurate {
         |UNION ALL ${st(4, "release", "s4")}""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, c01)
 }

@@ -614,5 +614,50 @@ private[graft] object QueriesVectors {
     },
     Some(lshKnnOracleSql(corpusPred = "c.label = 1")))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, m01, m02)
+  // ----------------------------------------- contrastive hard negatives
+  // The embedding-trainer data op: for each query vector, the 5 NEAREST
+  // corpus vectors with a DIFFERENT label — near-boundary negatives,
+  // the pairs contrastive losses learn most from (easy negatives are
+  // plentiful and uninformative). e02's band equi-join with labels
+  // carried through the banding; the label-mismatch filter runs BEFORE
+  // the top-k rank (after it, queries near same-label clusters would
+  // return fewer than k negatives). The oracle replays banding, filter
+  // and rerank with the same literal hyperplanes.
+  private val e16: (String, QFn, Option[String]) = ("e16_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      Similarity.hardNegatives(e.filter(col("id") < 20), e, 5,
+        dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
+    },
+    Some {
+      val rows = LSH_PLANES / LSH_BANDS
+      val mask = (1L << rows) - 1
+      val sigExpr = (0 until LSH_PLANES).map { p =>
+        val plane = Similarity.planeVector(p, LSH_DIMS)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sigs AS (SELECT vec_id, label, v, ($sigExpr)::BIGINT AS sig FROM e),
+        |banded AS (SELECT vec_id, label, v, band,
+        |   (sig >> (band * $rows)) & $mask AS bits
+        |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, q.label AS qlabel,
+        |   q.v AS qv, c.vec_id AS nid, c.label AS nlabel, c.v AS nv
+        |  FROM banded q JOIN banded c
+        |   ON q.band = c.band AND q.bits = c.bits AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20 AND q.label <> c.label),
+        |scored AS (SELECT qid, qlabel, nid, nlabel,
+        |   round(list_dot_product(qv, nv)
+        |     / (sqrt(list_dot_product(qv, qv))
+        |        * sqrt(list_dot_product(nv, nv))), 6) AS sim FROM cand),
+        |ranked AS (SELECT qid, qlabel, nid, nlabel, sim, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+        |SELECT qid, qlabel, nid, nlabel, rank, sim
+        |FROM ranked WHERE rank <= 5""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, m01, m02)
 }

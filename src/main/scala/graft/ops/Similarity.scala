@@ -249,7 +249,8 @@ object Similarity {
       dims, planes, bands)
 
   private def lshBanded(df: DataFrame, idAs: String, vecAs: String,
-                        normAs: String, dims: Int, planes: Int, bands: Int)
+                        normAs: String, dims: Int, planes: Int, bands: Int,
+                        carry: Seq[(String, String)] = Seq.empty)
   : DataFrame = {
     require(planes % bands == 0,
       s"planes=$planes must be divisible by bands=$bands — integer floor " +
@@ -257,15 +258,17 @@ object Similarity {
     val rows = planes / bands
     val mask = (1L << rows) - 1
     val sig = lshSignature(col("vec"), dims, planes)
-    df.select(col("id").as(idAs), col("vec").as(vecAs),
-        norm(col("vec")).as(normAs), sig.as("sig"))
-      .select(col(idAs), col(vecAs), col(normAs),
+    val carried = carry.map { case (in, out) => col(in).as(out) }
+    val kept = carry.map { case (_, out) => col(out) }
+    df.select(Seq(col("id").as(idAs), col("vec").as(vecAs),
+        norm(col("vec")).as(normAs), sig.as("sig")) ++ carried: _*)
+      .select(Seq(col(idAs), col(vecAs), col(normAs),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))
-              .as("bits"))): _*)).as("bb"))
-      .select(col(idAs), col(vecAs), col(normAs),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+              .as("bits"))): _*)).as("bb")) ++ kept: _*)
+      .select(Seq(col(idAs), col(vecAs), col(normAs),
+        col("bb.band").as("band"), col("bb.bits").as("bits")) ++ kept: _*)
   }
 
   /** The PERSISTABLE LSH index: one row per (nid, band, bits) with the
@@ -295,6 +298,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * NEAREST corpus vectors carrying a DIFFERENT label — the pairs a
+    * contrastive/embedding trainer most needs (easy negatives are
+    * plentiful and uninformative; the hard ones live near the decision
+    * boundary, which is exactly where the LSH buckets put them).
+    *
+    * Shape = [[lshKnn]] with labels carried through the banding: band
+    * equi-join for candidates, label-mismatch filter BEFORE the top-k
+    * rank (filtering after rank would return fewer than k negatives),
+    * exact cosine rerank. Scale story identical to lshKnn — no
+    * crossJoin, corpus side shuffles on (band, bits) only, and the
+    * label filter only ever drops candidate rows. Both inputs need
+    * (id, vec, label). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dims: Int = 64, planes: Int = 16, bands: Int = 4)
+  : DataFrame = {
+    val qb = broadcast(lshBanded(queries, "qid", "qv", "_qn", dims,
+      planes, bands, carry = Seq("label" -> "qlabel")))
+    val nb = lshBanded(corpus, "nid", "nv", "_nn", dims, planes, bands,
+      carry = Seq("label" -> "nlabel"))
+    val cand = qb.join(nb, Seq("band", "bits"))
+      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .select(col("qid"), col("qlabel"), col("qv"), col("_qn"),
+        col("nid"), col("nlabel"), col("nv"), col("_nn")).distinct()
+    val scored = cand.withColumn("sim", round(cosinePrenormed(col("qv"),
+      col("nv"), col("_qn"), col("_nn")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        col("rank"), col("sim"))
   }
 
   /** Brute-force KNN over INT8-QUANTIZED codes — the memory-footprint

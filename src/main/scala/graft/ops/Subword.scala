@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -83,5 +83,64 @@ object Subword {
       length(replace(encoded, lit("·"), lit("")))
     when(nTokens === 0, lit(0L))
       .otherwise((sentinels - 1 - (nTokens - 1)).cast("long"))
+  }
+
+  /** Learn the top-`nMerges` BPE merges from a word histogram by
+    * iterated pair-count argmax — the other half of the tokenizer story
+    * (`encode` applies a committed merge table; this derives one).
+    *
+    * `words` is the corpus collapsed to (word, count) — the ONE
+    * corpus-sized step, a map-side-combinable groupBy the caller runs.
+    * Every learning iteration then touches only that vocabulary-sized
+    * table, exactly how production BPE trainers scale: frame each
+    * distinct word as sentinel units, explode adjacent unit pairs
+    * weighted by the word's count, take the argmax pair under the total
+    * order (count DESC, x ASC, y ASC), and rewrite the histogram with
+    * the winner via the same native replace chain `encode` uses. The
+    * 1-row winner is BROADCAST into the rewrite (column-arg replace) —
+    * never collected to the driver — and each iteration's histogram is
+    * eagerly checkpointed (d10's label-propagation pattern) so the loop
+    * is linear work, not a recomputed lineage chain. At 100 TB: one
+    * histogram shuffle + nMerges vocabulary passes.
+    *
+    * Same-symbol pairs (x == y) are excluded from candidates — `encode`
+    * rejects them (see its Scaladoc) and classic trainers special-case
+    * run counting anyway. The tie-break is a total order over grouped
+    * pairs, so the learned table is deterministic and a relational
+    * oracle replays the whole loop verbatim. Returns one row per merge:
+    * (rank, x, y, merged, cnt). */
+  def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
+                  nMerges: Int, passes: Int = 6): DataFrame = {
+    require(nMerges > 0 && passes > 0, "subword: nMerges and passes")
+    var it = words.select(
+        concat(lit("·"), regexp_replace(col(wordCol), "(.)", "$1·"))
+          .as("enc"),
+        col(cntCol).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val learned = (1 to nMerges).map { rank =>
+      val u = split(trim(col("enc"), "·"), "·")
+      // words of one unit carry no pairs; the filter also keeps the
+      // sequence() bounds ascending (sequence(1, 0) would count DOWN)
+      val top = it.filter(size(u) >= 2)
+        .select(col("cnt"), u.as("u"),
+          explode(sequence(lit(1), size(u) - 1)).as("i"))
+        .select(element_at(col("u"), col("i")).as("x"),
+          element_at(col("u"), col("i") + 1).as("y"), col("cnt"))
+        .filter(col("x") =!= col("y"))
+        .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+        .select(lit(rank.toLong).as("rank"), col("x"), col("y"),
+          concat(col("x"), col("y")).as("merged"), col("cnt"))
+        .localCheckpoint(true)
+      val pat = concat(lit("·"), col("x"), lit("·"), col("y"), lit("·"))
+      val rep = concat(lit("·"), col("merged"), lit("·"))
+      it = it.crossJoin(
+          broadcast(top.select(col("x"), col("y"), col("merged"))))
+        .select((1 to passes).foldLeft(col("enc"))((c, _) =>
+          replace(c, pat, rep)).as("enc"), col("cnt"))
+        .localCheckpoint(true)
+      top
+    }
+    learned.reduce(_.unionByName(_))
   }
 }

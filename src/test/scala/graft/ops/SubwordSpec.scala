@@ -87,6 +87,65 @@ class SubwordSpec extends SparkSpec {
     assert(counts.toSeq == Seq(2L, 0L))
   }
 
+  /** Reference BPE trainer over a word histogram: count adjacent unit
+    * pairs weighted by word count (same-symbol pairs excluded, matching
+    * learnMerges' documented restriction), take the (count DESC, x, y)
+    * argmax, apply it left-to-right non-overlapping, repeat. */
+  private def classicLearn(words: Seq[(String, Long)], n: Int)
+      : Seq[(String, String, Long)] = {
+    var hist = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (1 to n).flatMap { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      hist.foreach { case (u, c) =>
+        u.indices.dropRight(1).foreach { i =>
+          if (u(i) != u(i + 1))
+            counts((u(i), u(i + 1))) = counts.getOrElse((u(i), u(i + 1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) Seq.empty
+      else {
+        val ((x, y), c) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        hist = hist.map { case (u, wc) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < u.length) {
+            if (i + 1 < u.length && u(i) == x && u(i + 1) == y) {
+              out += (x + y); i += 2
+            } else { out += u(i); i += 1 }
+          }
+          (out.result(), wc)
+        }
+        Seq((x, y, c))
+      }
+    }
+  }
+
+  test("learnMerges equals the classic histogram trainer") {
+    val corpus = Seq(
+      "the thin thing then", "in the ring a thing sang",
+      "the rain in spain", "singing in the rain", "a ring and a thing",
+      "then the thin one sang in the rain")
+    val words = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val got = words.toDF("word", "cnt")
+      .transform(Subword.learnMerges(_, "word", "cnt", nMerges = 5))
+      .orderBy("rank")
+      .select("x", "y", "cnt").as[(String, String, Long)].collect().toSeq
+    assert(got == classicLearn(words, 5))
+    // the learned table must be applicable by encode (x != y throughout)
+    got.foreach { case (x, y, _) => assert(x != y) }
+  }
+
+  test("learnMerges weights pairs by word count, not word presence") {
+    // "ab" appears 10×, "cd" 3× — (a,b) must win rank 1 on weight
+    val words = Seq(("ab", 10L), ("cd", 3L), ("cd", 4L))
+    val got = words.toDF("word", "cnt")
+      .transform(Subword.learnMerges(_, "word", "cnt", nMerges = 2))
+      .orderBy("rank").select("x", "y", "cnt")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 10L), ("c", "d", 7L)))
+  }
+
   test("framing chars and same-symbol merges are rejected") {
     intercept[IllegalArgumentException] {
       Subword.encode(lit("x"), Seq("a" -> "b c"))

@@ -229,6 +229,32 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("hardNegatives returns only cross-label neighbors, nearest first") {
+    // two antipodal clusters labeled by cluster; add one near-boundary
+    // vector of the OPPOSITE label inside cluster 0 — it must be the
+    // top-ranked hard negative for cluster-0 queries, while every
+    // same-label neighbor (nearer than the far cluster) is excluded.
+    val base = (0 until 30).map { i =>
+      val cluster = i % 2
+      val vec = (0 until 8).map(d =>
+        (if (cluster == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i * 7 + d) % 5)))
+      (i.toLong, vec, cluster)
+    } :+ (100L, (0 until 8).map(d => 1.0f + 0.02f * d), 1)
+    val df = base.toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(df.filter($"id" < 4 && $"label" === 0),
+      df, 3, dims = 8, planes = 8, bands = 4)
+      .select("qid", "nid", "nlabel", "rank")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    // label-mismatch holds on every returned pair
+    got.foreach { case (_, _, nl, _) => assert(nl == 1) }
+    // the planted near-boundary opposite-label vector wins rank 1
+    // wherever it shares a band with the query
+    val rank1 = got.filter(_._4 == 1L).map(_._2).toSet
+    assert(rank1.contains(100L),
+      s"planted boundary negative must rank first somewhere, got $rank1")
+  }
+
   test("ivfKnn achieves high recall vs brute force on clustered vectors") {
     val base = (0 until 30).map { i =>
       val cluster = i % 2
