@@ -7,12 +7,13 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice d41-d54: weighted near-dup + its recall audit, fuzzy
+/** Registry slice d41-d56 + c01: weighted near-dup + its recall audit, fuzzy
   * decontamination, boilerplate stripping, vocab encoding, mixture
   * sampling, release assembly, HLL, the production-hash bench row, the
   * training-shard manifest, the per-group fixed-count sample, the
-  * fold-leakage audit, duplicate-span excision and the persisted
-  * inverted index.
+  * fold-leakage audit, duplicate-span excision, the persisted
+  * inverted index, BPE subword encoding + merge learning and the
+  * end-to-end curation funnel.
   * Shared helpers live in [[QueriesText]]; registration order is
   * assembled there. */
 private[graft] object QueriesCurate {

@@ -7,7 +7,7 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice e01-e15 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN and multimodal plumbing.
+/** Registry slice e01-e16 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN, hard-negative mining and multimodal plumbing.
   * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
   * the MinHash constants) live in [[QueriesText]]; registration order is
   * assembled there. */

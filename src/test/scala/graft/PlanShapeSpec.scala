@@ -220,6 +220,22 @@ class PlanShapeSpec extends SparkSpec {
       s"label predicate not pushed to the embeddings scan:\n$plan")
   }
 
+  test("hard negatives: broadcast query side, band equi-join, no cartesian") {
+    // e16's scale claim: the banded query side broadcasts (queries are
+    // the small side by construction), candidates come from the (band,
+    // bits) equi-join, and nothing falls back to a nested-loop/cartesian
+    // — the label filter must only ever DROP candidate rows, not force
+    // a different join shape
+    val df = SparkEntry.queries("e16_hard_negatives")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"banded query side is not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"hard negatives fell back to a non-equi join:\n$plan")
+  }
+
   test("span excision's keeper join stays an equi-join on the gram key") {
     val df = SparkEntry.queries("d53_span_excise")(spark, sf)
     df.collect()
