@@ -175,5 +175,35 @@ object QueriesStream {
       | count(*)::BIGINT AS cnt
       |FROM r GROUP BY 1, 2, 3""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  // --------------------------------------- watermark-bounded exact dedup
+  // EventStream.dedupStream: the streaming form of d01 with the watermark
+  // bounding fingerprint state (at 100 TB/day, UNBOUNDED dedup state is
+  // the failure mode — the watermark is the documented retention/recall
+  // trade). Spark rejects dropDuplicatesWithinWatermark on batch
+  // Datasets, so the batch twin replays the canonical arrival order
+  // (event time, event_id tiebreak) and keeps the first row per
+  // fingerprint — the exact streaming result when the dataset's span
+  // fits in the horizon; EventStreamSpec proves the two paths keep the
+  // same rows on ts-ordered micro-batches. One shuffle on the
+  // fingerprint; survivor choice is deterministic, so the hash check
+  // covers it.
+  private val s08: (String, QFn, Option[String]) = ("s08_stream_dedup",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("fp",
+        md5(concat_ws("|", col("user_id"), col("event_type"))))
+      EventStream.dedupStream(e, "ts", Seq("fp"), tieCol = Some("event_id"))
+        .select(col("fp"), col("event_id"),
+          unix_micros(col("ts")).as("first_us"),
+          col("user_id"), col("event_type"))
+    },
+    Some("""WITH f AS (SELECT *,
+      |  md5(user_id::VARCHAR || '|' || event_type) AS fp FROM events),
+      |r AS (SELECT fp, event_id, ts, user_id, event_type,
+      |  row_number() OVER (PARTITION BY fp ORDER BY ts, event_id) AS rn
+      |  FROM f)
+      |SELECT fp, event_id, epoch_us(ts) AS first_us, user_id, event_type
+      |FROM r WHERE rn = 1""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

@@ -7,7 +7,7 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice e01-e16 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN, hard-negative mining and multimodal plumbing.
+/** Registry slice e01-e17 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN, hard-negative mining, the matryoshka width-truncation recall audit and multimodal plumbing.
   * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
   * the MinHash constants) live in [[QueriesText]]; registration order is
   * assembled there. */
@@ -659,5 +659,53 @@ private[graft] object QueriesVectors {
         |FROM ranked WHERE rank <= 5""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, m01, m02)
+  // ------------------------------------- matryoshka truncation audit
+  // The index-sizing question for a matryoshka-trained embedding: serve
+  // from the first 8/16/32 of 64 dimensions and measure recall@5 against
+  // the full-width exact top-5. One corpus pass scores ALL widths (the
+  // per-width sims slice the same joined row), so auditing three widths
+  // does not cost three scans; the truth set is the in-query full-width
+  // ranking — e09's composition move applied to index width instead of
+  // index structure. Queries are the e01 audit sample, broadcast.
+  private val MRL_WIDTHS = Seq(8, 16, 32, 64)
+
+  private val e17: (String, QFn, Option[String]) = ("e17_matryoshka_recall",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.matryoshkaRecall(e.filter(col("id") < 20), e, 5, MRL_WIDTHS)
+    },
+    Some {
+      val widthList = MRL_WIDTHS.mkString("[", ", ", "]")
+      val full = MRL_WIDTHS.max
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT w.dims, q.vec_id AS qid, c.vec_id AS nid,
+        |  round(list_dot_product(list_slice(q.v, 1, w.dims),
+        |                         list_slice(c.v, 1, w.dims))
+        |    / (sqrt(list_dot_product(list_slice(q.v, 1, w.dims),
+        |                             list_slice(q.v, 1, w.dims)))
+        |       * sqrt(list_dot_product(list_slice(c.v, 1, w.dims),
+        |                               list_slice(c.v, 1, w.dims)))), 6)
+        |    AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id,
+        |    (SELECT unnest($widthList)::BIGINT AS dims) w),
+        |ranked AS (SELECT dims, qid, nid, row_number() OVER
+        |  (PARTITION BY dims, qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored),
+        |top AS (SELECT dims, qid, nid FROM ranked WHERE rank <= 5),
+        |truth AS (SELECT qid, nid FROM top WHERE dims = $full)
+        |SELECT t.dims,
+        | sum(CASE WHEN tr.qid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_hit,
+        | count(*)::BIGINT AS n_pairs,
+        | round(sum(CASE WHEN tr.qid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |   / count(*), 6) AS recall
+        |FROM (SELECT * FROM top WHERE dims <> $full) t
+        |LEFT JOIN truth tr ON t.qid = tr.qid AND t.nid = tr.nid
+        |GROUP BY t.dims""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, m01, m02)
 }

@@ -347,6 +347,48 @@ object Similarity {
     * Determinism: `floor(x + 0.5)` instead of a round() whose half-way
     * rule differs across engines — every engine replays the exact codes,
     * so ranking on the rounded quantized cosine is reproducible. */
+  /** Matryoshka truncation audit: recall@k of truncated-width cosine KNN
+    * against the full-width exact top-k, one row per truncated width.
+    * The serving question at 100 TB is "how few leading dimensions can
+    * the index hold before recall drops" — truncating a
+    * matryoshka-trained embedding halves index memory per halving of
+    * width; this measures what that costs. ONE pass over the corpus
+    * scores every width at once: the per-width sims are slices of the
+    * same joined row, so the scan cost does not multiply by the number
+    * of widths audited. Queries broadcast (audit-sampled, like e09);
+    * ranking is on the rounded sim with id tiebreak. The LARGEST width
+    * defines the truth set. */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                       widths: Seq[Int]): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"))
+    val perWidth = widths.map { dm =>
+      val qs = slice(col("qv"), 1, dm)
+      val ns = slice(col("nv"), 1, dm)
+      struct(lit(dm).cast("long").as("dims"),
+        round(dot(qs, ns) / (sqrt(dot(qs, qs)) * sqrt(dot(ns, ns))), 6)
+          .as("sim"))
+    }
+    val scored = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), explode(array(perWidth: _*)).as("x"))
+      .select(col("qid"), col("nid"), col("x.dims").as("dims"),
+        col("x.sim").as("sim"))
+    val w = Window.partitionBy(col("dims"), col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("dims"), col("qid"), col("nid"))
+    val full = widths.max.toLong
+    val truth = top.filter(col("dims") === full)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    top.filter(col("dims") =!= full)
+      .join(truth, Seq("qid", "nid"), "left")
+      .groupBy(col("dims"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("dims"), col("n_hit"), col("n_pairs"),
+        round(col("n_hit").cast("double") / col("n_pairs"), 6).as("recall"))
+  }
+
   def quantizedKnn(queries: DataFrame, corpus: DataFrame, k: Int)
   : DataFrame = {
     def side(df: DataFrame, idAs: String): DataFrame = {

@@ -37,9 +37,30 @@ object EventStream {
     * the columns `fpCols` that define identity (e.g. the md5/fingerprint
     * of the text). */
   def dedupStream(docs: DataFrame, tsCol: String, fpCols: Seq[String],
-                  watermark: String = "24 hours"): DataFrame =
-    docs.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(fpCols)
+                  watermark: String = "24 hours",
+                  tieCol: Option[String] = None): DataFrame =
+    if (docs.isStreaming)
+      docs.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(fpCols)
+    else {
+      // Batch twin. Spark REJECTS dropDuplicatesWithinWatermark on batch
+      // Datasets outright (UnsupportedOperationChecker.checkForBatch), so
+      // unlike the other twins this one cannot literally reuse the
+      // streaming operator. Equivalence argument instead: when the
+      // dataset's whole event-time span fits inside the watermark horizon,
+      // streaming keeps exactly the FIRST-ARRIVED row per fingerprint; the
+      // canonical batch replay defines arrival order as event time (ties
+      // broken by `tieCol` so the survivor is deterministic — streaming
+      // "first arrived" is partition-order-dependent, which a hash check
+      // cannot tolerate). EventStreamSpec feeds the same rows through the
+      // real streaming operator in ts-ordered micro-batches and asserts
+      // the two paths keep the same rows.
+      val order = col(tsCol) +: tieCol.map(col).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(fpCols.map(col): _*).orderBy(order.map(_.asc): _*)
+      docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Gap-based session windows over the stream — the incremental form of
     * q29_sessionize, via the native `session_window` (state merges

@@ -187,6 +187,25 @@ class TextDedupSpec extends SparkSpec {
     assert(r.toSeq == Seq(1L, 2L, 3L)) // by descending cosine
   }
 
+  test("matryoshkaRecall measures what width truncation loses") {
+    // planted: id 1 is a perfect width-2 match but orthogonal at full
+    // width, so it displaces a true neighbor from the truncated top-2 —
+    // the audit must report that as recall 1/2, not paper over it
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, -1.0f, 0.0f)), // width-2 impostor
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),  // true nearest
+      (3L, Seq(1.0f, 0.0f, 0.9f, 0.0f)),  // true second
+      (4L, Seq(-1.0f, 0.0f, 1.0f, 0.0f))) // far at every width
+      .toDF("id", "vec")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val r = Similarity.matryoshkaRecall(q, corpus, 2, Seq(2, 4)).collect()
+    assert(r.length == 1) // the full width is the truth side, not a row
+    assert(r.head.getLong(0) == 2L)   // dims
+    assert(r.head.getLong(1) == 1L)   // n_hit: only id 2 survives
+    assert(r.head.getLong(2) == 2L)   // n_pairs
+    assert(r.head.getDouble(3) == 0.5)
+  }
+
   test("quantizedKnn preserves the exact float ranking on well-separated vectors") {
     // int8 codes lose < 1% relative precision per component — far below
     // the separation of these vectors, so top-k must match exactly

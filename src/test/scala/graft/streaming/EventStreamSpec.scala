@@ -58,6 +58,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream batch twin keeps the same rows as the streaming path") {
+    // the s08 equivalence claim: when micro-batches arrive in event-time
+    // order and the dataset's span fits in the watermark horizon, the
+    // batch branch (first row per fingerprint by ts, tiebreak) keeps
+    // exactly what the streaming operator keeps
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "a", "fp1"),
+      ("2024-01-01 10:01:00", "b", "fp2"),
+      ("2024-01-01 10:02:00", "c", "fp1"),
+      ("2024-01-01 10:10:00", "d", "fp1"),
+      ("2024-01-01 10:11:00", "e", "fp3"))
+      .map(r => (Timestamp.valueOf(r._1), r._2, r._3))
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = EventStream.dedupStream(in.toDF().toDF("ts", "doc_id", "fp"),
+        "ts", Seq("fp"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_eq")
+      .outputMode("append").start()
+    try {
+      rows.grouped(2).foreach { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dedup_eq").select("doc_id").as[String]
+        .collect().toSet
+      val batched = EventStream.dedupStream(
+          rows.toDF("ts", "doc_id", "fp"), "ts", Seq("fp"),
+          tieCol = Some("doc_id"))
+        .select("doc_id").as[String].collect().toSet
+      assert(streamed == batched)
+      assert(batched == Set("a", "b", "e"))
+    } finally q.stop()
+  }
+
   test("sessionStats merges gap-based session windows incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
