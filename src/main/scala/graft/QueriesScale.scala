@@ -44,7 +44,8 @@ private[graft] object QueriesScale {
       |    )::BIGINT AS est_micros,
       |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
       |  FROM cc CROSS JOIN qq, s WHERE cum::DOUBLE >= q * n::DOUBLE)
-      |SELECT event_type, q, n, est_micros FROM pick WHERE rn = 1""".stripMargin
+      |SELECT event_type, q, n::BIGINT AS n, est_micros FROM pick
+      |WHERE rn = 1""".stripMargin
 
   private val q44: (String, QFn, Option[String]) = ("q44_hist_quantile",
     (s, d) => Histogram.quantiles(Tables.events(s, d), col("event_type"),

@@ -111,6 +111,14 @@ object TreeEnsembleModel {
       m.trees.flatMap(t => "tree" +: tree(t))
   }
 
+  /** Load a model artifact from a filesystem path — the CLI's swap-the-model
+    * hook (`graft.Submit in.csv out.csv model.txt`), mirroring the
+    * reference's `load_model("./model_dir/model_cb.cbm")` (`run.py:466`). */
+  def fromFile(path: String): TreeEnsembleModel = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromLines(src.getLines().toSeq) finally src.close()
+  }
+
   /** Load a committed model artifact from the classpath. */
   def fromResource(path: String): TreeEnsembleModel = {
     val in = getClass.getResourceAsStream(path)

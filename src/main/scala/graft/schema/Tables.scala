@@ -36,19 +36,35 @@ object Tables {
     else raw
   }
 
-  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects unless nanos are read as raw longs. Convert with integer
-    * division (`DIV 1000`) — a double division at 1.7e18 ns magnitude is
-    * above 2^53 and would corrupt the microseconds. Sub-microsecond parts in
-    * the testdata are zero (verified), so this is lossless here. */
+  /** The events parquet's `ts` physical encoding has drifted across driver
+    * testdata generations, so normalize by DECLARED TYPE, not by vintage:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 rejects it unless nanos are read as
+    *    raw longs (`nanosAsLong`). Convert with integer division
+    *    (`DIV 1000`) — a double division at 1.7e18 ns magnitude is above
+    *    2^53 and would corrupt the microseconds. Sub-microsecond parts in
+    *    the testdata are zero (verified), so this is lossless.
+    *  - timestamp[us] WITHOUT timezone: Spark 4 reads TIMESTAMP_NTZ, which
+    *    `unix_micros` / window rebasing reject. Sessions here pin
+    *    `spark.sql.session.timeZone=UTC`, so casting NTZ→TIMESTAMP maps the
+    *    wall clock to the identical epoch instant the nanos path produced
+    *    (and the same naive value DuckDB's oracle sees).
+    *
+    * Anything else (already TIMESTAMP) passes through. Every other column is
+    * untouched. `TestdataSchemaSpec` reads the real driver files so the next
+    * encoding drift fails `sbt test` instead of failing the round. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
