@@ -731,5 +731,56 @@ private[graft] object QueriesCurate {
         |UNION ALL ${st(4, "release", "s4")}""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, c01)
+  // ------------------------------------------- deterministic epoch shuffle
+  // The global training-order shuffle before each pass: content-addressed
+  // (shard, pos) from two independent md5 salts — d50 assigns shards, this
+  // ALSO orders within them, and a new epoch value re-permutes everything
+  // with zero RNG state. The only exchange is the window's hash partition
+  // on 8 shard keys (never a global range sort — orderBy(hash) would have
+  // the range partitioner sample the corpus; zipWithIndex would serialize
+  // on the driver). Readers consume shards round-robin.
+  private val d57: (String, QFn, Option[String]) = ("d57_epoch_shuffle",
+    (s, d) => Sampling.epochShuffle(docs(s, d).select(col("doc_id")),
+        col("doc_id"), shards = 8, epoch = 2)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some(s"""WITH a AS (SELECT doc_id,
+      |  ${md5HashSql("doc_id::VARCHAR || '#shuf2.s'")} % 8 AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard, row_number() OVER (PARTITION BY shard
+      |  ORDER BY ${md5HashSql("doc_id::VARCHAR || '#shuf2.p'")}, doc_id)
+      |  AS pos FROM a""".stripMargin))
+
+  // --------------------------------------- fractional-epoch replication
+  // The "epochs per domain" mix (weight 2.5 -> two copies each + a
+  // deterministic 50% of docs a third; 0.4 -> 40% of docs once): one
+  // operator for up- AND down-sampling, copies = floor(w) + (md5-uniform
+  // < frac(w)), so E[copies] = w exactly and the multiset is stable
+  // across runs/engines/partitionings. d47 can only thin (rate <= 1);
+  // this is how low-resource languages actually upsample. The frac
+  // thresholds are embedded as exact Scala-computed double literals
+  // (Double.toString round-trips bit-exactly — poissonThresholds'
+  // discipline), so the oracle replays every copy decision.
+  private val langEpochs = Map("en" -> 1.0, "zh" -> 2.5, "de" -> 1.7,
+    "es" -> 0.4, "fr" -> 2.0)
+
+  private val d58: (String, QFn, Option[String]) = ("d58_epoch_replicate",
+    (s, d) => Sampling.epochReplicate(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), langEpochs)
+      .select(col("doc_id"), col("lang"), col("copy")),
+    Some {
+      val vals = langEpochs.toSeq.sortBy(_._1).map { case (l, w) =>
+        s"('$l', ${math.floor(w).toLong}, ${Sampling.fracThreshold(w)})"
+      }.mkString(", ")
+      s"""WITH w(lang, whole, fracp) AS (VALUES $vals),
+        |a AS (SELECT doc_id, d.lang, whole + CASE WHEN
+        |    ${md5HashSql("doc_id::VARCHAR || '#rep'")}
+        |      / 1152921504606846976.0 < fracp
+        |    THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
+        |FROM a WHERE n >= 1""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, c01)
 }

@@ -194,6 +194,75 @@ object Sampling {
       .drop("_grp", "_key", "_h", "_rn")
   }
 
+  /** Deterministic epoch shuffle: the global training-order shuffle a
+    * corpus needs before each pass, without any RNG state. Each row gets a
+    * content-addressed (shard, pos): shard = 60-bit md5 of the key mod
+    * `shards`, pos = rank within the shard by a SECOND independent hash
+    * (then by key, so a hash collision can't make the order
+    * nondeterministic). Readers consume shards round-robin — the standard
+    * sharded-shuffle consumption order; a NEW epoch (different `epoch`
+    * value → different salts) re-permutes everything.
+    *
+    * Scale shape: the only exchange is the window's hash partition on
+    * `shards` keys — never a global single-task sort. A 100 TB corpus at
+    * shards = O(executors × few) keeps every partition pipeline-sized;
+    * contrast with `orderBy(hash)`, whose range partitioner must sample
+    * globally, or zipWithIndex, which serializes on a driver count. Stable
+    * across runs, engines and partitionings like every content-addressed
+    * op here. */
+  def epochShuffle(df: DataFrame, key: Column, shards: Int, epoch: Int,
+                   salt: String = "shuf"): DataFrame = {
+    require(shards >= 1, "epochShuffle: shards must be positive")
+    val es = s"$salt$epoch"
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(Dedup.md5Hash(key.cast("string"), lit(s"$es.p")), key)
+    df.withColumn("shard",
+        (Dedup.md5Hash(key.cast("string"), lit(s"$es.s")) % shards)
+          .cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Fractional-epoch replication: the "epochs per domain" data-mix form
+    * (domain weight 2.5 → every doc appears twice, and a deterministic 50%
+    * of docs a third time; weight 0.4 → no guaranteed copy, 40% of docs
+    * appear once). One operator covers up- AND down-sampling: copies =
+    * floor(w) + (u < frac(w)), u the content-addressed md5 uniform — so
+    * the replicated multiset is stable across runs, engines and
+    * partitionings, and E[copies] = w exactly.
+    *
+    * Emits one row per copy with a 1-based `copy` index (distinct rows, so
+    * downstream exact-dedup doesn't silently undo the upsampling; shuffle
+    * the result with [[epochShuffle]] on (key, copy) to interleave copies).
+    * Scale shape: broadcast when-chain for the per-domain constants + one
+    * generator projection (`explode(sequence)`) — no shuffle, expansion
+    * proportional to the target epochs by construction.
+    *
+    * `fracThreshold` exposes the exact per-domain threshold doubles
+    * (`w - floor(w)`) so an external oracle embeds the same literals
+    * (Double.toString round-trips bit-exactly, the poissonThresholds
+    * discipline). */
+  def fracThreshold(epochs: Double): Double = epochs - math.floor(epochs)
+
+  def epochReplicate(df: DataFrame, key: Column, domain: Column,
+                     epochsOf: Map[String, Double],
+                     salt: String = "rep"): DataFrame = {
+    require(epochsOf.values.forall(w => w >= 0.0 && w <= 100.0),
+      "epochReplicate: epochs per domain must be in [0, 100]")
+    val whole = epochsOf.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (dom, w)) =>
+        when(domain === dom, math.floor(w).toLong).otherwise(acc)
+    }
+    val frac = epochsOf.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) {
+      case (acc, (dom, w)) =>
+        when(domain === dom, fracThreshold(w)).otherwise(acc)
+    }
+    val extra = when(hashUniform(key, lit(salt)) < frac, 1L).otherwise(0L)
+    df.withColumn("n_copies", whole + extra)
+      .filter(col("n_copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
+
   /** E3, DETERMINISTIC form: bootstrap-with-replacement where each row's
     * replication count in run `r` is the inverse Poisson(lambda) CDF of an
     * md5-derived uniform over (key, r) — the same per-row Poisson model

@@ -137,6 +137,52 @@ class SketchSampleSpec extends SparkSpec {
     assert(ids(1) == ids(7))
   }
 
+  test("epochShuffle: a permutation per shard, epoch-varying, stable") {
+    val df = (0L until 200L).map(i => (i, s"t$i")).toDF("id", "t")
+    def run(epoch: Int, part: Int) = Sampling.epochShuffle(
+      df.repartition(part), col("id"), shards = 4, epoch = epoch)
+      .select("id", "shard", "pos").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val e1 = run(1, 3)
+    // every row appears exactly once; positions are 1..|shard| per shard
+    assert(e1.size == 200)
+    e1.values.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (1L to ps.size)) }
+    // content-addressed: identical layout regardless of partitioning
+    assert(run(1, 7) == e1)
+    // a new epoch re-permutes (some row must move shard or position)
+    assert(run(2, 3) != e1)
+  }
+
+  test("epochReplicate: floor copies guaranteed, frac share extra, exact") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 500) "hi" else "lo")).toDF("id", "dom")
+    val out = Sampling.epochReplicate(df, col("id"), col("dom"),
+      Map("hi" -> 2.5, "lo" -> 0.4))
+      .select("id", "dom", "copy").collect()
+    val byId = out.groupBy(_.getAs[Long]("id")).view
+      .mapValues(_.map(_.getAs[Long]("copy")).sorted.toSeq).toMap
+    val hiCounts = (0L until 500L).map(i => byId.getOrElse(i, Nil).size)
+    val loCounts = (500L until 1000L).map(i => byId.getOrElse(i, Nil).size)
+    // hi: every doc 2 or 3 copies, copy indexes dense from 1
+    assert(hiCounts.forall(c => c == 2 || c == 3))
+    byId.foreach { case (_, cs) => assert(cs == (1L to cs.size)) }
+    // lo: 0 or 1 copies
+    assert(loCounts.forall(c => c == 0 || c == 1))
+    // the md5 uniform is uniform: shares land near the frac targets
+    assert(math.abs(hiCounts.count(_ == 3) / 500.0 - 0.5) < 0.08)
+    assert(math.abs(loCounts.count(_ == 1) / 500.0 - 0.4) < 0.08)
+    // determinism across partitionings (multiset equality via full rows)
+    val again = Sampling.epochReplicate(df.repartition(9), col("id"),
+      col("dom"), Map("hi" -> 2.5, "lo" -> 0.4))
+      .select("id", "dom", "copy").collect()
+    assert(again.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq)
+  }
+
   test("tfidf matches the smoothed sklearn form on a crafted corpus") {
     val df = Seq(
       (1L, "apple apple banana"),
