@@ -57,6 +57,36 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one hash exchange, found $n:\n$finalPlan")
   }
 
+  test("epochShuffle: ONE hash exchange on the shard key, no range sort") {
+    // the training-order shuffle must never become a global range sort
+    // (whose partitioner samples the corpus) or a driver-side index —
+    // d57's scale claim is a single hash partition on `shards` keys.
+    import graft.ops.Sampling
+    val df = spark.range(500).select(col("id"))
+    val out = Sampling.epochShuffle(df, col("id"), shards = 4, epoch = 1)
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(n == 1,
+      s"expected exactly one hash exchange, found $n:\n$finalPlan")
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      s"epoch shuffle must not range-sort globally:\n$finalPlan")
+  }
+
+  test("epochReplicate is a pure generator projection: zero exchanges") {
+    import graft.ops.Sampling
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 2).cast("string").as("dom"))
+    val out = Sampling.epochReplicate(df, col("id"), col("dom"),
+      Map("0" -> 2.5, "1" -> 0.4))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"replication must not shuffle:\n$plan")
+  }
+
   test("q46 bucketed join: ZERO exchanges between the persisted tables") {
     val df = SparkEntry.queries("q46_bucketed_join")(spark, sf)
     assert(df.count() > 0)
