@@ -703,5 +703,50 @@ private[graft] object QueriesAnalytics {
       |   AS version
       |FROM ch""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+  // ----------------------------------- runtime bloom-filter join pruning
+  // The 100 TB selective-join mechanism: when a dim-side predicate keeps a
+  // sliver, Spark's InjectRuntimeFilter builds a bloom filter over the
+  // kept join keys at runtime and pushes `might_contain` onto the fact
+  // scan — rows that can't join die BEFORE the shuffle (at real fact/dim
+  // sizes the default thresholds enable it; the tiny testdata needs the
+  // app-side floor dropped to 0, and broadcast disabled so a shuffle join
+  // exists to prune — a 100 TB fact side is past the broadcast ceiling
+  // anyway). PlanShapeSpec asserts might_contain lands on the fact side;
+  // here the eager q46-style materialize keeps the conf flips scoped to
+  // this query. Result is a plain join — oracle unaffected.
+  private val q78: (String, QFn, Option[String]) = ("q78_runtime_filter",
+    (s, d) => {
+      val dir = rtDir("q78", d)
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "0")
+        s.conf.set(keys(2), "-1")
+        // raw scans, NOT Tables.load: its single-row-group repartition
+        // crutch sits between scan and join, and InjectRuntimeFilter's
+        // application-side traversal stops at a user Repartition — on
+        // splittable production inputs the crutch doesn't exist
+        s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            moneySum(dec2(col("l_extendedprice"))).as("revenue"))
+          .write.mode("overwrite").parquet(dir)
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+      s.read.parquet(dir)
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -87,6 +87,33 @@ class PlanShapeSpec extends SparkSpec {
       s"replication must not shuffle:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // q78's mechanism: with a selective dim predicate and a shuffle join,
+    // InjectRuntimeFilter must land might_contain on the fact scan side so
+    // non-joining rows die before the exchange.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      // raw scans: Tables.load's repartition crutch would sit between scan
+      // and join and stop InjectRuntimeFilter's application-side traversal
+      val j = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q46 bucketed join: ZERO exchanges between the persisted tables") {
     val df = SparkEntry.queries("q46_bucketed_join")(spark, sf)
     assert(df.count() > 0)
