@@ -782,5 +782,26 @@ private[graft] object QueriesCurate {
         |FROM a WHERE n >= 1""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, c01)
+  // ------------------------------------------------ n-gram novelty score
+  // "What does this doc ADD" — fraction of a doc's distinct 3-gram
+  // shingles first seen (min doc_id) in this doc. Near-zero novelty =
+  // content that already exists elsewhere, spread across MANY docs —
+  // the mass-duplication signal pairwise dedup (which needs one similar
+  // PAIR) dilutes away. Linear in corpus shingle volume: explode → one
+  // posting-sized min-agg → join back on the shingle key; no pairs.
+  private val d59: (String, QFn, Option[String]) = ("d59_ngram_novelty",
+    (s, d) => Dedup.ngramNovelty(docs(s, d), "doc_id", "text", n = 3),
+    Some(s"""WITH $shCte,
+      |fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+      |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+      |  sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_novel
+      |  FROM sh JOIN fst USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id AS doc, coalesce(n_grams, 0) AS n_grams,
+      | coalesce(n_novel, 0) AS n_novel,
+      | round(coalesce(n_novel::DOUBLE / n_grams::DOUBLE, 0.0), 6)
+      |   AS novelty
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, c01)
 }

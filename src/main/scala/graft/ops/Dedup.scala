@@ -60,6 +60,38 @@ object Dedup {
     }
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct shingles
+    * whose canonical FIRST occurrence (min doc id over the corpus) is this
+    * doc — the "what does this doc add" metric curation uses to prune
+    * low-contribution documents (near-zero novelty = the content already
+    * exists elsewhere; complements pairwise dedup, which needs a similar
+    * PAIR, where novelty sees mass duplication spread thinly across many
+    * docs). Ordering by id makes the attribution deterministic and
+    * engine-independent: re-runs and re-partitionings credit the same doc.
+    *
+    * Scale shape: one distinct-shingle explode (the d05/d06 corpus pass),
+    * one groupBy(shingle) min — posting-list-sized, with map-side partial
+    * min — and the join back is ON the shingle key the explode already
+    * produced. No pair generation at all: novelty is linear in corpus
+    * shingle volume where pairwise metrics are quadratic in duplication. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, n)
+    val first = sh.groupBy(col("s")).agg(min(col("doc")).as("first_doc"))
+    val per = sh.join(first, Seq("s"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("doc")).join(per, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.ops.CrossRound.round(
+          coalesce(col("n_novel").cast("double")
+            / col("n_grams").cast("double"), lit(0.0)), 6).as("novelty"))
+  }
+
   /** Asymmetric shingle containment: for candidate pairs sharing >= 1
     * shingle, containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches
     * QUOTE INCLUSION — a short document wholly embedded in a longer one —

@@ -525,6 +525,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!broken.getAs[Boolean]("family_jaccard_ok"))
   }
 
+  test("ngramNovelty credits first occurrence by id; dup content scores 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // all shingles first here
+      (2L, "alpha beta gamma delta epsilon"),   // exact dup of 1 -> 0.0
+      (3L, "zeta eta theta iota"),              // unique -> 1.0
+      (4L, "alpha beta gamma kappa lambda mu"), // 1 of 4 shingles shared
+      (5L, "xy")                                // < n tokens -> no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))   // min doc_id owns every shingle
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    // doc 4: shingles "alpha beta gamma" (seen in 1), + 3 novel ones
+    assert(out(4L) == ((4L, 3L, 0.75)))
+    assert(out(5L) == ((0L, 0L, 0.0)))   // gram-less docs still report
+    assert(out.size == 5)
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq("the cat and the dog is in a house",
       "der hund und die katze ist nicht da",
