@@ -511,13 +511,10 @@ private[graft] object QueriesVectors {
 
   private val KM_ITERS = 2
 
-  private val e12: (String, QFn, Option[String]) = ("e12_kmeans",
-    (s, d) => Similarity.kmeans(
-      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
-      KM_K, KM_ITERS, dims = LSH_DIMS)
-      .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
-        col("d2")),
-    Some {
+  /** e12's full oracle text, shared with e18's cluster-balanced draw
+    * (nested there as a WITH subquery — the q76/d52 composition move: the
+    * consumer replays the producer's own SQL so the two can't drift). */
+  private[graft] val kmeansSql: String = {
       val comps = (0 until LSH_DIMS).map(i =>
         s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(25,10))) AS DOUBLE)" +
           s" / count(*), 6)").mkString(", ")
@@ -546,7 +543,39 @@ private[graft] object QueriesVectors {
         |$iterCtes,
         |${assignCte("fin", s"c$KM_ITERS")}
         |SELECT vec_id, cid::BIGINT AS cid, d2 FROM fin""".stripMargin
-    })
+  }
+
+  private val e12: (String, QFn, Option[String]) = ("e12_kmeans",
+    (s, d) => Similarity.kmeans(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      KM_K, KM_ITERS, dims = LSH_DIMS)
+      .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
+        col("d2")),
+    Some(kmeansSql))
+
+  // --------------------------------------- cluster-balanced sample (e18)
+  // The diversity-preserving draw: k-means partitions the embedding space,
+  // then a content-addressed fixed-count sample per cluster — "20 examples
+  // per region of the space", the shape SemDeDup-style pruning and
+  // balanced eval sets use (a uniform corpus draw over-represents dense
+  // regions by construction). Pure composition of two verified ops: e12's
+  // clustering (oracle replayed verbatim as a nested WITH) + d51's
+  // groupSample rank (WindowGroupLimit pushdown, same plan shape).
+  private val e18: (String, QFn, Option[String]) = ("e18_cluster_sample",
+    (s, d) => Sampling.groupSample(
+        Similarity.kmeans(
+          emb(s, d).select(col("vec_id").as("id"),
+            col("embedding").as("vec")),
+          KM_K, KM_ITERS, dims = LSH_DIMS)
+          .select(col("id").as("vec_id"), col("cid").cast("long").as("cid")),
+        col("cid"), col("vec_id"), n = 20, salt = "csamp")
+      .select(col("vec_id"), col("cid"), col("rank")),
+    Some(s"""WITH km AS ($kmeansSql),
+      |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+      |  ORDER BY ${QueriesText.md5HashSql("vec_id::VARCHAR || '#csamp'")},
+      |    vec_id) AS rank
+      |  FROM km)
+      |SELECT vec_id, cid, rank FROM r WHERE rank <= 20""".stripMargin))
 
   // ------------------------------------- JL random projection (64→16)
   // Dimensionality reduction as a pure map-side projection: the same
@@ -707,5 +736,5 @@ private[graft] object QueriesVectors {
         |GROUP BY t.dims""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, m01, m02)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, m01, m02)
 }
