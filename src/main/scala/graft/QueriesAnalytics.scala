@@ -748,5 +748,21 @@ private[graft] object QueriesAnalytics {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+  // ------------------------------------------- Z-order (Morton) layout key
+  // Multi-column data skipping's sort key: interleaving the bits of two
+  // quantized dimensions makes 1-D ranges into 2-D locality cells, so
+  // min/max zone maps prune scans filtered on EITHER column (a plain sort
+  // on (a, b) only prunes on a). Pure 64-bit shift/mask projection, so the
+  // oracle replays the key bit-for-bit via the same generated expression;
+  // ZOrderSpec proves the locality property (aligned z-ranges = square
+  // cells) and that layoutBy yields disjoint per-partition z-ranges — the
+  // zone-map precondition.
+  private val q79: (String, QFn, Option[String]) = ("q79_zorder_key",
+    (s, d) => ev(s, d).select(col("event_id"),
+      ZOrder.zValue(col("user_id") % 256, col("event_id") % 256, 8).as("z")),
+    Some(s"""SELECT event_id,
+      | ${ZOrder.zValueSql("(user_id % 256)", "(event_id % 256)", 8)} AS z
+      |FROM events""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }
