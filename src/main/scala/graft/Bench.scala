@@ -178,13 +178,19 @@ object Bench {
       results.map { case (k, _) => shortId(k) }.toSet.size == results.size
     val stdoutLine = {
       // budget: 2000-char tail − sbt "[info] " prefix − the ~80-char
-      // "[success] Total time..." trailer that always follows the line
+      // "[success] Total time..." trailer that always follows the line.
+      // Degrade tiers: full 2dp → full 1dp → short-id 2dp → short-id 1dp
+      // (at 168 queries the short-id 2dp line measured 1899 chars — one
+      // query from overflow, hence the final tier).
       val l2 = jsonLine(2)
       if (l2.length <= 1900) l2
       else {
         val l1 = jsonLine(1)
         if (l1.length <= 1900 || !shortIdsUnique) l1
-        else jsonLine(2, shortId)
+        else {
+          val s2 = jsonLine(2, shortId)
+          if (s2.length <= 1900) s2 else jsonLine(1, shortId)
+        }
       }
     }
     println(stdoutLine)
