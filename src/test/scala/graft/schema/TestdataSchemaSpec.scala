@@ -79,6 +79,11 @@ class TestdataSchemaSpec extends SparkSpec {
     rmTree(new java.io.File(dir))
   }
 
+  test("SparkEntry.entry returns rows (the driver's smoke check)") {
+    assume(available)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registry query analyzes against the real testdata") {
     assume(available)
     // eager registry entries execute jobs at construction (bucketed-table
