@@ -803,5 +803,30 @@ private[graft] object QueriesCurate {
       |   AS novelty
       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, c01)
+  // --------------------------------- cross-source contamination matrix
+  // Which sources mirror which: distinct shared 3-gram shingles per source
+  // pair, normalized by the smaller side's vocabulary (containment — size
+  // imbalance washes Jaccard out). High cells mean per-source mixing
+  // weights double-count that content. Pair fan-out is keyed on the
+  // shingle and bounded by C(S,2) per shingle, S = #sources — never doc
+  // pairs.
+  private val d60: (String, QFn, Option[String]) = ("d60_source_overlap",
+    (s, d) => Dedup.sourceOverlap(docs(s, d), "source", "text", n = 3),
+    Some(s"""WITH sh0 AS (SELECT DISTINCT d.source AS src, s FROM (
+      |    SELECT source, unnest(list_transform(
+      |      range(1, greatest(len($tokSql) - 1, 1)),
+      |      i -> array_to_string(list_slice($tokSql, i, i + 2), ' '))) AS s
+      |    FROM documents) d),
+      |voc AS (SELECT src, count(*)::BIGINT AS n_grams FROM sh0 GROUP BY 1),
+      |pr AS (SELECT x.src AS src_a, y.src AS src_b, count(*)::BIGINT
+      |    AS n_shared
+      |  FROM sh0 x JOIN sh0 y ON x.s = y.s AND x.src < y.src
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      | round(n_shared::DOUBLE / least(va.n_grams, vb.n_grams)::DOUBLE, 6)
+      |   AS overlap
+      |FROM pr JOIN voc va ON va.src = src_a
+      | JOIN voc vb ON vb.src = src_b""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, c01)
 }

@@ -92,6 +92,40 @@ object Dedup {
             / col("n_grams").cast("double"), lit(0.0)), 6).as("novelty"))
   }
 
+  /** Cross-SOURCE contamination matrix: for every pair of sources, how many
+    * distinct shingles they share, and that count as a fraction of the
+    * smaller side's shingle vocabulary (containment of the smaller in the
+    * larger — robust to size imbalance where Jaccard washes out). The
+    * corpus-provenance diagnostic: a high cell means one source mirrors /
+    * syndicates another, so per-source dedup thresholds and mixing weights
+    * are double-counting that content.
+    *
+    * Scale shape: distinct (source, shingle) is one aggregation; the pair
+    * join is keyed ON the shingle and fans out at most C(S,2) per shingle
+    * (S = #sources, a few dozen) — bounded by construction, unlike doc-pair
+    * generation. Output is S² rows. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val sh = df.select(col(srcCol).as("src"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("s"))
+      .distinct()
+    val vocab = sh.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(vocab.select(col("src").as("src_a"), col("n_grams").as("_na")),
+        Seq("src_a"))
+      .join(vocab.select(col("src").as("src_b"), col("n_grams").as("_nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        graft.ops.CrossRound.round(col("n_shared").cast("double")
+          / least(col("_na"), col("_nb")).cast("double"), 6)
+          .as("overlap"))
+  }
+
   /** Asymmetric shingle containment: for candidate pairs sharing >= 1
     * shingle, containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches
     * QUOTE INCLUSION — a short document wholly embedded in a longer one —

@@ -546,6 +546,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("sourceOverlap: mirrored source hits 1.0, disjoint sources absent") {
+    val df = Seq(
+      ("wiki", "alpha beta gamma delta"),
+      ("wiki", "epsilon zeta eta theta"),
+      ("mirror", "alpha beta gamma delta"),      // strict subset of wiki
+      ("other", "iota kappa lambda mu nu")       // disjoint
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("overlap"))).toMap
+    // mirror's 2 shingles are all inside wiki's 4 -> containment 1.0
+    assert(out(("mirror", "wiki")) == ((2L, 1.0)))
+    // disjoint pairs produce NO row (inner gram join), not a zero row
+    assert(out.size == 1)
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq("the cat and the dog is in a house",
       "der hund und die katze ist nicht da",
