@@ -828,5 +828,38 @@ private[graft] object QueriesCurate {
       |FROM pr JOIN voc va ON va.src = src_a
       | JOIN voc vb ON vb.src = src_b""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, c01)
+  // ------------------------------------------ curriculum phase carving
+  // Curriculum training prep: order the corpus by quality (best first,
+  // doc_id tiebreak, both packed into ONE integer sort key so the order
+  // is total and engine-exact), running-sum the token counts with the
+  // d37 distributed prefix sum (range partitions + broadcast offsets —
+  // never a global single-task window), and carve phases every BUDGET
+  // tokens: phase k = the k-th training stage's document set. The
+  // greatest(cum-1, 0) guard pins the zero-token prefix edge where
+  // DuckDB's floor division and Spark's truncating div would disagree.
+  private val d61: (String, QFn, Option[String]) = ("d61_curriculum",
+    (s, d) => {
+      val budget = 5000L
+      val scored = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      val keyed = scored.withColumn("ord",
+        (lit(1000000L) - round(col("quality_score") * 1e6, 0).cast("long"))
+          * 10000000L + col("doc_id"))
+      Sequences.globalCumsum(keyed, "ord", col("n_tokens"), "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          expr(s"greatest(cum_tokens - 1, 0L) div $budget").as("phase"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens,
+      |  $qScoreSql AS q FROM documents),
+      |k AS (SELECT doc_id, n_tokens,
+      |  (1000000 - round(q * 1e6)::BIGINT) * 10000000 + doc_id AS ord
+      |  FROM t),
+      |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY ord
+      |  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM k)
+      |SELECT doc_id, n_tokens, cum_tokens,
+      | (greatest(cum_tokens - 1, 0) // 5000)::BIGINT AS phase
+      |FROM c""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, c01)
 }
