@@ -24,6 +24,12 @@ import graft.schema.Tables
  * (accumulation-order noise << 5e-3); small per-group stats round to 6 dp;
  * ratios guard their denominator on a 2-dp grid before dividing so a
  * float-noise "zero" can never explode.
+ *
+ * DuckDB TYPE-WIDENING trap (cost q44 three red rounds): DuckDB's
+ * `sum(BIGINT)` — including window sums and `sum(CASE ...)` — widens to
+ * HUGEINT, which hash-mismatches Spark's BIGINT even when every value is
+ * identical. Any summed integer an oracle SELECTs must carry an explicit
+ * `::BIGINT` (plain `count(*)` is already BIGINT).
  */
 object Queries {
   type QFn = (SparkSession, String) => DataFrame
