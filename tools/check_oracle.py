@@ -16,11 +16,38 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def dtype_class(s):
+    """Coarse dtype class for the cross-engine compare: the driver's hash is
+    dtype-sensitive (q44 was bit-identical yet red for three rounds because
+    DuckDB's sum(BIGINT) widens to HUGEINT, which pandas materializes as
+    object/float where Spark's BIGINT is int64). String values compare equal
+    either way, so without this check the local gate is blind to it."""
+    import pandas.api.types as t
+    if t.is_integer_dtype(s):
+        return "int"
+    if t.is_float_dtype(s):
+        return "float"
+    if t.is_bool_dtype(s):
+        return "bool"
+    if t.is_datetime64_any_dtype(s):
+        return "ts"
+    if s.dtype == object and len(s) and all(
+            isinstance(x, int) for x in s if x is not None):
+        return "bigint-overflow"  # HUGEINT lands here
+    return "other"
+
+
 def cmp(name, spark_df, duck_df):
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+    for c in spark_df.columns:
+        a, b = dtype_class(spark_df[c]), dtype_class(duck_df[c])
+        if a != b:
+            return (f"DTYPE col={c} spark={spark_df[c].dtype}({a}) "
+                    f"duck={duck_df[c].dtype}({b}) — likely a missing "
+                    f"::BIGINT on a DuckDB sum (HUGEINT widening)")
     a, b = canon(spark_df), canon(duck_df)
     for col in a.columns:
         av, bv = a[col], b[col]
@@ -78,4 +105,5 @@ def main():
     print(f"\n{npass}/{len(results)} pass")
     sys.exit(0 if npass == len(results) else 1)
 
-main()
+if __name__ == "__main__":
+    main()
