@@ -14,13 +14,10 @@ import graft.QueriesText._
 private[graft] object QueriesVectors {
 
   // ------------------------------------------------- brute-force cosine KNN
-  private val e01: (String, QFn, Option[String]) = ("e01_knn_brute",
-    (s, d) => {
-      val e = emb(s, d).select(col("vec_id").as("id"),
-        col("embedding").as("vec"))
-      Similarity.bruteKnn(e.filter(col("id") < 20), e, 5)
-    },
-    Some("""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+  /** e01's full oracle text — the exact-KNN truth e19's probe sweep
+    * replays verbatim (the composition move). */
+  private[graft] val bruteSql: String =
+    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
       |  FROM embeddings WHERE vec_id < 20),
       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -31,7 +28,15 @@ private[graft] object QueriesVectors {
       |ranked AS (SELECT qid, nid, sim, row_number() OVER
       |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
       |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
-      .stripMargin))
+      .stripMargin
+
+  private val e01: (String, QFn, Option[String]) = ("e01_knn_brute",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.bruteKnn(e.filter(col("id") < 20), e, 5)
+    },
+    Some(bruteSql))
 
   // -------------------------------------------- LSH-bucketed approximate NN
   // The hyperplanes are deterministic driver-side constants, so the oracle
@@ -88,6 +93,40 @@ private[graft] object QueriesVectors {
   // Assignment ranks on rounded cosine with centroid-id tiebreak, so the
   // whole pipeline (centroid sample → inverted file → nProbe rerank) is
   // deterministic and the oracle replays it exactly.
+  /** e04's full oracle text parameterized by nProbe, shared with e19's
+    * probe-sweep audit (nested there once per probe level — the q76/e18
+    * composition move: the audit replays the audited pipeline's own SQL).
+    * CTE names carry a suffix so several instances coexist in one WITH. */
+  private[graft] def ivfSql(nProbe: Int, sfx: String = ""): String = {
+    val cos = (a: String, b: String) =>
+      s"""round(list_dot_product($a, $b)
+         | / (sqrt(list_dot_product($a, $a))
+         |    * sqrt(list_dot_product($b, $b))), 6)"""
+        .stripMargin.replaceAll("\n", "")
+    s"""WITH e$sfx AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |cents$sfx AS (SELECT vec_id AS cid, v AS cv FROM e$sfx
+      |  ORDER BY vec_id LIMIT 16),
+      |ca$sfx AS (SELECT e$sfx.vec_id, e$sfx.v, c.cid,
+      |  ${cos(s"e$sfx.v", "c.cv")} AS cs
+      |  FROM e$sfx, cents$sfx c),
+      |corpusb$sfx AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cs DESC, cid) AS r FROM ca$sfx) WHERE r = 1),
+      |queryb$sfx AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cs DESC, cid) AS r FROM ca$sfx WHERE vec_id < 20)
+      |  WHERE r <= $nProbe),
+      |cand$sfx AS (SELECT DISTINCT qid, qv, nid, nv
+      |  FROM queryb$sfx JOIN corpusb$sfx USING (cid) WHERE qid <> nid),
+      |scored$sfx AS (SELECT qid, nid, ${cos("qv", "nv")} AS sim
+      |  FROM cand$sfx),
+      |ranked$sfx AS (SELECT qid, nid, sim, row_number() OVER
+      |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored$sfx)
+      |SELECT qid, nid, rank, sim FROM ranked$sfx WHERE rank <= 5"""
+      .stripMargin
+  }
+
   private val e04: (String, QFn, Option[String]) = ("e04_knn_ivf",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"),
@@ -95,33 +134,7 @@ private[graft] object QueriesVectors {
       Similarity.ivfKnn(e.filter(col("id") < 20), e, 5,
         nCentroids = 16, nProbe = 4)
     },
-    Some {
-      val cos = (a: String, b: String) =>
-        s"""round(list_dot_product($a, $b)
-           | / (sqrt(list_dot_product($a, $a))
-           |    * sqrt(list_dot_product($b, $b))), 6)"""
-          .stripMargin.replaceAll("\n", "")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
-        |  ORDER BY vec_id LIMIT 16),
-        |ca AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS cs
-        |  FROM e, cents c),
-        |corpusb AS (SELECT vec_id AS nid, v AS nv, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cs DESC, cid) AS r FROM ca) WHERE r = 1),
-        |queryb AS (SELECT vec_id AS qid, v AS qv, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cs DESC, cid) AS r FROM ca WHERE vec_id < 20)
-        |  WHERE r <= 4),
-        |cand AS (SELECT DISTINCT qid, qv, nid, nv
-        |  FROM queryb JOIN corpusb USING (cid) WHERE qid <> nid),
-        |scored AS (SELECT qid, nid, ${cos("qv", "nv")} AS sim FROM cand),
-        |ranked AS (SELECT qid, nid, sim, row_number() OVER
-        |  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
-        |SELECT qid, nid, rank, sim FROM ranked WHERE rank <= 5"""
-        .stripMargin
-    })
+    Some(ivfSql(4)))
 
   // ---------------------------------------- embedding-cosine near-dup
   // Vector-space dedup, registered in its SCALE form: LSH band equi-join
@@ -736,5 +749,49 @@ private[graft] object QueriesVectors {
         |GROUP BY t.dims""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, m01, m02)
+  // --------------------------------------------- IVF probe-sweep audit
+  // The index-tuning table: recall@5 against exact KNN for nProbe 1/2/4 —
+  // the latency/recall knob an IVF deployment actually turns (probing p of
+  // 16 buckets scans ~p/16 of the corpus). Both pipelines are replayed
+  // from their own factored SQL (e01's exact truth + e04's IVF per probe
+  // level), so the audit can't drift from the audited queries; the probe
+  // anchor VALUES list keeps a zero-hit level visible as recall 0.
+  private val e19: (String, QFn, Option[String]) = ("e19_probe_sweep",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val q = e.filter(col("id") < 20)
+      val ex = Similarity.bruteKnn(q, e, 5).select(col("qid"), col("nid"))
+      val probes = Seq(1, 2, 4).map(p =>
+        Similarity.ivfKnn(q, e, 5, nCentroids = 16, nProbe = p)
+          .select(lit(p.toLong).as("nprobe"), col("qid"), col("nid")))
+        .reduce(_ unionByName _)
+      val total = ex.agg(count(lit(1)).as("total"))
+      val hits = probes.join(ex, Seq("qid", "nid"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      Seq(1L, 2L, 4L).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("nprobe"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("total").cast("double"), 6).as("recall"))
+    },
+    Some(s"""WITH ex AS ($bruteSql),
+      |p1 AS (${ivfSql(1, "x")}),
+      |p2 AS (${ivfSql(2, "y")}),
+      |p4 AS (${ivfSql(4, "z")}),
+      |u AS (SELECT 1::BIGINT AS nprobe, qid, nid FROM p1
+      |  UNION ALL SELECT 2::BIGINT, qid, nid FROM p2
+      |  UNION ALL SELECT 4::BIGINT, qid, nid FROM p4),
+      |h AS (SELECT nprobe, count(*)::BIGINT AS n_hits
+      |  FROM u JOIN ex USING (qid, nid) GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS total FROM ex),
+      |pl(nprobe) AS (VALUES (1::BIGINT), (2::BIGINT), (4::BIGINT))
+      |SELECT pl.nprobe, coalesce(n_hits, 0) AS n_hits,
+      | round(coalesce(n_hits, 0)::DOUBLE / total::DOUBLE, 6) AS recall
+      |FROM pl LEFT JOIN h USING (nprobe), t""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, m01, m02)
 }
