@@ -861,5 +861,62 @@ private[graft] object QueriesCurate {
       | (greatest(cum_tokens - 1, 0) // 5000)::BIGINT AS phase
       |FROM c""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, c01)
+  // ----------------------------------------- MinHash k-sensitivity audit
+  // The dedup-side tuning table (e19's move for the signature width knob):
+  // |est_jaccard − true_jaccard| at k = 8 vs 16 over d05's exact truth
+  // pairs — the error a deployment trades against signature bytes
+  // (theory: sd ≈ sqrt(J(1−J)/k)). Truth replays d05's own factored SQL;
+  // signatures are computed on the UNCUT shingle set (d06's convention).
+  // Mean error sums in DECIMAL(18,9) (order-free) per the d46 pattern.
+  private val d62: (String, QFn, Option[String]) = ("d62_minhash_k_audit",
+    (s, d) => {
+      val base = docs(s, d)
+      val truth = Dedup.jaccardPairs(base, "doc_id", "text", n = 3,
+        threshold = 0.2, maxPostings = 50)
+      val sh = Dedup.docShingles(base, "doc_id", "text", n = 3)
+      def sweep(k: Int): DataFrame = {
+        val sig = Dedup.minhashSignatures(sh, k)
+        val matches = (0 until k).map(j =>
+          when(col(s"xa.sig$j") === col(s"xb.sig$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val err = graft.ops.CrossRound.round(abs(
+          graft.ops.CrossRound.round(matches.cast("double") / k, 6)
+            - col("jaccard")), 6)
+        truth.join(sig.as("xa"), col("a") === col("xa.doc"))
+          .join(sig.as("xb"), col("b") === col("xb.doc"))
+          .select(col("a"), col("b"), err.as("err"))
+          .groupBy(lit(k.toLong).as("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            graft.ops.CrossRound.round(
+              sum(col("err").cast("decimal(18,9)")).cast("double")
+                / count(lit(1)), 6).as("mean_abs_err"),
+            max(col("err")).as("max_abs_err"))
+      }
+      sweep(8).unionByName(sweep(16))
+    },
+    Some {
+      def estCtes(k: Int, sfx: String) =
+        s"""mh$sfx AS (SELECT doc_id, j,
+          |    min(${md5HashSql("s || '#' || j")}) AS sig
+          |  FROM sh, (SELECT unnest(range(0, $k)) AS j) js
+          |  GROUP BY doc_id, j),
+          |er$sfx AS (SELECT t.a, t.b,
+          |  round(abs(round(sum(CASE WHEN ma.sig = mb.sig THEN 1
+          |      ELSE 0 END) / $k.0, 6) - t.jaccard), 6) AS err
+          |  FROM trth t JOIN mh$sfx ma ON ma.doc_id = t.a
+          |   JOIN mh$sfx mb ON mb.doc_id = t.b AND mb.j = ma.j
+          |  GROUP BY t.a, t.b, t.jaccard)""".stripMargin
+      def row(k: Int, sfx: String) =
+        s"""SELECT $k::BIGINT AS k, count(*)::BIGINT AS n_pairs,
+          | round(CAST(sum(CAST(err AS DECIMAL(18,9))) AS DOUBLE)
+          |   / count(*), 6) AS mean_abs_err,
+          | max(err) AS max_abs_err FROM er$sfx""".stripMargin
+      s"""WITH trth AS (${QueriesDocs.jaccardPairsSql}),
+        |$shCte,
+        |${estCtes(8, "a")},
+        |${estCtes(16, "b")}
+        |${row(8, "a")} UNION ALL ${row(16, "b")}""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, c01)
 }

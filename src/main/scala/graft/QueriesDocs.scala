@@ -76,10 +76,10 @@ private[graft] object QueriesDocs {
   // Hot-shingle df-cutoff (maxPostings=50) mirrored in the oracle: a
   // shingle appearing in >50 docs carries no dedup signal but makes the
   // pair join quadratic in its posting list — the standard scale guard.
-  private val d05: (String, QFn, Option[String]) = ("d05_ngram_jaccard",
-    (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
-      threshold = 0.2, maxPostings = 50),
-    Some(s"""WITH $shCte,
+  /** d05's full oracle text, shared with d62's k-sensitivity audit
+    * (nested there as the truth side — the composition move). */
+  private[graft] val jaccardPairsSql: String =
+    s"""WITH $shCte,
       |shc AS (SELECT sh.* FROM sh JOIN (SELECT s FROM sh GROUP BY s
       |  HAVING count(*) <= 50) ok ON sh.s = ok.s),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
@@ -88,7 +88,12 @@ private[graft] object QueriesDocs {
       |  GROUP BY 1, 2)
       |SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-      |WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.2""".stripMargin))
+      |WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.2""".stripMargin
+
+  private val d05: (String, QFn, Option[String]) = ("d05_ngram_jaccard",
+    (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+      threshold = 0.2, maxPostings = 50),
+    Some(jaccardPairsSql))
 
   /** d06's full oracle text, shared with d52's fold-leakage audit (nested
     * there as a WITH subquery — the e09/d48/q76 composition move: the
