@@ -87,8 +87,8 @@ object QueriesText {
 
   private[graft] val MINHASH_BANDS = 4
 
-  /** Registration order is the public contract: d01..d54, e01..e15,
-    * m01..m02 — ordered slices assembled from the three sub-registries. */
+  /** Registration order is the public contract: d01..d62, e01..e19,
+    * m01..m02, c01 — ordered slices assembled from the sub-registries. */
   val defs: Seq[(String, QFn, Option[String])] =
     QueriesDocs.defs ++ QueriesCorpus.defs ++
       QueriesCurate.defs ++ QueriesVectors.defs
