@@ -114,6 +114,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("novelty and source-overlap stay equi-joins — no nested loop") {
+    // d59/d60's scale claim: pair generation is keyed on the shingle;
+    // a future edit that drops the equi-key would silently degrade to a
+    // cartesian/nested-loop product and only die at corpus scale.
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+    for (df <- Seq(Dedup.ngramNovelty(docs, "doc_id", "text", 3),
+                   Dedup.sourceOverlap(docs, "source", "text", 3))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"pair generation lost its equi-key:\n$plan")
+    }
+  }
+
   test("q46 bucketed join: ZERO exchanges between the persisted tables") {
     val df = SparkEntry.queries("q46_bucketed_join")(spark, sf)
     assert(df.count() > 0)
