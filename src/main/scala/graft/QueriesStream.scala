@@ -204,6 +204,24 @@ object QueriesStream {
       |SELECT fp, event_id, epoch_us(ts) AS first_us, user_id, event_type
       |FROM r WHERE rn = 1""".stripMargin))
 
+  // ----------------------------------------------- windowed heavy hitters
+  // EventStream.heavyHitters: per hour window, the users with >= 2 events
+  // — the trending/alerting aggregation, append-mode legal (the filter
+  // rides ABOVE the windowed count, so results emit when the watermark
+  // closes the window). Exact per-key counters where the key domain is
+  // operationally small; the unbounded-domain form is s07's CMS. Batch
+  // twin = the identical plan over the static table, hash-checked here;
+  // EventStreamSpec proves stream≡batch on replayed micro-batches.
+  private val s09: (String, QFn, Option[String]) = ("s09_heavy_hitters",
+    (s, d) => EventStream.heavyHitters(Tables.events(s, d),
+        col("user_id"), threshold = 2L)
+      .select(unix_timestamp(col("hour_start")).as("hour_start"),
+        col("key").as("user_id"), col("cnt")),
+    Some("""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT
+      |   AS hour_start,
+      | user_id, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

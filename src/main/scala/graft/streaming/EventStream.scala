@@ -164,6 +164,27 @@ object EventStream {
         col("bin"), col("cnt"))
   }
 
+  /** Windowed HEAVY HITTERS: per event-time window, the keys whose count
+    * reaches `threshold` — the alerting/trending query every stream
+    * deployment runs. Pure windowed aggregation + post-aggregation filter
+    * (append-mode legal: results emit once the watermark closes the
+    * window); state per window is one counter per DISTINCT key seen, and
+    * the watermark evicts closed windows — for unbounded key domains
+    * compose with [[cmsCounts]] (bounded counters, approximate) and use
+    * this exact form where the key domain is operationally small
+    * (event types, status codes, tenants). Identical plan in batch: the
+    * s09 twin hash-checks it. */
+  def heavyHitters(events: DataFrame, keyCol: org.apache.spark.sql.Column,
+                   threshold: Long, watermark: String = "2 hours")
+  : DataFrame = {
+    require(threshold >= 1, "heavyHitters: threshold must be >= 1")
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), keyCol.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("w.start").as("hour_start"), col("key"), col("cnt"))
+  }
+
   /** Windowed Count-Min counters over the stream — the incremental form of
     * `ops.Sketches.countMin`, same md5 hash family, so each window's
     * depth×width counter table merges into a standing sketch (or across

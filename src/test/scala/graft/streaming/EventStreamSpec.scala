@@ -34,6 +34,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHitters emits only keys at the threshold, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = EventStream.heavyHitters(df, col("user_id"), threshold = 2L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 7L),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 8L),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), 7L)) // other window
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 10:40:00"), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("hh")
+        .select("hour_start", "key", "cnt")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      // user 8 (1 event) and window-11 user 7 (1 event) stay below 2
+      assert(rows == Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, 2L)))
+      // batch twin: the SAME plan over the replayed static data
+      val batch = EventStream.heavyHitters(
+        Seq(
+          (Timestamp.valueOf("2024-01-01 10:05:00"), 7L),
+          (Timestamp.valueOf("2024-01-01 10:10:00"), 8L),
+          (Timestamp.valueOf("2024-01-01 11:05:00"), 7L),
+          (Timestamp.valueOf("2024-01-01 10:40:00"), 7L))
+          .toDF("ts", "user_id"), col("user_id"), threshold = 2L)
+        .select("hour_start", "key", "cnt")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(batch == rows, "stream and batch twins must agree")
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-seen fingerprints across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
