@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
  */
 object EventStream {
 
+  /** Idempotent `foreachBatch` sink: exactly-once file output on top of
+    * Structured Streaming's at-least-once batch redelivery. Each
+    * micro-batch lands under `dir/batch=<id>`; a redelivered id (failure
+    * between sink commit and checkpoint commit — the standard replay
+    * window) finds its directory already finalized (`_SUCCESS` present)
+    * and skips, so downstream readers of `dir` never see duplicates. A
+    * partial directory from a crash MID-write has no `_SUCCESS` and is
+    * safely overwritten. This is the documented recipe for exactly-once
+    * semantics with foreachBatch (batch-id-keyed dedup of side effects);
+    * use as `.writeStream.foreachBatch(idempotentBatchWriter(dir) _)`. */
+  def idempotentBatchWriter(dir: String)(batch: DataFrame,
+                                         batchId: Long): Unit = {
+    val out = new java.io.File(s"$dir/batch=$batchId")
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      batch.write.mode("overwrite").parquet(out.getAbsolutePath)
+  }
+
   /** Tumbling event-time window aggregate with late-data watermark — the
     * incremental form of q25_hourly_window. `events` can be a readStream
     * DataFrame (file/kafka source) with columns ts/event_type/value. */

@@ -34,6 +34,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotentBatchWriter: redelivered batch ids never duplicate") {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_idem_sink")
+    rmTree(dir)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    EventStream.idempotentBatchWriter(dir.getPath)(b0, 0L)
+    // at-least-once redelivery of the SAME id (post-commit crash replay):
+    // the finalized directory must win over the replayed data
+    EventStream.idempotentBatchWriter(dir.getPath)(
+      Seq((9L, "dup")).toDF("id", "v"), 0L)
+    EventStream.idempotentBatchWriter(dir.getPath)(
+      Seq((3L, "c")).toDF("id", "v"), 1L)
+    val back = spark.read.parquet(dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a crash MID-write (no _SUCCESS) must be overwritten, not skipped
+    val partial = new java.io.File(dir, "batch=2")
+    partial.mkdirs()
+    EventStream.idempotentBatchWriter(dir.getPath)(
+      Seq((4L, "d")).toDF("id", "v"), 2L)
+    val all = spark.read.parquet(dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(all == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    rmTree(dir)
+  }
+
   test("heavyHitters emits only keys at the threshold, incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
