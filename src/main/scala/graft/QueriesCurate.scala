@@ -868,31 +868,46 @@ private[graft] object QueriesCurate {
   // (theory: sd ≈ sqrt(J(1−J)/k)). Truth replays d05's own factored SQL;
   // signatures are computed on the UNCUT shingle set (d06's convention).
   // Mean error sums in DECIMAL(18,9) (order-free) per the d46 pattern.
+  // The k=8 estimate is the PREFIX of the k=16 signature (sig_j depends
+  // only on j, never on k — the minhash prefix property), so the whole
+  // sweep is ONE signature stack, one pair join, and one ungrouped
+  // aggregate exploded into the two k rows. The ungrouped aggregate also
+  // anchors the output at exactly two rows when the truth set is empty
+  // (count 0, NULL means), matching the oracle's ungrouped aggregate —
+  // a grouped form would emit zero rows and red the round on regenerated
+  // testdata with no >=0.2 pairs.
   private val d62: (String, QFn, Option[String]) = ("d62_minhash_k_audit",
     (s, d) => {
       val base = docs(s, d)
       val truth = Dedup.jaccardPairs(base, "doc_id", "text", n = 3,
         threshold = 0.2, maxPostings = 50)
       val sh = Dedup.docShingles(base, "doc_id", "text", n = 3)
-      def sweep(k: Int): DataFrame = {
-        val sig = Dedup.minhashSignatures(sh, k)
+      val sig = Dedup.minhashSignatures(sh, 16)
+      def err(k: Int) = {
         val matches = (0 until k).map(j =>
           when(col(s"xa.sig$j") === col(s"xb.sig$j"), 1L).otherwise(0L))
           .reduce(_ + _)
-        val err = graft.ops.CrossRound.round(abs(
+        graft.ops.CrossRound.round(abs(
           graft.ops.CrossRound.round(matches.cast("double") / k, 6)
             - col("jaccard")), 6)
-        truth.join(sig.as("xa"), col("a") === col("xa.doc"))
-          .join(sig.as("xb"), col("b") === col("xb.doc"))
-          .select(col("a"), col("b"), err.as("err"))
-          .groupBy(lit(k.toLong).as("k"))
-          .agg(count(lit(1)).as("n_pairs"),
-            graft.ops.CrossRound.round(
-              sum(col("err").cast("decimal(18,9)")).cast("double")
-                / count(lit(1)), 6).as("mean_abs_err"),
-            max(col("err")).as("max_abs_err"))
       }
-      sweep(8).unionByName(sweep(16))
+      def stats(k: Int, sfx: String) = Seq(
+        graft.ops.CrossRound.round(
+          sum(err(k).cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 6).as(s"mean$sfx"),
+        max(err(k)).as(s"max$sfx"))
+      val one = truth.join(sig.as("xa"), col("a") === col("xa.doc"))
+        .join(sig.as("xb"), col("b") === col("xb.doc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (stats(8, "8") ++ stats(16, "16")): _*)
+      one.select(explode(array(
+          struct(lit(8L).as("k"), col("n_pairs"),
+            col("mean8").as("mean_abs_err"), col("max8").as("max_abs_err")),
+          struct(lit(16L).as("k"), col("n_pairs"),
+            col("mean16").as("mean_abs_err"),
+            col("max16").as("max_abs_err")))).as("r"))
+        .select(col("r.k"), col("r.n_pairs"), col("r.mean_abs_err"),
+          col("r.max_abs_err"))
     },
     Some {
       def estCtes(k: Int, sfx: String) =

@@ -243,16 +243,35 @@ object Sampling {
     * discipline). */
   def fracThreshold(epochs: Double): Double = epochs - math.floor(epochs)
 
+  /** `defaultEpochs` is the weight for rows whose domain is NOT in
+    * `epochsOf`. The default 0.0 keeps the data-mix convention (a domain
+    * absent from the mix table gets no epochs, i.e. is dropped — the same
+    * semantics as an inner join against the mix table); pass e.g. 1.0 to
+    * carry unknown domains through unchanged. `strictDomains = true`
+    * instead makes an unknown domain a RUNTIME ERROR (`raise_error` in the
+    * fallback branch), for call sites where a domain outside the table
+    * means a typo'd mix config rather than intentional exclusion — silent
+    * data deletion is the failure mode this flag exists to catch. */
   def epochReplicate(df: DataFrame, key: Column, domain: Column,
                      epochsOf: Map[String, Double],
-                     salt: String = "rep"): DataFrame = {
+                     salt: String = "rep",
+                     defaultEpochs: Double = 0.0,
+                     strictDomains: Boolean = false): DataFrame = {
     require(epochsOf.values.forall(w => w >= 0.0 && w <= 100.0),
       "epochReplicate: epochs per domain must be in [0, 100]")
-    val whole = epochsOf.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+    require(defaultEpochs >= 0.0 && defaultEpochs <= 100.0,
+      "epochReplicate: defaultEpochs must be in [0, 100]")
+    def unknown(asDouble: Boolean): Column =
+      if (strictDomains)
+        raise_error(concat(lit("epochReplicate: domain not in mix table: "),
+          domain.cast("string"))).cast(if (asDouble) "double" else "long")
+      else if (asDouble) lit(fracThreshold(defaultEpochs))
+      else lit(math.floor(defaultEpochs).toLong)
+    val whole = epochsOf.toSeq.sortBy(_._1).foldLeft(unknown(asDouble = false)) {
       case (acc, (dom, w)) =>
         when(domain === dom, math.floor(w).toLong).otherwise(acc)
     }
-    val frac = epochsOf.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) {
+    val frac = epochsOf.toSeq.sortBy(_._1).foldLeft(unknown(asDouble = true)) {
       case (acc, (dom, w)) =>
         when(domain === dom, fracThreshold(w)).otherwise(acc)
     }

@@ -30,10 +30,21 @@ object Tables {
     * entirely. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions < math.min(target, 16))
-      raw.repartition(math.min(target, 16))
-    else raw
+    val target = math.min(spark.sparkContext.defaultParallelism, 16)
+    // Estimate the scan's parallelism from driver-side file metadata
+    // (files × sizes ÷ maxPartitionBytes) instead of probing
+    // `raw.rdd.getNumPartitions`, which instantiates the RDD lineage at
+    // planning time on every load. The estimate matches the real split
+    // count for splittable parquet to within row-group granularity —
+    // plenty for a "is this scan starved" branch.
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    val conf = spark.sessionState.newHadoopConf()
+    val estParts = raw.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      ((len + maxPart - 1) / maxPart).max(1L)
+    }.sum
+    if (estParts < target) raw.repartition(target) else raw
   }
 
   /** The events parquet's `ts` physical encoding has drifted across driver

@@ -30,9 +30,15 @@ object EventStream {
     * use as `.writeStream.foreachBatch(idempotentBatchWriter(dir) _)`. */
   def idempotentBatchWriter(dir: String)(batch: DataFrame,
                                          batchId: Long): Unit = {
-    val out = new java.io.File(s"$dir/batch=$batchId")
-    if (!new java.io.File(out, "_SUCCESS").exists())
-      batch.write.mode("overwrite").parquet(out.getAbsolutePath)
+    // Resolve through the Hadoop FileSystem API so the finalized probe
+    // works on ANY supported scheme (hdfs://, s3a://, file:), not just
+    // local paths — java.io.File would silently never match on a URI and
+    // every replayed batch would rewrite.
+    val out = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+    val fs = out.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS")))
+      batch.write.mode("overwrite").parquet(out.toString)
   }
 
   /** Tumbling event-time window aggregate with late-data watermark — the

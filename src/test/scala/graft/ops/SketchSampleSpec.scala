@@ -183,6 +183,29 @@ class SketchSampleSpec extends SparkSpec {
         .sorted.toSeq)
   }
 
+  test("epochReplicate: unknown domains — default drop, carry, or strict error") {
+    val df = Seq((1L, "en"), (2L, "xx"), (3L, "en")).toDF("id", "dom")
+    val mix = Map("en" -> 2.0)
+    // default: unknown domain gets 0 epochs (dropped, the inner-join form)
+    val dropped = Sampling.epochReplicate(df, col("id"), col("dom"), mix)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L, 3L))
+    // defaultEpochs carries unknowns through at the given weight
+    val kept = Sampling.epochReplicate(df, col("id"), col("dom"), mix,
+      defaultEpochs = 1.0)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // strictDomains surfaces the typo'd mix table instead of deleting data
+    val err = intercept[Exception] {
+      Sampling.epochReplicate(df, col("id"), col("dom"), mix,
+        strictDomains = true).collect()
+    }
+    assert(err.getMessage.contains("domain not in mix table") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("domain not in mix table")))
+  }
+
   test("tfidf matches the smoothed sklearn form on a crafted corpus") {
     val df = Seq(
       (1L, "apple apple banana"),

@@ -25,24 +25,79 @@ class TestdataSchemaSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def available: Boolean = new java.io.File(sfDir).isDirectory
 
-  test("driver testdata: all tables load and carry their key columns") {
+  /** Every sf dir the driver generated — each is produced independently,
+    * so encoding drift can hit one scale and not another (the spec pins
+    * sf0.001 for probes, the driver verifies at sf0.01, the bench runs
+    * sf0.1). */
+  private def sfDirs: Seq[String] =
+    Option(new java.io.File("/root/testdata").listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("sf"))
+        .map(_.getAbsolutePath).sorted)
+      .getOrElse(Nil)
+
+  /** The full post-loader schema contract, every table × every column —
+    * the types the 173-query registry compiles against. A failure names
+    * the exact (sfDir, table, column, got) that drifted. `events.ts` is
+    * the NORMALIZED type (Tables.events dispatches on the physical
+    * encoding); everything else is the raw parquet→Spark mapping. */
+  private val expectTypes: Map[String, Seq[(String, DataType)]] = Map(
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType))
+
+  test("driver testdata: every table × column × sf dir matches the declared type") {
     assume(available)
-    val expect = Map(
-      "events" -> Seq("user_id", "ts", "event_type", "value"),
-      "documents" -> Seq("doc_id", "text"),
-      "embeddings" -> Seq("vec_id", "embedding", "label"),
-      "lineitem" -> Seq("l_orderkey", "l_quantity", "l_returnflag"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "customer" -> Seq("c_custkey", "c_nationkey"),
-      "supplier" -> Seq("s_suppkey", "s_nationkey"),
-      "part" -> Seq("p_partkey"),
-      "nation" -> Seq("n_nationkey", "n_regionkey"),
-      "region" -> Seq("r_regionkey"))
-    for ((t, cols) <- expect) {
-      val have = Tables.load(spark, sfDir, t).columns.toSet
-      val missing = cols.filterNot(have)
-      assert(missing.isEmpty, s"table $t lost columns $missing (has $have)")
-    }
+    val drifted = for {
+      dir <- sfDirs
+      (t, cols) <- expectTypes.toSeq
+      schema = (if (t == "events") Tables.events(spark, dir)
+                else Tables.load(spark, dir, t)).schema
+      (c, want) <- cols
+      got = schema.find(_.name == c).map(_.dataType)
+      if !got.contains(want)
+    } yield s"$dir/$t.$c: want $want, got ${got.getOrElse("MISSING")}"
+    assert(drifted.isEmpty,
+      s"${drifted.size} drifted columns:\n${drifted.mkString("\n")}")
+  }
+
+  test("driver testdata: every column yields non-null values when READ") {
+    assume(available)
+    // An analysis-level type match can still hide all-NULL reads (round
+    // 7's q40 failure mode) — execute one non-null count per column.
+    val empty = for {
+      (t, cols) <- expectTypes.toSeq
+      df = if (t == "events") Tables.events(spark, sfDir)
+           else Tables.load(spark, sfDir, t)
+      row = df.select(cols.map { case (c, _) =>
+        count(col(c)).as(c) }: _*).head()
+      ((c, _), i) <- cols.zipWithIndex
+      if row.getLong(i) == 0L
+    } yield s"$t.$c"
+    assert(empty.isEmpty, s"columns read as all-NULL: ${empty.mkString(", ")}")
   }
 
   test("events.ts normalizes to TIMESTAMP whatever the parquet encoding") {

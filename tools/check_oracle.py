@@ -31,9 +31,15 @@ def dtype_class(s):
         return "bool"
     if t.is_datetime64_any_dtype(s):
         return "ts"
-    if s.dtype == object and len(s) and all(
-            isinstance(x, int) for x in s if x is not None):
-        return "bigint-overflow"  # HUGEINT lands here
+    if s.dtype == object:
+        # Only flag HUGEINT widening when there is at least one actual
+        # (non-None, non-bool) int: an all-None column is vacuously "all
+        # int" under all(), and bool is an int subclass — either would
+        # mis-report a NULL/bool column as overflow.
+        vals = [x for x in s if x is not None]
+        if vals and all(isinstance(x, int) and not isinstance(x, bool)
+                        for x in vals):
+            return "bigint-overflow"  # HUGEINT lands here
     return "other"
 
 

@@ -44,6 +44,12 @@ def main():
              if rnd else latest("BENCH_r*.json"))
     ok = True
 
+    if cpath is None or not os.path.exists(cpath):
+        # fresh clone / round 1: nothing to cross-reference yet
+        print("no CORRECTNESS_r*.json artifact found — nothing to check "
+              "(round 1 or fresh clone); STATUS: N/A")
+        sys.exit(0)
+
     with open(cpath) as fh:
         correctness = json.load(fh)
     red = {k: v for k, v in correctness.items()
@@ -83,10 +89,14 @@ def main():
 
     try:
         import pyarrow.parquet as pq
-        ts = pq.read_schema("/root/testdata/sf0.01/events.parquet").field("ts")
-        print(f"testdata events.ts encoding: {ts.type} "
-              f"(Tables.events must normalize this; TestdataSchemaSpec "
-              f"guards it)")
+        # probe EVERY sf dir (the spec pins sf0.001, the driver verifies at
+        # sf0.01, the bench runs sf0.1 — drift can hit any of them
+        # independently since each is generated separately)
+        for d in sorted(glob.glob("/root/testdata/sf*")):
+            ts = pq.read_schema(os.path.join(d, "events.parquet")).field("ts")
+            print(f"testdata {os.path.basename(d)} events.ts encoding: "
+                  f"{ts.type} (Tables.events must normalize this; "
+                  f"TestdataSchemaSpec guards it)")
     except Exception as e:
         print(f"testdata check skipped: {e}")
 
