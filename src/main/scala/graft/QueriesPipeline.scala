@@ -699,5 +699,48 @@ private[graft] object QueriesPipeline {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+  // --------------------------- §3.1 RNN branch, scored NATIVELY (q80)
+  // The reference's sequence-model scoring (model.py:57-76: embeddings →
+  // bidirectional GRU → max/avg/last-hidden pooling → MLP → softmax),
+  // executed in-engine by pipeline.SequenceModel — no torch, no UDF
+  // registry, one mapPartitions over the assembled tensors. Features are
+  // the events-table digitization (type index, hour, weekday, value bin —
+  // each +1 so 0 stays the padding index), sequences are the last 20
+  // events RIGHT-padded like process_for_nn (model.py:193). Weights are
+  // the deterministic synthetic artifact (seeded with the reference's
+  // own random_seed, model.py:210) — the committed REAL converted
+  // checkpoint (/graft/seq_model_tx.txt.gz, via tools/convert_nn_ckpt.py)
+  // drives the graft.Submit RNN branch, which SubmitSpec exercises.
+  // Not SQL-expressible (300-step nonlinear recurrence) → rows+schema
+  // check, the q17 class. Scale: one user_id shuffle for assembly, then
+  // embarrassingly parallel per-user compute; model broadcast once.
+  private val q80: (String, QFn, Option[String]) = ("q80_rnn_scores",
+    (s, d) => {
+      val e = TimeFeatures.withTimeAttrs(ev(s, d), "ts")
+      val etIdx = vocab.zipWithIndex.foldLeft(lit(0)) { case (acc, (v, i)) =>
+        when(col("event_type") === v, i + 1).otherwise(acc)
+      }
+      val feats = e.select(col("user_id"), col("ts"), col("event_id"),
+        etIdx.as("et_idx"),
+        (col("hour_of_day") + 1).as("hr"),
+        (col("day_of_week") + 1).as("dow"),
+        (coalesce(Bucketize(col("value"), rnnBinEdges), lit(-1)) + 1)
+          .as("vbin"))
+      val seqs = Sequences.assembleSequences(feats, 20, Seq("user_id"),
+        struct(col("ts"), col("event_id")),
+        Seq("et_idx", "hr", "dow", "vbin"), padLeft = false)
+      graft.pipeline.SequenceScorer(rnnEventsModel)
+        .score(seqs).select(col("user_id"), col("target"))
+    },
+    None)
+
+  private val rnnBinEdges = Seq(0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
+  /** Deterministic synthetic events-table model (card+1 embedding rows;
+    * vbin has 7 bins + out-of-range→0). */
+  private[graft] lazy val rnnEventsModel: graft.pipeline.SequenceModel =
+    graft.pipeline.SequenceModel.synthetic(
+      Seq(("et_idx", 5, 3), ("hr", 24, 4), ("dow", 7, 3), ("vbin", 7, 3)),
+      hidden = 8, clsUnits = 16, seqLen = 20, seed = 20230206L)
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q80)
 }

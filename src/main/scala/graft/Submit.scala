@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.TimeFeatures
-import graft.pipeline.{Pipeline, TreeEnsembleModel, TreeEnsembleScorer}
+import graft.ops.{Bucketize, Sequences, TimeFeatures}
+import graft.pipeline.{Pipeline, SequenceModel, SequenceScorer,
+  TreeEnsembleModel, TreeEnsembleScorer}
 import graft.schema.Tables
 
 /** Standalone CLI replicating the reference's two-arg submission contract
@@ -35,8 +36,6 @@ object Submit {
     require(args.length >= 2,
       "usage: graft.Submit <transactions.csv> <output.csv> [model.txt]")
     val (inCsv, outCsv) = (args(0), args(1))
-    val model = args.lift(2).map(TreeEnsembleModel.fromFile)
-      .getOrElse(TreeEnsembleModel.fromResource("/graft/tree_model.txt"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +44,17 @@ object Submit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.writeCsv(run(spark, inCsv, model), outCsv, singleFile = true)
+    // Artifact type dispatch: a `seqmodel` header selects the RNN branch
+    // (model.py predict contract), anything else the tree branch
+    // (run.py CatBoost contract). Same two-arg CLI either way.
+    val result = args.lift(2) match {
+      case Some(p) if SequenceModel.isSequenceArtifact(p) =>
+        runSeq(spark, inCsv, SequenceModel.fromFile(p))
+      case Some(p) => run(spark, inCsv, TreeEnsembleModel.fromFile(p))
+      case None =>
+        run(spark, inCsv, TreeEnsembleModel.fromResource("/graft/tree_model.txt"))
+    }
+    Tables.writeCsv(result, outCsv, singleFile = true)
     spark.stop()
   }
 
@@ -70,5 +79,49 @@ object Submit {
     val aligned = Pipeline.alignFeatures(features, "user_id",
       model.featureNames)
     Pipeline.submission(aligned, TreeEnsembleScorer(model), in, "user_id")
+  }
+
+  /** The RNN branch (`model.py:207-244` predict): dropna → calendar
+    * attrs (hour / dayofweek / month / dayofmonth, `model.py:216-220`) →
+    * pd.cut digitization by the artifact's per-feature edges
+    * (`model.py:172-181`; features without edges arrive pre-indexed) →
+    * last-`seqLen` RIGHT-padded index sequences (`model.py:185-196`) →
+    * native [[SequenceModel]] forward pass → per-user class-1
+    * probability, with the usual max-score fallback for users the
+    * cleaning dropped (`run.py:478-482`). Out-of-range values digitize
+    * to the padding index 0 (pandas would crash on `.astype(int)` of the
+    * resulting NaN; a distributed batch job should not).
+    *
+    * The committed full-size artifact (`/graft/seq_model_tx.txt.gz`,
+    * converted from the reference checkpoint by
+    * `tools/convert_nn_ckpt.py`) makes this branch runnable as
+    * `graft.Submit in.csv out.csv seq_model_tx.txt.gz`. Deterministic
+    * eval semantics: the reference's functional dropout at
+    * `model.py:74` stays live even under `model.eval()` (torch quirk it
+    * papers over with seeding + the 50-rep bootstrap average in
+    * `reliable_predict`); this engine computes the eval intent
+    * (dropout = identity), so scores are reproducible. */
+  def runSeq(spark: SparkSession, inCsv: String,
+             model: SequenceModel): DataFrame = {
+    val tx = Tables.readTransactionsCsv(spark, inCsv)
+    val cleaned = tx.na.drop()
+    val withAttrs = cleaned
+      .withColumn("hour", hour(col("transaction_dttm")))
+      .withColumn("day", TimeFeatures.dayOfWeekMon0(col("transaction_dttm")))
+      .withColumn("month", month(col("transaction_dttm")))
+      .withColumn("number_day", dayofmonth(col("transaction_dttm")))
+    val digitized = model.features.foldLeft(withAttrs) { (df, f) =>
+      model.edges.get(f) match {
+        case Some(e) => df.withColumn(f,
+          coalesce(Bucketize(col(f).cast("double"), e.toSeq), lit(0))
+            .cast("int"))
+        case None => df.withColumn(f, col(f).cast("int"))
+      }
+    }
+    val seqs = Sequences.assembleSequences(digitized, model.seqLen,
+      Seq("user_id"), struct(col("transaction_dttm")), model.features,
+      padLeft = false)
+    // fallback universe = RAW input users: dropna is exactly what loses them
+    Pipeline.submission(seqs, SequenceScorer(model), tx, "user_id")
   }
 }

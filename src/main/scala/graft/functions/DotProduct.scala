@@ -128,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.mhInfo,
       GraftExtensions.mhBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.PivotFusion)
   }
 }
 

@@ -98,12 +98,17 @@ object Sequences {
   }
 
   /** W2+E2 (tensor form): per group, the last `n` events as a time-ordered
-    * array of feature vectors, LEFT-padded with zero vectors to exactly `n`
-    * (`model.py:188-196`). One groupBy + array ops; no per-user driver loop.
-    * Output: partCols ++ (seqCol: array<array<double>>). */
+    * array of feature vectors, padded with zero vectors to exactly `n`.
+    * One groupBy + array ops; no per-user driver loop.
+    * `padLeft = true` (q17's contract) prepends the padding; the
+    * reference's `process_for_nn` APPENDS it (`model.py:193`:
+    * `list(i) + [0] * (num - len)`) — the RNN-parity path passes
+    * `padLeft = false`. Output: partCols ++ (seqCol:
+    * array<array<double>>). */
   def assembleSequences(df: DataFrame, n: Int, partCols: Seq[String],
                         orderCol: Column, featureCols: Seq[String],
-                        seqCol: String = "seq"): DataFrame = {
+                        seqCol: String = "seq",
+                        padLeft: Boolean = true): DataFrame = {
     val features = array(featureCols.map(c => col(c).cast("double")): _*)
     val grouped = df
       .select(partCols.map(col) :+
@@ -116,8 +121,8 @@ object Sequences {
     val lastSlice = slice(ordered,
       greatest(size(ordered) - (n - 1), lit(1)), lit(n))
     val zeroVec = array(featureCols.map(_ => lit(0.0)): _*)
-    val padded = concat(
-      array_repeat(zeroVec, lit(n) - size(lastSlice)), lastSlice)
+    val pad = array_repeat(zeroVec, lit(n) - size(lastSlice))
+    val padded = if (padLeft) concat(pad, lastSlice) else concat(lastSlice, pad)
     grouped.withColumn(seqCol, padded).drop("_rows")
   }
 }
