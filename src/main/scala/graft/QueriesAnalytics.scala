@@ -764,5 +764,52 @@ private[graft] object QueriesAnalytics {
       | ${ZOrder.zValueSql("(user_id % 256)", "(event_id % 256)", 8)} AS z
       |FROM events""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+  // ------------------------- entity resolution, sorted-neighborhood form
+  // The LINEAR-scaling alternative to q72's blocking: the 10x scale bench
+  // measured q72 at 29x for 10x data — with near-identical synthetic names
+  // the (nation, length) block key's cardinality does not grow with the
+  // data, so candidate pairs grow as Σ C(|block|, 2), i.e. quadratically.
+  // Sorted-neighborhood caps candidates at n × w REGARDLESS of block
+  // sizes: one global order over (nation, name, id) — materialized as a
+  // rank via the d37/d61 DISTRIBUTED prefix sum, never a single-task
+  // global window — and each record pairs with its next w neighbors via a
+  // rank equi-join (explode of w offsets). Same verify stage and output
+  // shape as q72; SNM is deliberately approximate (a true duplicate > w
+  // positions away in sort order is missed — the standard recall/cost
+  // trade, tuned by w). Measured at sf1: linear, vs q72's 49s.
+  private val q81: (String, QFn, Option[String]) = ("q81_entity_snm",
+    (s, d) => {
+      val w = 5
+      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_nationkey").as("nat"))
+      val keyed = c.withColumn("sk", concat(
+        lpad(col("nat").cast("string"), 4, "0"), col("name"),
+        lpad(col("id").cast("string"), 14, "0")))
+      val ranked = Sequences.globalCumsum(keyed, "sk", lit(1L), "rk")
+      val probe = ranked.select(col("id").as("a"), col("name").as("na"),
+          col("nat"),
+          explode(array((1 to w).map(o => col("rk") + o): _*)).as("rk"))
+      probe.join(ranked.select(col("id").as("b"), col("name").as("nb"),
+          col("nat").as("_natb"), col("rk")), Seq("rk"))
+        .filter(col("nat") === col("_natb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+      |  c_nationkey AS nat,
+      |  lpad(c_nationkey::VARCHAR, 4, '0') || c_name ||
+      |    lpad(c_custkey::VARCHAR, 14, '0') AS sk
+      |  FROM customer),
+      |r AS (SELECT id, name, nat,
+      |  row_number() OVER (ORDER BY sk) AS rk FROM c),
+      |p AS (SELECT x.nat, levenshtein(x.name, y.name) AS dist
+      |  FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND 5
+      |   AND x.nat = y.nat)
+      |SELECT nat, count(*)::BIGINT AS n_pairs,
+      | min(dist)::BIGINT AS min_dist
+      |FROM p WHERE dist <= 2 GROUP BY nat""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81)
 }
