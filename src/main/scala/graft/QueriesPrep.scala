@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.ops._
+import graft.schema.Tables
+import graft.QueriesText.md5HashSql
+
+/** Registry slice d63–d65: supervised-training data preparation — the
+  * label-side counterpart to the d41–d62 corpus-curation family. These are
+  * the operations that sit between a curated corpus and a training run:
+  * leakage-free categorical target encoding, a temporal train/val/test cut
+  * with embargo gaps, and annotation majority-vote aggregation (the RLHF /
+  * labeling-vendor shape).
+  *
+  * Shared determinism discipline (see Queries scaladoc): every mean is a
+  * ratio of EXACT integer sums rounded once through the cross-engine
+  * multiply form — no floating-point accumulation anywhere, so results are
+  * bit-identical on 1 core or 1000 executors. */
+private[graft] object QueriesPrep {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  // --------------------------------- out-of-fold target encoding (d63)
+  // Mean-target encoding is the classic high-cardinality categorical
+  // feature (CatBoost's core trick — the reference's own model family,
+  // run.py:466-468), and the classic LEAKAGE bug: encoding a row with a
+  // mean that includes its own label. The leakage-free form encodes each
+  // fold with the OTHER folds' statistics: enc(c, f) =
+  // (pos(c) − pos(c,f) + m·prior) / (cnt(c) − cnt(c,f) + m), smoothing
+  // m = 10 toward the global prior so rare categories shrink to it.
+  //
+  // Scale shape: ONE corpus-sized exchange — the (category, fold) partial
+  // count/sum aggregation with map-side combine. Everything after runs on
+  // the |categories|×k aggregate: per-category totals are a second tiny
+  // aggregation of THAT, the global prior is a broadcast 1-row reduction
+  // of the same, and the out-of-fold subtraction (total − own fold) means
+  // NO per-row second pass — the trick that makes k-fold encoding O(1)
+  // extra work instead of k recomputations. Folds are content-addressed
+  // (Sampling.hashFold md5, stable across runs/engines/partitionings —
+  // the same discipline as q41/d52), so the encoding is reproducible and
+  // the oracle replays the fold assignment exactly. The encoded value is
+  // a ratio of exact integer sums: deterministic at any parallelism.
+  private val d63: (String, QFn, Option[String]) = ("d63_target_encode",
+    (s, d) => Prep.outOfFoldTargetEncode(
+      ev(s, d).select(
+        col("event_type").as("category"),
+        Sampling.hashFold(col("event_id"), 5).as("fold"),
+        (col("value") > 50).cast("long").as("y")),
+      m = 10.0),
+    Some(s"""WITH s AS (SELECT event_type AS category,
+      |    ${md5HashSql("event_id::VARCHAR || '#fold'")} % 5 AS fold,
+      |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y FROM events),
+      |  f AS (SELECT category, fold, count(*)::BIGINT AS n,
+      |    sum(y)::BIGINT AS pos FROM s GROUP BY 1, 2),
+      |  t AS (SELECT category, sum(n)::BIGINT AS tn,
+      |    sum(pos)::BIGINT AS tp FROM f GROUP BY 1),
+      |  g AS (SELECT sum(n)::BIGINT AS gn, sum(pos)::BIGINT AS gp FROM f)
+      |SELECT f.category, fold, n, pos,
+      |  round((tp - pos + 10.0 * (gp::DOUBLE / gn)) /
+      |        (tn - n + 10.0), 6) AS encoded
+      |FROM f JOIN t USING (category) CROSS JOIN g""".stripMargin))
+
+  // ------------------------------ temporal split with embargo (d64)
+  // Random splits leak future into past on time-series data (the
+  // reference's transactions ARE a time-series, FIXTURES.md §1); the
+  // standard fix is a chronological cut with EMBARGO gaps dropped around
+  // each boundary so near-boundary correlation (a user's behavior just
+  // before/after the cut) can't bridge train and eval. Cuts are at count
+  // fractions 70% | 2% gap | 13% | 2% gap | 13%, and land on DISTINCT-
+  // TIMESTAMP boundaries — a split that separates two simultaneous events
+  // is not a temporal split, and whole-timestamp assignment is also what
+  // makes the cut deterministic without a row-level tiebreaker.
+  //
+  // Scale shape: the global event rank is NEVER materialized per row —
+  // ranks live on the distinct-timestamp table (one corpus-sized exchange
+  // to build), whose cumulative count comes from the d37/d61 distributed
+  // prefix sum (range partitions + broadcast per-partition offsets, no
+  // single-task global window). Split labels then flow back to events via
+  // a plain ts equi-join and the summary is one more aggregation. A
+  // sortWithinPartitions/orderBy global sort of the corpus never happens.
+  private val d64: (String, QFn, Option[String]) = ("d64_temporal_split",
+    (s, d) => {
+      val split = Prep.temporalSplitByTs(ev(s, d), "ts",
+        Seq(0.70 -> "train", 0.72 -> "embargo1",
+          0.85 -> "val", 0.87 -> "embargo2"), last = "test")
+      ev(s, d).join(split, "ts").groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("ts")).as("n_ts"))
+    },
+    Some("""WITH tc AS (SELECT ts, count(*)::BIGINT AS cnt
+      |    FROM events GROUP BY ts),
+      |  cu AS (SELECT ts, sum(cnt) OVER (ORDER BY ts)::BIGINT AS cum
+      |    FROM tc),
+      |  tot AS (SELECT sum(cnt)::BIGINT AS n FROM tc),
+      |  sp AS (SELECT ts, CASE
+      |      WHEN cum <= floor(0.70 * n) THEN 'train'
+      |      WHEN cum <= floor(0.72 * n) THEN 'embargo1'
+      |      WHEN cum <= floor(0.85 * n) THEN 'val'
+      |      WHEN cum <= floor(0.87 * n) THEN 'embargo2'
+      |      ELSE 'test' END AS split
+      |    FROM cu CROSS JOIN tot)
+      |SELECT split, count(*)::BIGINT AS n_rows,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  count(DISTINCT e.ts)::BIGINT AS n_ts
+      |FROM events e JOIN sp USING (ts) GROUP BY split""".stripMargin))
+
+  // ----------------------------- annotation majority vote (d65)
+  // Label aggregation for multi-annotator data (the RLHF / labeling-vendor
+  // shape): each item gets several categorical votes; the consensus label
+  // is the modal vote with a DETERMINISTIC tie-break (higher count wins,
+  // then lower vocabulary index — ties are where naive argmax
+  // implementations go nondeterministic across engines, FIXTURES.md's A8
+  // mode lesson). Stand-in data: user_id = item, event_type = vote.
+  //
+  // Scale shape: ONE corpus-sized exchange. The closed vote vocabulary
+  // (|V| = 5) turns per-item vote counting into a conditional aggregation
+  // (the Pivots move — map-side combined, no (item, label) pre-shuffle),
+  // and the argmax-with-tiebreak is a PACKED-SCORE projection on the
+  // aggregate row: score_i = cnt_i·8 − i, g = greatest(scores) recovers
+  // i = (8 − g mod 8) mod 8 and cnt = (g + i)/8 — pure integer algebra
+  // both engines replay bit-for-bit, no window, no second shuffle. The
+  // summary micro-agreement is a ratio of exact BIGINT sums (top votes /
+  // total votes), not an average of per-item doubles.
+  private val d65: (String, QFn, Option[String]) = ("d65_label_vote",
+    (s, d) => Prep.majorityVote(ev(s, d), "user_id", "event_type",
+        Tables.eventTypeVocab)
+      .groupBy("majority")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("top") === col("total")).cast("long")).as("n_unanimous"),
+        sum("top").as("sum_top"), sum("total").as("sum_votes"))
+      .withColumn("micro_agreement",
+        round(col("sum_top").cast("double") / col("sum_votes"), 6)),
+    Some {
+      val vocab = Tables.eventTypeVocab
+      val cnts = vocab.zipWithIndex.map { case (v, i) =>
+        s"sum(CASE WHEN event_type = '$v' THEN 1 ELSE 0 END)::BIGINT AS c$i"
+      }.mkString(", ")
+      val scores = vocab.indices.map(i => s"c$i * 8 - $i").mkString(", ")
+      val majCase = vocab.zipWithIndex
+        .map { case (v, i) => s"WHEN idx = $i THEN '$v'" }
+        .mkString(" ")
+      s"""WITH counted AS (SELECT user_id, count(*)::BIGINT AS total, $cnts
+        |    FROM events GROUP BY user_id),
+        |  scored AS (SELECT *, greatest($scores) AS g FROM counted),
+        |  arg AS (SELECT *, (8 - (g % 8)) % 8 AS idx FROM scored),
+        |  item AS (SELECT CASE $majCase END AS majority, total,
+        |      ((g + idx) // 8)::BIGINT AS top FROM arg)
+        |SELECT majority, count(*)::BIGINT AS n_items,
+        |  sum(CASE WHEN top = total THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unanimous,
+        |  sum(top)::BIGINT AS sum_top, sum(total)::BIGINT AS sum_votes,
+        |  round(sum_top::DOUBLE / sum_votes, 6) AS micro_agreement
+        |FROM item GROUP BY majority""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d63, d64, d65)
+}

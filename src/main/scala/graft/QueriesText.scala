@@ -87,9 +87,9 @@ object QueriesText {
 
   private[graft] val MINHASH_BANDS = 4
 
-  /** Registration order is the public contract: d01..d62, e01..e19,
+  /** Registration order is the public contract: d01..d65, e01..e19,
     * m01..m02, c01 — ordered slices assembled from the sub-registries. */
   val defs: Seq[(String, QFn, Option[String])] =
     QueriesDocs.defs ++ QueriesCorpus.defs ++
-      QueriesCurate.defs ++ QueriesVectors.defs
+      QueriesCurate.defs ++ QueriesPrep.defs ++ QueriesVectors.defs
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised-training data preparation: leakage-free target encoding,
+  * chronological splits with embargo, annotation majority vote. The
+  * label-side complement to the corpus-curation operators ([[Dedup]],
+  * [[Sampling]], [[TextOps]]) — registry rows d63–d65.
+  *
+  * Determinism discipline (shared with the whole repo): every statistic
+  * is integer-exact until one final rounded division, folds and splits
+  * are content- or time-addressed (never RNG-seeded), ties break by a
+  * total order — results are identical across runs, engines and
+  * partitionings. */
+object Prep {
+
+  /** Out-of-fold mean-target encoding with additive smoothing (the
+    * leakage-free form of CatBoost-style categorical encoding): for each
+    * (category c, fold f),
+    * `enc = (pos(c) − pos(c,f) + m·prior) / (cnt(c) − cnt(c,f) + m)`
+    * where `prior` is the global positive rate — each fold is encoded
+    * with the OTHER folds' statistics only, so a row's own label never
+    * reaches its own feature value.
+    *
+    * Input: `(category, fold, y)` rows with `y ∈ {0, 1}` (long).
+    * Output: one row per (category, fold): `n`, `pos`, `encoded`.
+    *
+    * Scale: ONE corpus-sized exchange (the (category, fold) aggregation,
+    * map-side combined). Per-category totals and the global prior derive
+    * from that |C|·k-row aggregate; the out-of-fold subtraction means no
+    * second corpus pass — k-fold encoding at O(1) extra cost. */
+  def outOfFoldTargetEncode(samples: DataFrame, m: Double): DataFrame = {
+    val byFold = samples.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val byCat = byFold.groupBy("category")
+      .agg(sum("n").as("tn"), sum("pos").as("tp"))
+    val global = byFold.agg(sum("n").as("gn"), sum("pos").as("gp"))
+    val prior = col("gp").cast("double") / col("gn")
+    byFold.join(broadcast(byCat), "category")
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("fold"), col("n"), col("pos"),
+        CrossRound.round((col("tp") - col("pos") + lit(m) * prior) /
+          (col("tn") - col("n") + lit(m)), 6).as("encoded"))
+  }
+
+  /** Chronological split labels at count fractions, cut on DISTINCT
+    * `tsCol` boundaries (two simultaneous rows never separate — that is
+    * both the semantics a temporal split needs and what makes the cut
+    * deterministic without a row tiebreaker). `bounds` are cumulative
+    * count fractions paired with split names; rows past the last bound
+    * get `last`. Embargo gaps are expressed as named bounds whose rows
+    * the caller drops (or audits, as d64 does).
+    *
+    * Returns the `(ts, split)` assignment table, to be equi-joined back
+    * to the corpus. Scale: the corpus is never globally sorted — ranks
+    * live on the distinct-ts table via [[Sequences.globalCumsum]] (range
+    * partitions + broadcast offsets, no single-task window). */
+  def temporalSplitByTs(df: DataFrame, tsCol: String,
+                        bounds: Seq[(Double, String)],
+                        last: String): DataFrame = {
+    val tc = df.groupBy(tsCol).agg(count(lit(1)).as("cnt"))
+    val cum = Sequences.globalCumsum(tc, tsCol, col("cnt"), "cum")
+    val total = tc.agg(sum("cnt").as("n"))
+    val split = bounds.foldRight(lit(last)) { case ((frac, name), acc) =>
+      when(col("cum") <= floor(lit(frac) * col("n")), name).otherwise(acc)
+    }
+    cum.crossJoin(broadcast(total)).select(col(tsCol), split.as("split"))
+  }
+
+  /** Per-item modal vote over a CLOSED vocabulary with a deterministic
+    * tie-break (max count, then min vocabulary index). Output: one row
+    * per item — `(item, majority, total, top)`.
+    *
+    * Scale: ONE exchange. The closed vocabulary turns vote counting into
+    * a conditional aggregation (map-side combined; no (item, vote)
+    * pre-shuffle), and the argmax is a packed-score projection on the
+    * aggregate row: with `w` the smallest power of two > |V|,
+    * `score_i = cnt_i·w − i`; `g = greatest(scores)` recovers
+    * `i = (w − g mod w) mod w` and `cnt = (g + i)/w` — pure integer
+    * algebra a SQL oracle replays bit-for-bit; no window, no second
+    * corpus shuffle. Requires |V| < w and cnt ≥ 1 for some entry (any
+    * item with at least one vote). */
+  def majorityVote(votes: DataFrame, item: String, vote: String,
+                   vocab: Seq[String]): DataFrame = {
+    val w = Integer.highestOneBit(vocab.size) * 2 // smallest 2^k > |V|
+    val counted = votes.groupBy(col(item)).agg(
+      count(lit(1)).as("total"),
+      vocab.zipWithIndex.map { case (v, i) =>
+        count(when(col(vote) === v, 1)).as(s"c$i")
+      }: _*)
+    val scores = vocab.indices.map(i => col(s"c$i") * w - lit(i))
+    val g = greatest(scores: _*)
+    val idx = (lit(w) - pmod(g, lit(w))) % w
+    val top = ((g + idx) / w).cast("long")
+    val maj = vocab.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, i)) => when(idx === i, v).otherwise(acc)
+    }
+    counted.select(col(item), maj.as("majority"), col("total"),
+      top.as("top"))
+  }
+}

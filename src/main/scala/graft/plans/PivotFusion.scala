@@ -95,22 +95,45 @@ object PivotFusion extends Rule[LogicalPlan] {
       case other => other
     }
 
+  /** Cheap structural fingerprint: node-class sequence. Two peeled
+    * children can only be canonically identical if their shapes match,
+    * and comparing shapes allocates no rewritten trees. */
+  private def shape(p: LogicalPlan): Seq[Class[_]] =
+    p.collect { case n => n.getClass }
+
+  /** The join condition can only be the per-key equality conjunction if
+    * every conjunct is an attribute equality — O(|cond|), no plan walk.
+    * This alone rejects the self-join shapes that dominate real plans
+    * (pair generation `a.key = b.key AND a.id < b.id`, range/interval
+    * joins), which must NOT pay canonicalization: measured 17x on the
+    * posting-join dedup family when the expensive compare ran first. */
+  private def condIsAttrEqs(cond: Expression): Boolean =
+    conjuncts(cond).forall {
+      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case EqualNullSafe(_: AttributeReference, _: AttributeReference) =>
+        true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _) =>
+    case j @ Join(l, r, Inner, Some(cond), _) if condIsAttrEqs(cond) =>
       val condIds = cond.references.map(_.exprId).toSet
       (stripTower(l, condIds), stripTower(r, condIds)) match {
         case (la: Aggregate, ra: Aggregate)
-            if peel(la.child).canonicalized ==
-                peel(ra.child).canonicalized &&
-              deterministicTree(la.child) &&
-              la.groupingExpressions.length ==
+            // guards ordered cheapest-first; `canonicalized` rebuilds the
+            // whole subtree and must stay LAST behind the shape compare
+            if la.groupingExpressions.length ==
                 ra.groupingExpressions.length &&
               la.groupingExpressions
                 .forall(_.isInstanceOf[AttributeReference]) &&
               ra.groupingExpressions
-                .forall(_.isInstanceOf[AttributeReference]) &&
-              peel(la.child).output.length ==
-                peel(ra.child).output.length =>
+                .forall(_.isInstanceOf[AttributeReference]) && {
+                val pa = peel(la.child); val pb = peel(ra.child)
+                pa.output.length == pb.output.length &&
+                shape(pa) == shape(pb) &&
+                pa.canonicalized == pb.canonicalized &&
+                deterministicTree(la.child)
+              } =>
           // wrap back to the join's exact output (attrs all live in the
           // fused aggregate; the Project also restores output order)
           fuse(la, ra, cond)

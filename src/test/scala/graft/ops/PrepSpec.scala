@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** d63–d65 core properties: the leakage guarantee of out-of-fold target
+  * encoding, whole-timestamp atomicity of the temporal split, and the
+  * deterministic tie-break of the majority vote. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ target encoding
+  private def encMap(rows: Seq[(String, Long, Long)]) =
+    Prep.outOfFoldTargetEncode(
+      rows.toDF("category", "fold", "y"), m = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("out-of-fold encoding excludes the row's own fold") {
+    // category a: fold0 = {1,0}, fold1 = {1,1}, fold2 = {0}
+    // category b: fold0 = {0},   fold1 = {0},   fold2 = {1}
+    val base = Seq(
+      ("a", 0L, 1L), ("a", 0L, 0L), ("a", 1L, 1L), ("a", 1L, 1L),
+      ("a", 2L, 0L), ("b", 0L, 0L), ("b", 1L, 0L), ("b", 2L, 1L))
+    val e = encMap(base)
+    val prior = 4.0 / 8.0 // 4 positives of 8 overall
+    def enc(otherPos: Long, otherN: Long, p: Double): Double =
+      math.round(((otherPos + 10.0 * p) / (otherN + 10.0)) * 1e6) / 1e6
+    // each fold's encoding is built from the OTHER folds only — a
+    // leaking implementation would use the full category stats (a:
+    // 3 of 5, b: 1 of 3) and fail every line below
+    assert(e(("a", 0L))._3 === enc(2, 3, prior)) // folds 1,2: 2 pos / 3
+    assert(e(("a", 1L))._3 === enc(1, 3, prior)) // folds 0,2: 1 pos / 3
+    assert(e(("a", 2L))._3 === enc(3, 4, prior)) // folds 0,1: 3 pos / 4
+    assert(e(("b", 2L))._3 === enc(0, 2, prior)) // folds 0,1: 0 pos / 2
+    // and the raw per-fold counts are reported faithfully
+    assert(e(("a", 1L))._1 === 2L && e(("a", 1L))._2 === 2L)
+  }
+
+  test("encoding shrinks rare categories toward the global prior") {
+    // one positive-only row in category "rare": with m=10 smoothing its
+    // out-of-fold encoding sits near the prior, not near 1.0
+    val rows = Seq(("rare", 0L, 1L)) ++
+      (1 to 50).map(i => ("big", (i % 3).toLong, (i % 2).toLong))
+    val e = encMap(rows)
+    val prior = (1 + 25) / 51.0
+    val rare = e(("rare", 0L))._3
+    // its only fold IS fold 0, so the out-of-fold stats are empty and
+    // the smoothed encoding collapses to the prior exactly (mod 6-dp)
+    assert(math.abs(rare - prior) < 1e-5,
+      s"rare-category encoding $rare should collapse to prior $prior")
+  }
+
+  // ------------------------------------------------ temporal split
+  test("temporal split cuts on whole timestamps, in time order") {
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // 10 rows over 4 distinct timestamps: 4 + 3 + 2 + 1
+    val df = (Seq.fill(4)(t(1)) ++ Seq.fill(3)(t(2)) ++
+      Seq.fill(2)(t(3)) ++ Seq(t(4))).toDF("ts")
+    val split = Prep.temporalSplitByTs(df, "ts",
+      Seq(0.5 -> "train", 0.7 -> "gap"), last = "eval")
+      .collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+    // cum: t1=4 <= 5 -> train; t2=7 <= 7 -> gap; t3=9, t4=10 -> eval
+    assert(split(t(1)) == "train")
+    assert(split(t(2)) == "gap")
+    assert(split(t(3)) == "eval")
+    assert(split(t(4)) == "eval")
+  }
+
+  test("simultaneous rows never separate even when a cut lands mid-group") {
+    val t = Timestamp.valueOf("2024-06-01 12:00:00")
+    val df = Seq.fill(10)(t).toDF("ts") // one ts, any cut fraction
+    val out = Prep.temporalSplitByTs(df, "ts",
+      Seq(0.3 -> "train"), last = "test").collect()
+    assert(out.length == 1) // one assignment for the one timestamp
+  }
+
+  // ------------------------------------------------ majority vote
+  test("majority vote breaks count ties by vocabulary order") {
+    val vocab = Seq("click", "error", "purchase", "signup", "view")
+    val votes = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"), // clear majority: view
+      (2L, "error"), (2L, "click"),              // tie -> click (idx 0)
+      (3L, "signup"), (3L, "view"), (3L, "signup"), (3L, "view")
+    ).toDF("item", "vote")
+    val out = Prep.majorityVote(votes, "item", "vote", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("view", 3L, 2L))
+    assert(out(2L) == ("click", 2L, 1L)) // tie at 1-1: lower index wins
+    assert(out(3L) == ("signup", 4L, 2L)) // tie at 2-2: signup < view
+  }
+
+  test("majority vote is one aggregation — no window, no second shuffle") {
+    val vocab = Seq("a", "b")
+    val votes = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("item", "vote")
+    val plan = Prep.majorityVote(votes, "item", "vote", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "packed-score argmax must not window")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one exchange, plan:\n$plan")
+  }
+}
