@@ -793,5 +793,73 @@ private[graft] object QueriesVectors {
       | round(coalesce(n_hits, 0)::DOUBLE / total::DOUBLE, 6) AS recall
       |FROM pl LEFT JOIN h USING (nprobe), t""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, m01, m02)
+  // ------------------------------------------ MMR diverse re-rank (e20)
+  // "My top-k are five near-copies of one document" — the retrieval /
+  // training-data-assembly failure a pure-relevance top-k cannot avoid.
+  // MMR (Carbonell & Goldstein 1998) greedily picks k items maximizing
+  // λ·rel − (1−λ)·max sim-to-already-selected. The pool here is e01's
+  // brute top-50 per query (ANY retriever can feed it — LSH, IVF); the
+  // greedy loop is k=5 UNROLLED declarative steps (see
+  // Similarity.mmrRerank), and the oracle replays all five steps as
+  // generated CTE stages — argmax, max-sim aggregate and anti-join
+  // included — so the selection order itself is hash-locked. λ and 1−λ
+  // are exact literals on both sides (computing 1.0−0.7 would give
+  // 0.30000000000000004 and a one-ulp score drift).
+  private def mmrCosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b)
+       | / (sqrt(list_dot_product($a, $a))
+       |    * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  private def mmrSql(k: Int): String = {
+    val head = s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  ${mmrCosSql("q.v", "c.v")} AS rel, c.v AS nv
+      |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+      |pool AS (SELECT qid, nid, rel, nv FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+      |  FROM scored) t WHERE rk <= 50),
+      |sel1 AS (SELECT qid, nid, nv, 1 AS step, score FROM (SELECT qid,
+      |    nid, nv, round(0.7 * rel, 6) AS score, row_number() OVER
+      |    (PARTITION BY qid ORDER BY round(0.7 * rel, 6) DESC, nid)
+      |    AS rk FROM pool) t WHERE rk = 1),
+      |all1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val prev = s"all${t - 1}"
+      s""",
+      |rem$t AS (SELECT p.* FROM pool p WHERE NOT EXISTS (SELECT 1
+      |  FROM $prev s WHERE s.qid = p.qid AND s.nid = p.nid)),
+      |ms$t AS (SELECT r.qid, r.nid, max(${mmrCosSql("r.nv", "s.nv")})
+      |    AS ms
+      |  FROM rem$t r JOIN $prev s ON r.qid = s.qid
+      |  GROUP BY r.qid, r.nid),
+      |sel$t AS (SELECT qid, nid, nv, $t AS step, score FROM (SELECT
+      |    r.qid, r.nid, r.nv,
+      |    round(0.7 * r.rel - 0.3 * m.ms, 6) AS score,
+      |    row_number() OVER (PARTITION BY r.qid
+      |      ORDER BY round(0.7 * r.rel - 0.3 * m.ms, 6) DESC, r.nid)
+      |      AS rk
+      |  FROM rem$t r JOIN ms$t m ON r.qid = m.qid AND r.nid = m.nid) t
+      |  WHERE rk = 1),
+      |all$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString
+    s"""$head$steps
+      |SELECT qid, nid, step::BIGINT AS step, score FROM all$k"""
+      .stripMargin
+  }
+
+  private val e20: (String, QFn, Option[String]) = ("e20_mmr_rerank",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val pool = Similarity.bruteKnn(e.filter(col("id") < 3), e, 50)
+        .join(e.select(col("id").as("nid"), col("vec").as("nv")), "nid")
+        .select(col("qid"), col("nid"), col("sim").as("rel"), col("nv"))
+      Similarity.mmrRerank(pool, k = 5, lam = 0.7, oneMinusLam = 0.3)
+    },
+    Some(mmrSql(5)))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, m01, m02)
 }

@@ -700,4 +700,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
+
+  /** Maximal-marginal-relevance diverse re-rank: greedily pick `k` items
+    * per query maximizing `λ·rel − (1−λ)·max_{s∈S} sim(cand, s)` — the
+    * standard answer to "my top-k are five near-copies of one document"
+    * in retrieval-augmented training-data assembly (Carbonell & Goldstein
+    * 1998). Step 1 has an empty selected set, so its score is `λ·rel`
+    * (the uniform max-sim-of-nothing = 0 convention).
+    *
+    * `pool`: `(qid, nid, rel, nv)` — per-query candidate pools from ANY
+    * upstream retriever (brute, LSH, IVF), `rel` already rounded 6 dp.
+    * Output: `(qid, nid, step, score)`, `step` = 1..k selection order.
+    *
+    * Shape: the greedy loop is k UNROLLED declarative steps — each a
+    * candidate⋈selected equi-join on qid, a 6-dp-rounded max-sim
+    * aggregate, and a row_number pick — so re-ranking millions of query
+    * pools runs as k small co-partitioned stages with NO driver collect,
+    * no UDF, and per-group state bounded by the pool size. Determinism:
+    * pairwise sims and scores are rounded 6 dp before ranking with an id
+    * tie-break, and every float constant (λ, 1−λ) is an exact literal on
+    * both engines — the oracle replays all k steps verbatim. */
+  def mmrRerank(pool: DataFrame, k: Int, lam: Double,
+                oneMinusLam: Double): DataFrame = {
+    // eager-checkpoint the pool and each step's selected set: step t
+    // references step t−1 three times (anti-join, sim join, pick), so
+    // un-truncated lineage compounds ~3^k copies of the pool plan (the
+    // Subword.learnMerges lesson); checkpointed, each step is one small
+    // job over ≤ |queries|·k rows
+    val p = pool.select(col("qid"), col("nid"), col("rel"), col("nv"))
+      .localCheckpoint(true)
+    def pick(cands: DataFrame, step: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nid").asc)
+      cands.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("qid"), col("nid"), col("nv"),
+          lit(step.toLong).as("step"), col("score"))
+    }
+    var selected = pick(
+      p.withColumn("score", round(lit(lam) * col("rel"), 6)), 1)
+    for (t <- 2 to k) {
+      val rem = p.join(selected.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+      val ms = rem.join(selected.select(col("qid"), col("nv").as("sv")),
+          "qid")
+        .withColumn("s", round(cosine(col("nv"), col("sv")), 6))
+        .groupBy("qid", "nid").agg(max(col("s")).as("ms"))
+      val next = pick(rem.join(ms, Seq("qid", "nid"))
+        .withColumn("score", round(lit(lam) * col("rel")
+          - lit(oneMinusLam) * col("ms"), 6)), t)
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select(col("qid"), col("nid"), col("step"), col("score"))
+  }
 }

@@ -202,4 +202,36 @@ class CorpusFilterSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"),
       "centroid assignment is not materialized across its three consumers")
   }
+
+  test("mmrRerank trades relevance for diversity past step one") {
+    // A and B are IDENTICAL vectors (sim 1.0); C is orthogonal. Pure
+    // relevance would pick A, B, C; MMR at λ=0.7 must demote the
+    // redundant B below the diverse C: step2 scores are
+    // B = 0.7·0.8 − 0.3·1.0 = 0.26 < C = 0.7·0.5 − 0.3·0.0 = 0.35.
+    val a = Seq(1.0, 0.0); val c = Seq(0.0, 1.0)
+    val pool = Seq(
+      (7L, 10L, 0.9, a), (7L, 11L, 0.8, a), (7L, 12L, 0.5, c))
+      .toDF("qid", "nid", "rel", "nv")
+    val out = Similarity.mmrRerank(pool, k = 3, lam = 0.7,
+        oneMinusLam = 0.3)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("nid"),
+        r.getAs[Double]("score")))
+    assert(out.toSeq == Seq((1L, 10L, 0.63), (2L, 12L, 0.35),
+      (3L, 11L, 0.26)))
+  }
+
+  test("mmrRerank re-ranks each query's pool independently") {
+    val v1 = Seq(1.0, 0.0); val v2 = Seq(0.0, 1.0)
+    val pool = Seq(
+      (1L, 10L, 0.9, v1), (1L, 11L, 0.4, v2),
+      (2L, 11L, 0.7, v2), (2L, 10L, 0.6, v1))
+      .toDF("qid", "nid", "rel", "nv")
+    val out = Similarity.mmrRerank(pool, k = 2, lam = 0.7,
+        oneMinusLam = 0.3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("step"))
+        -> r.getAs[Long]("nid")).toMap
+    assert(out((1L, 1L)) == 10L && out((2L, 1L)) == 11L)
+    assert(out((1L, 2L)) == 11L && out((2L, 2L)) == 10L)
+  }
 }
