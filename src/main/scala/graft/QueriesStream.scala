@@ -222,6 +222,41 @@ object QueriesStream {
       | user_id, count(*) AS cnt
       |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
 
+  // --------------------------------------- windowed majority vote (s10)
+  // d65's streaming twin (EventStream.windowedVote): per (day, item)
+  // vote tallies accumulate as ONE stateful conditional aggregation over
+  // the closed vocabulary; the consensus label is the Prep.packedArgmax
+  // projection on the aggregate row (no second stateful operator, so
+  // append-mode stays legal), and minVotes = 3 suppresses 1-vote
+  // "majorities" post-agg. Window starts are exact UTC midnights, so
+  // second-level epoch is fraction-free on both engines (the s01 note).
+  private val s10: (String, QFn, Option[String]) = ("s10_windowed_vote",
+    (s, d) => EventStream.windowedVote(Tables.events(s, d),
+        col("user_id"), col("event_type"), Tables.eventTypeVocab,
+        minVotes = 3L, win = "1 day")
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("item").as("user_id"), col("majority"), col("total"),
+        col("top")),
+    Some {
+      val vocab = Tables.eventTypeVocab
+      val cnts = vocab.zipWithIndex.map { case (v, i) =>
+        s"sum(CASE WHEN event_type = '$v' THEN 1 ELSE 0 END)::BIGINT AS c$i"
+      }.mkString(", ")
+      val scores = vocab.indices.map(i => s"c$i * 8 - $i").mkString(", ")
+      val majCase = vocab.zipWithIndex
+        .map { case (v, i) => s"WHEN idx = $i THEN '$v'" }
+        .mkString(" ")
+      s"""WITH counted AS (SELECT date_trunc('day', ts) AS d, user_id,
+        |    count(*)::BIGINT AS total, $cnts
+        |    FROM events GROUP BY 1, 2),
+        |  scored AS (SELECT *, greatest($scores) AS g FROM counted),
+        |  arg AS (SELECT *, (8 - (g % 8)) % 8 AS idx FROM scored)
+        |SELECT epoch(d)::BIGINT AS win_start, user_id,
+        |  CASE $majCase END AS majority, total,
+        |  ((g + idx) // 8)::BIGINT AS top
+        |FROM arg WHERE total >= 3""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

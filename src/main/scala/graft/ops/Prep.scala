@@ -83,20 +83,35 @@ object Prep {
     * item with at least one vote). */
   def majorityVote(votes: DataFrame, item: String, vote: String,
                    vocab: Seq[String]): DataFrame = {
-    val w = Integer.highestOneBit(vocab.size) * 2 // smallest 2^k > |V|
     val counted = votes.groupBy(col(item)).agg(
       count(lit(1)).as("total"),
       vocab.zipWithIndex.map { case (v, i) =>
         count(when(col(vote) === v, 1)).as(s"c$i")
       }: _*)
-    val scores = vocab.indices.map(i => col(s"c$i") * w - lit(i))
+    val (maj, top) = packedArgmax(vocab, i => col(s"c$i"))
+    counted.select(col(item), maj.as("majority"), col("total"),
+      top.as("top"))
+  }
+
+  /** The packed-score argmax over closed-vocab count columns: with `w`
+    * the smallest power of two > |V|, `score_i = cnt_i·w − i`;
+    * `g = greatest(scores)` recovers `i = (w − g mod w) mod w` and
+    * `cnt = (g + i)/w`. Returns `(majority label, top count)` as pure
+    * projections over the aggregate row — shared by the batch
+    * [[majorityVote]] and the streaming windowed twin
+    * (`EventStream.windowedVote`), and replayed verbatim by both
+    * queries' oracles. Requires some `cnt_i ≥ 1` (any item with a
+    * vote). */
+  private[graft] def packedArgmax(vocab: Seq[String],
+                                  cnt: Int => Column): (Column, Column) = {
+    val w = Integer.highestOneBit(vocab.size) * 2 // smallest 2^k > |V|
+    val scores = vocab.indices.map(i => cnt(i) * w - lit(i))
     val g = greatest(scores: _*)
     val idx = (lit(w) - pmod(g, lit(w))) % w
     val top = ((g + idx) / w).cast("long")
     val maj = vocab.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (v, i)) => when(idx === i, v).otherwise(acc)
     }
-    counted.select(col(item), maj.as("majority"), col("total"),
-      top.as("top"))
+    (maj, top)
   }
 }

@@ -208,6 +208,37 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("key"), col("cnt"))
   }
 
+  /** Windowed annotation majority vote — the streaming twin of
+    * `Prep.majorityVote` (d65): per (event-time window, item) vote
+    * tallies accumulate incrementally as ONE stateful conditional
+    * aggregation over the closed vote vocabulary (state = |V|+1 counters
+    * per open window×item, evicted by the watermark); the consensus
+    * label and its count are `Prep.packedArgmax` PROJECTIONS on the
+    * aggregate row, so the argmax adds no second stateful operator and
+    * the plan stays append-mode legal. `minVotes` suppresses
+    * low-support consensus (a 1-vote "majority" is noise), as a
+    * post-aggregation filter — the same append-legal shape as
+    * [[heavyHitters]]' threshold. Late votes fold into their window's
+    * tallies and can flip the majority — the incremental semantics the
+    * spec pins. Identical plan in batch: the s10 twin hash-checks it. */
+  def windowedVote(events: DataFrame, keyCol: org.apache.spark.sql.Column,
+                   voteCol: org.apache.spark.sql.Column,
+                   vocab: Seq[String], minVotes: Long,
+                   win: String = "1 hour", watermark: String = "2 hours")
+  : DataFrame = {
+    require(minVotes >= 1, "windowedVote: minVotes must be >= 1")
+    val counted = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), keyCol.as("item"))
+      .agg(count(lit(1)).as("total"),
+        vocab.zipWithIndex.map { case (v, i) =>
+          count(when(voteCol === v, 1)).as(s"c$i")
+        }: _*)
+    val (maj, top) = graft.ops.Prep.packedArgmax(vocab, i => col(s"c$i"))
+    counted.filter(col("total") >= minVotes)
+      .select(col("w.start").as("win_start"), col("item"),
+        maj.as("majority"), col("total"), top.as("top"))
+  }
+
   /** Windowed Count-Min counters over the stream — the incremental form of
     * `ops.Sketches.countMin`, same md5 hash family, so each window's
     * depth×width counter table merges into a standing sketch (or across

@@ -96,6 +96,60 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedVote tallies incrementally; a late vote flips the majority") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("click", "error", "purchase", "signup", "view")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStream.windowedVote(df, col("user_id"),
+        col("event_type"), vocab, minVotes = 3L, win = "1 day",
+        watermark = "1 day")
+      .writeStream.format("memory").queryName("wv")
+      .outputMode("complete").start()
+    try {
+      val t = (h: Int) => Timestamp.valueOf(f"2024-03-05 $h%02d:00:00")
+      in.addData((t(1), 1L, "view"), (t(2), 1L, "view"), (t(3), 1L, "click"))
+      q.processAllAvailable()
+      val first = spark.table("wv")
+        .select("item", "majority", "total", "top")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(first == Set((1L, "view", 3L, 2L)))
+      // two late clicks arrive for the SAME day: tally 3-2 click — the
+      // open window's counters update and the argmax flips
+      in.addData((t(4), 1L, "click"), (t(5), 1L, "click"))
+      q.processAllAvailable()
+      val second = spark.table("wv")
+        .select("item", "majority", "total", "top")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(second == Set((1L, "click", 5L, 3L)))
+      // batch twin over the full replay agrees with the final state
+      val batch = EventStream.windowedVote(
+        Seq((t(1), 1L, "view"), (t(2), 1L, "view"), (t(3), 1L, "click"),
+          (t(4), 1L, "click"), (t(5), 1L, "click"))
+          .toDF("ts", "user_id", "event_type"),
+        col("user_id"), col("event_type"), vocab, minVotes = 3L,
+        win = "1 day")
+        .select("item", "majority", "total", "top")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(batch == second, "stream and batch twins must agree")
+    } finally q.stop()
+  }
+
+  test("windowedVote suppresses below-minVotes consensus and ties break by vocab") {
+    val vocab = Seq("click", "error", "purchase", "signup", "view")
+    val t = Timestamp.valueOf("2024-03-05 12:00:00")
+    val out = EventStream.windowedVote(
+      Seq((t, 1L, "view"), (t, 1L, "view"), (t, 1L, "signup"),
+        (t, 1L, "signup"), // user 1: 2-2 tie -> signup (lower index)
+        (t, 2L, "click"), (t, 2L, "click")) // user 2: only 2 votes
+        .toDF("ts", "user_id", "event_type"),
+      col("user_id"), col("event_type"), vocab, minVotes = 3L,
+      win = "1 day")
+      .select("item", "majority", "total", "top")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "signup", 4L, 2L)))
+  }
+
   test("dedupStream drops re-seen fingerprints across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
