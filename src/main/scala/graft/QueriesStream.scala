@@ -257,6 +257,41 @@ object QueriesStream {
         |FROM arg WHERE total >= 3""".stripMargin
     })
 
+  // ------------------------------------------- native session windows
+  // EventStream.sessionStats — Spark's `session_window` operator (state
+  // MERGES adjacent windows closer than the gap; the watermark closes
+  // sessions and evicts their state). Batch twin = the identical plan
+  // over the static table. Merge rule is INCLUSIVE: an event at exactly
+  // prev_ts + gap still merges (measured, pinned in EventStreamSpec
+  // "session_window break is > gap"), so the oracle's break condition is
+  // strictly `>` — the same convention q29's hand-rolled sessionize
+  // pins, which is what lets both forms coexist hash-checked. Values
+  // pre-scaled to cents (the s02 note) so per-session sums are
+  // order-free exact; session end = last ts + gap, microsecond-exact on
+  // both engines via unix_micros/epoch_us.
+  private val s11: (String, QFn, Option[String]) = ("s11_session_window",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("value", round(col("value") * 100).cast("double"))
+      EventStream.sessionStats(e, gap = "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("sum_value").cast("long").as("sum_cents"))
+    },
+    Some("""WITH o AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+      |  round(value * 100)::BIGINT AS cents,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS pus FROM events),
+      |f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+      |  THEN 1 ELSE 0 END AS nw FROM o),
+      |g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, min(us) AS start_us,
+      | max(us) + 1800000000 AS end_us, count(*) AS n_events,
+      | sum(cents)::BIGINT AS sum_cents
+      |FROM g GROUP BY user_id, sid""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

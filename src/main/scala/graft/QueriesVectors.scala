@@ -850,6 +850,56 @@ private[graft] object QueriesVectors {
       .stripMargin
   }
 
+  // --------------------------------------- nearest-centroid label audit
+  // Pseudo-labeling / label-noise sweep: every vector reclassified to its
+  // nearest LABEL centroid (centroids = e06's dim × labels aggregate,
+  // broadcast; argmin = one packed min(struct) — order-free). `correct=0`
+  // rows are the relabel/exclude candidates a training-data pipeline
+  // reviews; at 100 TB the same plan holds because vectors never shuffle
+  // (label fan-out is map-side, collapsed by the id-keyed argmin).
+  private val e21: (String, QFn, Option[String]) = ("e21_centroid_classify",
+    (s, d) => Similarity.nearestCentroid(
+        emb(s, d), "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("d2_pred"), col("correct")),
+    Some("""WITH e AS (SELECT vec_id, label, pos,
+      |  embedding[pos + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+      |c AS (SELECT label AS clbl, pos, avg(v) AS mu FROM e GROUP BY 1, 2),
+      |d AS (SELECT vec_id, e.label, c.clbl,
+      |  round(sum((v - mu) * (v - mu)), 6) AS d2
+      |  FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY d2, clbl) AS rk FROM d)
+      |SELECT vec_id, label, clbl AS pred_label, d2 AS d2_pred,
+      | (label = clbl)::BIGINT AS correct
+      |FROM r WHERE rk = 1""".stripMargin))
+
+  // --------------------------------------- resize/transcode stage (m03)
+  // The m01/m02 pipeline's missing middle: normalize every payload to a
+  // fixed byte budget (Multimodal.resizeStub — truncate long, zero-pad
+  // short; fixed-size cells keep downstream tensor batches rectangular),
+  // then digest + feature the RESIZED payload. The digest routes through
+  // lower(hex(payload)) because the oracle's md5 is VARCHAR-only and NUL
+  // bytes can't live in a VARCHAR — hex is the cross-engine binary
+  // transport. Pure projections end to end; no shuffle at any scale.
+  private val m03: (String, QFn, Option[String]) = ("m03_resize_digest",
+    (s, d) => {
+      val resized = Multimodal.resizeStub(col("text").cast("binary"), 64)
+      docs(s, d).select(col("doc_id"),
+          octet_length(resized).cast("long").as("n_bytes"),
+          md5(lower(hex(resized)).cast("binary")).as("digest"))
+        .withColumn("f1",
+          conv(substring(col("digest"), 1, 15), 16, 10).cast("long") % 997L)
+    },
+    Some("""WITH r AS (SELECT doc_id,
+      |  substr(lower(hex(encode(text) || repeat('\x00'::BLOB, 64))),
+      |    1, 128) AS hx FROM documents)
+      |SELECT doc_id, (length(hx) // 2)::BIGINT AS n_bytes,
+      | md5(hx) AS digest,
+      | ('0x' || substr(md5(hx), 1, 15))::BIGINT % 997 AS f1
+      |FROM r""".stripMargin))
+
   private val e20: (String, QFn, Option[String]) = ("e20_mmr_rerank",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"),
@@ -861,5 +911,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, m01, m02)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, m01, m02, m03)
 }

@@ -461,6 +461,48 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** Nearest-centroid label audit: each vector is (re)classified to its
+    * NEAREST label centroid — the pseudo-labeling / label-noise sweep
+    * (`correct = 0` rows are the candidates for relabeling or exclusion,
+    * the embedding-space complement of [[centroidDistances]]' per-label
+    * outlier flag).
+    *
+    * Scale shape: label centroids are the same dim × labels aggregate as
+    * [[centroidDistances]]; the |labels|-row centroid table is BROADCAST
+    * against the corpus (vectors fan out × |labels| map-side, never
+    * shuffling a vector), and the per-vector argmin collapses the fan-out
+    * through one id-keyed aggregation. With collected-literal centroids
+    * (the [[kmeansFit]] driver pattern) even that aggregation disappears
+    * into a projection — kept relational here so the oracle replays the
+    * identical join shape.
+    *
+    * Determinism: distances emit at round(6) BEFORE the argmin, and ties
+    * break on the smaller label via one packed `min(struct(d2, lbl))` —
+    * order-independent and engine-exact past rounding. */
+  def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val exploded = df.select(col(labelCol).as("clbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("clbl"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mu"))
+    val cents = exploded.groupBy(col("clbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("cv"))
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol), col(labelCol).as("lbl"), col(vecCol).as(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d2", round(dist2, 6))
+      .groupBy(col(idCol), col("lbl"))
+      .agg(min(struct(col("_d2"), col("clbl"))).as("_m"))
+      .select(col(idCol), col("lbl").as(labelCol),
+        col("_m.clbl").as("pred_label"),
+        col("_m._d2").as("d2_pred"),
+        (col("lbl") === col("_m.clbl")).cast("long").as("correct"))
+  }
+
   /** Product-quantized (PQ) approximate KNN (Jégou et al. 2011 shape) —
     * the memory-compression scale path: each corpus vector is encoded as
     * `m` small centroid codes (one per dims/m subspace, nearest by L2²),

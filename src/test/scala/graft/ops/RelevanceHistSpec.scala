@@ -131,4 +131,22 @@ class RelevanceHistSpec extends SparkSpec {
     // dist2 of vec 1 = 4 * (1-3)^2 = 16
     approx(out(0).getAs[Double]("dist2"), 16.0, 1e-4)
   }
+
+  test("nearestCentroid reclassifies the planted mislabel") {
+    val mk = (v: Double) => Array.fill(4)(v.toFloat)
+    val df = Seq(
+      (1L, mk(1.0), 0), (2L, mk(1.2), 0), (3L, mk(0.8), 0),
+      (4L, mk(5.0), 1), (5L, mk(5.2), 1),
+      (6L, mk(5.1), 0)) // label says 0, sits in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroid(df, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    // label-0 centroid = mean(1, 1.2, .8, 5.1) = 2.025; label-1 = 5.1.
+    // vectors 1-3 stay at label 0; 4-5 at label 1; the planted vec 6
+    // (labeled 0, value 5.1) is EXACTLY the label-1 centroid -> pred 1.
+    assert(out.map(r => (r.getAs[Int]("pred_label"),
+      r.getAs[Long]("correct"))).toSeq ==
+      Seq((0, 1L), (0, 1L), (0, 1L), (1, 1L), (1, 1L), (1, 0L)))
+    approx(out(5).getAs[Double]("d2_pred"), 0.0)
+  }
 }

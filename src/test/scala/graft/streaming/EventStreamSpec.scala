@@ -230,6 +230,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window break is > gap (the s11 oracle convention)") {
+    // Batch run of the SAME sessionStats plan. Spark's merge rule is
+    // INCLUSIVE: an event at exactly prev_ts + gap still merges into the
+    // session (measured here — a first draft of the s11 oracle assumed
+    // the exclusive `>=` break and only escaped red because continuous
+    // testdata timestamps never land on the boundary). One microsecond
+    // past the gap starts a new session. The s11 DuckDB oracle encodes
+    // this as `us - pus > 1800000000`; this spec is the engine-side pin.
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 2.0), // = gap: same
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 2L, 4.0),
+      (Timestamp.valueOf("2024-01-01 12:30:00.000001"), 2L, 8.0)) // NEW
+      .toDF("ts", "user_id", "value")
+    val out = EventStream.sessionStats(df, gap = "30 minutes")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("clickAttribution joins streams within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
