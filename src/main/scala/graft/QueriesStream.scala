@@ -292,6 +292,38 @@ object QueriesStream {
       | sum(cents)::BIGINT AS sum_cents
       |FROM g GROUP BY user_id, sid""".stripMargin))
 
+  // --------------------------------------- custom-state session tracker
+  // EventStream.sessionTracker — the flatMapGroupsWithState form of s11
+  // (richer per-session output / non-gap close conditions; event-time
+  // timeout flushes idle users' last sessions). Batch twin runs the SAME
+  // fold over each user's full history with `emitOpen = true` (batch
+  // timeouts never fire, so the trailing session emits directly — which
+  // is the streaming output once the watermark passes). Third execution
+  // path pinned to the one session convention (q29 SQL window, s11
+  // native operator, s12 custom state); end_us here is the LAST EVENT
+  // (the honest span), where s11's native form reports last + gap.
+  private val s12: (String, QFn, Option[String]) = ("s12_session_tracker",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+        .as[EventStream.SessEvent]
+      EventStream.sessionTracker(evs, gapUs = 1800000000L, emitOpen = true)
+        .toDF()
+    },
+    Some("""WITH o AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+      |  round(value * 100)::BIGINT AS cents,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS pus FROM events),
+      |f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+      |  THEN 1 ELSE 0 END AS nw FROM o),
+      |g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+      | count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
+      |FROM g GROUP BY user_id, sid""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

@@ -265,6 +265,81 @@ object EventStream {
   case class UserState(n: Long, total: Double)
   case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)
 
+  case class SessEvent(user_id: Long, us: Long, cents: Long,
+                       ts: java.sql.Timestamp)
+  case class SessState(start: Long, last: Long, n: Long, cents: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, sum_cents: Long)
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` + event-time
+    * timeout — the hand-rolled form of [[sessionStats]], for when session
+    * OUTPUT must be richer than an aggregate row (first/last event
+    * payloads, abandonment flags, per-session funnels) or the close
+    * condition isn't a pure time gap. Same merge convention as q29 and
+    * the native operator: an event within `gapUs` of the session's last
+    * event (inclusive) extends it; strictly past the gap closes it and
+    * starts a new one — three independent execution paths (SQL window,
+    * native session_window, custom state) pinned to one semantics.
+    *
+    * Streaming: state is ONE open-session struct per user; closed
+    * sessions emit as soon as a later event proves the gap, and the
+    * event-time timeout (watermark past last + gap) flushes sessions no
+    * further event will ever extend — without it an idle user's final
+    * session would sit in state forever, the unbounded-state failure
+    * mode. Batch twin (`emitOpen = true`): the function sees each user's
+    * whole history at once — timeouts never fire in batch — so it also
+    * emits the trailing open session, which is exactly the streaming
+    * output once the watermark passes. Within-group rows are SORTED on
+    * event time before folding (the iterator arrives in partition order;
+    * per-user buffering is bounded by user activity, the q12/Repair
+    * trade); tied timestamps always co-session, and min/max/sum/count
+    * are tie-order-free, so output is deterministic. */
+  def sessionTracker(events: Dataset[SessEvent], gapUs: Long,
+                     emitOpen: Boolean = false,
+                     watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def close(u: Long, s: SessState) = Session(u, s.start, s.last, s.n, s.cents)
+    // Event-time timeout REQUIRES a watermark on the input attribute —
+    // `ts` is carried as a field of SessEvent precisely so the watermark
+    // survives into the typed plan (a dropped column takes its watermark
+    // with it). No-op in batch (EliminateEventTimeWatermark).
+    events.withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = close(user, state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = rows.toArray.sortBy(_.us)
+            var closed = List.empty[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.us - s.last <= gapUs =>
+                  open = Some(SessState(s.start, e.us, s.n + 1,
+                    s.cents + e.cents))
+                case other =>
+                  other.foreach(s => closed ::= close(user, s))
+                  open = Some(SessState(e.us, e.us, 1L, e.cents))
+              }
+            }
+            open.foreach { s =>
+              if (emitOpen) closed ::= close(user, s)
+              else {
+                state.update(s)
+                state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+              }
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Per-user running (count, sum, mean) over an unbounded stream — custom
     * state via mapGroupsWithState. State is one tiny struct per user key,
     * partitioned by the same user key the batch pipeline shuffles on. */

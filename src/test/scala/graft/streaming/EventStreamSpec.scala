@@ -250,6 +250,43 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("sessionTracker closes sessions on gap and flushes by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.SessEvent]
+    val q = EventStream.sessionTracker(in.toDS(), gapUs = 1800000000L)
+      .writeStream.format("memory").queryName("tracked")
+      .outputMode("append").start()
+    val H = 3600000000L // one hour in us
+    def ev(u: Long, us: Long, cents: Long) =
+      EventStream.SessEvent(u, us, cents, new Timestamp(us / 1000L))
+    try {
+      // batch 1: two events 10 min apart (one open session)
+      in.addData(ev(1L, H, 100L), ev(1L, H + 600000000L, 50L))
+      q.processAllAvailable()
+      assert(spark.table("tracked").count() == 0) // still open
+      // batch 2: an event 2h later closes the first session immediately
+      in.addData(ev(1L, 3 * H, 7L))
+      q.processAllAvailable()
+      // batch 3: another user far in the future -> watermark passes
+      // user 1's last + gap, the event-time TIMEOUT flushes session 2
+      in.addData(ev(2L, 10 * H, 1L))
+      q.processAllAvailable()
+      val got = spark.table("tracked").as[EventStream.Session]
+        .collect().toSet
+      assert(got == Set(
+        EventStream.Session(1L, H, H + 600000000L, 2L, 150L),
+        EventStream.Session(1L, 3 * H, 3 * H, 1L, 7L)))
+      // the batch twin over the same rows emits those two PLUS the
+      // still-open trailing sessions (emitOpen) — stream ≡ batch prefix
+      val batch = EventStream.sessionTracker(Seq(
+          ev(1L, H, 100L), ev(1L, H + 600000000L, 50L),
+          ev(1L, 3 * H, 7L), ev(2L, 10 * H, 1L)).toDS(),
+        gapUs = 1800000000L, emitOpen = true).collect().toSet
+      assert(batch == got +
+        EventStream.Session(2L, 10 * H, 10 * H, 1L, 1L))
+    } finally q.stop()
+  }
+
   test("clickAttribution joins streams within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
