@@ -386,4 +386,39 @@ class PlanShapeSpec extends SparkSpec {
         .extraOptimizations.filterNot(_ == graft.plans.PivotFusion)
     }
   }
+
+  test("session_window sessionizes in ONE exchange on the user key") {
+    // s11's scale claim: the native session operator needs exactly one
+    // corpus-sized shuffle (hash on the session/user keys) — no global
+    // sort, no second exchange for the merge phase (sessions merge
+    // within the partition-local sort the operator plans itself).
+    val df = graft.streaming.EventStream.sessionStats(
+      Tables.events(spark, sf), gap = "30 minutes")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    val rangeEx = plan.linesIterator
+      .count(_.contains("Exchange rangepartitioning"))
+    assert(hashEx == 1 && rangeEx == 0,
+      s"expected one hash exchange, no range: hash=$hashEx range=$rangeEx:\n$plan")
+  }
+
+  test("nearestCentroid broadcasts centroids; vectors shuffle once for the argmin") {
+    // e21's scale claim: the corpus side fans out x |labels| MAP-SIDE
+    // (broadcast nested-loop against the labels-row centroid table) and
+    // collapses through the id-keyed argmin aggregation — the vector
+    // table itself is never hash-exchanged pre-join (only centroid
+    // construction and the argmin move data).
+    val df = graft.ops.Similarity.nearestCentroid(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", "label")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian in the centroid fan-out:\n$plan")
+  }
 }
