@@ -7,12 +7,13 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText.md5HashSql
 
-/** Registry slice d63–d65: supervised-training data preparation — the
+/** Registry slice d63–d66: supervised-training data preparation — the
   * label-side counterpart to the d41–d62 corpus-curation family. These are
   * the operations that sit between a curated corpus and a training run:
   * leakage-free categorical target encoding, a temporal train/val/test cut
-  * with embargo gaps, and annotation majority-vote aggregation (the RLHF /
-  * labeling-vendor shape).
+  * with embargo gaps, annotation majority-vote aggregation (the RLHF /
+  * labeling-vendor shape), and the k-anonymity / l-diversity audit a data
+  * release gates on.
   *
   * Shared determinism discipline (see Queries scaladoc): every mean is a
   * ratio of EXACT integer sums rounded once through the cross-engine
@@ -157,5 +158,23 @@ private[graft] object QueriesPrep {
         |FROM item GROUP BY majority""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d63, d64, d65)
+  // --------------------------------- k-anonymity release audit (d66)
+  // The privacy gate beside d16's PII redaction and d46's release set:
+  // one row per occupied quasi-identifier combination — (market segment,
+  // nation) here — with group size, l-diversity of the sensitive account
+  // balance, and the n < k re-identification flag. ONE aggregation on
+  // the QI key (count map-side-combined, countDistinct partial-distinct
+  // before the exchange); the result is QI-space-sized, so the
+  // suppress/generalize join-back broadcasts at any corpus scale.
+  private val d66: (String, QFn, Option[String]) = ("d66_k_anonymity",
+    (s, d) => Prep.kAnonymity(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), col("c_acctbal"), k = 5L)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+        col("l_div"), col("at_risk")),
+    Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      | count(DISTINCT c_acctbal) AS l_div,
+      | (count(*) < 5)::BIGINT AS at_risk
+      |FROM customer GROUP BY 1, 2""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d63, d64, d65, d66)
 }

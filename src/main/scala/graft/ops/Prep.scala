@@ -93,6 +93,31 @@ object Prep {
       top.as("top"))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns — the
+    * privacy gate a data release runs beside the PII redaction (d16) and
+    * the release-set assembly (d46): a row is re-identifiable when its
+    * quasi-identifier combination is shared by fewer than `k` rows, and a
+    * k-anonymous group still leaks when every member shares the same
+    * sensitive value (l-diversity = distinct sensitive values per group).
+    * Output is one row per occupied QI combination with its group size,
+    * l-diversity and the `at_risk` flag (n < k) — the table a release
+    * pipeline joins back to suppress or generalize flagged combinations.
+    *
+    * Scale shape: ONE aggregation on the QI key with map-side combine
+    * (count) and partial-distinct (countDistinct dedups map-side before
+    * the exchange); output is occupied-combination-sized, never
+    * row-sized. At 100 TB the QI space is what bounds the result, and
+    * the suppress/generalize join-back is a broadcast when flagged
+    * combos are few (they are — that is what the gate checks). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+                 k: Long): DataFrame = {
+    require(k >= 2, "kAnonymity: k must be >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l_div"))
+      .withColumn("at_risk", (col("n") < k).cast("long"))
+  }
+
   /** The packed-score argmax over closed-vocab count columns: with `w`
     * the smallest power of two > |V|, `score_i = cnt_i·w − i`;
     * `g = greatest(scores)` recovers `i = (w − g mod w) mod w` and

@@ -102,4 +102,21 @@ class PrepSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(exchanges <= 1, s"expected one exchange, plan:\n$plan")
   }
+
+  test("kAnonymity flags small groups and counts sensitive diversity") {
+    val rows = Seq(
+      // ("NY", 1): 3 rows, 2 distinct balances -> safe at k=3
+      ("NY", 1, 100.0), ("NY", 1, 100.0), ("NY", 1, 200.0),
+      // ("LA", 2): 2 rows -> at risk at k=3; l_div 1 (both share the
+      // sensitive value — the homogeneous-group leak l-diversity sees)
+      ("LA", 2, 300.0), ("LA", 2, 300.0))
+      .toDF("segment", "region", "balance")
+    val out = Prep.kAnonymity(rows, Seq("segment", "region"),
+        col("balance"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("l_div"),
+          r.getAs[Long]("at_risk"))).toMap
+    assert(out(("NY", 1)) == (3L, 2L, 0L))
+    assert(out(("LA", 2)) == (2L, 1L, 1L))
+  }
 }
