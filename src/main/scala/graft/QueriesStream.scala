@@ -324,6 +324,47 @@ object QueriesStream {
       | count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
       |FROM g GROUP BY user_id, sid""".stripMargin))
 
+  // ------------------------------- point-in-time rolling feature (s13)
+  // EventStream.rollingFeature — transformWithState (the state API v2)
+  // computing, per event, the count/sum of the user's previous up-to-3
+  // values, current value EXCLUDED: the point-in-time-correct online
+  // feature (a training row can't leak its own outcome, and serving
+  // reads the same last-n state). Batch twin = the identical processor
+  // over full histories, which the trailing window frame below replays
+  // exactly: ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING. Integer outputs
+  // (count + exact cents sum) — the mean is derived downstream, never
+  // hashed as an accumulation-order double.
+  private val s13: (String, QFn, Option[String]) = ("s13_rolling_feature",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .as[EventStream.RollEvent]
+      // transformWithState needs the RocksDB state store provider even in
+      // batch (the ephemeral per-task store it spins up); scope the conf
+      // to this query via save/restore around an eager materialize — the
+      // q78 pattern (localCheckpoint keeps the result independent of the
+      // restored conf).
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try EventStream.rollingFeature(evs, n = 3).toDF()
+        .localCheckpoint(eager = true)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, ts,
+      |  round(value * 100)::BIGINT AS cents FROM events)
+      |SELECT user_id, event_id,
+      | count(cents) OVER w AS n_prev,
+      | coalesce(sum(cents) OVER w, 0)::BIGINT AS prev_cents
+      |FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

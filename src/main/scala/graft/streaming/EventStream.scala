@@ -265,6 +265,76 @@ object EventStream {
   case class UserState(n: Long, total: Double)
   case class UserSnapshot(user_id: Long, n: Long, total: Double, mean: Double)
 
+  case class RollEvent(user_id: Long, event_id: Long, us: Long, cents: Long)
+  case class RollFeature(user_id: Long, event_id: Long, n_prev: Long,
+                         prev_cents: Long)
+
+  /** Point-in-time rolling feature via `transformWithState` — the state
+    * API v2 (Spark 4's arbitrary-state replacement for
+    * mapGroupsWithState: typed state variables, per-variable TTL, timers;
+    * this is the one the platform evolves). For every event, emit the
+    * count and sum of the user's PREVIOUS up-to-`n` event values —
+    * strictly excluding the current one, which is what makes the feature
+    * point-in-time correct: a training row built from it can never leak
+    * its own outcome, and serving-time state (the same last-n list)
+    * produces the identical value. That train/serve equivalence is the
+    * whole point of computing features in the streaming engine.
+    *
+    * State is a `ListState[Long]` holding at most `n` cents values per
+    * user — bounded by construction, no watermark needed (TimeMode.None).
+    * Outputs are exact integers (count + sum); downstream derives the
+    * mean once, rather than hashing an accumulation-order-dependent
+    * double. Within-batch rows are sorted on (us, event_id) before the
+    * fold (the s12 note: iterator order is partition order); across
+    * micro-batches, arrival order must respect event time for the
+    * feature to be exact — true when the producer is ordered (the
+    * common log-shipping case), and the batch twin (same code path —
+    * TWS runs in batch with all rows in one call) IS the exact replay
+    * the oracle checks. */
+  def rollingFeature(events: Dataset[RollEvent], n: Int)
+  : Dataset[RollFeature] = {
+    import events.sparkSession.implicits._
+    // Batch transformWithState loads an ephemeral state store per task,
+    // whose provider phones the driver-side StateStoreCoordinator RPC
+    // endpoint — registered here for batch runs (see StateShim).
+    org.apache.spark.sql.graftshim.StateShim
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RollingFeatureProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  class RollingFeatureProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, RollEvent, RollFeature] {
+    @transient private var window: org.apache.spark.sql.streaming
+      .ListState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+    : Unit =
+      window = getHandle.getListState[Long]("window",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[RollEvent],
+                                 timerValues: org.apache.spark.sql.streaming
+                                   .TimerValues): Iterator[RollFeature] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (window.exists()) buf ++= window.get()
+      val out = sorted.map { e =>
+        val r = RollFeature(user, e.event_id, buf.length.toLong, buf.sum)
+        buf += e.cents
+        if (buf.length > n) buf.remove(0)
+        r
+      }
+      window.put(buf.toArray)
+      out.iterator
+    }
+  }
+
   case class SessEvent(user_id: Long, us: Long, cents: Long,
                        ts: java.sql.Timestamp)
   case class SessState(start: Long, last: Long, n: Long, cents: Long)

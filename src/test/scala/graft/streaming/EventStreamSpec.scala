@@ -287,6 +287,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingFeature carries the last-n window across micro-batches " +
+    "(state API v2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventStream.RollEvent]
+      val q = EventStream.rollingFeature(in.toDS(), n = 2)
+        .writeStream.format("memory").queryName("roll")
+        .outputMode("append").start()
+      val rows = Seq(
+        EventStream.RollEvent(1L, 1L, 100L, 10L),
+        EventStream.RollEvent(1L, 2L, 200L, 20L),
+        EventStream.RollEvent(1L, 3L, 300L, 40L), // window [10,20]: n=2
+        EventStream.RollEvent(1L, 4L, 400L, 80L)) // 10 evicted: [20,40]
+      try {
+        in.addData(rows.take(2))
+        q.processAllAvailable()
+        in.addData(rows.drop(2)) // ListState must survive the batch gap
+        q.processAllAvailable()
+        val got = spark.table("roll").as[EventStream.RollFeature]
+          .collect().toSet
+        assert(got == Set(
+          EventStream.RollFeature(1L, 1L, 0L, 0L),
+          EventStream.RollFeature(1L, 2L, 1L, 10L),
+          EventStream.RollFeature(1L, 3L, 2L, 30L),
+          EventStream.RollFeature(1L, 4L, 2L, 60L)))
+        // the batch twin (one handleInputRows call with the full
+        // history) replays the same fold — what the s13 oracle checks
+        val batch = EventStream.rollingFeature(rows.toDS(), n = 2)
+          .collect().toSet
+        assert(batch == got)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("clickAttribution joins streams within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
