@@ -811,5 +811,53 @@ private[graft] object QueriesAnalytics {
       | min(dist)::BIGINT AS min_dist
       |FROM p WHERE dist <= 2 GROUP BY nat""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81)
+  // ---------------- entity resolution, Jaro-Winkler verify (native expr)
+  // q81's SNM candidate machinery with the VERIFY stage swapped from
+  // levenshtein to the native jaro_winkler expression (the standard name-
+  // matching score: length-normalized, prefix-rewarding — a one-char typo
+  // in a 20-char name scores 0.97 where edit distance treats it like a
+  // one-char change in a 3-char name). The expression's static-call
+  // codegen keeps the per-pair loop inside whole-stage codegen; scores
+  // emit at round(6) BEFORE the >= 0.9 keep filter so the boundary
+  // decision replays identically in DuckDB's jaro_winkler_similarity
+  // (JaroWinklerSpec pins 10-digit agreement on the algorithm's edge
+  // cases). Same n × w candidate bound and aggregate shape as q81.
+  private val q82: (String, QFn, Option[String]) = ("q82_entity_jw",
+    (s, d) => {
+      val w = 5
+      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_nationkey").as("nat"))
+      val keyed = c.withColumn("sk", concat(
+        lpad(col("nat").cast("string"), 4, "0"), col("name"),
+        lpad(col("id").cast("string"), 14, "0")))
+      val ranked = Sequences.globalCumsum(keyed, "sk", lit(1L), "rk")
+      val probe = ranked.select(col("id").as("a"), col("name").as("na"),
+          col("nat"),
+          explode(array((1 to w).map(o => col("rk") + o): _*)).as("rk"))
+      probe.join(ranked.select(col("id").as("b"), col("name").as("nb"),
+          col("nat").as("_natb"), col("rk")), Seq("rk"))
+        .filter(col("nat") === col("_natb"))
+        .withColumn("jw", round(
+          graft.functions.JaroWinkler(col("na"), col("nb")), 6))
+        .filter(col("jw") >= 0.9)
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("jw")).as("max_jw"),
+          min(col("jw")).as("min_jw"))
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+      |  c_nationkey AS nat,
+      |  lpad(c_nationkey::VARCHAR, 4, '0') || c_name ||
+      |    lpad(c_custkey::VARCHAR, 14, '0') AS sk
+      |  FROM customer),
+      |r AS (SELECT id, name, nat,
+      |  row_number() OVER (ORDER BY sk) AS rk FROM c),
+      |p AS (SELECT x.nat,
+      |  round(jaro_winkler_similarity(x.name, y.name), 6) AS jw
+      |  FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND 5
+      |   AND x.nat = y.nat)
+      |SELECT nat, count(*)::BIGINT AS n_pairs, max(jw) AS max_jw,
+      | min(jw) AS min_jw
+      |FROM p WHERE jw >= 0.9 GROUP BY nat""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82)
 }

@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
       GraftExtensions.mhInfo,
       GraftExtensions.mhBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      GraftExtensions.jwInfo,
+      GraftExtensions.jwBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.PivotFusion)
   }
@@ -149,6 +153,11 @@ object GraftExtensions {
     MinHashSigs(children(0), k)
   }
 
+  private[graft] val jwInfo =
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler")
+  private[graft] val jwBuilder: Seq[Expression] => Expression =
+    children => JaroWinklerSim(children(0), children(1))
+
   /** Register on an existing session (extensions config only affects
     * sessions built afterwards). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -156,5 +165,7 @@ object GraftExtensions {
       spark, "dot_product", info, builder)
     org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
       spark, "minhash_sigs", mhInfo, mhBuilder)
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
+      spark, "jaro_winkler", jwInfo, jwBuilder)
   }
 }
