@@ -850,6 +850,34 @@ private[graft] object QueriesVectors {
       .stripMargin
   }
 
+  // ------------------------------------ int8 quantization recall audit
+  // The audit-family row for the LAST compression knob: recall@5 of the
+  // symmetric-int8 ranking (e07) against the exact float KNN (e01) —
+  // what 4× less memory per vector costs in ranking fidelity, the same
+  // factored-SQL replay move as e09 (LSH), e17 (width) and e19 (IVF
+  // probes). Both pipelines run from their own registered definitions,
+  // so the audit can never drift from what it audits.
+  private val e22: (String, QFn, Option[String]) = ("e22_quant_recall",
+    (s, d) => {
+      val ex = e01._2(s, d).select(col("qid"), col("nid"))
+      val qz = e07._2(s, d).select(col("qid"), col("nid"))
+      val hits = ex.join(qz, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      ex.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+    },
+    Some(s"""WITH exact AS (${e01._3.get}),
+      |approx AS (${e07._3.get}),
+      |h AS (SELECT e.qid, count(*) AS hits FROM exact e
+      |  JOIN approx a ON a.qid = e.qid AND a.nid = e.nid GROUP BY 1)
+      |SELECT q.qid, COALESCE(hits, 0)::BIGINT AS hits,
+      | round(COALESCE(hits, 0) / 5.0, 6) AS recall_at_5
+      |FROM (SELECT DISTINCT qid FROM exact) q
+      |LEFT JOIN h USING (qid)""".stripMargin))
+
   // --------------------------------------- nearest-centroid label audit
   // Pseudo-labeling / label-noise sweep: every vector reclassified to its
   // nearest LABEL centroid (centroids = e06's dim × labels aggregate,
@@ -911,5 +939,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, m01, m02, m03)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, m01, m02, m03)
 }
