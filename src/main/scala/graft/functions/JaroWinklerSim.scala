@@ -100,7 +100,10 @@ object JaroWinkler {
       }
       i += 1
     }
-    val trans = mismatched / 2 // always even: swaps come in pairs
+    // Floor division ON PURPOSE: a 3-cycle of matched chars (e.g.
+    // ABCVWXYZ / CABVWXYZ) gives an ODD mismatch count, and the classic
+    // algorithm — and DuckDB — count it as floor(3/2) = 1 transposition.
+    val trans = mismatched / 2
     val md = m.toDouble
     val jaro = (md / la + md / lb + (md - trans) / md) / 3.0
     if (jaro > 0.7) {

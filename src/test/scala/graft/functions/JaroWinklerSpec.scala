@@ -26,7 +26,9 @@ class JaroWinklerSpec extends SparkSpec {
       ("ab", "abzzzzzzzz", 0.7866666667),       // j>0.7: boosted, l=2
       ("PREFIX_LONG_COMMON", "PREFIX_LONG_COMMOX", 0.9777777778), // l cap 4
       ("Jon", "John", 0.9333333333),
-      ("aaaaaab", "aaaaaba", 0.9714285714))
+      ("aaaaaab", "aaaaaba", 0.9714285714),
+      // 3-cycle: ODD mismatch count -> floor(3/2) = 1 transposition
+      ("ABCVWXYZ", "CABVWXYZ", 0.9583333333))
     pinned.foreach { case (a, b, want) =>
       assert(math.abs(jw(a, b) - want) < 1e-9, s"jw($a, $b) = ${jw(a, b)}")
     }
