@@ -68,13 +68,39 @@ object ExprBench {
     val tHof = best(run(hof))
     val tUdf = best(run(dotUdf($"embedding")))
 
+    // Same two-tier isolation for the jaro_winkler kernel (no HOF tier —
+    // the algorithm isn't expressible in built-ins): IDENTICAL algorithm
+    // both ways (the UDF calls the same static method), so the measured
+    // gap is purely the UDF boundary (UTF8String→String conversion, the
+    // non-codegen call path) — the tax the native expression deletes.
+    val names0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val names = (0 until replicas)
+      .map(i => names0.select(($"c_custkey" + lit(i * 1000000L))
+        .as("c_custkey"), $"c_name"))
+      .reduce(_.union(_)).repartition(cpus.toInt).localCheckpoint(true)
+    val nNames = names.count()
+    val qName = names0.limit(1).select($"c_name").head.getString(0)
+    val jwNative = graft.functions.JaroWinkler($"c_name", lit(qName))
+    val qU = org.apache.spark.unsafe.types.UTF8String.fromString(qName)
+    val jwUdf = udf((a: String) => graft.functions.JaroWinkler
+      .similarity(org.apache.spark.unsafe.types.UTF8String.fromString(a), qU))
+    def runJw(c: org.apache.spark.sql.Column): Unit =
+      names.select(sum(c)).write.format("noop").mode("overwrite").save()
+    runJw(jwNative); runJw(jwUdf($"c_name"))
+    val tJwNative = best(runJw(jwNative))
+    val tJwUdf = best(runJw(jwUdf($"c_name")))
+
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"vectors":$n,"dims":${q.length},""" +
       s""""native_sec":${f(tNative)},"hof_sec":${f(tHof)},""" +
       s""""udf_sec":${f(tUdf)},""" +
       s""""hof_vs_native":${f(tHof / tNative)},""" +
-      s""""udf_vs_native":${f(tUdf / tNative)}}""")
+      s""""udf_vs_native":${f(tUdf / tNative)},""" +
+      s""""jw_rows":$nNames,""" +
+      s""""jw_native_sec":${f(tJwNative)},"jw_udf_sec":${f(tJwUdf)},""" +
+      s""""jw_udf_vs_native":${f(tJwUdf / tJwNative)}}""")
     spark.stop()
   }
 }
