@@ -79,4 +79,18 @@ class PropertiesSpec extends SparkSpec {
         }
       }
   }
+
+  test("jaro_winkler: bounded, symmetric, 1 on identity, 0 iff no match") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val strGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    samples(Gen.zip(strGen, strGen), 200).foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity != 1 for $a")
+    }
+  }
 }
