@@ -132,6 +132,33 @@ class RelevanceHistSpec extends SparkSpec {
     approx(out(0).getAs[Double]("dist2"), 16.0, 1e-4)
   }
 
+  test("LSH index tables are append-incremental: append equals rebuild") {
+    // Signatures are PER-ROW projections against literal planes — no
+    // corpus-global state — so indexing a delta batch and unioning it
+    // onto the standing index is EXACTLY the index a full rebuild
+    // produces: the ANN-side analog of q61/q63's incremental
+    // maintenance (new corpus shards index in isolation; nothing is
+    // ever recomputed).
+    val mk = (id: Long) =>
+      (id, Array.tabulate(4)(i => math.sin(id * 3.7 + i).toFloat))
+    val base = (1L to 8L).map(mk).toDF("id", "vec")
+    val delta = (9L to 12L).map(mk).toDF("id", "vec")
+    def index(df: org.apache.spark.sql.DataFrame) =
+      Similarity.lshIndexTable(df, dims = 4, planes = 8, bands = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bits", "nid", "_nn")
+        .as[(Int, Long, Long, Double)].collect().toSet
+    val appended = index(base).union(index(delta))
+    val rebuilt = index(base.union(delta))
+    assert(rows(appended) == rows(rebuilt))
+    // and queries against the appended index return the rebuild's answer
+    val q = (1L to 2L).map(mk).toDF("id", "vec")
+    def ans(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.lshKnnIndexed(q, ix, k = 3, dims = 4, planes = 8,
+        bands = 2).as[(Long, Long, Long, Double)].collect().toSet
+    assert(ans(appended) == ans(rebuilt))
+  }
+
   test("nearestCentroid reclassifies the planted mislabel") {
     val mk = (v: Double) => Array.fill(4)(v.toFloat)
     val df = Seq(
