@@ -66,8 +66,12 @@ def main():
     if reg:
         missing = sorted(reg - set(correctness))
         if missing:
+            # mid-round this usually just means the query postdates the
+            # artifact being checked; at round START (bench_last from the
+            # prior full fleet) it means the driver pass threw
             ok = False
-            print(f"  MISSING from correctness (threw at driver time?): "
+            print(f"  MISSING from correctness (newer than this round's "
+                  f"artifact, or threw at driver time): "
                   f"{', '.join(missing)}")
         else:
             print(f"  all {len(reg)} locally-benched queries present")
