@@ -7,7 +7,7 @@ import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
 import graft.ops._
 import graft.pipeline.{LinearScorer, Pipeline, TreeEnsembleModel,
   TreeEnsembleScorer}
-import graft.schema.Tables
+import graft.schema.{Fixtures, Tables}
 import graft.Queries._
 
 /** Driver-contract registry slice q21-q43: TPC-H-style relational surface, the fused pipeline spine + tree scoring, and source/sink roundtrips.
@@ -714,25 +714,34 @@ private[graft] object QueriesPipeline {
   // Not SQL-expressible (300-step nonlinear recurrence) → rows+schema
   // check, the q17 class. Scale: one user_id shuffle for assembly, then
   // embarrassingly parallel per-user compute; model broadcast once.
+  /** The q80 tensor assembly, shared with [[graft.FixtureDump]] so the
+    * golden-fixture generator scores EXACTLY the sequences the registry
+    * query scores. */
+  private[graft] def q80Sequences(s: SparkSession, d: String): DataFrame = {
+    val e = TimeFeatures.withTimeAttrs(ev(s, d), "ts")
+    val etIdx = vocab.zipWithIndex.foldLeft(lit(0)) { case (acc, (v, i)) =>
+      when(col("event_type") === v, i + 1).otherwise(acc)
+    }
+    val feats = e.select(col("user_id"), col("ts"), col("event_id"),
+      etIdx.as("et_idx"),
+      (col("hour_of_day") + 1).as("hr"),
+      (col("day_of_week") + 1).as("dow"),
+      (coalesce(Bucketize(col("value"), rnnBinEdges), lit(-1)) + 1)
+        .as("vbin"))
+    Sequences.assembleSequences(feats, 20, Seq("user_id"),
+      struct(col("ts"), col("event_id")),
+      Seq("et_idx", "hr", "dow", "vbin"), padLeft = false)
+  }
+
+  // Oracle: committed golden fixture — an independent pure-Python float64
+  // forward pass over the same weights and sequences (FIXTURES.md,
+  // tools/make_rnn_fixture.py). Pinned to the driver's verify scale
+  // (sf0.01), like every golden-output fixture.
   private val q80: (String, QFn, Option[String]) = ("q80_rnn_scores",
-    (s, d) => {
-      val e = TimeFeatures.withTimeAttrs(ev(s, d), "ts")
-      val etIdx = vocab.zipWithIndex.foldLeft(lit(0)) { case (acc, (v, i)) =>
-        when(col("event_type") === v, i + 1).otherwise(acc)
-      }
-      val feats = e.select(col("user_id"), col("ts"), col("event_id"),
-        etIdx.as("et_idx"),
-        (col("hour_of_day") + 1).as("hr"),
-        (col("day_of_week") + 1).as("dow"),
-        (coalesce(Bucketize(col("value"), rnnBinEdges), lit(-1)) + 1)
-          .as("vbin"))
-      val seqs = Sequences.assembleSequences(feats, 20, Seq("user_id"),
-        struct(col("ts"), col("event_id")),
-        Seq("et_idx", "hr", "dow", "vbin"), padLeft = false)
-      graft.pipeline.SequenceScorer(rnnEventsModel)
-        .score(seqs).select(col("user_id"), col("target"))
-    },
-    None)
+    (s, d) => graft.pipeline.SequenceScorer(rnnEventsModel)
+      .score(q80Sequences(s, d)).select(col("user_id"), col("target")),
+    Some(Fixtures.oracleSelect("q80_expected_sf001.parquet",
+      "user_id, target")))
 
   private val rnnBinEdges = Seq(0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
   /** Deterministic synthetic events-table model (card+1 embedding rows;
