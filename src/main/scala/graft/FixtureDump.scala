@@ -36,6 +36,13 @@ object FixtureDump {
       .select("user_id", "seq")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q80_seqs")
 
+    // q83: synthetic-seed LSTM latent encoder over the q36 feature surface
+    Files.writeString(Paths.get(s"$outDir/q83_model.txt"),
+      QueriesPipeline.vraeEventsModel.toLines.mkString("", "\n", "\n"))
+    QueriesPipeline.q83Sequences(spark, sfDir)
+      .select("user_id", "seq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q83_seqs")
+
     spark.stop()
   }
 }

@@ -743,6 +743,47 @@ private[graft] object QueriesPipeline {
     Some(Fixtures.oracleSelect("q80_expected_sf001.parquet",
       "user_id, target")))
 
+  // --------------------------- §3.1 VRAE latent transform, NATIVE (q83)
+  // The reference's VRAE encoder path (vrae/vrae.py:30-47 LSTM encoder →
+  // vrae.py:57-84 latent mean head; run.py:176-178 transform), executed
+  // in-engine by pipeline.LatentEncoderModel. Inputs are the q36 feature
+  // surface assembled per user as dense sequences (run.py:110-126: per-user
+  // z-score, cumulative sum, rebased hour index, one-hot category); the
+  // real 394-feature checkpoint conversion (/graft/vrae_encoder.txt.gz via
+  // tools/convert_vrae_ckpt.py) drives graft.Submit's latent branch, spec-
+  // pinned by LatentEncoderSpec. Oracle: committed golden fixture from the
+  // independent pure-Python LSTM forward (FIXTURES.md). Scale: one user_id
+  // shuffle for assembly, then embarrassingly parallel per-user compute.
+  private[graft] def q83Sequences(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val zAmt = round(Sequences.zScorePop(sval, Seq("user_id")), 6)
+    val feats = e.select(Seq(col("user_id"), col("ts"), col("event_id"),
+      zAmt.as("z_amt"),
+      Sequences.cumSum(zAmt, Seq("user_id"), ord).as("cum_z"),
+      Sequences.rebaseToFirst(
+        TimeFeatures.hoursSince(col("ts"), lit(0L)),
+        Seq("user_id"), ord).cast("double").as("td_rebased")) ++
+      vocab.map(v =>
+        when(col("event_type") === v, 1.0).otherwise(0.0).as(s"et_$v")): _*)
+    Sequences.assembleSequences(feats, 24, Seq("user_id"),
+      struct(col("ts"), col("event_id")),
+      Seq("z_amt", "cum_z", "td_rebased") ++ vocab.map(v => s"et_$v"),
+      padLeft = false)
+  }
+
+  private[graft] lazy val vraeEventsModel: graft.pipeline.LatentEncoderModel =
+    graft.pipeline.LatentEncoderModel.synthetic(
+      nFeatures = 3 + vocab.length, hidden = 10, latent = 6,
+      seed = 20230514L)
+
+  private val q83: (String, QFn, Option[String]) = ("q83_vrae_latent",
+    (s, d) => graft.pipeline.LatentTransformer(vraeEventsModel)
+      .transform(q83Sequences(s, d))
+      .select(col("user_id") +:
+        (0 until vraeEventsModel.latent).map(j => col(s"z_$j")): _*),
+    Some(Fixtures.oracleSelect("q83_expected_sf001.parquet",
+      "user_id, z_0, z_1, z_2, z_3, z_4, z_5")))
+
   private val rnnBinEdges = Seq(0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
   /** Deterministic synthetic events-table model (card+1 embedding rows;
     * vbin has 7 bins + out-of-range→0). */
@@ -751,5 +792,5 @@ private[graft] object QueriesPipeline {
       Seq(("et_idx", 5, 3), ("hr", 24, 4), ("dow", 7, 3), ("vbin", 7, 3)),
       hidden = 8, clsUnits = 16, seqLen = 20, seed = 20230206L)
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q80)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q80, q83)
 }

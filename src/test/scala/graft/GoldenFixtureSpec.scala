@@ -27,4 +27,12 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(live.exceptAll(expected).isEmpty &&
       expected.exceptAll(live).isEmpty)
   }
+
+  test("q83 native LSTM latents bit-match the committed golden fixture") {
+    val live = SparkEntry.queries("q83_vrae_latent")(spark, sf)
+    val expected = fixtureDf("q83_expected_sf001.parquet")
+    assert(live.count() === 150)
+    assert(live.exceptAll(expected).isEmpty &&
+      expected.exceptAll(live).isEmpty)
+  }
 }

@@ -154,6 +154,67 @@ def seqmodel_forward(m, seq):
     return e1 / (e0 + e1)
 
 
+def parse_latentmodel(path):
+    lines = [ln.strip() for ln in open(path) if ln.strip()]
+    assert lines[0] == "latentmodel", lines[0]
+    m = {"mats": {}, "vecs": {}}
+    i = 1
+    while i < len(lines):
+        parts = lines[i].split()
+        if parts[0] in ("nfeatures", "hidden", "latent"):
+            m[parts[0]] = int(parts[1])
+        elif parts[0] == "matrix":
+            rows = int(parts[2])
+            m["mats"][parts[1]] = [
+                [float(x) for x in lines[i + 1 + r].split()]
+                for r in range(rows)]
+            i += rows
+        elif parts[0] == "vector":
+            m["vecs"][parts[1]] = [float(x) for x in lines[i + 1].split()]
+            i += 1
+        else:
+            raise ValueError(lines[i])
+        i += 1
+    return m
+
+
+def lstm_step(wih, whh, bih, bhh, hidden, x, h, c):
+    """torch LSTM gate order i,f,g,o in the stacked 4H rows."""
+    h_n = [0.0] * hidden
+    c_n = [0.0] * hidden
+    for j in range(hidden):
+        i_g = sigmoid(dot(wih[j], x) + bih[j] + dot(whh[j], h) + bhh[j])
+        f_g = sigmoid(dot(wih[hidden + j], x) + bih[hidden + j]
+                      + dot(whh[hidden + j], h) + bhh[hidden + j])
+        g_g = math.tanh(dot(wih[2 * hidden + j], x) + bih[2 * hidden + j]
+                        + dot(whh[2 * hidden + j], h) + bhh[2 * hidden + j])
+        o_g = sigmoid(dot(wih[3 * hidden + j], x) + bih[3 * hidden + j]
+                      + dot(whh[3 * hidden + j], h) + bhh[3 * hidden + j])
+        c_n[j] = f_g * c[j] + i_g * g_g
+        h_n[j] = o_g * math.tanh(c_n[j])
+    return h_n, c_n
+
+
+def latent_forward(m, seq):
+    """Latent mean for one (T x F) dense sequence — LSTM final hidden ->
+    hidden_to_mean (vrae/vrae.py:30-47,57-84 eval path)."""
+    hidden = m["hidden"]
+    mats, vecs = m["mats"], m["vecs"]
+    h = [0.0] * hidden
+    c = [0.0] * hidden
+    for x in seq:
+        h, c = lstm_step(mats["enc_wih"], mats["enc_whh"], vecs["enc_bih"],
+                         vecs["enc_bhh"], hidden, x, h, c)
+    mw, mb = mats["mean_w"], vecs["mean_b"]
+    z = []
+    for j in range(len(mb)):
+        s = mb[j]
+        for k in range(hidden):
+            s += mw[j][k] * h[k]
+        z.append(s)
+    return z
+
+
 def round_half_up(p, digits):
     """BigDecimal(p).setScale(digits, HALF_UP).toDouble — Decimal(float) is
     the exact binary expansion on both sides, so this matches bit-for-bit
@@ -213,6 +274,21 @@ def make_q80(dump_dir, check_dir):
         check_against_spark(rows, check_dir, "q80_rnn_scores", ["target"])
 
 
+def make_q83(dump_dir, check_dir):
+    m = parse_latentmodel(f"{dump_dir}/q83_model.txt")
+    rows = []
+    for user_id, seq in load_seqs(dump_dir, "q83"):
+        z = latent_forward(m, seq)
+        rows.append((user_id, *[round_half_up(v, 6) for v in z]))
+    n = m["latent"]
+    cols = "user_id BIGINT, " + ", ".join(f"z_{j} DOUBLE" for j in range(n))
+    out = os.path.join(FIXDIR, "q83_expected_sf001.parquet")
+    write_fixture(rows, out, cols)
+    if check_dir:
+        check_against_spark(rows, check_dir, "q83_vrae_latent",
+                            [f"z_{j}" for j in range(n)])
+
+
 def main():
     dump_dir, which = sys.argv[1], sys.argv[2]
     check_dir = None
@@ -220,6 +296,8 @@ def main():
         check_dir = sys.argv[sys.argv.index("--check") + 1]
     if which == "q80":
         make_q80(dump_dir, check_dir)
+    elif which == "q83":
+        make_q83(dump_dir, check_dir)
     else:
         sys.exit(f"unknown fixture target: {which}")
 
