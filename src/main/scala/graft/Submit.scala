@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Bucketize, Sequences, TimeFeatures}
-import graft.pipeline.{Pipeline, SequenceModel, SequenceScorer,
-  TreeEnsembleModel, TreeEnsembleScorer}
+import graft.pipeline.{LatentEncoderModel, LatentTransformer, Pipeline,
+  SequenceModel, SequenceScorer, TreeEnsembleModel, TreeEnsembleScorer,
+  VraeFeatures}
 import graft.schema.Tables
 
 /** Standalone CLI replicating the reference's two-arg submission contract
@@ -47,11 +48,14 @@ object Submit {
     // Artifact type dispatch: a `seqmodel` header selects the RNN branch
     // (model.py predict contract), anything else the tree branch
     // (run.py CatBoost contract). Same two-arg CLI either way.
-    val result = args.lift(2) match {
-      case Some(p) if SequenceModel.isSequenceArtifact(p) =>
+    val result = (args.lift(2), args.lift(3)) match {
+      case (Some(p), _) if SequenceModel.isSequenceArtifact(p) =>
         runSeq(spark, inCsv, SequenceModel.fromFile(p))
-      case Some(p) => run(spark, inCsv, TreeEnsembleModel.fromFile(p))
-      case None =>
+      case (Some(p), Some(v)) if LatentEncoderModel.isLatentArtifact(v) =>
+        runWithLatent(spark, inCsv, TreeEnsembleModel.fromFile(p),
+          LatentEncoderModel.fromFile(v))
+      case (Some(p), _) => run(spark, inCsv, TreeEnsembleModel.fromFile(p))
+      case (None, _) =>
         run(spark, inCsv, TreeEnsembleModel.fromResource("/graft/tree_model.txt"))
     }
     Tables.writeCsv(result, outCsv, singleFile = true)
@@ -77,6 +81,43 @@ object Submit {
     val features = Pipeline.featureMatrixFused(cleaned, "user_id", "code",
       "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
     val aligned = Pipeline.alignFeatures(features, "user_id",
+      model.featureNames)
+    Pipeline.submission(aligned, TreeEnsembleScorer(model), in, "user_id")
+  }
+
+  /** The VRAE-enriched tree branch (`run.py:435-476`): the standard tree
+    * feature matrix CONCATENATED with the per-user 40-dim latent means from
+    * the native LSTM encoder (`run.py:176-178` z_run → `run.py:463-466`
+    * model_cb_vrae), inner-joined like the reference's concat-then-dropna
+    * (users missing either side fall to the max-score fallback,
+    * `run.py:478-482`). Latent features are named `z_0..z_{L-1}`;
+    * tools/convert_catboost_json.py maps model_cb_vrae's integer feature
+    * ids onto the same names, so a converted VRAE CatBoost artifact plugs
+    * straight in:
+    *   graft.Submit in.csv out.csv model_vrae.txt vrae_encoder.txt.gz
+    * Scale: the latent branch adds ONE more user_id-partitioned stage (the
+    * encoder forward) and a co-partitioned user_id join — no new exchange
+    * class. */
+  def runWithLatent(spark: SparkSession, inCsv: String,
+                    model: TreeEnsembleModel, encoder: LatentEncoderModel,
+                    dropCodes: Seq[String] = DefaultDropCodes): DataFrame = {
+    val tx = Tables.readTransactionsCsv(spark, inCsv)
+    val in = tx.select(col("user_id"),
+      col("mcc_code").cast("string").as("code"),
+      col("transaction_amt").as("amt"),
+      col("transaction_dttm").as("ts"))
+    val vocab = model.featureNames.collect {
+      case f if f.startsWith("freq_") => f.stripPrefix("freq_")
+    }
+    val cleaned = Pipeline.clean(in, "user_id", "code", "amt",
+      Seq(col("ts")), Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
+        dropCodes = dropCodes)).cache()
+    val features = Pipeline.featureMatrixFused(cleaned, "user_id", "code",
+      "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+    val latent = LatentTransformer(encoder)
+      .transform(VraeFeatures.assemble(tx)).drop("seq")
+    val enriched = features.join(latent, Seq("user_id"), "inner")
+    val aligned = Pipeline.alignFeatures(enriched, "user_id",
       model.featureNames)
     Pipeline.submission(aligned, TreeEnsembleScorer(model), in, "user_id")
   }

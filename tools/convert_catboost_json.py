@@ -35,7 +35,13 @@ def feature_names(doc):
     names = []
     for i, f in enumerate(feats):
         fid = f.get("feature_id") or f.get("feature_name")
-        names.append(str(fid) if fid not in (None, "") else f"f{i}")
+        name = str(fid) if fid not in (None, "") else f"f{i}"
+        # model_cb_vrae's latent features arrive as pandas integer column
+        # names 0..39 (run.py:178-179 df_z concat); the engine names them
+        # z_0..z_39 (Submit.runWithLatent / LatentTransformer)
+        if name.isdigit() or (name.startswith("-") and name[1:].isdigit()):
+            name = f"z_{name}"
+        names.append(name)
     return names
 
 
