@@ -881,8 +881,10 @@ private[graft] object QueriesCurate {
       val base = docs(s, d)
       val truth = Dedup.jaccardPairs(base, "doc_id", "text", n = 3,
         threshold = 0.2, maxPostings = 50)
-      val sh = Dedup.docShingles(base, "doc_id", "text", n = 3)
-      val sig = Dedup.minhashSignatures(sh, 16)
+      // signatures as the NATIVE wide projection (no explode, no
+      // signature shuffle) — the same stack d06 uses; the truth posting
+      // join is now the query's only exchange-heavy stage
+      val sig = Dedup.minhashWideSigs(base, "doc_id", "text", n = 3, k = 16)
       def err(k: Int) = {
         val matches = (0 until k).map(j =>
           when(col(s"xa.sig$j") === col(s"xb.sig$j"), 1L).otherwise(0L))

@@ -429,6 +429,54 @@ object Dedup {
       .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Wide per-doc MinHash signatures (doc, sig0..sig{k-1}) as a PURE
+    * PROJECTION — no (doc, shingle) explode, no signature shuffle. The
+    * default md5 family uses the NATIVE [[graft.functions.MinHashSigs]]
+    * codegen expression, bit-identical to the relational min-aggregation
+    * the DuckDB oracles replay; a custom `hashFamily` (e.g.
+    * [[xxhashFamily]], the production form) folds through `transform` +
+    * `array_min` in the same projection shape. Shared by [[minhashLsh]]'s
+    * no-cutoff path and the d62 k-sensitivity audit. */
+  def minhashWideSigs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      k: Int,
+                      hashFamily: (Column, Column) => Column = null)
+  : DataFrame = {
+    val shArr =
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+    // checkpoint the ARRAY form before any filter or column fan-out:
+    // project-collapse would otherwise substitute the expression into
+    // the null filter and all k element_at columns — k+1 recomputes of
+    // the full signature per doc (measured 4x slower than the explode
+    // path before this materialization barrier)
+    val sigArrDf =
+      if (hashFamily == null)
+        df.select(col(idCol).as("doc"),
+          graft.functions.MinHashSigs.minhashSigs(shArr, k).as("_sig"))
+      else {
+        // same projection shape as the native path, hash swapped:
+        // sig_j = min over shingles of hashFamily(s, j). The shingle
+        // array is MATERIALIZED first — lambda-functions block Catalyst
+        // subexpression elimination, so folding shArr into the k
+        // transforms below would re-tokenize every doc k times
+        // (measured 5x slower than this two-step form); after the
+        // barrier each transform reads a plain attribute. array_min of
+        // an empty doc is null -> whole-array null via the guard,
+        // matching the native expression's null-for-empty contract.
+        df.select(col(idCol).as("doc"), shArr.as("_sh"))
+          .localCheckpoint(true)
+          .select(col("doc"),
+            when(size(col("_sh")) === 0, lit(null)).otherwise(
+              array((0 until k).map(j => array_min(
+                transform(col("_sh"), x => hashFamily(x, lit(j))))): _*))
+              .as("_sig"))
+      }
+    sigArrDf
+      .localCheckpoint(true)
+      .filter(col("_sig").isNotNull)
+      .select(col("doc") +: (0 until k).map(j =>
+        element_at(col("_sig"), j + 1).as(s"sig$j")): _*)
+  }
+
   /** Full MinHash+LSH near-dup detection: candidate pairs from band-key
     * collisions, scored by estimated Jaccard = matching signature fraction.
     * Returns (a, b, est_jaccard). The band join shuffles 16-byte band keys;
@@ -455,40 +503,7 @@ object Dedup {
     // rerun 3x). Weak-ref checkpoint over cache for the same
     // no-CacheManager-pinning reason as jaccardPairs
     val sigs = (if (maxPostings == 0) {
-      val shArr =
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
-      // checkpoint the ARRAY form before any filter or column fan-out:
-      // project-collapse would otherwise substitute the expression into
-      // the null filter and all k element_at columns — k+1 recomputes of
-      // the full signature per doc (measured 4x slower than the explode
-      // path before this materialization barrier)
-      val sigArrDf =
-        if (hashFamily == null)
-          df.select(col(idCol).as("doc"),
-            graft.functions.MinHashSigs.minhashSigs(shArr, k).as("_sig"))
-        else {
-          // same projection shape as the native path, hash swapped:
-          // sig_j = min over shingles of hashFamily(s, j). The shingle
-          // array is MATERIALIZED first — lambda-functions block Catalyst
-          // subexpression elimination, so folding shArr into the k
-          // transforms below would re-tokenize every doc k times
-          // (measured 5x slower than this two-step form); after the
-          // barrier each transform reads a plain attribute. array_min of
-          // an empty doc is null -> whole-array null via the guard,
-          // matching the native expression's null-for-empty contract.
-          df.select(col(idCol).as("doc"), shArr.as("_sh"))
-            .localCheckpoint(true)
-            .select(col("doc"),
-              when(size(col("_sh")) === 0, lit(null)).otherwise(
-                array((0 until k).map(j => array_min(
-                  transform(col("_sh"), x => hashFamily(x, lit(j))))): _*))
-                .as("_sig"))
-        }
-      sigArrDf
-        .localCheckpoint(true)
-        .filter(col("_sig").isNotNull)
-        .select(col("doc") +: (0 until k).map(j =>
-          element_at(col("_sig"), j + 1).as(s"sig$j")): _*)
+      minhashWideSigs(df, idCol, textCol, n, k, hashFamily)
     } else {
       val fam = if (hashFamily == null) md5Hash _ else hashFamily
       minhashSignatures(docShingles(df, idCol, textCol, n, maxPostings),
