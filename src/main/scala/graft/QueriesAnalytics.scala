@@ -470,11 +470,39 @@ private[graft] object QueriesAnalytics {
   // distinct-dedup pass, still a pure equi-join, 5× candidates not 25×.
   // Pairs within distance 2 are potential duplicates for a steward
   // queue; at scale only the block key changes, not the plan.
+  //
+  // BLOCK-BUDGET THINNING (the d05 df-cutoff applied to ER blocking, aka
+  // block purging in the blocking literature): a (nation, length) block
+  // with more than `erBlockBudget` members means the blocking key has
+  // stopped discriminating, and exact pair verification inside it is
+  // quadratic noise — each oversized block is deterministically thinned
+  // to ~budget rows by a content-addressed md5 coin (the q41 sampling
+  // idiom: stable across runs, engines and partitionings, and replayed
+  // verbatim by the oracle). At sf0.01/sf0.1 every block is under budget
+  // and the output is bit-identical to the uncapped form; at sf1+ the
+  // blocked-verify cost is bounded by nations × C(budget, 2) instead of
+  // growing with |customers|² — the scale sweep measured the uncapped
+  // form at 37.6x for 10x data (SCALE.md). The uncapped exact baseline
+  // role passes to q81/q82's SNM + native-JW pipeline.
+  private val erBlockBudget = 1000
   private val q72: (String, QFn, Option[String]) = ("q72_entity_resolution",
     (s, d) => {
-      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      val c0 = Tables.customer(s, d).select(col("c_custkey").as("id"),
         col("c_name").as("name"), col("c_nationkey").as("nat"),
         length(col("c_name")).as("_len"))
+      // block sizes via a BROADCAST-joined aggregate, NOT a window: a
+      // window over (nat, len) would re-partition the probe side onto
+      // ~25 block keys and the verify stage would run block-wide and
+      // skewed (measured 1.45s -> 15.4s at sf0.1); the count table is
+      // nations x lengths rows, so the enrichment is a map-side join
+      // that leaves the scan partitioning intact
+      val blockCnt = c0.groupBy(col("nat"), col("_len"))
+        .agg(count(lit(1)).as("_cnt"))
+      val frac = Sampling.hashUniform(col("id"), lit("erblk"))
+      val c = c0.join(broadcast(blockCnt), Seq("nat", "_len"))
+        .filter(col("_cnt") <= erBlockBudget ||
+          frac < lit(erBlockBudget.toDouble) / col("_cnt"))
+        .drop("_cnt")
       c.select(col("id").as("a"), col("name").as("na"), col("nat"),
           explode(array((-2 to 2).map(o => col("_len") + o): _*)).as("_blk"))
         .join(c.select(col("id").as("b"), col("name").as("nb"),
@@ -485,8 +513,15 @@ private[graft] object QueriesAnalytics {
         .groupBy(col("nat"))
         .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
     },
-    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name,
-      |  c_nationkey AS nat, length(c_name) AS len FROM customer),
+    Some(s"""WITH bc AS (SELECT c_nationkey AS nat, length(c_name) AS len,
+      |  count(*) AS cnt FROM customer GROUP BY 1, 2),
+      |c AS (SELECT c_custkey AS id, c_name AS name,
+      |  c_nationkey AS nat, length(c_name) AS len
+      |  FROM customer JOIN bc ON c_nationkey = bc.nat
+      |   AND length(c_name) = bc.len
+      |  WHERE cnt <= $erBlockBudget
+      |   OR ('0x'||substr(md5(c_custkey::VARCHAR||'#erblk'),1,15))::BIGINT
+      |      / 1152921504606846976.0 < $erBlockBudget.0 / cnt),
       |a AS (SELECT id, name, nat,
       |  unnest([len - 2, len - 1, len, len + 1, len + 2]) AS blk FROM c),
       |p AS (SELECT x.nat, levenshtein(x.name, y.name) AS dist
