@@ -402,7 +402,20 @@ object EventStream {
               if (emitOpen) closed ::= close(user, s)
               else {
                 state.update(s)
-                state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+                // CEIL-ms of last+gap keeps the eviction boundary
+                // consistent with the inclusive merge rule (per-term
+                // floor division could flush ~1ms before an exactly-
+                // at-gap event arrives), and Spark requires the event-
+                // time timeout to be STRICTLY past the current
+                // watermark — a late out-of-order event whose session
+                // boundary already trails the watermark would otherwise
+                // throw and kill the query. Clamping to watermark+1
+                // makes such a session time out on the next trigger,
+                // which is exactly when the watermark proves no earlier
+                // event can extend it.
+                val boundaryMs = (s.last + gapUs + 999L) / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + 1L, boundaryMs))
               }
             }
             closed.reverseIterator
