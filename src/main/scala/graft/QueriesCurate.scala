@@ -935,5 +935,64 @@ private[graft] object QueriesCurate {
         |${row(8, "a")} UNION ALL ${row(16, "b")}""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, c01)
+  // ----------------------------------------- LSH hot-band management
+  // The persisted-index production story (d22/e13 proved appends; this is
+  // the skew side): d67 audits per-band posting depths — n_keys,
+  // max_depth, hot keys past the cap, and the EXACT candidate-pair mass
+  // Σ C(depth,2) each band would feed the join, with the share the cap
+  // removes — and d68 runs the pipeline WITH the cap (hot buckets purged
+  // before candidate generation, the docShingles df-cutoff applied to the
+  // index side; their residents stay covered by d01's exact pass and
+  // their remaining bands). hotCap = 2 so the purge provably bites on
+  // this corpus (max depth 3 at sf0.01): the driver checks behavior, not
+  // just plumbing. All integer-exact; both oracles extend d06's replayed
+  // CTE stack so the three queries cannot drift.
+  private val lshHotCap = 2
+  private val bandCtesSql =
+    s"""$shCte,
+      |mh AS (SELECT doc_id, j,
+      |    min(${md5HashSql("s || '#' || j")}) AS sig
+      |  FROM sh, (SELECT unnest(range(0, $MINHASH_K)) AS j) js
+      |  GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // ${MINHASH_K / MINHASH_BANDS} AS band,
+      |    md5(string_agg(sig::VARCHAR, ',' ORDER BY j)) AS bkey
+      |  FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  private val d67: (String, QFn, Option[String]) = ("d67_band_depth_audit",
+    (s, d) => Dedup.bandDepthAudit(docs(s, d), "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS, hotCap = lshHotCap)
+      .select(col("band").cast("long").as("band"), col("n_keys"),
+        col("n_postings"), col("max_depth"), col("n_hot_keys"),
+        col("pair_slots"), col("hot_pair_slots")),
+    Some(s"""WITH $bandCtesSql,
+      |dep AS (SELECT band, bkey, count(*)::BIGINT AS depth
+      |  FROM bk GROUP BY 1, 2)
+      |SELECT band, count(*)::BIGINT AS n_keys,
+      | sum(depth)::BIGINT AS n_postings,
+      | max(depth)::BIGINT AS max_depth,
+      | sum((depth > $lshHotCap)::INT)::BIGINT AS n_hot_keys,
+      | sum(depth * (depth - 1) // 2)::BIGINT AS pair_slots,
+      | sum(CASE WHEN depth > $lshHotCap
+      |     THEN depth * (depth - 1) // 2 ELSE 0 END)::BIGINT
+      |   AS hot_pair_slots
+      |FROM dep GROUP BY band""".stripMargin))
+
+  private val d68: (String, QFn, Option[String]) = ("d68_lsh_band_cap",
+    (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS, maxBandPostings = lshHotCap),
+    Some(s"""WITH $bandCtesSql,
+      |ok AS (SELECT band, bkey FROM bk GROUP BY band, bkey
+      |  HAVING count(*) <= $lshHotCap),
+      |bkc AS (SELECT bk.* FROM bk JOIN ok USING (band, bkey)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bkc x JOIN bkc y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id)
+      |SELECT c.a, c.b,
+      | round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |   / ${MINHASH_K.toDouble}, 6) AS est_jaccard
+      |FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |GROUP BY c.a, c.b""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, c01)
 }

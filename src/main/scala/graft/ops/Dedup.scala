@@ -495,7 +495,8 @@ object Dedup {
     * min-agg path. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, bands: Int, maxPostings: Int = 0,
-                 hashFamily: (Column, Column) => Column = null)
+                 hashFamily: (Column, Column) => Column = null,
+                 maxBandPostings: Int = 0)
   : DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // one wide row per doc — tiny vs the corpus; materialized because the
@@ -510,7 +511,21 @@ object Dedup {
         k, fam)
         .localCheckpoint(true)
     })
-    val bk = lshBandKeys(sigs, k, bands)
+    val bk0 = lshBandKeys(sigs, k, bands)
+    // HOT-BAND cap (the docShingles df-cutoff applied to the index side):
+    // a band key shared by more than `maxBandPostings` docs is a
+    // degenerate bucket — mass duplication or a hash pile-up — whose
+    // candidate fan-out is quadratic in its depth while its dedup signal
+    // is already carried by the surviving buckets; production indexes
+    // purge them (and route the residents to an exact-dup pass, which
+    // d01 IS). Depths come from a posting-list-sized aggregate.
+    val bk = if (maxBandPostings <= 0) bk0 else {
+      val hot = bk0.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("_depth"))
+        .filter(col("_depth") > maxBandPostings)
+        .select(col("band"), col("bkey"))
+      bk0.join(hot, Seq("band", "bkey"), "left_anti")
+    }
     val cand = bk.select(col("doc").as("a"), col("band"), col("bkey"))
       .join(bk.select(col("doc").as("b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -526,6 +541,35 @@ object Dedup {
     cand.join(sl, Seq("a")).join(sr, Seq("b"))
       .select(col("a"), col("b"),
         round(matches.cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+  }
+
+  /** Band-skew audit for a (persisted) LSH index: per band, the posting
+    * depth distribution that decides whether the candidate join is safe —
+    * `n_keys` buckets, `max_depth`, the number of HOT keys (depth >
+    * `hotCap`), and `pair_slots` = Σ C(depth, 2), the exact candidate-pair
+    * mass the band would feed the join (with `hot_pair_slots` isolating
+    * the share the [[minhashLsh]] `maxBandPostings` cap would remove).
+    * This is the operational twin of the cap: run the audit on the live
+    * index, read hot_pair_slots/pair_slots, then set the cap. Everything
+    * is exact integer arithmetic — hash-checkable. Scale shape: one
+    * signature projection, one groupBy(band, bkey) at index size, one
+    * 4-row aggregate. */
+  def bandDepthAudit(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     k: Int, bands: Int, hotCap: Int): DataFrame = {
+    val bk = lshBandKeys(minhashWideSigs(df, idCol, textCol, n, k), k, bands)
+    // `/` is double division in the Column API; depths are far below 2^26
+    // so the product is float64-exact and the cast restores BIGINT
+    val slots = ((col("depth") * (col("depth") - 1)) / 2).cast("long")
+    bk.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("depth")).as("n_postings"),
+        max(col("depth")).as("max_depth"),
+        sum(when(col("depth") > hotCap, 1L).otherwise(0L)).as("n_hot_keys"),
+        sum(slots).as("pair_slots"),
+        sum(when(col("depth") > hotCap, slots).otherwise(0L))
+          .as("hot_pair_slots"))
   }
 
   /** Hash-family equivalence audit: run the SAME MinHash+LSH pipeline under

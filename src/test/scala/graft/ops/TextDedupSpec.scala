@@ -146,6 +146,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("hot-band cap purges degenerate buckets; audit accounts for them") {
+    // a 4-copy mass-duplicate pile (every band bucket it touches has
+    // depth 4 — the degenerate case the cap exists for) plus one true
+    // near-dup pair of distinct texts that must survive the purge
+    val pileText = "copy of the very same boilerplate footer text"
+    val pile = (1L to 4L).map(i => (i, pileText))
+    val near = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (pile ++ near).toDF("doc_id", "text")
+    val pilePairs = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet
+    val uncapped = Dedup.minhashLsh(df, "doc_id", "text", 3, 16, 8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(pilePairs.subsetOf(uncapped)) // 6 quadratic pairs without the cap
+    val capped = Dedup.minhashLsh(df, "doc_id", "text", 3, 16, 8,
+      maxBandPostings = 3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(capped.contains((10L, 11L)))          // true near-dup survives
+    assert(capped.intersect(pilePairs).isEmpty)  // pile routed to d01's pass
+    // audit: in EVERY band the pile is one depth-4 hot key = C(4,2)=6 of
+    // the band's pair slots, all removable by the cap
+    val audit = Dedup.bandDepthAudit(df, "doc_id", "text", 3, 16, 8,
+      hotCap = 3).collect()
+    assert(audit.length == 8)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("max_depth") == 4L)
+      assert(r.getAs[Long]("n_hot_keys") == 1L)
+      assert(r.getAs[Long]("hot_pair_slots") == 6L)
+      assert(r.getAs[Long]("pair_slots") >= 6L)
+    }
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "spark engine query plan shuffle partition broadcast join"),
