@@ -176,5 +176,90 @@ private[graft] object QueriesPrep {
       | (count(*) < 5)::BIGINT AS at_risk
       |FROM customer GROUP BY 1, 2""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d63, d64, d65, d66)
+  // --------------------------- DSIR importance selection (d69, d70)
+  // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  // the published answer to "which slice of a 100 TB crawl most resembles
+  // my target domain". d69 scores every document with the hashed-n-gram
+  // log importance weight log w(d) = Σ_f c_f(d)·(ln p_f − ln q_f) — p fit
+  // on the TARGET slice (lang = 'en' here), q on the full raw corpus,
+  // add-one smoothing over DSIR_B hash buckets — and d70 performs the
+  // paper's resampling step: Gumbel-top-k on the weights (sampling ∝ w
+  // without replacement), with CONTENT-ADDRESSED noise so the draw is an
+  // engine-independent pure function of the corpus. Scale shape (see
+  // ops/Dsir.scala): explodes are linear in corpus tokens with map-side
+  // combine, the ratio table is DSIR_B rows broadcast, selection is
+  // TakeOrdered — no window over the corpus, no all-pairs. Production
+  // raises DSIR_B to the paper's 10k and swaps the md5 bucket hash for
+  // xxhash64; nothing else changes.
+  private val DSIR_B = 64
+
+  private val DSIR_K = 100
+
+  private def dsirDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val raw = Dsir.bucketCounts(dsirDocs(s, d), "doc_id", "text", DSIR_B)
+    val tgt = Dsir.bucketCounts(
+      dsirDocs(s, d).filter(col("lang") === "en"), "doc_id", "text", DSIR_B)
+    Dsir.logWeights(raw, Dsir.logRatios(tgt, raw, DSIR_B))
+  }
+
+  /** d69's oracle CTE stack, replayed verbatim inside d70 (the composition
+    * move — consumer nests producer so the two cannot drift). */
+  private val dsirLwSql: String = {
+    val bigramSql = """list_transform(range(1, greatest(len(w), 1)),
+      | i -> array_to_string(list_slice(w, i, i + 1), ' '))"""
+      .stripMargin.replaceAll("\n", "")
+    s"""toks AS (SELECT doc_id, ${QueriesText.tokSql} AS w FROM documents),
+      |f AS (SELECT doc_id, unnest(w) AS f FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, unnest($bigramSql) AS f FROM toks),
+      |bc AS (SELECT doc_id,
+      |    ${md5HashSql("f || '#dsir'")} % $DSIR_B AS bucket,
+      |    count(*)::BIGINT AS c
+      |  FROM f GROUP BY 1, 2),
+      |tb AS (SELECT bucket, sum(c)::BIGINT AS ct FROM bc
+      |  JOIN (SELECT doc_id FROM documents WHERE lang = 'en') t
+      |  USING (doc_id) GROUP BY 1),
+      |rb AS (SELECT bucket, sum(c)::BIGINT AS cr FROM bc GROUP BY 1),
+      |dense AS (SELECT s.bucket, coalesce(ct, 0)::BIGINT AS ct,
+      |    coalesce(cr, 0)::BIGINT AS cr
+      |  FROM (SELECT unnest(range(0, $DSIR_B)) AS bucket) s
+      |  LEFT JOIN tb ON tb.bucket = s.bucket
+      |  LEFT JOIN rb ON rb.bucket = s.bucket),
+      |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr
+      |  FROM dense),
+      |lr AS (SELECT bucket,
+      |    round(ln(((ct + 1)::DOUBLE * (nr + $DSIR_B)::DOUBLE)
+      |      / ((cr + 1)::DOUBLE * (nt + $DSIR_B)::DOUBLE)), 8) AS lr
+      |  FROM dense, tot),
+      |lw AS (SELECT doc_id, sum(c)::BIGINT AS n_feats,
+      |    round(CAST(sum(CAST(c::DOUBLE * lr AS DECIMAL(25,10)))
+      |      AS DOUBLE), 6) AS logw
+      |  FROM bc JOIN lr USING (bucket) GROUP BY doc_id)""".stripMargin
+  }
+
+  private val d69: (String, QFn, Option[String]) = ("d69_dsir_weights",
+    (s, d) => dsirWeights(s, d).select(col("doc").as("doc_id"),
+      col("n_feats"), col("logw")),
+    Some(s"""WITH $dsirLwSql
+      |SELECT doc_id, n_feats, logw FROM lw""".stripMargin))
+
+  private val d70: (String, QFn, Option[String]) = ("d70_dsir_resample",
+    (s, d) => Dsir.gumbelTopK(dsirWeights(s, d), DSIR_K, "dsirsel")
+      .select(col("doc").as("doc_id"), col("logw"), col("score"),
+        col("rank").cast("long").as("rank")),
+    Some(s"""WITH $dsirLwSql,
+      |g AS (SELECT doc_id, logw,
+      |    round(logw + -ln(-ln(
+      |      ((${md5HashSql("doc_id::VARCHAR || '#dsirsel'")} >> 8)
+      |        + 1)::DOUBLE / 4503599627370497::DOUBLE)), 6) AS score
+      |  FROM lw)
+      |SELECT doc_id, logw, score, row_number() OVER
+      |  (ORDER BY score DESC, doc_id) AS rank
+      |FROM g ORDER BY score DESC, doc_id LIMIT $DSIR_K""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] =
+    Seq(d63, d64, d65, d66, d69, d70)
 }
