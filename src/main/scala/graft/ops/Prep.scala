@@ -31,8 +31,16 @@ object Prep {
     * from that |C|·k-row aggregate; the out-of-fold subtraction means no
     * second corpus pass — k-fold encoding at O(1) extra cost. */
   def outOfFoldTargetEncode(samples: DataFrame, m: Double): DataFrame = {
+    // |C|·k rows — materialized so all three consumers (per-fold rows, the
+    // category totals, the global prior) read ONE corpus aggregation.
+    // Without this, the equi-join infers isnotnull(category) into two of
+    // the three branches but not the crossJoined global one; the subtrees
+    // then differ and exchange reuse fails, silently re-scanning and
+    // re-shuffling the whole corpus for the prior (caught by
+    // PlanShapeSpec's d63 exchange count).
     val byFold = samples.groupBy("category", "fold")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint(true)
     val byCat = byFold.groupBy("category")
       .agg(sum("n").as("tn"), sum("pos").as("tp"))
     val global = byFold.agg(sum("n").as("gn"), sum("pos").as("gp"))

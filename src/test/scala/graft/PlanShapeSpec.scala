@@ -405,6 +405,96 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange, no range: hash=$hashEx range=$rangeEx:\n$plan")
   }
 
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def exchangeCounts(plan: String): (Int, Int, Int) = (
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")),
+    plan.linesIterator.count(_.contains("Exchange rangepartitioning")),
+    plan.linesIterator.count(_.contains("Exchange SinglePartition")))
+
+  test("custom-state sessionizer (s12): ONE user-key exchange, no sort shuffle") {
+    // the flatMapGroupsWithState batch twin must shuffle the events table
+    // exactly once (hash on user_id); the per-user ordering happens in the
+    // partition-local sort the operator plans itself
+    val (h, r, _) = exchangeCounts(finalPlanOf("s12_session_tracker"))
+    assert(h == 1 && r == 0, s"expected one hash exchange, no range: h=$h r=$r")
+  }
+
+  test("point-in-time rolling feature (s13): ONE user-key exchange") {
+    // the registry entry localCheckpoints (to scope the RocksDB conf), so
+    // the plan must be probed on the operator itself, pre-checkpoint
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sf).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+        .as[EventStream.RollEvent]
+      val df = EventStream.rollingFeature(evs, n = 3).toDF()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val h = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val r = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+      assert(h == 1 && r == 0,
+        s"expected one hash exchange, no range: h=$h r=$r:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("out-of-fold target encode (d63): ONE corpus exchange, rest on aggregates") {
+    // scale claim from ops/Prep.scala: the only corpus-sized movement is
+    // the (category, fold) partial-count aggregation; every later exchange
+    // runs on |categories|xk (or 1-row) aggregates of THAT. Pinning the
+    // total count keeps a second corpus shuffle from creeping in.
+    val plan = finalPlanOf("d63_target_encode")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h <= 3 && r == 0,
+      s"expected at most 3 hash exchanges (1 corpus + aggregate-sized), no range: h=$h r=$r:\n$plan")
+  }
+
+  test("temporal embargo split (d64): no global range sort; single-partition " +
+    "exchanges only on bounded aggregates") {
+    // globalCumsum legitimately funnels TWO bounded tables through a
+    // single partition: the numPartitions-row per-partition summaries
+    // (offset prefix) and the 1-row grand total. The corpus itself must
+    // never range-sort or single-partition.
+    val plan = finalPlanOf("d64_temporal_split")
+    val (_, r, s) = exchangeCounts(plan)
+    assert(r == 0, s"global range sort in the split: r=$r:\n$plan")
+    assert(s <= 2, s"more single-partition exchanges than the two bounded " +
+      s"aggregates: s=$s:\n$plan")
+  }
+
+  test("majority vote (d65) and k-anonymity (d66): one key exchange each") {
+    for (q <- Seq("d65_label_vote", "d66_k_anonymity")) {
+      val (h, r, _) = exchangeCounts(finalPlanOf(q))
+      assert(h <= 2 && r == 0, s"$q: h=$h r=$r")
+    }
+  }
+
+  test("DSIR (d69/d70): B-row ratio table broadcasts; selection is TakeOrdered") {
+    val p69 = finalPlanOf("d69_dsir_weights")
+    assert(p69.contains("BroadcastExchange"),
+      s"log-ratio table not broadcast:\n$p69")
+    assert(!p69.contains("Exchange rangepartitioning"))
+    val p70 = finalPlanOf("d70_dsir_resample")
+    assert(p70.contains("TakeOrdered"),
+      s"Gumbel-top-k must be TakeOrdered, not a global sort:\n$p70")
+    assert(!p70.contains("Exchange rangepartitioning"),
+      s"global sort in the resample:\n$p70")
+  }
+
   test("nearestCentroid broadcasts centroids; vectors shuffle once for the argmin") {
     // e21's scale claim: the corpus side fans out x |labels| MAP-SIDE
     // (broadcast nested-loop against the labels-row centroid table) and
