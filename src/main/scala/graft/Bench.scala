@@ -148,9 +148,11 @@ object Bench {
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
         catch { case _: Throwable => () }
     }
-    def jsonLine(dp: Int, key: String => String = identity): String = {
+    def jsonLine(dp: Int, key: String => String = identity,
+                 include: Set[String] = null): String = {
       val qs = results.collect {
-        case (k, ts) if ts.nonEmpty => "\"" + key(k) + "\":" + fmt(ts.min, dp)
+        case (k, ts) if ts.nonEmpty && (include == null || include(k)) =>
+          "\"" + key(k) + "\":" + fmt(ts.min, dp)
       }.mkString("{", ",", "}")
       val failed = results.collect {
         case (k, ts) if ts.isEmpty => "\"" + key(k) + "\""
@@ -158,11 +160,16 @@ object Bench {
       val failedPart =
         if (failed.isEmpty) ""
         else failed.mkString(""","failed":[""", ",", "]")
+      // total always covers EVERY query, even when the per-query map is
+      // elided to fit the tail window
       val total = results.values.collect {
         case ts if ts.nonEmpty => ts.min
       }.sum
+      val elidedPart =
+        if (include == null) ""
+        else s""","elided":${results.count(kv => kv._2.nonEmpty && !include(kv._1))}"""
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec"""" +
-        s""","queries":$qs$failedPart,"sf":"$sfDir"}"""
+        s""","queries":$qs$failedPart$elidedPart,"sf":"$sfDir"}"""
     }
     // stdout arrives through sbt with an "[info] " prefix that breaks a
     // strict JSON parse (BENCH_r01 recorded "parsed": null) — so ALSO write
@@ -182,14 +189,40 @@ object Bench {
       // Degrade tiers: full 2dp → full 1dp → short-id 2dp → short-id 1dp
       // (at 168 queries the short-id 2dp line measured 1899 chars — one
       // query from overflow, hence the final tier).
+      val budget = 1880 // r9 measured the real window at ~1925; margin
       val l2 = jsonLine(2)
-      if (l2.length <= 1900) l2
+      if (l2.length <= budget) l2
       else {
         val l1 = jsonLine(1)
-        if (l1.length <= 1900 || !shortIdsUnique) l1
+        if (l1.length <= budget) l1
         else {
-          val s2 = jsonLine(2, shortId)
-          if (s2.length <= 1900) s2 else jsonLine(1, shortId)
+          // short ids only when collision-free; otherwise stay on full
+          // names and let the elision tier do the fitting
+          val keyFn = if (shortIdsUnique) shortId else identity[String] _
+          val s2 = jsonLine(2, keyFn)
+          if (s2.length <= budget) s2
+          else {
+            val s1 = jsonLine(1, keyFn)
+            if (s1.length <= budget) s1
+            else {
+              // past ~190 queries even short-id 1dp overflows (BENCH_r09
+              // "parsed": null — the opening brace fell out of the
+              // window). Last tier: elide the FASTEST rows from the
+              // stdout copy only, slowest-first retention, so the rows
+              // that matter for grading always parse; "elided" records
+              // the omission and the side files keep the full map.
+              val byTime = results.toSeq.collect {
+                case (k, ts) if ts.nonEmpty => (k, ts.min)
+              }.sortBy(-_._2).map(_._1)
+              var keep = byTime.size
+              var line = s1
+              while (line.length > budget && keep > 1) {
+                keep = math.max(1, keep - math.max(1, (line.length - budget) / 10))
+                line = jsonLine(1, keyFn, byTime.take(keep).toSet)
+              }
+              line
+            }
+          }
         }
       }
     }
