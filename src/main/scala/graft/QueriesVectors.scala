@@ -878,6 +878,40 @@ private[graft] object QueriesVectors {
       |FROM (SELECT DISTINCT qid FROM exact) q
       |LEFT JOIN h USING (qid)""".stripMargin))
 
+  // ------------------------------- SemDeDup with LEARNED centroids (e23)
+  // The production form e05's scaladoc promises: bucket by nearest k-means
+  // centroid (e12's fit, replayed verbatim through kmeansSql so the three
+  // queries cannot drift) instead of a corpus sample, then the same
+  // within-bucket earlier-id drop rule. At 100 TB this is exactly
+  // Abbas et al.'s recipe — k grows with the corpus so bucket sizes stay
+  // bounded and the quadratic term never sees the corpus.
+  private val SEM_TAU = 0.35
+
+  private val e23: (String, QFn, Option[String]) = ("e23_semdedup_kmeans",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Similarity.semanticDedupKmeans(e, SEM_TAU,
+          Similarity.kmeansFit(e, KM_K, KM_ITERS, dims = LSH_DIMS))
+        .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
+          col("keep"))
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))), 6)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH km AS ($kmeansSql),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT km.vec_id, km.cid, e.v FROM km JOIN e USING (vec_id)),
+        |drp AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE ${cos("x.v", "y.v")} >= $SEM_TAU)
+        |SELECT a.vec_id, a.cid, (d.vec_id IS NULL)::BIGINT AS keep
+        |FROM a LEFT JOIN drp d USING (vec_id)""".stripMargin
+    })
+
   // --------------------------------------- nearest-centroid label audit
   // Pseudo-labeling / label-noise sweep: every vector reclassified to its
   // nearest LABEL centroid (centroids = e06's dim × labels aggregate,
@@ -939,5 +973,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, m01, m02, m03)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03)
 }

@@ -210,6 +210,32 @@ object Similarity {
       .filter(col("_r") === 1)
       .select(col("id"), col("vec"), col("_vn"), col("cid"))
       .localCheckpoint(true)
+    dropWithinBuckets(asg, threshold)
+  }
+
+  /** [[semanticDedup]] with LEARNED centroids — the production plug the
+    * sample-centroid form's scaladoc promises: bucket by nearest k-means
+    * centroid ([[assignToCentroids]]' rounded-L2²/cid-tiebreak argmin, a
+    * pure projection against broadcast literals), then the same
+    * within-bucket drop rule. Same outputs, same determinism, same scale
+    * shape — only the bucketing model changes. */
+  def semanticDedupKmeans(corpus: DataFrame, threshold: Double,
+                          cents: Array[Array[Double]]): DataFrame =
+    dropWithinBuckets(
+      assignStruct(corpus, cents)
+        .select(col("id"), col("vec"), sqrt(col("_vn2")).as("_vn"),
+          col("_x.cid").as("cid"))
+        .localCheckpoint(true),
+      threshold)
+
+  /** The shared drop rule: within each bucket, a vector is dropped when an
+    * earlier (smaller id) member is `threshold`-similar (rounded cosine,
+    * 6 dp). `asg`: (id, vec, _vn, cid), already materialized — consumed by
+    * both pair-join sides and the final keep join. The pair join is an
+    * equi-join on cid: the quadratic term is capped at (bucket size)², the
+    * SemDeDup scaling argument. */
+  private def dropWithinBuckets(asg: DataFrame, threshold: Double)
+  : DataFrame = {
     val dropped = asg.select(col("cid"), col("id").as("a"),
         col("vec").as("va"), col("_vn").as("_na"))
       .join(asg.select(col("cid"), col("id").as("b"),

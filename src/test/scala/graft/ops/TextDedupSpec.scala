@@ -146,6 +146,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("semanticDedupKmeans: learned buckets, earlier-id drop, cross-bucket kept") {
+    // two planted clusters (ids 1,3,5 and 2,4); 3 and 4 are near-copies
+    // of 1 and 2 (dropped), 5 shares 1's bucket but is < threshold
+    // similar (kept) — the within-bucket rule never sees across buckets
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.98f, 0.01f, 0.0f, 0.0f)),
+      (4L, Seq(0.01f, 0.99f, 0.0f, 0.0f)),
+      (5L, Seq(0.6f, 0.0f, 0.8f, 0.0f))).toDF("id", "vec")
+    val cents = Similarity.kmeansFit(df, k = 2, iters = 2, dims = 4)
+    val out = Similarity.semanticDedupKmeans(df, threshold = 0.9, cents)
+      .orderBy("id").select("id", "cid", "keep")
+      .as[(Long, Int, Long)].collect()
+    assert(out.map(t => t._1 -> t._3).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+    val cid = out.map(t => t._1 -> t._2).toMap
+    assert(cid(1L) == cid(3L) && cid(1L) == cid(5L))
+    assert(cid(2L) == cid(4L) && cid(2L) != cid(1L))
+  }
+
   test("hot-band cap purges degenerate buckets; audit accounts for them") {
     // a 4-copy mass-duplicate pile (every band bucket it touches has
     // depth 4 — the degenerate case the cap exists for) plus one true

@@ -40,7 +40,9 @@ def registry_names():
 def measured_names(text):
     # the full-sweep artifacts carry the per-query decade pairs for every
     # row that existed when the sweep ran; the appendix carries everything
-    # added since — together they define "already measured"
+    # added since — together they define "already measured". The sweep
+    # stores SHORT ids (the bench stdout degrade tier), so both the full
+    # name and its short id count as a hit.
     names = set()
     sweep = os.path.join(REPO, "bench_scale", "bench_sf1.json")
     if os.path.exists(sweep):
@@ -50,6 +52,10 @@ def measured_names(text):
         section = text.split(HEADING, 1)[1]
         names |= set(re.findall(r"^\| (\w+) \|", section, re.M))
     return names
+
+
+def is_measured(name, measured):
+    return name in measured or name.split("_")[0] in measured
 
 
 def bench(sf_dir, names):
@@ -64,7 +70,8 @@ def bench(sf_dir, names):
 def main():
     sf01, sf1 = sys.argv[1], sys.argv[2]
     text = open(SCALE_MD).read()
-    missing = [n for n in registry_names() if n not in measured_names(text)]
+    measured = measured_names(text)
+    missing = [n for n in registry_names() if not is_measured(n, measured)]
     if not missing:
         print("no unmeasured registry rows — SCALE.md is current")
         return
