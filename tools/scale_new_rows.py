@@ -70,6 +70,7 @@ def bench(sf_dir, names):
 def main():
     sf01, sf1 = sys.argv[1], sys.argv[2]
     text = open(SCALE_MD).read()
+    mtime = os.path.getmtime(SCALE_MD)
     measured = measured_names(text)
     missing = [n for n in registry_names() if not is_measured(n, measured)]
     if not missing:
@@ -83,6 +84,17 @@ def main():
         f"{t1.get(n, float('nan')):.2f}s | "
         f"{t1.get(n, 0) / max(t01.get(n, 0), 1e-9):.1f}x |\n"
         for n in sorted(missing))
+    if os.path.getmtime(SCALE_MD) != mtime:
+        # a concurrent edit landed while the bench ran — re-read so the
+        # rewrite can't clobber it (measured names were computed from the
+        # old text; re-filter against the fresh appendix to stay idempotent)
+        text = open(SCALE_MD).read()
+        fresh = measured_names(text)
+        rows = "".join(r + "\n" for r in rows.rstrip("\n").split("\n")
+                       if not is_measured(r.split(" | ")[0].lstrip("| "), fresh))
+        if not rows:
+            print("all rows already present after concurrent edit")
+            return
     if HEADING in text:
         text = text.rstrip("\n") + "\n" + rows
     else:
