@@ -199,9 +199,20 @@ private[graft] object QueriesPrep {
     Tables.documents(s, d)
 
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    // ONE token explosion total: the (doc, bucket, c) table is
+    // materialized once (docs × ≤B rows — far smaller than the token
+    // stream it summarizes) and the target slice's counts derive from it
+    // by a semi-join on the target doc ids, exactly like the oracle's
+    // `bc JOIN tgtd` CTE. Without the checkpoint the three consumers
+    // (target sums, raw sums, per-doc weights) would re-run the corpus
+    // explode per branch — the same join-inferred-filter reuse failure
+    // PlanShapeSpec caught on d63.
     val raw = Dsir.bucketCounts(dsirDocs(s, d), "doc_id", "text", DSIR_B)
-    val tgt = Dsir.bucketCounts(
-      dsirDocs(s, d).filter(col("lang") === "en"), "doc_id", "text", DSIR_B)
+      .localCheckpoint(true)
+    val tgt = raw.join(
+      dsirDocs(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("doc")),
+      Seq("doc"), "left_semi")
     Dsir.logWeights(raw, Dsir.logRatios(tgt, raw, DSIR_B))
   }
 
