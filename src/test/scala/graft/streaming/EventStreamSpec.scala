@@ -34,6 +34,50 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN index ingest: foreachBatch-appended index == rebuild") {
+    // the streaming form of the batch append-equals-rebuild proof
+    // (RelevanceHistSpec): signatures are per-row projections against
+    // literal planes, so each micro-batch indexes in isolation through
+    // the exactly-once foreachBatch sink, and the accumulated index is
+    // bit-identical to a full rebuild — a 100 TB index keeps up with
+    // ingest without ever recomputing standing shards.
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_ix")
+    rmTree(dir)
+    val mk = (id: Long) =>
+      (id, Array.tabulate(4)(i => math.sin(id * 3.7 + i).toFloat))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("id", "vec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EventStream.idempotentBatchWriter(dir.getPath)(
+          Similarity.lshIndexTable(batch, dims = 4, planes = 8, bands = 2),
+          bid)
+      }.start()
+    try {
+      in.addData((1L to 8L).map(mk): _*)
+      q.processAllAvailable()
+      in.addData((9L to 12L).map(mk): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dir.getPath)
+    val rebuilt = Similarity.lshIndexTable(
+      (1L to 12L).map(mk).toDF("id", "vec"), dims = 4, planes = 8,
+      bands = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bits", "nid", "_nn")
+        .as[(Int, Long, Long, Double)].collect().toSet
+    assert(rows(streamed) == rows(rebuilt))
+    // and the streamed index serves identical KNN answers
+    val qs = (1L to 2L).map(mk).toDF("id", "vec")
+    def ans(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.lshKnnIndexed(qs, ix, k = 3, dims = 4, planes = 8,
+        bands = 2).as[(Long, Long, Long, Double)].collect().toSet
+    assert(ans(streamed) == ans(rebuilt))
+    rmTree(dir)
+  }
+
   test("idempotentBatchWriter: redelivered batch ids never duplicate") {
     val dir = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_idem_sink")
