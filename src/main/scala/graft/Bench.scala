@@ -149,7 +149,8 @@ object Bench {
         catch { case _: Throwable => () }
     }
     def jsonLine(dp: Int, key: String => String = identity,
-                 include: Set[String] = null): String = {
+                 include: Set[String] = null,
+                 failedAsCount: Boolean = false): String = {
       val qs = results.collect {
         case (k, ts) if ts.nonEmpty && (include == null || include(k)) =>
           "\"" + key(k) + "\":" + fmt(ts.min, dp)
@@ -159,6 +160,7 @@ object Bench {
       }
       val failedPart =
         if (failed.isEmpty) ""
+        else if (failedAsCount) s""","failed_count":${failed.size}"""
         else failed.mkString(""","failed":[""", ",", "]")
       // total always covers EVERY query, even when the per-query map is
       // elided to fit the tail window
@@ -220,6 +222,13 @@ object Bench {
                 keep = math.max(1, keep - math.max(1, (line.length - budget) / 10))
                 line = jsonLine(1, keyFn, byTime.take(keep).toSet)
               }
+              // a mass-failure run can blow the budget on the `failed`
+              // ARRAY alone — collapse it to a count so the line always
+              // parses (the run is broken anyway; rc + side files carry
+              // the names)
+              if (line.length > budget)
+                line = jsonLine(1, keyFn, byTime.take(keep).toSet,
+                  failedAsCount = true)
               line
             }
           }

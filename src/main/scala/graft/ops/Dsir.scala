@@ -78,9 +78,10 @@ object Dsir {
       .join(raw, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-    val nt = dense.agg(sum(col("ct")).as("_nt"))
-    val nr = dense.agg(sum(col("cr")).as("_nr"))
-    dense.crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+    // ONE 1-row aggregate for both marginals (the oracle's `tot` CTE
+    // shape) — two separate aggs would plan the dense subtree twice more
+    val tot = dense.agg(sum(col("ct")).as("_nt"), sum(col("cr")).as("_nr"))
+    dense.crossJoin(broadcast(tot))
       .select(col("bucket"),
         round(log(((col("ct") + lit(1)).cast("double")
             * (col("_nr") + lit(buckets.toLong)).cast("double"))

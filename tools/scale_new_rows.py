@@ -9,7 +9,8 @@ suite contention), and append the rows.
     python3 tools/scale_new_rows.py /root/testdata/sf0.1 /tmp/graft_sf1
 
 Idempotent: already-measured names are skipped, so each round only pays for
-its additions.
+its additions. Queries that FAIL a bench run are reported and left
+unmeasured (so the next run retries them), never written as nan rows.
 """
 import json
 import os
@@ -22,6 +23,7 @@ SCALE_MD = os.path.join(REPO, "SCALE.md")
 HEADING = "## Isolated decade measurements (auto-appended by tools/scale_new_rows.py)"
 TABLE_HDR = ("| query | sf0.1 | sf1 | x10 ratio |\n"
              "|---|---|---|---|\n")
+SIDE_FILE = "/tmp/graft_bench.json"
 
 
 def sbt(args, env=None):
@@ -59,12 +61,39 @@ def is_measured(name, measured):
 
 
 def bench(sf_dir, names):
-    out = sbt(["runMain graft.Bench"], env={
+    # read the SIDE FILE, not stdout: the stdout line degrades to short-id
+    # keys and ELIDES fast rows once the query set is large, so a big
+    # bootstrap run would come back all-missing; the side file always
+    # carries every successful query under its full name at 3 decimals
+    if os.path.exists(SIDE_FILE):
+        os.remove(SIDE_FILE)
+    sbt(["runMain graft.Bench"], env={
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "SPARK_GRAFT_BENCH_ONLY": ",".join(names),
         "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")})
-    line = next(l for l in out.splitlines() if '{"metric"' in l)
-    return json.loads(line[line.index("{"):])["queries"]
+    with open(SIDE_FILE) as fh:
+        return json.load(fh)["queries"]
+
+
+def insert_rows(text, rows):
+    """Place `rows` right after the LAST table row of the appendix table —
+    never at EOF, which corrupts the table as soon as any prose follows it
+    (this script once clobbered exactly such a note)."""
+    if HEADING not in text:
+        return (text.rstrip("\n") + f"\n\n{HEADING}\n\n"
+                "Per-query isolated best-of-N (graft.Bench, one query per\n"
+                "run family) at sf0.1 vs the synthetic 10x sf1 — appended\n"
+                "automatically when new registry rows land.\n\n"
+                + TABLE_HDR + rows + "\n")
+    head, section = text.split(HEADING, 1)
+    lines = section.split("\n")
+    table_rows = [i for i, l in enumerate(lines) if l.startswith("| ")]
+    if not table_rows:  # heading present but table gone — rebuild it
+        return (head + HEADING + section.rstrip("\n") + "\n\n"
+                + TABLE_HDR + rows)
+    last_row = table_rows[-1]
+    lines[last_row] = lines[last_row] + "\n" + rows.rstrip("\n")
+    return head + HEADING + "\n".join(lines)
 
 
 def main():
@@ -79,11 +108,17 @@ def main():
     print(f"measuring {len(missing)} new rows: {', '.join(missing)}")
     t01 = bench(sf01, missing)
     t1 = bench(sf1, missing)
+    ok = [n for n in sorted(missing) if n in t01 and n in t1]
+    failed = [n for n in missing if n not in ok]
+    if failed:
+        # left out of the table entirely -> retried on the next run
+        print(f"FAILED (no row appended, will retry): {', '.join(failed)}")
+    if not ok:
+        sys.exit(1)
     rows = "".join(
-        f"| {n} | {t01.get(n, float('nan')):.2f}s | "
-        f"{t1.get(n, float('nan')):.2f}s | "
-        f"{t1.get(n, 0) / max(t01.get(n, 0), 1e-9):.1f}x |\n"
-        for n in sorted(missing))
+        f"| {n} | {t01[n]:.2f}s | {t1[n]:.2f}s | "
+        f"{t1[n] / max(t01[n], 1e-9):.1f}x |\n"
+        for n in ok)
     if os.path.getmtime(SCALE_MD) != mtime:
         # a concurrent edit landed while the bench ran — re-read so the
         # rewrite can't clobber it (measured names were computed from the
@@ -95,16 +130,10 @@ def main():
         if not rows:
             print("all rows already present after concurrent edit")
             return
-    if HEADING in text:
-        text = text.rstrip("\n") + "\n" + rows
-    else:
-        text = (text.rstrip("\n") + f"\n\n{HEADING}\n\n"
-                "Per-query isolated best-of-N (graft.Bench, one query per\n"
-                "run family) at sf0.1 vs the synthetic 10x sf1 — appended\n"
-                "automatically when new registry rows land.\n\n"
-                + TABLE_HDR + rows)
-    open(SCALE_MD, "w").write(text)
-    print(f"appended {len(missing)} rows to SCALE.md")
+    open(SCALE_MD, "w").write(insert_rows(text, rows))
+    print(f"appended {len(ok)} rows to SCALE.md")
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
