@@ -51,10 +51,16 @@ object Submit {
     val result = (args.lift(2), args.lift(3)) match {
       case (Some(p), _) if SequenceModel.isSequenceArtifact(p) =>
         runSeq(spark, inCsv, SequenceModel.fromFile(p))
-      case (Some(p), Some(v)) if LatentEncoderModel.isLatentArtifact(v) =>
+      case (Some(p), Some(v)) =>
+        // a 4th argument is an explicit request for the latent branch —
+        // a wrong/corrupt encoder must fail LOUD here, not fall through
+        // to the plain tree branch and silently score z_* as zero-fill
+        require(LatentEncoderModel.isLatentArtifact(v),
+          s"4th argument is not a latent encoder artifact " +
+            s"(expected a 'latentmodel' header): $v")
         runWithLatent(spark, inCsv, TreeEnsembleModel.fromFile(p),
           LatentEncoderModel.fromFile(v))
-      case (Some(p), _) => run(spark, inCsv, TreeEnsembleModel.fromFile(p))
+      case (Some(p), None) => run(spark, inCsv, TreeEnsembleModel.fromFile(p))
       case (None, _) =>
         run(spark, inCsv, TreeEnsembleModel.fromResource("/graft/tree_model.txt"))
     }
@@ -62,9 +68,14 @@ object Submit {
     spark.stop()
   }
 
-  /** The full dataflow, sink-free so specs can assert on the DataFrame. */
-  def run(spark: SparkSession, inCsv: String, model: TreeEnsembleModel,
-          dropCodes: Seq[String] = DefaultDropCodes): DataFrame = {
+  /** The shared tree-branch prelude (read → column contract → clean →
+    * fused per-user feature matrix), extracted so [[run]] and
+    * [[runWithLatent]] cannot drift on the cleaning constants or the
+    * column contract. Returns (raw tx, contract-projected input, feature
+    * matrix). */
+  private def treePrelude(spark: SparkSession, inCsv: String,
+                          model: TreeEnsembleModel, dropCodes: Seq[String])
+  : (DataFrame, DataFrame, DataFrame) = {
     val tx = Tables.readTransactionsCsv(spark, inCsv)
     // pipeline column contract; codes travel as strings so one vocabulary
     // mechanism serves MCC longs and categorical stand-ins alike
@@ -80,6 +91,13 @@ object Submit {
         dropCodes = dropCodes)).cache()
     val features = Pipeline.featureMatrixFused(cleaned, "user_id", "code",
       "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+    (tx, in, features)
+  }
+
+  /** The full dataflow, sink-free so specs can assert on the DataFrame. */
+  def run(spark: SparkSession, inCsv: String, model: TreeEnsembleModel,
+          dropCodes: Seq[String] = DefaultDropCodes): DataFrame = {
+    val (_, in, features) = treePrelude(spark, inCsv, model, dropCodes)
     val aligned = Pipeline.alignFeatures(features, "user_id",
       model.featureNames)
     Pipeline.submission(aligned, TreeEnsembleScorer(model), in, "user_id")
@@ -101,19 +119,7 @@ object Submit {
   def runWithLatent(spark: SparkSession, inCsv: String,
                     model: TreeEnsembleModel, encoder: LatentEncoderModel,
                     dropCodes: Seq[String] = DefaultDropCodes): DataFrame = {
-    val tx = Tables.readTransactionsCsv(spark, inCsv)
-    val in = tx.select(col("user_id"),
-      col("mcc_code").cast("string").as("code"),
-      col("transaction_amt").as("amt"),
-      col("transaction_dttm").as("ts"))
-    val vocab = model.featureNames.collect {
-      case f if f.startsWith("freq_") => f.stripPrefix("freq_")
-    }
-    val cleaned = Pipeline.clean(in, "user_id", "code", "amt",
-      Seq(col("ts")), Pipeline.Config(nAmt = 10, nMcc = 10, trimN = 20,
-        dropCodes = dropCodes)).cache()
-    val features = Pipeline.featureMatrixFused(cleaned, "user_id", "code",
-      "amt", TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
+    val (tx, in, features) = treePrelude(spark, inCsv, model, dropCodes)
     val latent = LatentTransformer(encoder)
       .transform(VraeFeatures.assemble(tx)).drop("seq")
     val enriched = features.join(latent, Seq("user_id"), "inner")

@@ -55,7 +55,16 @@ object VraeFeatures {
     when(col(src).cast("string") === value, 1.0).otherwise(0.0).as(name)
   }
 
-  /** sklearn StandardScaler with ddof=0; σ=0 divides by 1 (centered → 0). */
+  /** sklearn StandardScaler with ddof=0; σ=0 divides by 1.
+    *
+    * DELIBERATELY not [[graft.ops.Sequences.zScorePop]]: that helper
+    * replicates run.py's manual numpy z-score, which this engine pins to
+    * literal 0.0 on zero-variance groups, while sklearn's transform is
+    * `(x − mean_) / 1.0` — it does NOT snap to zero, so a zero-variance
+    * group whose mean is not exactly representable yields the same ±ulp
+    * residue sklearn itself produces. The VRAE encoder was trained on
+    * sklearn-scaled inputs (vrae/vrae.py), so this path keeps sklearn's
+    * edge semantics; the q36/q83 oracle rows keep numpy's. */
   private def scalePop(c: Column, user: Seq[String]): Column = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(user.map(col): _*)

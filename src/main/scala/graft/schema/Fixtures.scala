@@ -19,7 +19,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * so registry construction (and graft.FixtureDump, which must run before a
   * fixture is first committed) never depends on the fixture existing. */
 object Fixtures {
-  private val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures")
+  // per-user + per-checkout suffix: a fixed shared path raced concurrent
+  // runs from different checkouts (one run's DuckDB step could read the
+  // other's fixture bytes) and failed outright on multi-user machines
+  // where another user owned /tmp/graft_fixtures. The SQL path and the
+  // extraction are both produced by the same JVM run, so any stable
+  // suffix works — user + cwd-hash makes it collision-free.
+  private val dir = {
+    val user = sys.props.getOrElse("user.name", "anon")
+    val cwd = math.abs(sys.props.getOrElse("user.dir", "").hashCode.toLong)
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_fixtures_${user}_$cwd")
+  }
   private val registered =
     scala.collection.mutable.LinkedHashSet.empty[String]
 
@@ -42,9 +52,18 @@ object Fixtures {
     registered.foreach { name =>
       val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
       require(in != null, s"fixture resource not found: /graft/fixtures/$name")
-      try Files.copy(in, dir.resolve(name),
-        StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      // copy-to-temp + atomic move: a reader racing a re-extraction from
+      // the same checkout must never see a half-written parquet
+      val tmp = Files.createTempFile(dir, s".$name", ".part")
+      try {
+        Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } finally {
+        in.close()
+        Files.deleteIfExists(tmp)
+      }
     }
   }
 }

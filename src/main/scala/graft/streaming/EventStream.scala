@@ -414,8 +414,14 @@ object EventStream {
                 // which is exactly when the watermark proves no earlier
                 // event can extend it.
                 val boundaryMs = (s.last + gapUs + 999L) / 1000L
-                state.setTimeoutTimestamp(
-                  math.max(state.getCurrentWatermarkMs() + 1L, boundaryMs))
+                // batch execution strips the watermark and
+                // getCurrentWatermarkMs THROWS (verified on 4.1.2) —
+                // and in batch the timeout is a no-op anyway, so fall
+                // back to the raw boundary rather than killing a
+                // batch caller that keeps the emitOpen=false default
+                val wmFloor = scala.util.Try(
+                  state.getCurrentWatermarkMs() + 1L).getOrElse(Long.MinValue)
+                state.setTimeoutTimestamp(math.max(wmFloor, boundaryMs))
               }
             }
             closed.reverseIterator

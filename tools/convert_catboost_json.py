@@ -9,6 +9,8 @@ reference's `model_cb.cbm` (`run.py:466`) to the engine's committed scorer:
     # anywhere (no catboost needed):
     python3 tools/convert_catboost_json.py model_cb.json model.txt
     # then: graft.Submit in.csv out.csv model.txt
+    # VRAE models (digit feature ids = latent columns): add --latent to
+    # rename 0..39 -> z_0..z_39 for Submit's latent branch
 
 CatBoost oblivious trees: every level of a depth-d tree tests the SAME
 split, and leaf index = sum_j [x(f_j) > border_j] << j over the tree's
@@ -30,24 +32,29 @@ import random
 import sys
 
 
-def feature_names(doc):
+def feature_names(doc, latent=False):
     feats = doc.get("features_info", {}).get("float_features", [])
     names = []
     for i, f in enumerate(feats):
         fid = f.get("feature_id") or f.get("feature_name")
         name = str(fid) if fid not in (None, "") else f"f{i}"
-        # model_cb_vrae's latent features arrive as pandas integer column
-        # names 0..39 (run.py:178-179 df_z concat); the engine names them
-        # z_0..z_39 (Submit.runWithLatent / LatentTransformer)
-        if name.isdigit() or (name.startswith("-") and name[1:].isdigit()):
+        # --latent only: model_cb_vrae's latent features arrive as pandas
+        # integer column names 0..39 (run.py:178-179 df_z concat); the
+        # engine names them z_0..z_39 (Submit.runWithLatent /
+        # LatentTransformer). A generic model trained on an unnamed numpy
+        # matrix ALSO has digit ids, and renaming those would silently
+        # bind them to latent columns downstream — so the rename is
+        # opt-in, never inferred.
+        if latent and (name.isdigit()
+                       or (name.startswith("-") and name[1:].isdigit())):
             name = f"z_{name}"
         names.append(name)
     return names
 
 
-def convert(doc):
+def convert(doc, latent=False):
     """CatBoost JSON dict -> TreeEnsembleModel text lines."""
-    names = feature_names(doc)
+    names = feature_names(doc, latent)
     scale, bias = 1.0, 0.0
     sb = doc.get("scale_and_bias")
     if sb:
@@ -160,18 +167,22 @@ def selftest():
 
 
 def main():
-    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+    argv = list(sys.argv[1:])
+    latent = "--latent" in argv
+    if latent:
+        argv.remove("--latent")
+    if argv == ["--selftest"]:
         selftest()
         return
-    if len(sys.argv) != 3:
+    if len(argv) != 2:
         sys.exit(__doc__)
-    with open(sys.argv[1]) as fh:
+    with open(argv[0]) as fh:
         doc = json.load(fh)
-    lines = convert(doc)
-    with open(sys.argv[2], "w") as fh:
+    lines = convert(doc, latent)
+    with open(argv[1], "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"{len(doc['oblivious_trees'])} trees, "
-          f"{len(feature_names(doc))} features -> {sys.argv[2]}")
+          f"{len(feature_names(doc, latent))} features -> {argv[1]}")
 
 
 if __name__ == "__main__":

@@ -247,8 +247,13 @@ def check_against_spark(fix_rows, verify_dir, qname, value_cols):
     con = duckdb.connect()
     pq = glob.glob(f"{verify_dir}/{qname}/*.parquet")
     assert pq, f"no Spark dump under {verify_dir}/{qname}"
+    # project to exactly the fixture's columns: SELECT * would silently
+    # compare different shapes if the Spark dump ever gains or reorders
+    # columns (only the length assert would notice)
+    cols = ", ".join(["user_id"] + list(value_cols))
     spark = con.sql(
-        f"SELECT * FROM read_parquet({pq!r}) ORDER BY user_id").fetchall()
+        f"SELECT {cols} FROM read_parquet({pq!r}) ORDER BY user_id"
+    ).fetchall()
     assert len(spark) == len(fix_rows), (len(spark), len(fix_rows))
     n_bad = 0
     for s, f in zip(spark, fix_rows):
