@@ -699,6 +699,54 @@ private[graft] object QueriesPipeline {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
 
+  // -------------------------------------------------- Avro source/sink
+  // The row-oriented interchange format (Kafka-ecosystem ingest): orders
+  // → Avro → scan → aggregate. Doubles/longs/strings round-trip
+  // bit-exactly, so the decimal-exact money sums must match the
+  // parquet-sourced oracle — write-path corruption or schema drift
+  // breaks the hash. Completes the IO matrix: CSV (q40), JSONL (q42),
+  // ORC (q43), Avro (q84), parquet (everything).
+  private val q84: (String, QFn, Option[String]) = ("q84_avro_roundtrip",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      val dir = rtDir("avro_rt", d)
+      Tables.writeAvro(o, dir)
+      Tables.readAvro(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("o_totalprice"))).as("sum_price"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_price
+      |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
+
+  // --------------------------------------------------- XML source/sink
+  // The enterprise-ingest format (built-in XmlFileFormat, rowTag rows):
+  // customer → XML → declared-schema scan → aggregate. XML is typeless,
+  // so the read declares the schema (inference = extra pass + drift
+  // risk); the writer's &<> escaping must round-trip the text columns —
+  // the count-per-segment + decimal-exact balance sums hash-check both.
+  private val q85: (String, QFn, Option[String]) = ("q85_xml_roundtrip",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+      val dir = rtDir("xml_rt", d)
+      Tables.writeXml(c, dir)
+      Tables.readXml(s, dir, StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+          StructField("c_nationkey", LongType), StructField("c_acctbal", DoubleType))))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("n_nations"),
+          moneySum(dec2(col("c_acctbal"))).as("sum_bal"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      | count(DISTINCT c_nationkey) AS n_nations,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin))
+
   // --------------------------- §3.1 RNN branch, scored NATIVELY (q80)
   // The reference's sequence-model scoring (model.py:57-76: embeddings →
   // bidirectional GRU → max/avg/last-hidden pooling → MLP → softmax),
@@ -792,5 +840,5 @@ private[graft] object QueriesPipeline {
       Seq(("et_idx", 5, 3), ("hr", 24, 4), ("dow", 7, 3), ("vbin", 7, 3)),
       hidden = 8, clsUnits = 16, seqLen = 20, seed = 20230206L)
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q80, q83)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q84, q85, q80, q83)
 }

@@ -131,6 +131,31 @@ object Tables {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro source/sink — the Kafka-ecosystem row format. Spark 4 bundles
+    * `AvroFileFormat` in the sql jar but does NOT service-register the
+    * "avro" alias (the registry error suggests the external module), so
+    * the format is addressed by class name — same engine code path.
+    * Doubles/longs/strings round-trip bit-exactly; keep timestamps out
+    * of the payload (Avro's logical-type micros lose the NTZ zone
+    * convention this repo pins elsewhere). */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
+  /** XML source/sink (built-in since Spark 4; service-registered). The
+    * read declares the schema — XML carries no types, and inference
+    * would cost an extra pass AND could drift (a column of digit-like
+    * strings infers numeric). Writer escapes &<> so text round-trips. */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("rowTag", "row").format("xml")
+      .save(path)
+  def readXml(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("rowTag", "row").schema(schema).format("xml")
+      .load(path)
+
   /** S2: CSV sink, header, no index column (`run.py:85,486`), timestamps in
     * the reference's format so S1 can re-read what S2 wrote. `coalesce(1)`
     * only when a single file is demanded (submission-style outputs); at scale

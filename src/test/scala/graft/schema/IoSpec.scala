@@ -47,6 +47,26 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("Avro and XML round-trips preserve values, escaping, and edge floats") {
+    val dir = Files.createTempDirectory("graft-io4").toFile.getAbsolutePath
+    // XML's &<> escaping and Avro's binary doubles are the two risk
+    // surfaces — plant both (markup-significant text; a negative, a
+    // denormal-ish tiny and an exact-binary value)
+    val df = Seq((1L, "a & <b> \"c\"", 1.5), (2L, "plain", -2.0),
+      (3L, "x", 1.0e-300)).toDF("id", "s", "v")
+    Tables.writeAvro(df, s"$dir/a")
+    Tables.writeXml(df, s"$dir/x")
+    val a = Tables.readAvro(spark, s"$dir/a")
+    val x = Tables.readXml(spark, s"$dir/x", df.schema)
+    for (back <- Seq(a, x)) {
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+        Seq((1L, "a & <b> \"c\"", 1.5), (2L, "plain", -2.0),
+          (3L, "x", 1.0e-300)))
+    }
+  }
+
   test("declared schema rejects malformed rows as nulls (permissive read)") {
     val dir = Files.createTempDirectory("graft-io2")
     val f = dir.resolve("bad.csv")
