@@ -180,6 +180,32 @@ private[graft] object QueriesVectors {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
       | md5(text) AS digest FROM documents""".stripMargin))
 
+  // binaryFile-source ingest (m04): the step BEFORE m01 in a real media
+  // pipeline — payloads start as one FILE per asset on disk/object
+  // storage, not as a column. Executor-side export writes each
+  // partition's files (no driver collect), then the service-registered
+  // `binaryFile` source scans the directory back into (path, length,
+  // content) rows; id parses from the filename, digest must match the
+  // source table's md5 — any byte lost in either direction breaks the
+  // hash. Bounded to 50 assets: the point is the source mechanics, not
+  // file-count scale (at corpus scale the same reader runs over an
+  // object-store prefix with many files per partition).
+  private val m04: (String, QFn, Option[String]) = ("m04_binaryfile_ingest",
+    (s, d) => {
+      val dir = Queries.rtDir("m04files", d)
+      Multimodal.exportPayloadFiles(
+        docs(s, d).filter(col("doc_id") < 50)
+          .withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", dir)
+      Multimodal.readBinaryFiles(s, dir).select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+    },
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      | md5(text) AS digest FROM documents WHERE doc_id < 50""".stripMargin))
+
   // Stubbed decode + frame sampling through the per-partition batch path
   // (typed-Dataset mapPartitions with amortized per-partition decoder init).
   // The stand-in decoder is md5-derived ON PURPOSE: DuckDB replays it
@@ -973,5 +999,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04)
 }

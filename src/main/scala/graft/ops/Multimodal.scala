@@ -112,6 +112,32 @@ object Multimodal {
     }.toDF(idCol, "f0", "f1", "f2", "f3")
   }
 
+  /** Executor-side export of one FILE per row — the write half of a media
+    * repository: each partition writes its own rows' payloads directly
+    * (no driver collect, no shuffle), the layout a real corpus of
+    * image/audio assets has on object storage. Pair with
+    * [[readBinaryFiles]] for the ingest direction. */
+  def exportPayloadFiles(df: DataFrame, idCol: String, payloadCol: String,
+                         dir: String, ext: String = "bin"): Unit =
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(base)
+        it.foreach { r =>
+          java.nio.file.Files.write(base.resolve(s"doc_${r.getLong(0)}.$ext"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+
+  /** The `binaryFile` source (service-registered in Spark 4): one row per
+    * file with (path, modificationTime, length, content) — THE ingest
+    * path for raw media directories; content arrives as BinaryType cells
+    * ready for the decode stages above. Never select modificationTime
+    * into a deterministic pipeline. */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
   /** Declarative frame-sampling columns over a STRING payload: k evenly
     * spaced single-character "frames", each reduced to an md5-residue
     * feature. Character (not byte) offsets so `substr` agrees across
