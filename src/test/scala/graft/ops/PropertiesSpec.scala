@@ -93,4 +93,57 @@ class PropertiesSpec extends SparkSpec {
       if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity != 1 for $a")
     }
   }
+
+  test("bandDepthAudit: posting conservation and hot-mass bounds") {
+    // invariants for every corpus: each doc with >= n tokens contributes
+    // EXACTLY one posting per band (n_postings == eligible docs, every
+    // band), and the hot share never exceeds the total pair mass
+    val docGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))))
+    samples(docGen, 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val eligible = texts.count(_.trim.split("\\s+").count(_.nonEmpty) >= 3)
+      val audit = Dedup.bandDepthAudit(df, "doc_id", "text", n = 3,
+        k = 8, bands = 4, hotCap = 2).collect()
+      if (eligible == 0) assert(audit.isEmpty)
+      else {
+        assert(audit.length == 4)
+        audit.foreach { r =>
+          assert(r.getAs[Long]("n_postings") == eligible.toLong,
+            s"posting conservation broken: $r vs $eligible docs")
+          assert(r.getAs[Long]("hot_pair_slots") <= r.getAs[Long]("pair_slots"))
+          assert(r.getAs[Long]("max_depth") <= eligible.toLong)
+        }
+      }
+    }
+  }
+
+  test("gumbelTopK: k=n is a permutation; ranks are 1..k; monotone in logw") {
+    val wGen = Gen.nonEmptyListOf(Gen.choose(-3.0, 3.0))
+    samples(wGen, 5).foreach { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, 1L, w) }
+        .toDF("doc", "n_feats", "logw")
+      val full = Dsir.gumbelTopK(df, ws.size, "p")
+        .select("doc", "rank", "score")
+        .as[(Long, Int, Double)].collect()
+      assert(full.map(_._1).toSet == ws.indices.map(_.toLong).toSet,
+        "k=n must return every doc exactly once")
+      assert(full.map(_._2).sorted.sameElements(1 to ws.size))
+      // scores ordered by rank (desc, ties broken by doc id upstream)
+      val byRank = full.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // raising one doc's logw can only improve (lower) its rank
+      val target = 0L
+      val boosted = df.withColumn("logw",
+        org.apache.spark.sql.functions.when($"doc" === target,
+          $"logw" + 100.0).otherwise($"logw"))
+      val r0 = full.find(_._1 == target).get._2
+      val r1 = Dsir.gumbelTopK(boosted, ws.size, "p")
+        .select("doc", "rank").as[(Long, Int)].collect()
+        .find(_._1 == target).get._2
+      assert(r1 <= r0, s"boosting logw worsened rank: $r0 -> $r1")
+    }
+  }
 }
