@@ -708,7 +708,7 @@ private[graft] object QueriesPipeline {
   // ORC (q43), Avro (q84), parquet (everything).
   private val q84: (String, QFn, Option[String]) = ("q84_avro_roundtrip",
     (s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
+      val o = Tables.orders(s, d).select(
         col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
       val dir = rtDir("avro_rt", d)
       Tables.writeAvro(o, dir)
@@ -731,13 +731,14 @@ private[graft] object QueriesPipeline {
   private val q85: (String, QFn, Option[String]) = ("q85_xml_roundtrip",
     (s, d) => {
       import org.apache.spark.sql.types._
-      val c = Tables.customer(s, d).select(col("c_custkey"),
+      val c = Tables.customer(s, d).select(
         col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
       val dir = rtDir("xml_rt", d)
       Tables.writeXml(c, dir)
       Tables.readXml(s, dir, StructType(Seq(
-          StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
-          StructField("c_nationkey", LongType), StructField("c_acctbal", DoubleType))))
+          StructField("c_mktsegment", StringType),
+          StructField("c_nationkey", LongType),
+          StructField("c_acctbal", DoubleType))))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("n_nations"),
           moneySum(dec2(col("c_acctbal"))).as("sum_bal"))

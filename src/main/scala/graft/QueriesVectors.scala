@@ -204,7 +204,8 @@ private[graft] object QueriesVectors {
         md5(col("content")).as("digest"))
     },
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-      | md5(text) AS digest FROM documents WHERE doc_id < 50""".stripMargin))
+      | md5(text) AS digest FROM documents
+      |WHERE doc_id < 50 AND text IS NOT NULL""".stripMargin))
 
   // Stubbed decode + frame sampling through the per-partition batch path
   // (typed-Dataset mapPartitions with amortized per-partition decoder init).

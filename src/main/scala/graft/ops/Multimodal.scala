@@ -115,19 +115,39 @@ object Multimodal {
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of
-    * image/audio assets has on object storage. Pair with
-    * [[readBinaryFiles]] for the ingest direction. */
+    * image/audio assets has on object storage.
+    *
+    * Paths go through the Hadoop FileSystem API, so `dir` may be
+    * file://, hdfs:// or s3a:// — on a real cluster it MUST be a shared
+    * filesystem (a bare local path would scatter files across
+    * executor-local disks where neither the read side nor cleanup ever
+    * sees them). The target is cleared first (overwrite semantics, like
+    * every other sink here — stale files from a crashed prior run would
+    * otherwise be swept into the next scan), and NULL payloads are
+    * skipped: a file cannot hold SQL NULL, so the read side defines the
+    * corpus as "rows that have bytes" (filter nulls upstream if they
+    * must be accounted). Pair with [[readBinaryFiles]]. */
   def exportPayloadFiles(df: DataFrame, idCol: String, payloadCol: String,
-                         dir: String, ext: String = "bin"): Unit =
+                         dir: String, ext: String = "bin"): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val dfs = target.getFileSystem(hconf)
+    dfs.delete(target, true)
+    dfs.mkdirs(target)
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .filter(col(payloadCol).isNotNull && col(idCol).isNotNull)
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        val base = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.createDirectories(base)
+        // executor-side: resolve the FS from task-local default conf —
+        // works for the same schemes the driver resolved
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
         it.foreach { r =>
-          java.nio.file.Files.write(base.resolve(s"doc_${r.getLong(0)}.$ext"),
-            r.getAs[Array[Byte]](1))
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+            s"doc_${r.getLong(0)}.$ext"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
+  }
 
   /** The `binaryFile` source (service-registered in Spark 4): one row per
     * file with (path, modificationTime, length, content) — THE ingest
