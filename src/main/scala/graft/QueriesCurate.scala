@@ -994,5 +994,54 @@ private[graft] object QueriesCurate {
       | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
       |GROUP BY c.a, c.b""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, c01)
+  // ------------------------------------------- release diff (d71)
+  // Dataset versioning's core report: what changed between two corpus
+  // releases — per source, how many documents were ADDED, REMOVED,
+  // CHANGED (same id, different content digest) or UNCHANGED. Releases
+  // here are deterministic slices of the one corpus (the d22 synthetic-
+  // delta move): release A drops ids ≡0 (mod 7), release B drops ids ≡0
+  // (mod 5) and rewrites the text of ids ≡0 (mod 11) — so all four
+  // change classes are exercised and the oracle replays the exact same
+  // construction. Shape: ONE full-outer equi-join on doc_id comparing
+  // 16-byte digests (never the texts), then a source-sized aggregate —
+  // linear in the union of the releases, the plan a 100 TB
+  // release-to-release audit runs. Digests make the comparison O(1) per
+  // row and transportable: a real deployment diffs stored digest
+  // manifests without touching payload bytes at all.
+  private val d71: (String, QFn, Option[String]) = ("d71_release_diff",
+    (s, d) => {
+      val base = docs(s, d)
+      val relA = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("dig_a"))
+      val relB = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source").as("source_b"),
+          md5(when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).cast("binary")).as("dig_b"))
+      relA.join(relB, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("source_b")).as("source"),
+          when(col("dig_a").isNull, "added")
+            .when(col("dig_b").isNull, "removed")
+            .when(col("dig_a") =!= col("dig_b"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy(col("source"), col("change"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH a AS (SELECT doc_id, source, md5(text) AS dig
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+      |        ELSE text END) AS dig
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |j AS (SELECT coalesce(a.source, b.source) AS source,
+      |    CASE WHEN a.dig IS NULL THEN 'added'
+      |         WHEN b.dig IS NULL THEN 'removed'
+      |         WHEN a.dig <> b.dig THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, change, count(*) AS n
+      |FROM j GROUP BY source, change""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, c01)
 }
