@@ -784,13 +784,14 @@ private[graft] object QueriesPipeline {
 
   // Oracle: committed golden fixture — an independent pure-Python float64
   // forward pass over the same weights and sequences (FIXTURES.md,
-  // tools/make_rnn_fixture.py). Pinned to the driver's verify scale
-  // (sf0.01), like every golden-output fixture.
+  // tools/make_rnn_fixture.py). Committed PER SCALE (sf0001/sf001/sf01);
+  // the oracle SQL selects the scale-matching variant by row count
+  // (Fixtures.oracleSelect), so the gate is hash-green at every scale the
+  // driver runs.
   private val q80: (String, QFn, Option[String]) = ("q80_rnn_scores",
     (s, d) => graft.pipeline.SequenceScorer(rnnEventsModel)
       .score(q80Sequences(s, d)).select(col("user_id"), col("target")),
-    Some(Fixtures.oracleSelect("q80_expected_sf001.parquet",
-      "user_id, target")))
+    Some(Fixtures.oracleSelect("q80_expected", "user_id, target")))
 
   // --------------------------- §3.1 VRAE latent transform, NATIVE (q83)
   // The reference's VRAE encoder path (vrae/vrae.py:30-47 LSTM encoder →
@@ -830,7 +831,7 @@ private[graft] object QueriesPipeline {
       .transform(q83Sequences(s, d))
       .select(col("user_id") +:
         (0 until vraeEventsModel.latent).map(j => col(s"z_$j")): _*),
-    Some(Fixtures.oracleSelect("q83_expected_sf001.parquet",
+    Some(Fixtures.oracleSelect("q83_expected",
       "user_id, z_0, z_1, z_2, z_3, z_4, z_5")))
 
   private val rnnBinEdges = Seq(0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
@@ -841,5 +842,93 @@ private[graft] object QueriesPipeline {
       Seq(("et_idx", 5, 3), ("hr", 24, 4), ("dow", 7, 3), ("vbin", 7, 3)),
       hidden = 8, clsUnits = 16, seqLen = 20, seed = 20230206L)
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q84, q85, q80, q83)
+  // ------------------- INDEPENDENT assembly checks for q80/q83 (q86/q87)
+  // The golden fixtures prove the FORWARD PASS against an independent
+  // Python implementation, but their input tensors come from the engine's
+  // own assembly (FixtureDump) — an assembly bug would self-confirm. These
+  // rows close that hole: the exact pre-forward tensors, scalarized via
+  // posexplode (the q17 pattern) and fully replayed in DuckDB SQL —
+  // digitization, ordering, last-N trim, RIGHT-padding, z-score, cumsum,
+  // rebase, one-hot — so the driver hash-checks the assembly end to end.
+  // pos is 1-based into the padded sequence: pos 1 = oldest kept event,
+  // pos > count(user) = zero padding (padLeft=false appends it).
+  private def seqPadSql(n: Int, feats: String, zeroFeats: String,
+                        featSql: String): String =
+    s"""WITH feat AS ($featSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rd,
+      |    count(*) OVER (PARTITION BY user_id) AS k
+      |  FROM feat),
+      |kept AS (
+      |  SELECT user_id, (least(k, $n) + 1 - rd)::BIGINT AS pos, $feats
+      |  FROM ranked WHERE rd <= $n),
+      |counts AS (SELECT user_id, least(count(*), $n) AS k
+      |  FROM events GROUP BY user_id),
+      |pads AS (SELECT user_id, unnest(range(k + 1, ${n + 1}))::BIGINT AS pos,
+      |    $zeroFeats FROM counts)
+      |SELECT * FROM kept UNION ALL SELECT * FROM pads""".stripMargin
+
+  private val q86: (String, QFn, Option[String]) = ("q86_rnn_seq_tensors",
+    (s, d) => q80Sequences(s, d)
+      .select(col("user_id"), posexplode(col("seq")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").getItem(0).cast("long").as("et_idx"),
+        col("col").getItem(1).cast("long").as("hr"),
+        col("col").getItem(2).cast("long").as("dow"),
+        col("col").getItem(3).cast("long").as("vbin")),
+    Some {
+      val etCase = vocab.zipWithIndex.map { case (v, i) =>
+        s"WHEN '$v' THEN ${i + 1}" }.mkString(" ")
+      val vbinCase = rnnBinEdges.sliding(2).zipWithIndex.map {
+        case (Seq(lo, hi), i) =>
+          s"WHEN value > $lo AND value <= $hi THEN ${i + 1}"
+        case _ => ""
+      }.mkString(" ")
+      seqPadSql(20,
+        "et_idx, hr, dow, vbin",
+        "0::BIGINT AS et_idx, 0::BIGINT AS hr, 0::BIGINT AS dow, " +
+          "0::BIGINT AS vbin",
+        s"""SELECT user_id, ts, event_id,
+          |    (CASE event_type $etCase ELSE 0 END)::BIGINT AS et_idx,
+          |    (hour(ts) + 1)::BIGINT AS hr,
+          |    isodow(ts)::BIGINT AS dow,
+          |    (CASE $vbinCase ELSE 0 END)::BIGINT AS vbin
+          |  FROM events""".stripMargin)
+    })
+
+  private val q87: (String, QFn, Option[String]) = ("q87_vrae_seq_tensors",
+    (s, d) => q83Sequences(s, d)
+      .select(col("user_id"), posexplode(col("seq")))
+      .select(Seq(col("user_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").getItem(0).as("z_amt"),
+        round(col("col").getItem(1), 6).as("cum_z"),
+        col("col").getItem(2).cast("long").as("td_rebased")) ++
+        vocab.zipWithIndex.map { case (v, i) =>
+          col("col").getItem(3 + i).cast("long").as(s"et_$v") }: _*),
+    Some {
+      val etFeats = vocab.map(v =>
+        s"(CASE WHEN event_type = '$v' THEN 1 ELSE 0 END)::BIGINT AS et_$v")
+        .mkString(", ")
+      val etNames = vocab.map(v => s"et_$v").mkString(", ")
+      val etZeros = vocab.map(v => s"0::BIGINT AS et_$v").mkString(", ")
+      seqPadSql(24,
+        s"z_amt, round(cum_z, 6) AS cum_z, td_rebased, $etNames",
+        "0.0 AS z_amt, 0.0 AS cum_z, 0::BIGINT AS td_rebased, " + etZeros,
+        s"""SELECT user_id, ts, event_id, z_amt,
+          |    sum(z_amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS cum_z,
+          |    (floor(epoch_us(ts) / 3600000000)
+          |     - first_value(floor(epoch_us(ts) / 3600000000))
+          |       OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          |      ::BIGINT AS td_rebased, $etFeats
+          |  FROM (SELECT *,
+          |    round(CASE WHEN stddev_pop($svalSql) OVER p = 0
+          |        OR stddev_pop($svalSql) OVER p IS NULL THEN 0
+          |      ELSE ($svalSql - avg($svalSql) OVER p)
+          |           / (stddev_pop($svalSql) OVER p) END, 6) AS z_amt
+          |    FROM events WINDOW p AS (PARTITION BY user_id))""".stripMargin)
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q84, q85, q80, q83, q86, q87)
 }

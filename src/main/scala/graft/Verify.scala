@@ -59,8 +59,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // Golden-output fixtures: building oracleSql above registered every
-    // fixture-backed oracle; extract them now so the read_parquet paths the
-    // JSON references exist when the driver's DuckDB step runs.
+    // fixture-backed oracle; extract ALL committed per-scale variants now
+    // (the SQL selects the scale-matching one by row count) so the
+    // read_parquet globs the JSON references resolve when the driver's
+    // DuckDB step runs.
     graft.schema.Fixtures.extractRegistered()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

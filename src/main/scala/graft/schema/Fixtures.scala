@@ -33,37 +33,66 @@ object Fixtures {
   private val registered =
     scala.collection.mutable.LinkedHashSet.empty[String]
 
-  /** Stable extraction path for a fixture (no IO). */
-  def path(name: String): String = dir.resolve(name).toString
+  /** Every scale the driver (or local iteration) can run verify at; a
+    * fixture base may be committed for any subset — [[extractRegistered]]
+    * extracts whichever exist. */
+  val scaleTags: Seq[String] = Seq("sf0001", "sf001", "sf01")
 
-  /** Oracle SQL for a fixture-checked query: read the expected output.
-    * Registers `name` for [[extractRegistered]]. */
-  def oracleSelect(name: String, cols: String): String = synchronized {
-    registered += name
-    s"SELECT $cols FROM read_parquet('${path(name)}')"
+  /** Extraction path of one committed per-scale variant (no IO). */
+  def path(base: String, tag: String): String =
+    dir.resolve(s"${base}_$tag.parquet").toString
+
+  /** Scale tag for a testdata dir: basename with dots stripped, so
+    * /root/testdata/sf0.01 → "sf001", sf0.001 → "sf0001", sf0.1 → "sf01" —
+    * matching the committed fixture file suffixes. */
+  def scaleTag(sfDir: String): String =
+    Paths.get(sfDir).getFileName.toString.replace(".", "")
+
+  /** Oracle SQL for a fixture-checked query. oracleSql is a STATIC map but
+    * the expected output depends on the verify scale, which only
+    * graft.Verify knows — so the SQL globs over ALL extracted per-scale
+    * variants and selects the one whose row count equals the live user
+    * count of the `events` table being verified (fixture row count = one
+    * row per user, and the scales differ 10× in users, so the match is
+    * unambiguous). This also makes interleaved verify runs at different
+    * scales from the same checkout safe: extraction is additive, never a
+    * clobber. Registers `base` for [[extractRegistered]]. */
+  def oracleSelect(base: String, cols: String): String = synchronized {
+    registered += base
+    val glob = dir.resolve(s"${base}_*.parquet").toString
+    s"SELECT $cols FROM (SELECT *, count(*) OVER (PARTITION BY filename) " +
+      s"AS _n FROM read_parquet('$glob', filename=true)) " +
+      "WHERE _n = (SELECT count(DISTINCT user_id) FROM events)"
   }
 
-  /** Extract every registered fixture resource to its [[path]]. Called by
-    * graft.Verify before it writes oracle_sql.json; fails loudly if a
-    * registered fixture was never committed (always re-copies, so a stale
-    * tmp file from an older build can't win). */
+  /** Extract every committed per-scale variant of every registered fixture
+    * base to its [[path]]. Called by graft.Verify before it writes
+    * oracle_sql.json; fails loudly if a registered base has NO committed
+    * variant at all (always re-copies, so a stale tmp file from an older
+    * build can't win). */
   def extractRegistered(): Unit = synchronized {
     Files.createDirectories(dir)
-    registered.foreach { name =>
-      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
-      require(in != null, s"fixture resource not found: /graft/fixtures/$name")
-      // copy-to-temp + atomic move: a reader racing a re-extraction from
-      // the same checkout must never see a half-written parquet
-      val tmp = Files.createTempFile(dir, s".$name", ".part")
-      try {
-        Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, dir.resolve(name),
-          StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
-      } finally {
-        in.close()
-        Files.deleteIfExists(tmp)
+    registered.foreach { base =>
+      val found = scaleTags.flatMap { tag =>
+        val res = s"${base}_$tag.parquet"
+        Option(getClass.getResourceAsStream(s"/graft/fixtures/$res")).map { in =>
+          // copy-to-temp + atomic move: a reader racing a re-extraction
+          // from the same checkout must never see a half-written parquet
+          val tmp = Files.createTempFile(dir, s".$res", ".part")
+          try {
+            Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+            Files.move(tmp, Paths.get(path(base, tag)),
+              StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+          } finally {
+            in.close()
+            Files.deleteIfExists(tmp)
+          }
+          tag
+        }
       }
+      require(found.nonEmpty,
+        s"no committed fixture variant for base $base (tried $scaleTags)")
     }
   }
 }

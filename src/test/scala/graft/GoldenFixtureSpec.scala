@@ -1,38 +1,50 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import graft.schema.Fixtures
 
-/** The committed golden-output fixtures equal the live query outputs at the
-  * scale they were generated at (sf0.01, the driver's verify scale). The
-  * fixtures were produced by an INDEPENDENT pure-Python float64 forward pass
+/** The committed golden-output fixtures equal the live query outputs at
+  * EVERY scale the driver runs (sf0.001 smoke, sf0.01 verify; sf0.1 is also
+  * committed for local bench-scale iteration). The fixtures were produced by
+  * an INDEPENDENT pure-Python float64 forward pass
   * (tools/make_rnn_fixture.py) over the same committed weights — this spec
   * re-proves, on every test run, that the native Scala recurrence still
-  * bit-matches that independent implementation after HALF_UP round-6. */
+  * bit-matches that independent implementation after HALF_UP round-6.
+  *
+  * Scope note (FIXTURES.md §3): the fixture is independent for the FORWARD
+  * PASS only — the input tensors come from the engine's own sequence
+  * assembly. The assembly itself is independently checked by the q86/q87
+  * registry rows (DuckDB SQL replay of the scalarized tensors). */
 class GoldenFixtureSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.01"
-
-  private def fixtureDf(name: String) = {
-    Fixtures.oracleSelect(name, "*") // register…
-    Fixtures.extractRegistered()     // …and extract to the stable tmp path
-    spark.read.parquet(Fixtures.path(name))
+  private def fixtureDf(base: String, tag: String) = {
+    Fixtures.oracleSelect(base, "*") // register…
+    Fixtures.extractRegistered()     // …and extract every committed variant
+    spark.read.parquet(Fixtures.path(base, tag))
   }
 
-  test("q80 native GRU scores bit-match the committed golden fixture") {
-    val live = SparkEntry.queries("q80_rnn_scores")(spark, sf)
-    val expected = fixtureDf("q80_expected_sf001.parquet")
-    assert(live.count() === 150)
-    // exceptAll both ways = multiset equality on (user_id, target) bits
+  private def check(qname: String, base: String, sfDir: String,
+                    expectRows: Long): Unit = {
+    val live = SparkEntry.queries(qname)(spark, sfDir)
+    val expected = fixtureDf(base, Fixtures.scaleTag(sfDir))
+    assert(live.count() === expectRows)
+    // exceptAll both ways = multiset equality on all columns, bit-exact
     assert(live.exceptAll(expected).isEmpty &&
       expected.exceptAll(live).isEmpty)
   }
 
-  test("q83 native LSTM latents bit-match the committed golden fixture") {
-    val live = SparkEntry.queries("q83_vrae_latent")(spark, sf)
-    val expected = fixtureDf("q83_expected_sf001.parquet")
-    assert(live.count() === 150)
-    assert(live.exceptAll(expected).isEmpty &&
-      expected.exceptAll(live).isEmpty)
+  test("q80 native GRU scores bit-match the sf0.01 golden fixture") {
+    check("q80_rnn_scores", "q80_expected", "/root/testdata/sf0.01", 150)
+  }
+
+  test("q80 native GRU scores bit-match the sf0.001 golden fixture") {
+    check("q80_rnn_scores", "q80_expected", "/root/testdata/sf0.001", 15)
+  }
+
+  test("q83 native LSTM latents bit-match the sf0.01 golden fixture") {
+    check("q83_vrae_latent", "q83_expected", "/root/testdata/sf0.01", 150)
+  }
+
+  test("q83 native LSTM latents bit-match the sf0.001 golden fixture") {
+    check("q83_vrae_latent", "q83_expected", "/root/testdata/sf0.001", 15)
   }
 }

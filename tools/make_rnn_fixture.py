@@ -10,10 +10,13 @@ Inputs come from `sbt "runMain graft.FixtureDump <sfDir> <dumpDir>"`:
 
 Usage:
     python3 tools/make_rnn_fixture.py <dumpDir> q80 [--check <verifyDir>]
+                                      [--tag sf001]
 
-Writes src/main/resources/graft/fixtures/q80_expected_sf001.parquet and, with
+Writes src/main/resources/graft/fixtures/q80_expected_<tag>.parquet and, with
 --check, compares against the Spark output graft.Verify dumped (must be
-bit-identical after the shared HALF_UP round-6).
+bit-identical after the shared HALF_UP round-6). Run once per scale dir
+(sf0.001 -> --tag sf0001, sf0.01 -> sf001, sf0.1 -> sf01) so graft.Verify is
+hash-green at every scale the driver runs.
 
 Independence note: this forward pass is written from the torch GRU/LSTM gate
 equations directly (https://pytorch.org/docs/stable/generated/torch.nn.GRU),
@@ -267,19 +270,19 @@ def check_against_spark(fix_rows, verify_dir, qname, value_cols):
     print(f"check OK: {len(spark)} rows bit-identical to Spark ({qname})")
 
 
-def make_q80(dump_dir, check_dir):
+def make_q80(dump_dir, check_dir, tag):
     m = parse_seqmodel(f"{dump_dir}/q80_model.txt")
     rows = []
     for user_id, seq in load_seqs(dump_dir, "q80"):
         p = seqmodel_forward(m, seq)
         rows.append((user_id, round_half_up(p, 6)))
-    out = os.path.join(FIXDIR, "q80_expected_sf001.parquet")
+    out = os.path.join(FIXDIR, f"q80_expected_{tag}.parquet")
     write_fixture(rows, out, "user_id BIGINT, target DOUBLE")
     if check_dir:
         check_against_spark(rows, check_dir, "q80_rnn_scores", ["target"])
 
 
-def make_q83(dump_dir, check_dir):
+def make_q83(dump_dir, check_dir, tag):
     m = parse_latentmodel(f"{dump_dir}/q83_model.txt")
     rows = []
     for user_id, seq in load_seqs(dump_dir, "q83"):
@@ -287,7 +290,7 @@ def make_q83(dump_dir, check_dir):
         rows.append((user_id, *[round_half_up(v, 6) for v in z]))
     n = m["latent"]
     cols = "user_id BIGINT, " + ", ".join(f"z_{j} DOUBLE" for j in range(n))
-    out = os.path.join(FIXDIR, "q83_expected_sf001.parquet")
+    out = os.path.join(FIXDIR, f"q83_expected_{tag}.parquet")
     write_fixture(rows, out, cols)
     if check_dir:
         check_against_spark(rows, check_dir, "q83_vrae_latent",
@@ -299,10 +302,15 @@ def main():
     check_dir = None
     if "--check" in sys.argv:
         check_dir = sys.argv[sys.argv.index("--check") + 1]
+    # --tag sf0001|sf001|sf01: the scale suffix of the committed fixture
+    # (must match Fixtures.scaleTag of the sfDir FixtureDump ran on)
+    tag = "sf001"
+    if "--tag" in sys.argv:
+        tag = sys.argv[sys.argv.index("--tag") + 1]
     if which == "q80":
-        make_q80(dump_dir, check_dir)
+        make_q80(dump_dir, check_dir, tag)
     elif which == "q83":
-        make_q83(dump_dir, check_dir)
+        make_q83(dump_dir, check_dir, tag)
     else:
         sys.exit(f"unknown fixture target: {which}")
 
