@@ -136,5 +136,5 @@ object Queries {
     * ordered, contiguous slices of that sequence. */
   val defs: Seq[(String, QFn, Option[String])] =
     QueriesCore.defs ++ QueriesPipeline.defs ++
-      QueriesScale.defs ++ QueriesAnalytics.defs
+      QueriesScale.defs ++ QueriesAnalytics.defs ++ QueriesTrain.defs
 }

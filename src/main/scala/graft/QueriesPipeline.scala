@@ -517,12 +517,30 @@ private[graft] object QueriesPipeline {
   // order, so the score is exact in both engines.
   private lazy val treeModel =
     TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+  /** The q37 per-user feature-matrix CTE (`fm`), shared with the training
+    * lifecycle rows in [[QueriesTrain]] — ONE SQL twin of
+    * Pipeline.featureMatrixFused. */
+  private[graft] val fmCteSql: String =
+    s"""fm AS (SELECT user_id,
+      | ${vocab.map(v =>
+            s"count(sv) FILTER (WHERE event_type = '$v') AS freq_$v")
+           .mkString(", ")},
+      | ${vocab.map(v =>
+            s"COALESCE(sum(sv) FILTER (WHERE event_type = '$v'), 0.0) AS proc_$v")
+           .mkString(", ")},
+      | avg(td) AS td_mean,
+      | CASE WHEN count(td) >= 2 THEN stddev_samp(td) ELSE 0.0 END AS td_std
+      |FROM (SELECT user_id, event_type, $svalSql AS sv,
+      |   hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events)
+      |GROUP BY user_id)""".stripMargin
+  /** The Spark twin: fused single-pass feature matrix over events. */
+  private[graft] def fmDf(s: SparkSession, d: String): DataFrame =
+    Pipeline.featureMatrixFused(ev(s, d).withColumn("sv", sval),
+      "user_id", "event_type", "sv",
+      TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
   private val q37: (String, QFn, Option[String]) = ("q37_tree_scorer",
     (s, d) => {
-      val e = ev(s, d).withColumn("sv", sval)
-      val fm = Pipeline.featureMatrixFused(e, "user_id", "event_type", "sv",
-        TimeFeatures.secondsSinceMidnight(col("ts")), vocab)
-      val aligned = Pipeline.alignFeatures(fm, "user_id",
+      val aligned = Pipeline.alignFeatures(fmDf(s, d), "user_id",
         treeModel.featureNames)
       TreeEnsembleScorer(treeModel).score(aligned)
         .select(col("user_id"), col("target"))
@@ -530,18 +548,7 @@ private[graft] object QueriesPipeline {
     Some {
       val featSql: String => String =
         f => if (f.startsWith("ctx_")) "0.0" else f
-      s"""WITH fm AS (SELECT user_id,
-        | ${vocab.map(v =>
-              s"count(sv) FILTER (WHERE event_type = '$v') AS freq_$v")
-             .mkString(", ")},
-        | ${vocab.map(v =>
-              s"COALESCE(sum(sv) FILTER (WHERE event_type = '$v'), 0.0) AS proc_$v")
-             .mkString(", ")},
-        | avg(td) AS td_mean,
-        | CASE WHEN count(td) >= 2 THEN stddev_samp(td) ELSE 0.0 END AS td_std
-        |FROM (SELECT user_id, event_type, $svalSql AS sv,
-        |   hour(ts)*3600 + minute(ts)*60 + second(ts) AS td FROM events)
-        |GROUP BY user_id)
+      s"""WITH $fmCteSql
         |SELECT user_id, round(${treeModel.toSql(featSql)}, 6) AS target
         |FROM fm""".stripMargin
     })

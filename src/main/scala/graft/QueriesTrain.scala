@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.pipeline.{Pipeline, Training, TreeEnsembleModel,
+  TreeEnsembleScorer}
+import graft.Queries._
+
+/** Driver-contract registry slice q88–q90: the §3.3 TRAINING lifecycle
+  * (reference `training.ipynb cell16-17`) — stratified CV fold assignment,
+  * rank-sum AUC evaluation, and scoring by an artifact the engine itself
+  * trained and committed (`graft.Train`). The fit is Spark ML's GBT bridged
+  * through TreeEnsembleModel.fromSparkML; everything around it is
+  * relational and hash-checked against DuckDB. */
+private[graft] object QueriesTrain {
+
+  /** Deterministic per-user label standing in for the reference's target
+    * table (FIXTURES.md §1: imbalanced 0/1 default flag): net signed
+    * amount positive. Imbalanced like the reference's (136/14 at sf0.01)
+    * and learnable from the q37 feature surface (proc_* sums determine
+    * it), so CV AUC is a meaningful check, not noise. */
+  private def labels(s: org.apache.spark.sql.SparkSession, d: String) =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(when(sum(sval) > 0, 1L).otherwise(0L).as("label"))
+  private val labCteSql =
+    s"""lab AS (SELECT user_id,
+      |  (CASE WHEN sum($svalSql) > 0 THEN 1 ELSE 0 END)::BIGINT AS label
+      |  FROM events GROUP BY user_id)""".stripMargin
+
+  private val foldK = 10
+  private val foldSalt = "cv:0" // the notebook's partition_random_seed=0
+
+  // ------------------------------------------------ q88: stratified folds
+  // training.ipynb cell16: cv(fold_count=10, shuffle=True, stratified=True,
+  // partition_random_seed=0). The engine's deterministic twin: within each
+  // label stratum, order by a content-addressed md5 draw and deal
+  // round-robin — per-stratum fold sizes differ by ≤1 (stratification) and
+  // the draw replays bit-for-bit in DuckDB.
+  private val q88: (String, QFn, Option[String]) = ("q88_cv_folds",
+    (s, d) => Training.stratifiedFolds(labels(s, d), "user_id", "label",
+      foldK, foldSalt).select(col("user_id"), col("label"), col("fold")),
+    Some(s"""WITH $labCteSql
+      |SELECT user_id, label,
+      |  ${Training.stratifiedFoldsSql("user_id", "label", foldK, foldSalt)}
+      |  AS fold FROM lab""".stripMargin))
+
+  // ------------------------------------------------- q89: rank-sum AUC
+  // Per-fold Mann–Whitney AUC (sklearn roc_auc_score, cell5:L27) of the
+  // committed tree scorer's held-out scores — the evaluation half of the
+  // CV loop, fully SQL-replayed: scores via the artifact's CASE chains,
+  // folds via q88's expression, ranks + tie correction + the U statistic
+  // in DuckDB. auc is NULL for a single-class fold (sklearn raises there;
+  // at sf0.001 most folds hold one user). Every intermediate is
+  // double-exact (integer ranks, half-integer tie corrections), so the
+  // ratio is bit-stable across engines.
+  private lazy val scoringModel =
+    TreeEnsembleModel.fromResource("/graft/tree_model.txt")
+  private val q89: (String, QFn, Option[String]) = ("q89_cv_auc",
+    (s, d) => {
+      val aligned = Pipeline.alignFeatures(QueriesPipeline.fmDf(s, d),
+        "user_id", scoringModel.featureNames)
+      val scored = TreeEnsembleScorer(scoringModel).score(aligned)
+        .select(col("user_id"), col("target"))
+      val folds = Training.stratifiedFolds(labels(s, d), "user_id", "label",
+        foldK, foldSalt)
+      val joined = scored.join(folds, Seq("user_id"))
+      Training.rankSumAuc(joined, col("target"), col("label"), Seq("fold"))
+        .select(col("fold"), col("n_pos"), col("n_neg"),
+          round(col("auc"), 6).as("auc"))
+    },
+    Some {
+      val featSql: String => String =
+        f => if (f.startsWith("ctx_")) "0.0" else f
+      s"""WITH ${QueriesPipeline.fmCteSql},
+        |$labCteSql,
+        |folds AS (SELECT user_id, label,
+        |  ${Training.stratifiedFoldsSql("user_id", "label", foldK, foldSalt)}
+        |  AS fold FROM lab),
+        |scored AS (SELECT f.fold, f.label,
+        |  round(${scoringModel.toSql(featSql)}, 6) AS score
+        |  FROM fm JOIN folds f USING (user_id)),
+        |${Training.rankSumAucSql("scored", "fold")}""".stripMargin
+    })
+
+  // ------------------------------------- q90: serve the TRAINED artifact
+  // /graft/trained_gbt.txt was fit by the engine itself (graft.Train at
+  // sf0.01: stratified 10-fold CV then a full fit, Spark ML GBT depth 3 /
+  // lr 0.01 mirroring cell16's params, exported via fromSparkML → toLines)
+  // — closing the train → commit → serve loop. The oracle replays the
+  // trained trees as CASE chains from the SAME artifact, so a regression
+  // in either the bridge or the feature alignment hash-fails.
+  private lazy val trainedModel =
+    TreeEnsembleModel.fromResource("/graft/trained_gbt.txt")
+  // Try-guarded oracle: during the bootstrap window (graft.Train must RUN
+  // once before the artifact exists to commit) registry construction must
+  // not crash — the row degrades to rows-only, loudly, until the artifact
+  // is committed. In a committed checkout the artifact is always present.
+  private val q90: (String, QFn, Option[String]) = ("q90_trained_scores",
+    (s, d) => {
+      val aligned = Pipeline.alignFeatures(QueriesPipeline.fmDf(s, d),
+        "user_id", trainedModel.featureNames)
+      TreeEnsembleScorer(trainedModel).score(aligned)
+        .select(col("user_id"), col("target"))
+    },
+    scala.util.Try(trainedModel).toOption.map { m =>
+      s"""WITH ${QueriesPipeline.fmCteSql}
+        |SELECT user_id, round(${m.toSql(f => f)}, 6) AS target
+        |FROM fm""".stripMargin
+    }.orElse {
+      System.err.println("[QueriesTrain] /graft/trained_gbt.txt missing - " +
+        "q90 oracle degraded to rows-only (run graft.Train to commit it)")
+      None
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90)
+}
