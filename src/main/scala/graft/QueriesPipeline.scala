@@ -909,7 +909,11 @@ private[graft] object QueriesPipeline {
       .select(col("user_id"), posexplode(col("seq")))
       .select(Seq(col("user_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").getItem(0).as("z_amt"),
-        round(col("col").getItem(1), 6).as("cum_z"),
+        // roundNz: the full-sequence cumulative z-sum is an exact
+        // cancellation (~0 with a tiny negative residual) — DuckDB's round
+        // keeps the sign (-0.0) where Spark lands on +0.0; 12 hash-red
+        // cells at sf0.01 in r11. The oracle appends the same + 0.0.
+        CrossRound.roundNz(col("col").getItem(1), 6).as("cum_z"),
         col("col").getItem(2).cast("long").as("td_rebased")) ++
         vocab.zipWithIndex.map { case (v, i) =>
           col("col").getItem(3 + i).cast("long").as(s"et_$v") }: _*),
@@ -920,7 +924,7 @@ private[graft] object QueriesPipeline {
       val etNames = vocab.map(v => s"et_$v").mkString(", ")
       val etZeros = vocab.map(v => s"0::BIGINT AS et_$v").mkString(", ")
       seqPadSql(24,
-        s"z_amt, round(cum_z, 6) AS cum_z, td_rebased, $etNames",
+        s"z_amt, round(cum_z, 6) + 0.0 AS cum_z, td_rebased, $etNames",
         "0.0 AS z_amt, 0.0 AS cum_z, 0::BIGINT AS td_rebased, " + etZeros,
         s"""SELECT user_id, ts, event_id, z_amt,
           |    sum(z_amt) OVER (PARTITION BY user_id ORDER BY ts, event_id

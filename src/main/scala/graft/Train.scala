@@ -34,6 +34,11 @@ object Train {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force graft.Queries clinit before any sub-registry: the sub-registries
+    // import Queries._, so first-touching QueriesPipeline re-enters Queries
+    // mid-clinit and its `defs` concat reads a null slice (NPE). Queries-first
+    // is the order Verify/Bench use; this pins it for the CLI too.
+    Queries.defs
     val fm = QueriesPipeline.fmDf(spark, sfDir)
     val lab = ev(spark, sfDir).groupBy(col("user_id"))
       .agg(when(sum(sval) > 0, 1L).otherwise(0L).as("label"))

@@ -62,8 +62,11 @@ object Verify {
     // fixture-backed oracle; extract ALL committed per-scale variants now
     // (the SQL selects the scale-matching one by row count) so the
     // read_parquet globs the JSON references resolve when the driver's
-    // DuckDB step runs.
-    graft.schema.Fixtures.extractRegistered()
+    // DuckDB step runs. The required tag asserts the verify SCALE has a
+    // committed variant — otherwise oracleSelect's row-count filter would
+    // match nothing and fail as an opaque 0-row hash mismatch.
+    graft.schema.Fixtures.extractRegistered(
+      Some(graft.schema.Fixtures.scaleTag(sfDir)))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -35,6 +35,25 @@ object CrossRound {
     }
 
   /**
+   * Negative-zero-normalized cross-engine round: `round(x, scale) + 0.0`.
+   *
+   * A second residual failure mode of the multiply form, hit by q87's
+   * full-sequence cumulative z-sum (r11): when the true value is ~0 with a
+   * tiny NEGATIVE residual (sum of z-scores over a complete group is
+   * mathematically 0, numerically ≈ -1e-13), DuckDB's `round(x, 6)`
+   * preserves the sign and lands on `-0.0` while Spark's multiply-form
+   * round lands on `+0.0` — numerically equal (`-0.0 == 0.0`), but a
+   * byte-level hash of the doubles differs. IEEE 754 defines
+   * `-0.0 + 0.0 = +0.0`, so appending `+ 0.0` AFTER the round collapses
+   * both engines onto positive zero while leaving every non-zero grid
+   * point untouched. The oracle SQL must append the same `+ 0.0`.
+   *
+   * Use for any rounded column whose value can be an exact cancellation
+   * (cumulative sums of centered quantities, differences of equal terms).
+   */
+  def roundNz(c: Column, scale: Int): Column = round(c, scale) + F.lit(0.0)
+
+  /**
    * Tie-FREE cross-engine fixed-point: `floor(x * 10^scale) / 10^scale`.
    *
    * The multiply form above still has one residual failure mode: when

@@ -553,10 +553,20 @@ object Dedup {
     * index, read hot_pair_slots/pair_slots, then set the cap. Everything
     * is exact integer arithmetic — hash-checkable. Scale shape: one
     * signature projection, one groupBy(band, bkey) at index size, one
-    * 4-row aggregate. */
+    * 4-row aggregate.
+    *
+    * `hashFamily`: the SAME parameter [[minhashWideSigs]]/[[minhashLsh]]
+    * take — pass the production family (e.g. [[xxhashFamily]]) so the
+    * audit measures the depth distribution of the family the LIVE index
+    * actually uses; default null = the oracle-replayable md5 family. An
+    * audit run under a different family than the index answers a
+    * different (wrong) question: depth skew is a property of the hash. */
   def bandDepthAudit(df: DataFrame, idCol: String, textCol: String, n: Int,
-                     k: Int, bands: Int, hotCap: Int): DataFrame = {
-    val bk = lshBandKeys(minhashWideSigs(df, idCol, textCol, n, k), k, bands)
+                     k: Int, bands: Int, hotCap: Int,
+                     hashFamily: (Column, Column) => Column = null)
+  : DataFrame = {
+    val bk = lshBandKeys(
+      minhashWideSigs(df, idCol, textCol, n, k, hashFamily), k, bands)
     // `/` is double division in the Column API; depths are far below 2^26
     // so the product is float64-exact and the cast restores BIGINT
     val slots = ((col("depth") * (col("depth") - 1)) / 2).cast("long")

@@ -112,6 +112,103 @@ object Multimodal {
     }.toDF(idCol, "f0", "f1", "f2", "f3")
   }
 
+  /** Deterministic REAL image payloads from a text column: per doc, w·h
+    * gray pixels drawn from md5(text#block) digests (16 bytes per block —
+    * any engine with md5 can derive the same pixel grid), serialized
+    * through [[Pgm.encode]] into actual P5 bytes. This is the corpus
+    * generator for the m-family's real-codec rows: the payloads are
+    * genuine images a netpbm tool would open, and the downstream decode /
+    * resize rows are checked against an oracle that re-derives the pixels
+    * relationally — so [[Pgm.decode]] parsing THESE bytes back to the same
+    * grid proves the encode→decode roundtrip on every row of the corpus.
+    * Per-partition MessageDigest init, same batch shape as
+    * [[decodeBatched]]. */
+  def encodePgmFromText(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 16, h: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string")).as[(Long, String)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t) =>
+        val n = w * h
+        val px = new Array[Byte](n)
+        var b = 0
+        while (b * 16 < n) {
+          md.reset()
+          val dig = md.digest((t + "#" + b)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 16 && b * 16 + j < n) { px(b * 16 + j) = dig(j); j += 1 }
+          b += 1
+        }
+        (id, Pgm.encode(Pgm.Image(w, h, 255, px)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** REAL per-partition batched decode: [[Pgm.decode]] parses each
+    * payload's actual bytes (header tokens, comment skipping, raster) and
+    * the row's features are computed from the DECODED pixel grid —
+    * dimensions and maxval from the header, integer-exact pixel stats,
+    * and the full grid as a csv string ready for a cross-engine md5
+    * digest. Malformed payloads throw (loud, per the codec contract).
+    * Same partition/batch shape as [[decodeBatched]]; a JPEG/PNG
+    * deployment swaps the codec behind the same signature. */
+  def decodePgmBatched(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = Pgm.decode(bytes)
+        pixelStats(id, img)
+      }
+    }.toDF(idCol, "width", "height", "maxval", "px_sum", "px_min", "px_max",
+      "px_csv")
+  }
+
+  /** REAL resize stage: decode → [[Pgm.resizeNearest]] on the pixel grid →
+    * RE-ENCODE → decode again — the second decode proves the re-encoded
+    * bytes are a valid image (the full codec roundtrip rides every row) —
+    * then the same stats/csv surface as [[decodePgmBatched]]. */
+  def resizePgmBatched(df: DataFrame, idCol: String, payloadCol: String,
+                       tw: Int, th: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val rs = Pgm.decode(Pgm.encode(
+          Pgm.resizeNearest(Pgm.decode(bytes), tw, th)))
+        pixelStats(id, rs)
+      }
+    }.toDF(idCol, "width", "height", "maxval", "px_sum", "px_min", "px_max",
+      "px_csv")
+  }
+
+  private def pixelStats(id: Long, img: Pgm.Image)
+  : (Long, Long, Long, Long, Long, Long, Long, String) = {
+    var sum = 0L; var min = 255L; var max = 0L
+    val sb = new java.lang.StringBuilder(img.pixels.length * 4)
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i) & 0xff
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      if (i > 0) sb.append(',')
+      sb.append(v)
+      i += 1
+    }
+    (id, img.width.toLong, img.height.toLong, img.maxVal.toLong,
+      sum, min, max, sb.toString)
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of
@@ -134,13 +231,19 @@ object Multimodal {
     val dfs = target.getFileSystem(hconf)
     dfs.delete(target, true)
     dfs.mkdirs(target)
+    // Ship the DRIVER's resolved Hadoop conf to the tasks: a bare
+    // `new Configuration()` on the executor drops every `spark.hadoop.*`
+    // session setting (s3a credentials, endpoints, kerberos) — fine in
+    // local mode, wrong on a cluster. SerializableConfiguration is the
+    // standard @DeveloperApi wrapper Spark's own sources use for exactly
+    // this (Configuration itself is not Serializable).
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .filter(col(payloadCol).isNotNull && col(idCol).isNotNull)
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        // executor-side: resolve the FS from task-local default conf —
-        // works for the same schemes the driver resolved
         val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(confBc.value.value)
         it.foreach { r =>
           val out = fs.create(new org.apache.hadoop.fs.Path(dir,
             s"doc_${r.getLong(0)}.$ext"), true)

@@ -77,6 +77,19 @@ object VraeFeatures {
   def assemble(tx: DataFrame): DataFrame = {
     val ord: Seq[Column] =
       Seq(col("transaction_dttm"), col("mcc_code"), col("transaction_amt"))
+    // na.drop() vs the reference: run.py:108's fillna(0) is STRUCTURAL —
+    // it zero-fills the NaNs its own prep just created (debit/credit
+    // masks at run.py:97-98, reindex at run.py:106) — it never repairs
+    // null INPUT cells. A null transaction_dttm crashes the reference
+    // outright (`.apply(lambda x: x.hour…)` on NaT, run.py:95); a null
+    // transaction_amt would flow through fillna as a fake 0.0 and distort
+    // the per-user StandardScaler fit (run.py:113). Neither is a
+    // semantics worth reproducing: the engine's contract is that a
+    // transactions row missing any of the three key columns is invalid
+    // input and is dropped — the structural zero-fills below (otherwise
+    // branches, one-hot reindex) reproduce run.py:108 exactly where it
+    // actually does something. Committed fixtures + the q36/q83 oracles
+    // pin this policy.
     val withAttrs = tx.na.drop()
       .withColumn("hour_of_day", hour(col("transaction_dttm")))
       .withColumn("day_of_week",

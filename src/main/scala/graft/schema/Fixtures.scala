@@ -69,8 +69,15 @@ object Fixtures {
     * base to its [[path]]. Called by graft.Verify before it writes
     * oracle_sql.json; fails loudly if a registered base has NO committed
     * variant at all (always re-copies, so a stale tmp file from an older
-    * build can't win). */
-  def extractRegistered(): Unit = synchronized {
+    * build can't win).
+    *
+    * `requiredTag` (graft.Verify passes [[scaleTag]] of its sfDir): assert
+    * that EVERY registered base has a committed variant at the scale being
+    * verified. Without this, a verify run at a scale with no committed
+    * variant (e.g. sf1) would let [[oracleSelect]]'s row-count filter match
+    * nothing and the oracle silently return 0 rows — an opaque rows/hash
+    * mismatch instead of a loud 'missing fixture' error. */
+  def extractRegistered(requiredTag: Option[String] = None): Unit = synchronized {
     Files.createDirectories(dir)
     registered.foreach { base =>
       val found = scaleTags.flatMap { tag =>
@@ -93,6 +100,13 @@ object Fixtures {
       }
       require(found.nonEmpty,
         s"no committed fixture variant for base $base (tried $scaleTags)")
+      requiredTag.foreach { tag =>
+        require(found.contains(tag),
+          s"fixture base $base has no committed variant for verify scale " +
+            s"$tag (committed: ${found.mkString(",")}) — run " +
+            s"graft.FixtureDump + tools/make_rnn_fixture.py --tag $tag " +
+            "and commit the parquet, or verify at a committed scale")
+      }
     }
   }
 }

@@ -68,4 +68,28 @@ class ScalarOpsSpec extends SparkSpec {
     val got = oh.select($"c_a", $"c_b").as[(Int, Int)].collect()
     assert(got.toSeq == Seq((1, 0), (0, 1), (0, 0)))
   }
+
+  test("roundNz: exact-cancellation residual lands on POSITIVE zero") {
+    // q87's r11 hash miss: a cumulative sum of per-group z-scores over the
+    // full group is mathematically 0 with a tiny negative residual;
+    // round(x, 6) preserves the sign in DuckDB (-0.0) while the multiply
+    // form lands on +0.0 — numerically equal, byte-hash different.
+    // roundNz appends + 0.0 AFTER the round (IEEE: -0.0 + 0.0 = +0.0).
+    // z-scores of (1.0, 2.0, 3.0): σ=1, sum ≈ 0 with a sign-indeterminate
+    // residual; the literal -1e-13 and -0.0 pin the negative branch.
+    val z = Seq(1.0, 2.0, 3.0).toDF("x")
+      .select(((col("x") - 2.0) / 1.0).as("z"))
+      .agg(sum(col("z")).as("s"))
+    val bits = z.select(CrossRound.roundNz(col("s"), 6).as("r"))
+      .as[Double].collect().map(java.lang.Double.doubleToRawLongBits)
+    assert(bits.toSeq === Seq(0L)) // +0.0, not -0.0 (bit 63 set)
+    val lits = Seq(-1e-13, -0.0, 0.0, -1.5e-6, 1.25).toDF("x")
+      .select(CrossRound.roundNz(col("x"), 6).as("r"))
+      .as[Double].collect()
+    val negZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+    assert(!lits.map(java.lang.Double.doubleToRawLongBits).contains(negZeroBits))
+    // non-zero grid points are untouched by the normalization
+    assert(lits(3) === -2e-6 || lits(3) === -1e-6) // still negative, rounded
+    assert(lits(4) === 1.25)
+  }
 }

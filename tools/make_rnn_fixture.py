@@ -303,10 +303,18 @@ def main():
     if "--check" in sys.argv:
         check_dir = sys.argv[sys.argv.index("--check") + 1]
     # --tag sf0001|sf001|sf01: the scale suffix of the committed fixture
-    # (must match Fixtures.scaleTag of the sfDir FixtureDump ran on)
+    # (must match Fixtures.scaleTag of the sfDir FixtureDump ran on).
+    # Validated against Fixtures.scaleTags: a typo (e.g. sf0_01) would
+    # write a fixture whose suffix extractRegistered never extracts —
+    # silently dead.
+    known_tags = {"sf0001", "sf001", "sf01"}  # mirrors Fixtures.scaleTags
     tag = "sf001"
     if "--tag" in sys.argv:
         tag = sys.argv[sys.argv.index("--tag") + 1]
+    if tag not in known_tags:
+        sys.exit(f"--tag {tag!r} is not a known scale tag "
+                 f"({sorted(known_tags)}); it would produce a fixture "
+                 "Fixtures.extractRegistered never extracts")
     if which == "q80":
         make_q80(dump_dir, check_dir, tag)
     elif which == "q83":
