@@ -207,37 +207,33 @@ private[graft] object QueriesVectors {
       | md5(text) AS digest FROM documents
       |WHERE doc_id < 50 AND text IS NOT NULL""".stripMargin))
 
-  // Stubbed decode + frame sampling through the per-partition batch path
-  // (typed-Dataset mapPartitions with amortized per-partition decoder init).
-  // The stand-in decoder is md5-derived ON PURPOSE: DuckDB replays it
-  // exactly, so the whole mapPartitions stage is hash-checked, and the
-  // outputs are SCALAR columns (array cells crash the driver's checker).
-  private val m02: (String, QFn, Option[String]) = ("m02_decode_stub",
+  // REAL image decode through the per-partition batch path: every doc gets
+  // a genuine P5 PGM payload (16x8 gray, pixels = md5(text#block) digest
+  // bytes — engine-neutral, so the oracle re-derives the same grid
+  // relationally), and Pgm.decode PARSES those actual bytes — magic,
+  // header tokens, raster — before any feature exists. The published
+  // columns (header dims/maxval, integer-exact pixel stats, grid digest)
+  // all flow from the DECODED image, so a codec regression — one header
+  // byte, one pixel — hash-fails the row. This replaced the r1-r11
+  // md5-stand-in "decode stub"; the md5 feature path survives as
+  // decodeBatched (TextDedupSpec).
+  private val m02: (String, QFn, Option[String]) = ("m02_pgm_decode",
     (s, d) => {
-      val withPayload = docs(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-      val feats = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
-      val frames = docs(s, d).select(
-        col("doc_id") +: Multimodal.frameSampleMd5(col("text"), 4): _*)
-      feats.join(frames, Seq("doc_id"))
+      val enc = Multimodal.encodePgmFromText(docs(s, d), "doc_id", "text")
+      Multimodal.decodePgmBatched(enc, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          md5(col("px_csv").cast("binary")).as("digest"))
     },
-    Some {
-      def res(hexExpr: String, m: Int) =
-        s"(('0x'||substr($hexExpr,1,15))::BIGINT % $m)::DOUBLE"
-      val frs = (0 until 4).map { i =>
-        val off = s"floor($i * (length(text) - 1) / 3.0)::BIGINT + 1"
-        s"""CASE WHEN length(text) > 0
-           | THEN ${res(s"md5(substr(text, $off, 1))", 251)}
-           | ELSE 0.0 END AS fr$i""".stripMargin
-      }.mkString(", ")
-      s"""SELECT doc_id,
-        | octet_length(encode(text)) / 1024.0 AS f0,
-        | ${res("md5(text)", 997)} AS f1,
-        | ${res("md5(text)", 251)} AS f2,
-        | ${res("md5(text)", 127)} AS f3,
-        | $frs
-        |FROM documents""".stripMargin
-    })
+    Some(s"""WITH px AS (SELECT doc_id, i,
+      |  ('0x' || substr(md5(coalesce(text, '') || '#' || (i // 16)::VARCHAR),
+      |     ((i % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+      |  FROM documents, range(128) t(i))
+      |SELECT doc_id, 16::BIGINT AS width, 8::BIGINT AS height,
+      |  255::BIGINT AS maxval, sum(v)::BIGINT AS px_sum,
+      |  min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max,
+      |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS digest
+      |FROM px GROUP BY doc_id""".stripMargin))
 
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
@@ -965,29 +961,33 @@ private[graft] object QueriesVectors {
       |FROM r WHERE rk = 1""".stripMargin))
 
   // --------------------------------------- resize/transcode stage (m03)
-  // The m01/m02 pipeline's missing middle: normalize every payload to a
-  // fixed byte budget (Multimodal.resizeStub — truncate long, zero-pad
-  // short; fixed-size cells keep downstream tensor batches rectangular),
-  // then digest + feature the RESIZED payload. The digest routes through
-  // lower(hex(payload)) because the oracle's md5 is VARCHAR-only and NUL
-  // bytes can't live in a VARCHAR — hex is the cross-engine binary
-  // transport. Pure projections end to end; no shuffle at any scale.
+  // REAL resize on the decoded pixel grid: each doc's 16x8 PGM payload is
+  // parsed (Pgm.decode), nearest-neighbor resampled to 4x4
+  // (dst(x,y) = src(⌊x·16/4⌋, ⌊y·8/4⌋) — integer arithmetic the oracle
+  // replays as a modular filter over the derived pixel grid), RE-ENCODED
+  // to P5 bytes and decoded AGAIN — the full codec roundtrip rides every
+  // row — then digested. Replaced the r1-r11 byte-budget resizeStub (which
+  // survives as a library fn + spec): dimensions here are real image
+  // dimensions, pixels real resampled pixels.
   private val m03: (String, QFn, Option[String]) = ("m03_resize_digest",
     (s, d) => {
-      val resized = Multimodal.resizeStub(col("text").cast("binary"), 64)
-      docs(s, d).select(col("doc_id"),
-          octet_length(resized).cast("long").as("n_bytes"),
-          md5(lower(hex(resized)).cast("binary")).as("digest"))
-        .withColumn("f1",
-          conv(substring(col("digest"), 1, 15), 16, 10).cast("long") % 997L)
+      val enc = Multimodal.encodePgmFromText(docs(s, d), "doc_id", "text")
+      Multimodal.resizePgmBatched(enc, "doc_id", "payload", 4, 4)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          md5(col("px_csv").cast("binary")).as("digest"))
     },
-    Some("""WITH r AS (SELECT doc_id,
-      |  substr(lower(hex(encode(text) || repeat('\x00'::BLOB, 64))),
-      |    1, 128) AS hx FROM documents)
-      |SELECT doc_id, (length(hx) // 2)::BIGINT AS n_bytes,
-      | md5(hx) AS digest,
-      | ('0x' || substr(md5(hx), 1, 15))::BIGINT % 997 AS f1
-      |FROM r""".stripMargin))
+    Some(s"""WITH px AS (SELECT doc_id, i,
+      |  ('0x' || substr(md5(coalesce(text, '') || '#' || (i // 16)::VARCHAR),
+      |     ((i % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+      |  FROM documents, range(128) t(i)),
+      |rs AS (SELECT doc_id, ((i // 16) // 2) * 4 + (i % 16) // 4 AS j, v
+      |  FROM px WHERE (i % 16) % 4 = 0 AND (i // 16) % 2 = 0)
+      |SELECT doc_id, 4::BIGINT AS width, 4::BIGINT AS height,
+      |  sum(v)::BIGINT AS px_sum, min(v)::BIGINT AS px_min,
+      |  max(v)::BIGINT AS px_max,
+      |  md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS digest
+      |FROM rs GROUP BY doc_id""".stripMargin))
 
   private val e20: (String, QFn, Option[String]) = ("e20_mmr_rerank",
     (s, d) => {
