@@ -253,11 +253,17 @@ private[graft] object QueriesCore {
         e.agg(min(unix_micros(col("ts"))).as("_e0"))))
         .withColumn("sv", sval)
       val td = TimeFeatures.hoursSince(col("ts"), col("_e0"))
+      // roundNz on both rounded doubles (defensive, the q87/r11 class):
+      // cum_amt crosses mathematical zero wherever a user's running net
+      // is balanced, and z_value is ~0 wherever value sits on the group
+      // mean — both land on a tiny ± residual whose round keeps the sign
+      // in DuckDB (-0.0) but not in Spark. Green so far by data luck;
+      // normalized before the luck runs out at an unverified scale.
       withRef.select(col("event_id"),
-        round(Sequences.cumSum(col("sv"), Seq("user_id"), ord), 6)
-          .as("cum_amt"),
-        round(Sequences.zScorePop(col("value"), Seq("user_id")), 6)
-          .as("z_value"),
+        CrossRound.roundNz(Sequences.cumSum(col("sv"), Seq("user_id"), ord),
+          6).as("cum_amt"),
+        CrossRound.roundNz(Sequences.zScorePop(col("value"), Seq("user_id")),
+          6).as("z_value"),
         Sequences.rebaseToFirst(td, Seq("user_id"), ord).cast("long")
           .as("td_rebased"))
     },
@@ -265,11 +271,11 @@ private[graft] object QueriesCore {
       |  $svalSql AS amt FROM events),
       |r AS (SELECT min(epoch_us(ts)) AS e0 FROM events)
       |SELECT event_id,
-      | round(sum(amt) OVER w, 6) AS cum_amt,
+      | round(sum(amt) OVER w, 6) + 0.0 AS cum_amt,
       | round(CASE WHEN stddev_pop(value) OVER p = 0
       |         OR stddev_pop(value) OVER p IS NULL THEN 0
       |       ELSE (value - avg(value) OVER p) / (stddev_pop(value) OVER p)
-      |       END, 6) AS z_value,
+      |       END, 6) + 0.0 AS z_value,
       | (floor((epoch_us(ts) - e0) / 3600000000)
       |  - first_value(floor((epoch_us(ts) - e0) / 3600000000)) OVER w2)
       |  ::BIGINT AS td_rebased

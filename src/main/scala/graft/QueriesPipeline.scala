@@ -908,7 +908,10 @@ private[graft] object QueriesPipeline {
     (s, d) => q83Sequences(s, d)
       .select(col("user_id"), posexplode(col("seq")))
       .select(Seq(col("user_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").getItem(0).as("z_amt"),
+        // publish-point negzero normalization only (the encoder feed is
+        // untouched): a z at an exact-mean point rounds to -0.0 in
+        // DuckDB, +0.0 here — cum_z's sibling exposure
+        (col("col").getItem(0) + lit(0.0)).as("z_amt"),
         // roundNz: the full-sequence cumulative z-sum is an exact
         // cancellation (~0 with a tiny negative residual) — DuckDB's round
         // keeps the sign (-0.0) where Spark lands on +0.0; 12 hash-red
@@ -924,7 +927,8 @@ private[graft] object QueriesPipeline {
       val etNames = vocab.map(v => s"et_$v").mkString(", ")
       val etZeros = vocab.map(v => s"0::BIGINT AS et_$v").mkString(", ")
       seqPadSql(24,
-        s"z_amt, round(cum_z, 6) + 0.0 AS cum_z, td_rebased, $etNames",
+        s"z_amt + 0.0 AS z_amt, round(cum_z, 6) + 0.0 AS cum_z, " +
+          s"td_rebased, $etNames",
         "0.0 AS z_amt, 0.0 AS cum_z, 0::BIGINT AS td_rebased, " + etZeros,
         s"""SELECT user_id, ts, event_id, z_amt,
           |    sum(z_amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
