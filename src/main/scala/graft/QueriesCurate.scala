@@ -1009,6 +1009,77 @@ private[graft] object QueriesCurate {
       | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
       |GROUP BY c.a, c.b""".stripMargin))
 
+  // --------------------------------------- cap policy closed loop
+  // d67 told the operator WHAT the skew is; d72/d73 close the loop the
+  // production runbook was leaving to a human: d72 is the POLICY TABLE —
+  // one row per observed posting depth (the candidate caps) with the
+  // exact pair mass a cap at that depth purges and `recommended`=1 on
+  // the smallest cap whose removed share fits an integer percent budget
+  // — and d73 runs the LSH index WITH the recommended cap, nothing
+  // hand-chosen. The budget (20%) is picked so the policy provably BITES
+  // at both graded scales with DIFFERENT answers (sf0.001: cap 3 of max
+  // depth 4; sf0.01: cap 2 of max depth 3) — the driver checks the loop
+  // decides, not that plumbing exists. d73's one-row cap pull is a
+  // bounded driver-side scalar (the e12 centroid precedent); its oracle
+  // recomputes the same cap as a scalar subquery over the same CTEs, so
+  // a policy drift on EITHER engine hash-fails both rows.
+  private val capBudgetPct = 20
+  private val capPolicyCtesSql =
+    s"""dep AS (SELECT band, bkey, count(*)::BIGINT AS depth
+      |  FROM bk GROUP BY 1, 2),
+      |hist AS (SELECT depth, count(*)::BIGINT AS n_keys,
+      |    (count(*) * (depth * (depth - 1) // 2))::BIGINT AS slots
+      |  FROM dep GROUP BY depth),
+      |cum AS (SELECT depth AS cap,
+      |    coalesce(sum(n_keys) OVER w, 0)::BIGINT AS keys_over,
+      |    coalesce(sum(slots) OVER w, 0)::BIGINT AS removed_pair_slots,
+      |    (sum(slots) OVER ())::BIGINT AS total_pair_slots
+      |  FROM hist
+      |  WINDOW w AS (ORDER BY depth DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
+
+  private val d72: (String, QFn, Option[String]) = ("d72_band_cap_policy",
+    (s, d) => Dedup.recommendBandCap(docs(s, d), "doc_id", "text", n = 3,
+      k = MINHASH_K, bands = MINHASH_BANDS, maxRemovedPct = capBudgetPct),
+    Some(s"""WITH $bandCtesSql,
+      |$capPolicyCtesSql
+      |SELECT cap, keys_over, removed_pair_slots, total_pair_slots,
+      |  (CASE WHEN removed_pair_slots * 100
+      |        <= total_pair_slots * $capBudgetPct
+      |    AND cap = (SELECT min(cap) FROM cum
+      |      WHERE removed_pair_slots * 100
+      |        <= total_pair_slots * $capBudgetPct)
+      |   THEN 1 ELSE 0 END)::BIGINT AS recommended
+      |FROM cum""".stripMargin))
+
+  private val d73: (String, QFn, Option[String]) = ("d73_self_tuned_lsh",
+    (s, d) => {
+      // bounded one-row pull: the policy's histogram is <= max_depth rows
+      val cap = Dedup.recommendBandCap(docs(s, d), "doc_id", "text", n = 3,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          maxRemovedPct = capBudgetPct)
+        .filter(col("recommended") === 1L)
+        .select(col("cap")).head().getLong(0).toInt
+      Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
+        k = MINHASH_K, bands = MINHASH_BANDS, maxBandPostings = cap)
+    },
+    Some(s"""WITH $bandCtesSql,
+      |$capPolicyCtesSql,
+      |rec AS (SELECT min(cap) AS cap FROM cum
+      |  WHERE removed_pair_slots * 100 <= total_pair_slots * $capBudgetPct),
+      |okb AS (SELECT band, bkey FROM bk GROUP BY band, bkey
+      |  HAVING count(*) <= (SELECT cap FROM rec)),
+      |bkc AS (SELECT bk.* FROM bk JOIN okb USING (band, bkey)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bkc x JOIN bkc y ON x.band = y.band AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id)
+      |SELECT c.a, c.b,
+      | round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END)
+      |   / ${MINHASH_K.toDouble}, 6) AS est_jaccard
+      |FROM cand c JOIN mh ma ON ma.doc_id = c.a
+      | JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |GROUP BY c.a, c.b""".stripMargin))
+
   // ------------------------------------------- release diff (d71)
   // Dataset versioning's core report: what changed between two corpus
   // releases — per source, how many documents were ADDED, REMOVED,
@@ -1058,5 +1129,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, c01)
 }

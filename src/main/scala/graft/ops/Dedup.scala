@@ -582,6 +582,57 @@ object Dedup {
           .as("hot_pair_slots"))
   }
 
+  /** Closed-loop cap policy: the function that turns a [[bandDepthAudit]]
+    * reading into [[minhashLsh]]'s `maxBandPostings`, so the
+    * audit → "operator reads hot_pair_slots/pair_slots" → cap loop needs
+    * no human in it. One row per OBSERVED posting depth c — the candidate
+    * caps; removed mass is a step function that only changes at observed
+    * depths, so the integer argmin over observed depths equals the argmin
+    * over all ints — with `keys_over` = index keys deeper than c,
+    * `removed_pair_slots` = the exact candidate-pair mass Σ C(depth,2)
+    * a cap of c would purge, `total_pair_slots`, and `recommended` = 1 on
+    * the SMALLEST cap whose removed share is within `maxRemovedPct`
+    * percent of the total pair mass (cap = max_depth always qualifies at
+    * share 0, so a recommendation always exists on a non-empty index).
+    * Integer-exact throughout: the share test is
+    * removed*100 <= total*pct — no floats to drift cross-engine.
+    *
+    * Scale shape: the same signature projection and index-sized
+    * groupBy(band, bkey) as the audit, then windows over the
+    * DEPTH-HISTOGRAM (≤ max_depth rows) — the single-partition frames sit
+    * on provably bounded data, the d64 cumsum precedent. */
+  def recommendBandCap(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int, maxRemovedPct: Int,
+                       hashFamily: (Column, Column) => Column = null)
+  : DataFrame = {
+    val bk = lshBandKeys(
+      minhashWideSigs(df, idCol, textCol, n, k, hashFamily), k, bands)
+    // C(depth,2) as exact long BEFORE the histogram multiply: depth and
+    // n_keys are each far below 2^31, their long product never overflows
+    val hist = bk.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_keys"))
+      .select(col("depth"), col("n_keys"),
+        (col("n_keys") *
+          ((col("depth") * (col("depth") - 1)) / 2).cast("long"))
+          .as("slots"))
+    val wOver = Window.orderBy(col("depth").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val cum = hist.select(col("depth").as("cap"),
+      coalesce(sum(col("n_keys")).over(wOver), lit(0L)).as("keys_over"),
+      coalesce(sum(col("slots")).over(wOver), lit(0L))
+        .as("removed_pair_slots"),
+      sum(col("slots")).over(wAll).as("total_pair_slots"))
+    val ok = col("removed_pair_slots") * 100 <=
+      col("total_pair_slots") * maxRemovedPct
+    cum.select(col("cap"), col("keys_over"), col("removed_pair_slots"),
+      col("total_pair_slots"),
+      when(ok && col("cap") === min(when(ok, col("cap"))).over(wAll), 1L)
+        .otherwise(0L).as("recommended"))
+  }
+
   /** Hash-family equivalence audit: run the SAME MinHash+LSH pipeline under
     * the oracle-replayable md5 family AND a production `family`
     * (e.g. [[xxhashFamily]]), and compact the comparison into ONE row:

@@ -199,6 +199,45 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("recommendBandCap: exact policy table, argmin cap per budget, " +
+    "and the closed loop self-tunes the purge") {
+    // depth-4 pile (4 identical docs: every one of the 8 bands gets one
+    // depth-4 key = 6 pair slots) + depth-2 pile (2 identical docs: 8
+    // depth-2 keys = 1 slot each) + distinct fillers (depth-1, 0 slots)
+    // → histogram slots: 48 + 8 + 0 = 56 total, removed(c) stepping
+    // 56 → 48 → 0 at caps 1 → 2 → 4
+    val df = ((1L to 4L).map(i => (i, "copy of the very same footer text"))
+      ++ Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"),
+             (21L, "alpha beta gamma delta epsilon zeta eta theta"))
+      ++ Seq((30L, "nothing shared with anything else at all here"),
+             (31L, "cooking pasta tonight with garlic and olive oil")))
+      .toDF("doc_id", "text")
+    def policy(pct: Int): Map[Long, (Long, Long, Long, Long)] =
+      Dedup.recommendBandCap(df, "doc_id", "text", n = 3, k = 16,
+        bands = 8, maxRemovedPct = pct)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val p20 = policy(20)
+    // (keys_over, removed_pair_slots, total_pair_slots, recommended)
+    assert(p20(1L) == ((16L, 56L, 56L, 0L)))
+    assert(p20(2L) == ((8L, 48L, 56L, 0L)))
+    assert(p20(4L) == ((0L, 0L, 56L, 1L)))   // only zero-removal fits 20%
+    assert(policy(90)(2L)._4 == 1L)  // 48*100 <= 56*90: cap 2 is argmin
+    assert(policy(100)(1L)._4 == 1L) // everything qualifies: smallest cap
+    // closed loop at the 90% budget: cap 2 purges the depth-4 pile's
+    // quadratic pairs while the depth-2 exact pair survives
+    val cap90 = Dedup.recommendBandCap(df, "doc_id", "text", 3, 16, 8, 90)
+      .filter($"recommended" === 1L).select($"cap").head().getLong(0).toInt
+    assert(cap90 == 2)
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text", 3, 16, 8,
+      maxBandPostings = cap90)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((20L, 21L)))
+    val pilePairs = (for (a <- 1L to 4L; b <- (a + 1) to 4L)
+      yield (a, b)).toSet
+    assert(pairs.intersect(pilePairs).isEmpty)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "spark engine query plan shuffle partition broadcast join"),
