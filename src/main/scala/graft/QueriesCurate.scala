@@ -750,6 +750,130 @@ private[graft] object QueriesCurate {
       |  ORDER BY ${md5HashSql("doc_id::VARCHAR || '#shuf2.p'")}, doc_id)
       |  AS pos FROM a""".stripMargin))
 
+  // --------------------------------------------- sequence packing
+  // The concat-and-chunk step between curation and the trainer (the
+  // GPT-style packing every LLM pipeline runs): docs concatenated in a
+  // deterministic order within (source, shard) streams and cut into
+  // 128-token chunks — d74 publishes each doc's placement (first_chunk /
+  // chunk_offset / last_chunk, all from one per-stream long cumsum), d75
+  // the per-stream operational readout (chunks the trainer sees + the
+  // exact padding waste the last partial chunk costs, the number
+  // capacity is tuned against). Packing is per-shard BY DESIGN — the
+  // 100 TB form cannot have a corpus-wide token cumsum; shards are
+  // content-addressed (d57's md5 idiom) so the layout is stable across
+  // runs, engines and partitionings, and both oracles replay the exact
+  // cumsum/floor-div arithmetic.
+  private val packCap = 128
+  private val packShards = 4
+  private val packStreamsSql =
+    s"""pk AS (SELECT doc_id, source,
+      |    len($tokSql)::BIGINT AS n_tokens,
+      |    ${md5HashSql("doc_id::VARCHAR || '#pack.s'")} % $packShards
+      |      AS shard
+      |  FROM documents),
+      |pko AS (SELECT doc_id, source, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS st
+      |  FROM pk WHERE n_tokens > 0)""".stripMargin
+
+  private val d74: (String, QFn, Option[String]) = ("d74_sequence_packing",
+    (s, d) => Sampling.packSequences(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))), capacity = packCap,
+        shards = packShards)
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("first_chunk"), col("chunk_offset"), col("last_chunk")),
+    Some(s"""WITH $packStreamsSql
+      |SELECT doc_id, source, shard, n_tokens,
+      |  (st // $packCap)::BIGINT AS first_chunk,
+      |  (st % $packCap)::BIGINT AS chunk_offset,
+      |  ((st + n_tokens - 1) // $packCap)::BIGINT AS last_chunk
+      |FROM pko""".stripMargin))
+
+  private val d76: (String, QFn, Option[String]) = ("d76_chunk_manifest",
+    (s, d) => Sampling.chunkManifest(
+        Sampling.packSequences(
+          docs(s, d).select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))), capacity = packCap,
+          shards = packShards),
+        capacity = packCap)
+      .select(col("doc_id"), col("source"), col("shard"), col("chunk"),
+        col("tok_begin"), col("tok_len")),
+    Some(s"""WITH $packStreamsSql,
+      |sp AS (SELECT doc_id, source, shard, st, st + n_tokens AS en,
+      |    unnest(range(st // $packCap, (st + n_tokens - 1) // $packCap + 1))
+      |      AS chunk
+      |  FROM pko)
+      |SELECT doc_id, source, shard, chunk::BIGINT AS chunk,
+      |  (greatest(st, chunk * $packCap) - chunk * $packCap)::BIGINT
+      |    AS tok_begin,
+      |  (least(en, (chunk + 1) * $packCap)
+      |    - greatest(st, chunk * $packCap))::BIGINT AS tok_len
+      |FROM sp""".stripMargin))
+
+  private val d75: (String, QFn, Option[String]) = ("d75_packing_stats",
+    (s, d) => Sampling.packingStats(
+      Sampling.packSequences(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))), capacity = packCap,
+        shards = packShards),
+      col("source"), capacity = packCap),
+    Some(s"""WITH $packStreamsSql
+      |SELECT source, shard, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS n_tokens,
+      |  ((sum(n_tokens) + ${packCap - 1}) // $packCap)::BIGINT AS n_chunks,
+      |  (((sum(n_tokens) + ${packCap - 1}) // $packCap) * $packCap
+      |    - sum(n_tokens))::BIGINT AS waste_tokens
+      |FROM pko GROUP BY source, shard""".stripMargin))
+
+  // ------------------------------------------- UniMax epoch allocation
+  // The budget-CONSTRAINED member of the mix family (Chung et al., ICLR
+  // 2023): given per-source token mass, a total token budget of 180% of
+  // the corpus and a 2-epoch repeat cap, derive each source's epoch
+  // count — small sources saturate at the cap, every larger source gets
+  // the SAME fair share of what's left (the closed prefix-sum form,
+  // ops/Sampling.uniMaxAllocation). d47 flattens with no budget, d58
+  // takes epochs as GIVEN — d77 is where those epochs come from. All
+  // branch decisions are 64-bit-integer exact (budget = total*9 DIV 5);
+  // the oracle replays rank, prefix sum, r* and the fair share verbatim.
+  private val d77: (String, QFn, Option[String]) = ("d77_unimax_epochs",
+    (s, d) => Sampling.uniMaxAllocation(
+        docs(s, d).select(col("source"), col("text")),
+        col("source"), size(TextOps.tokens(col("text"))),
+        maxEpochs = 2, budgetNum = 9, budgetDen = 5)
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs"), col("saturated")),
+    Some(s"""WITH tok AS (SELECT source,
+      |    sum(len($tokSql))::BIGINT AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT ((sum(n_tokens) * 9) // 5)::BIGINT AS budget,
+      |    count(*)::BIGINT AS nd FROM tok),
+      |o AS (SELECT source, n_tokens, (n_tokens * 2)::BIGINT AS cap_tokens,
+      |    row_number() OVER (ORDER BY n_tokens, source)::BIGINT AS r,
+      |    coalesce(sum(n_tokens * 2) OVER (ORDER BY n_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS p
+      |  FROM tok),
+      |rs AS (SELECT min(CASE WHEN cap_tokens * (nd - r + 1) > budget - p
+      |    THEN r END) AS rstar FROM o, t),
+      |fs AS (SELECT min(CASE WHEN r = rstar
+      |    THEN (budget - p)::DOUBLE / (nd - rstar + 1) END) AS fs
+      |  FROM o, t, rs),
+      |a AS (SELECT source, n_tokens, cap_tokens,
+      |    round(CASE WHEN rstar IS NULL OR r < rstar
+      |      THEN cap_tokens::DOUBLE ELSE fs END, 6) AS alloc_tokens,
+      |    (CASE WHEN rstar IS NULL OR r < rstar
+      |      THEN 1 ELSE 0 END)::BIGINT AS saturated
+      |  FROM o, t, rs, fs)
+      |SELECT source, n_tokens, cap_tokens, alloc_tokens,
+      |  round(alloc_tokens / n_tokens, 6) AS epochs, saturated
+      |FROM a""".stripMargin))
+
   // --------------------------------------- fractional-epoch replication
   // The "epochs per domain" mix (weight 2.5 -> two copies each + a
   // deterministic 50% of docs a third; 0.4 -> 40% of docs once): one
@@ -1129,5 +1253,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, c01)
 }

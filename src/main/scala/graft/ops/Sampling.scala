@@ -300,4 +300,155 @@ object Sampling {
       .withColumn("_dup", explode(array_repeat(lit(1), col("_cnt"))))
       .drop("_cnt", "_dup")
   }
+
+  /** GPT-style sequence packing — the concat-and-chunk step between
+    * curation and the trainer: documents are concatenated in a
+    * deterministic order within each pack STREAM and cut into fixed
+    * `capacity`-token training chunks; each doc's placement comes back as
+    * (`first_chunk`, `chunk_offset`, `last_chunk`), chunk ids local to
+    * the stream. Streams are (domain, shard), shard = content-addressed
+    * md5 of the key mod `shards` — production packs per shard precisely
+    * because a corpus-wide token cumsum cannot exist at 100 TB; with
+    * shards = O(executors × few) every stream's window partition stays
+    * pipeline-sized (the [[epochShuffle]] scale argument), and in-stream
+    * order is the key itself, so the layout is stable across runs,
+    * engines and partitionings. Zero-token docs are dropped: they pack
+    * nothing and would otherwise alias the next doc's offset.
+    *
+    * Integer-exact: start positions are long cumsums; the chunk
+    * floor-divs pass through float64 division, exact while a STREAM's
+    * token total stays under 2^53 (9 petatokens per shard — far past any
+    * real stream; shard more before that). */
+  def packSequences(df: DataFrame, key: Column, domain: Column,
+                    nTokens: Column, capacity: Int, shards: Int,
+                    salt: String = "pack"): DataFrame = {
+    require(capacity >= 1, "packSequences: capacity must be positive")
+    require(shards >= 1, "packSequences: shards must be positive")
+    val base = df.withColumn("n_tokens", nTokens.cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard",
+        (Dedup.md5Hash(key.cast("string"), lit(s"$salt.s")) % shards)
+          .cast("long"))
+    val w = Window.partitionBy(domain, col("shard")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_chunk",
+        floor(col("_start") / capacity).cast("long"))
+      .withColumn("chunk_offset", (col("_start") % capacity).cast("long"))
+      .withColumn("last_chunk",
+        floor((col("_start") + col("n_tokens") - 1) / capacity)
+          .cast("long"))
+      .drop("_start")
+  }
+
+  /** The trainer-facing artifact of a [[packSequences]] layout: the CHUNK
+    * MANIFEST — one row per (doc, chunk) the doc occupies, with the
+    * doc's segment inside that chunk as a local token interval
+    * [`tok_begin`, `tok_begin` + `tok_len`). This is what the training
+    * loader actually consumes: per chunk, the segment list IS the
+    * document-boundary/loss-mask metadata (cross-document attention is
+    * masked at exactly these boundaries). Pure per-row arithmetic over
+    * the placement columns plus one `explode(sequence(first, last))` —
+    * no shuffle beyond packSequences' own; fan-out = chunks spanned,
+    * ~ n_tokens/capacity per doc, linear in corpus tokens. */
+  def chunkManifest(packed: DataFrame, capacity: Int): DataFrame = {
+    val start = col("first_chunk") * capacity + col("chunk_offset")
+    val end = start + col("n_tokens") // exclusive, global token coords
+    val cBase = col("chunk") * capacity
+    packed
+      .withColumn("chunk",
+        explode(sequence(col("first_chunk"), col("last_chunk"))))
+      .withColumn("tok_begin",
+        (greatest(start, cBase) - cBase).cast("long"))
+      .withColumn("tok_len",
+        (least(end, cBase + capacity) - greatest(start, cBase))
+          .cast("long"))
+      .drop("first_chunk", "chunk_offset", "last_chunk")
+  }
+
+  /** Operational readout of a [[packSequences]] layout: per stream, the
+    * doc count, token total, the chunk count ceil(total/capacity) the
+    * trainer will actually see, and the exact padding waste the last
+    * partial chunk costs — the number an operator tunes `capacity`
+    * against (waste share up → capacity too large for the shard's token
+    * mass). Stream-count-sized aggregate, integer-exact. */
+  def packingStats(packed: DataFrame, domain: Column, capacity: Int)
+  : DataFrame =
+    packed.groupBy(domain, col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("n_chunks",
+        floor((col("n_tokens") + capacity - 1) / capacity).cast("long"))
+      .withColumn("waste_tokens",
+        col("n_chunks") * capacity - col("n_tokens"))
+
+  /** UniMax epoch allocation (Chung et al., ICLR 2023): given per-domain
+    * token counts, a total token BUDGET and a per-domain repeat cap of
+    * `maxEpochs`, allocate the budget so every domain is as close to
+    * uniform as the cap allows — small domains saturate at
+    * `maxEpochs × n_tokens`, every remaining (larger) domain gets the
+    * SAME fair share of what's left. This is the budget-CONSTRAINED
+    * member of the mix family: d47's temperature flattening has no
+    * budget, [[epochReplicate]] takes the epochs as given — UniMax
+    * derives them.
+    *
+    * Closed form instead of the paper's sequential loop: in ascending
+    * token order, once one domain's capped demand exceeds the current
+    * fair share, allocating exactly the fair share leaves the NEXT fair
+    * share unchanged ((B − B/N) / (N−1) = B/N) — so the saturated set is
+    * a prefix, found with one prefix-sum window: the first rank r* where
+    * `cap_r × (N − r + 1) > budget − prefix_cap(<r)`. Ranks r < r* get
+    * their full cap; r ≥ r* all get the constant fair share
+    * `(budget − prefix_cap(<r*)) / (N − r* + 1)`.
+    *
+    * The budget is `total_tokens × budgetNum DIV budgetDen` — integer
+    * floor-division on longs, so every branch decision is 64-bit-integer
+    * exact on both engines (the only float is the published fair share
+    * itself, rounded per the CrossRound policy; epochs divide the
+    * ROUNDED allocation so both engines divide identical doubles).
+    * Ties in token count break on the domain name — deterministic,
+    * engine-independent.
+    *
+    * Scale shape: one domain-count aggregation, then windows over the
+    * DOMAIN table only (domains are sources/languages — O(100s); the d72
+    * histogram-sized single-partition-window precedent); scalar stats
+    * ride broadcast crossJoins. The corpus is touched exactly once. */
+  def uniMaxAllocation(df: DataFrame, domain: Column, nTokens: Column,
+                       maxEpochs: Int, budgetNum: Long, budgetDen: Long)
+  : DataFrame = {
+    require(maxEpochs >= 1, "uniMaxAllocation: maxEpochs must be >= 1")
+    require(budgetNum > 0 && budgetDen > 0,
+      "uniMaxAllocation: budget fraction must be positive")
+    val counts = df.groupBy(domain)
+      .agg(sum(nTokens.cast("long")).as("n_tokens"))
+    val domName = counts.columns.head
+    val tot = counts.agg(
+      expr(s"sum(n_tokens) * $budgetNum div $budgetDen").as("_budget"),
+      count(lit(1)).as("_nd"))
+    val w = Window.orderBy(col("n_tokens"), col(domName))
+    val o = counts
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_p", coalesce(sum(col("cap_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val rstar = o.agg(min(when(
+      col("cap_tokens") * (col("_nd") - col("_r") + 1)
+        > col("_budget") - col("_p"), col("_r"))).as("_rstar"))
+    val o2 = o.crossJoin(broadcast(rstar))
+    val fair = o2.agg(min(when(col("_r") === col("_rstar"),
+      (col("_budget") - col("_p")).cast("double")
+        / (col("_nd") - col("_rstar") + 1))).as("_fs"))
+    o2.crossJoin(broadcast(fair))
+      .withColumn("saturated",
+        (col("_rstar").isNull || col("_r") < col("_rstar")).cast("long"))
+      .withColumn("alloc_tokens", CrossRound.round(
+        when(col("saturated") === 1L, col("cap_tokens").cast("double"))
+          .otherwise(col("_fs")), 6))
+      .withColumn("epochs",
+        CrossRound.round(col("alloc_tokens") / col("n_tokens"), 6))
+      .select(col(domName), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs"), col("saturated"))
+  }
 }

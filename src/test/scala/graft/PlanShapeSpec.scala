@@ -74,6 +74,26 @@ class PlanShapeSpec extends SparkSpec {
       s"epoch shuffle must not range-sort globally:\n$finalPlan")
   }
 
+  test("packSequences: ONE stream-key hash exchange; manifest adds none") {
+    // the packing cumsum must ride a single hash partition on the
+    // (domain, shard) stream key — never a global range sort — and the
+    // chunk manifest is a pure generator over the placement columns
+    import graft.ops.Sampling
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 3).cast("string").as("dom"),
+      (col("id") % 9 + 1).as("n"))
+    val packed = Sampling.packSequences(df, col("id"), col("dom"),
+      col("n"), capacity = 16, shards = 4)
+    val out = Sampling.chunkManifest(packed, capacity = 16)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one hash exchange, found $n:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"packing must not range-sort globally:\n$plan")
+  }
+
   test("epochReplicate is a pure generator projection: zero exchanges") {
     import graft.ops.Sampling
     val df = spark.range(500).select(col("id"),

@@ -155,6 +155,111 @@ class SketchSampleSpec extends SparkSpec {
     assert(run(2, 3) != e1)
   }
 
+  test("packSequences: exact placement, straddle, zero-token drop, waste") {
+    // one stream (shards=1), capacity 10: starts 0,4,14,17 → doc 2
+    // straddles chunks 0-1, doc 5 straddles 1-2, doc 4 (0 tokens) drops
+    val df = Seq((1L, "a", 4L), (2L, "a", 10L), (3L, "a", 3L),
+      (4L, "a", 0L), (5L, "a", 8L)).toDF("id", "dom", "n")
+    val got = Sampling.packSequences(df, col("id"), col("dom"), col("n"),
+        capacity = 10, shards = 1)
+      .select("id", "first_chunk", "chunk_offset", "last_chunk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L), (2L, 0L, 4L, 1L),
+      (3L, 1L, 4L, 1L), (5L, 1L, 7L, 2L)))
+    val st = Sampling.packingStats(
+      Sampling.packSequences(df, col("id"), col("dom"), col("n"), 10, 1),
+      col("dom"), capacity = 10)
+      .select("n_docs", "n_tokens", "n_chunks", "waste_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(st == Seq((4L, 25L, 3L, 5L)))
+    // manifest: straddlers split into per-chunk local segments that tile
+    // each chunk exactly (the trainer's loss-mask boundaries)
+    val mf = Sampling.chunkManifest(
+      Sampling.packSequences(df, col("id"), col("dom"), col("n"), 10, 1),
+      capacity = 10)
+      .select("id", "chunk", "tok_begin", "tok_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(mf.toSeq == Seq((1L, 0L, 0L, 4L), (2L, 0L, 4L, 6L),
+      (2L, 1L, 0L, 4L), (3L, 1L, 4L, 3L), (5L, 1L, 7L, 3L),
+      (5L, 2L, 0L, 5L)))
+  }
+
+  test("packSequences: per-stream cumsum invariants, partition-stable") {
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i % 7))
+    def run(part: Int) = Sampling.packSequences(
+        rows.toDF("id", "dom", "n").repartition(part),
+        col("id"), col("dom"), col("n"), capacity = 16, shards = 4)
+      .select("id", "dom", "shard", "n_tokens", "first_chunk",
+        "chunk_offset", "last_chunk").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("dom"),
+        r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("first_chunk"), r.getAs[Long]("chunk_offset"),
+        r.getAs[Long]("last_chunk"))).toMap
+    val got = run(3)
+    // zero-token docs dropped, everything else packed exactly once
+    assert(got.size == rows.count(_._3 > 0))
+    // within every (dom, shard) stream the placements ARE the id-ordered
+    // token cumsum (offset = start mod cap, chunks = floor divs)
+    got.toSeq.groupBy { case (_, v) => (v._1, v._2) }.foreach {
+      case (_, docs) =>
+        var start = 0L
+        docs.sortBy(_._1).foreach { case (_, v) =>
+          assert(v._4 == start / 16 && v._5 == start % 16 &&
+            v._6 == (start + v._3 - 1) / 16)
+          start += v._3
+        }
+    }
+    // content-addressed: identical layout regardless of partitioning
+    assert(run(7) == got)
+  }
+
+  test("uniMaxAllocation: saturated prefix + constant fair share, exact") {
+    // tokens 10,20,40,80; cap 2 epochs; budget = 150*9 div 5 = 270.
+    // caps 20,40,80,160; ranks 1..4: r=4 is the first where
+    // cap*(nd-r+1) > budget-prefix (160*1 > 270-140) → a,b,c saturate
+    // at their caps, d gets the fair share 270-140 = 130 (1.625 epochs);
+    // the allocations sum to the budget exactly
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 40L), ("d", 80L))
+      .toDF("dom", "n")
+    val got = Sampling.uniMaxAllocation(df, col("dom"), col("n"),
+        maxEpochs = 2, budgetNum = 9, budgetDen = 5)
+      .select("dom", "n_tokens", "cap_tokens", "alloc_tokens", "epochs",
+        "saturated")
+      .as[(String, Long, Long, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 10L, 20L, 20.0, 2.0, 1L),
+      ("b", 20L, 40L, 40.0, 2.0, 1L), ("c", 40L, 80L, 80.0, 2.0, 1L),
+      ("d", 80L, 160L, 130.0, 1.625, 0L)))
+    assert(got.map(_._4).sum == 270.0)
+  }
+
+  test("uniMaxAllocation: budget beyond all caps → everyone saturates") {
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 40L)).toDF("dom", "n")
+    val got = Sampling.uniMaxAllocation(df, col("dom"), col("n"),
+        maxEpochs = 2, budgetNum = 10, budgetDen = 1)
+      .select("dom", "alloc_tokens", "epochs", "saturated")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 20.0, 2.0, 1L), ("b", 40.0, 2.0, 1L),
+      ("c", 80.0, 2.0, 1L)))
+  }
+
+  test("uniMaxAllocation: partition-stable, fair share shared by tail") {
+    val rows = (0L until 60L).map(i => (i, s"dom${i % 12}", i % 9 + 1))
+    def run(part: Int) = Sampling.uniMaxAllocation(
+        rows.toDF("id", "dom", "n").repartition(part),
+        col("dom"), col("n"), maxEpochs = 3, budgetNum = 2, budgetDen = 1)
+      .select("dom", "alloc_tokens", "epochs", "saturated")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val got = run(2)
+    assert(run(7) == got)
+    // every unsaturated domain gets the SAME allocation
+    val fairs = got.filter(_._4 == 0L).map(_._2).distinct
+    assert(fairs.size <= 1)
+    // saturated domains sit exactly at cap: epochs == maxEpochs
+    assert(got.filter(_._4 == 1L).forall(_._3 == 3.0))
+  }
+
   test("epochReplicate: floor copies guaranteed, frac share extra, exact") {
     val df = (0L until 1000L).map(i =>
       (i, if (i < 500) "hi" else "lo")).toDF("id", "dom")
