@@ -874,6 +874,82 @@ private[graft] object QueriesCurate {
       |  round(alloc_tokens / n_tokens, 6) AS epochs, saturated
       |FROM a""".stripMargin))
 
+  // --------------------------------- Bradley–Terry preference strength
+  // The leaderboard computation over preference data (the RLHF/arena
+  // shape: pairwise "which is better" outcomes → per-item strength).
+  // Comparisons are built deterministically — content-addressed buckets,
+  // hash-order neighbour pairing (each doc compared at most once, LINEAR,
+  // never a pairwise join), cross-source pairs only, winner = higher d03
+  // quality score with a doc_id tie-break — then three Bradley–Terry MM
+  // iterations on the source-pair table (sources² rows, broadcast-scale
+  // forever), anchored by one virtual win+loss against a dummy at 1.0.
+  // The oracle replays pairing, aggregation and all three iterations as
+  // a finite CTE chain (the q62 decimal-sandwich float policy).
+  private val d78: (String, QFn, Option[String]) = ("d78_bradley_terry",
+    (s, d) => {
+      val base = docs(s, d)
+      Preference.bradleyTerry(
+        Preference.pairComparisons(
+          base.select(col("doc_id"), col("source"),
+            TextOps.qualityCols(col("text"), TextOps.tokens(col("text")))
+              .last),
+          col("doc_id"), col("source"), col("quality_score"),
+          buckets = 64, salt = "bt"),
+        iters = 3)
+        .select(col("item").as("source"), col("n_games"), col("n_wins"),
+          col("strength"))
+    },
+    Some {
+      val iterCtes = (1 to 3).map { k =>
+        s"""d$k AS (SELECT item, CAST(round(sum(t), 6) AS DOUBLE) AS d
+           |  FROM (SELECT p.i AS item,
+           |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
+           |    FROM p JOIN s${k - 1} a ON a.item = p.i
+           |    JOIN s${k - 1} b ON b.item = p.j
+           |    UNION ALL
+           |    SELECT p.j AS item,
+           |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
+           |    FROM p JOIN s${k - 1} a ON a.item = p.i
+           |    JOIN s${k - 1} b ON b.item = p.j)
+           |  GROUP BY item),
+           |s$k AS (SELECT st.item,
+           |    round((st.n_wins + 1)::DOUBLE
+           |      / (d.d + 2.0 / (sp.s + 1.0)), 6) AS s
+           |  FROM st JOIN d$k d USING (item)
+           |  JOIN s${k - 1} sp USING (item))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS q
+        |  FROM documents),
+        |bk AS (SELECT doc_id, source, q,
+        |    ${md5HashSql("doc_id::VARCHAR || '#bt'")} % 64 AS bucket,
+        |    ${md5HashSql("doc_id::VARCHAR || '#bt.o'")} AS h
+        |  FROM q),
+        |w AS (SELECT doc_id, source, q, bucket,
+        |    row_number() OVER win AS pos,
+        |    lead(doc_id) OVER win AS doc_b,
+        |    lead(source) OVER win AS src_b,
+        |    lead(q) OVER win AS q_b
+        |  FROM bk WINDOW win AS (PARTITION BY bucket ORDER BY h, doc_id)),
+        |pr AS (SELECT least(source, src_b) AS i,
+        |    greatest(source, src_b) AS j,
+        |    CASE WHEN q > q_b THEN source WHEN q_b > q THEN src_b
+        |      WHEN doc_id < doc_b THEN source ELSE src_b END AS winner
+        |  FROM w WHERE pos % 2 = 1 AND doc_b IS NOT NULL
+        |    AND source <> src_b),
+        |p AS (SELECT i, j, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN winner = i THEN 1 ELSE 0 END)::BIGINT AS wi
+        |  FROM pr GROUP BY i, j),
+        |st AS (SELECT item, sum(n)::BIGINT AS n_games,
+        |    sum(w)::BIGINT AS n_wins
+        |  FROM (SELECT i AS item, n, wi AS w FROM p
+        |    UNION ALL SELECT j AS item, n, n - wi AS w FROM p)
+        |  GROUP BY item),
+        |s0 AS (SELECT item, 1.0::DOUBLE AS s FROM st),
+        |$iterCtes
+        |SELECT st.item AS source, st.n_games, st.n_wins, s3.s AS strength
+        |FROM st JOIN s3 USING (item)""".stripMargin
+    })
+
   // --------------------------------------- fractional-epoch replication
   // The "epochs per domain" mix (weight 2.5 -> two copies each + a
   // deterministic 50% of docs a third; 0.4 -> 40% of docs once): one
@@ -1253,5 +1329,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, c01)
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+
+/**
+ * Preference-data aggregation: pairwise comparisons → per-item strength
+ * via Bradley–Terry (Bradley & Terry 1952, minorize–maximize updates per
+ * Hunter 2004) — the leaderboard computation RLHF pipelines run over
+ * human preference data (per-model arena ratings are exactly this shape).
+ *
+ * Two halves, separately reusable:
+ *  - [[pairComparisons]] builds a deterministic comparison set from a
+ *    scored corpus: content-addressed bucket + one per-bucket window
+ *    pairs each row with its hash-order neighbour, so every row is
+ *    compared at most once (linear, never a pairwise join), and the
+ *    winner is decided by the score with a key tie-break. Re-runs,
+ *    engines and partitionings produce the identical pair set.
+ *  - [[bradleyTerry]] runs the MM fixed point on the aggregated
+ *    (item i, item j, games, wins) table — group-count-sized, so every
+ *    iteration is broadcast-scale even when the corpus is 100 TB.
+ *
+ * Determinism (the oracle story): per-pair contributions pass through
+ * DOUBLE divide (IEEE, order-free) → DECIMAL(20,10) cast → EXACT decimal
+ * sum — GraphRank's decimal sandwich — then ONE double division per item
+ * and a 6-dp cross-engine round per iteration, so a SQL oracle replays
+ * the fixed iteration count as a finite CTE chain. The update is
+ * anchored by ONE virtual win and ONE virtual loss against a dummy
+ * opponent pinned at strength 1.0 (the standard regularization): no
+ * zero-win item can collapse to 0, no all-win item can diverge, and the
+ * anchor pins the scale so no per-iteration normalization is needed.
+ */
+object Preference {
+
+  /** Deterministic cross-group comparison pairs from a scored table.
+    * Rows land in `buckets` content-addressed buckets, are ordered by a
+    * second content hash within each bucket, and odd positions pair with
+    * their successor — each row used at most once, cost one bucket-hash
+    * exchange + one window (buckets scale with the cluster, so no
+    * single-partition window at 100 TB). Same-group pairs and trailing
+    * unpaired rows drop. Winner: higher score, ties to the smaller key.
+    * Returns one row per UNORDERED group pair: (i, j, n, wins_i) with
+    * i < j lexicographically. */
+  def pairComparisons(df: DataFrame, key: Column, group: Column,
+                      score: Column, buckets: Int, salt: String = "bt")
+  : DataFrame = {
+    require(buckets >= 1, "pairComparisons: buckets must be positive")
+    val win = Window.partitionBy(col("_b")).orderBy(col("_h"), col("_k"))
+    val paired = df
+      .select(key.as("_k"), group.as("_g"), score.as("_q"))
+      .withColumn("_b",
+        Dedup.md5Hash(col("_k").cast("string"), lit(salt)) % buckets)
+      .withColumn("_h",
+        Dedup.md5Hash(col("_k").cast("string"), lit(s"$salt.o")))
+      .withColumn("_pos", row_number().over(win))
+      .withColumn("_k2", lead(col("_k"), 1).over(win))
+      .withColumn("_g2", lead(col("_g"), 1).over(win))
+      .withColumn("_q2", lead(col("_q"), 1).over(win))
+      .filter(col("_pos") % 2 === 1 && col("_k2").isNotNull
+        && col("_g") =!= col("_g2"))
+    val winner = when(col("_q") > col("_q2"), col("_g"))
+      .when(col("_q2") > col("_q"), col("_g2"))
+      .when(col("_k") < col("_k2"), col("_g")).otherwise(col("_g2"))
+    paired
+      .select(least(col("_g"), col("_g2")).as("i"),
+        greatest(col("_g"), col("_g2")).as("j"), winner.as("_win"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_win") === col("i"), 1L).otherwise(0L)).as("wins_i"))
+  }
+
+  /** Fixed-iteration Bradley–Terry MM over an aggregated pair table
+    * (i, j, n, wins_i). Each iteration: s_x ← (wins_x + 1) /
+    * (Σ_pairs n/(s_x + s_opp) + 2/(s_x + 1)), the +1/+2 terms being the
+    * virtual anchor games against the dummy at 1.0. Returns one row per
+    * participating item: (item, n_games, n_wins, strength). The pair
+    * table is items²-bounded — iterations never touch the corpus. */
+  def bradleyTerry(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "bradleyTerry: iters must be >= 1")
+    val p = pairs.select(col("i"), col("j"), col("n"), col("wins_i"))
+      .localCheckpoint(true)
+    val stats = p.select(col("i").as("item"), col("n"),
+        col("wins_i").as("_w"))
+      .union(p.select(col("j").as("item"), col("n"),
+        (col("n") - col("wins_i")).as("_w")))
+      .groupBy(col("item"))
+      .agg(sum(col("n")).as("n_games"), sum(col("_w")).as("n_wins"))
+      .localCheckpoint(true)
+    var str = stats.select(col("item"), lit(1.0).as("s"))
+    for (_ <- 0 until iters) {
+      val withS = p
+        .join(str.select(col("item").as("i"), col("s").as("_si")),
+          Seq("i"))
+        .join(str.select(col("item").as("j"), col("s").as("_sj")),
+          Seq("j"))
+      val term = (col("n").cast("double") / (col("_si") + col("_sj")))
+        .cast("decimal(20,10)")
+      // decimal round to 6 dp BEFORE the double cast (functions.round on
+      // the decimal — exact integer arithmetic, identical half-up both
+      // engines; a wide decimal cast straight to double is NOT
+      // cross-engine-stable, see GraphRank's scaladoc)
+      val denom = withS.select(col("i").as("item"), term.as("_t"))
+        .union(withS.select(col("j").as("item"), term.as("_t")))
+        .groupBy(col("item"))
+        .agg(org.apache.spark.sql.functions.round(sum(col("_t")), 6)
+          .cast("double").as("_d"))
+      str = stats.join(denom, Seq("item")).join(str, Seq("item"))
+        .select(col("item"),
+          round((col("n_wins") + 1).cast("double")
+            / (col("_d") + lit(2.0) / (col("s") + lit(1.0))), 6).as("s"))
+    }
+    stats.join(str, Seq("item"))
+      .select(col("item"), col("n_games"), col("n_wins"),
+        col("s").as("strength"))
+  }
+}
