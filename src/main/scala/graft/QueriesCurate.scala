@@ -950,6 +950,67 @@ private[graft] object QueriesCurate {
         |FROM st JOIN s3 USING (item)""".stripMargin
     })
 
+  // --------------------------------- preference length-bias audit
+  // The standard verbosity check on preference data: over d78's EXACT
+  // comparison set, does the longer document win more often than its
+  // overall win rate says it should? Per source: games, wins, games
+  // fielded as the longer side, wins-while-longer/-shorter, and the
+  // longer-win share. Here the "preference" is the d03 quality score —
+  // whose length-sensitive terms (TTR and stopword ratio fall as docs
+  // grow) make it length-CONFOUNDED, and the audit surfaces it hard:
+  // the longer side wins ~11% of games against a 50% base rate. Two
+  // doc_id equi-joins + one aggregation; counts integer-exact.
+  private val d79: (String, QFn, Option[String]) = ("d79_length_bias",
+    (s, d) => {
+      val base = docs(s, d)
+      Preference.lengthBiasAudit(
+        Preference.pairOutcomes(
+          base.select(col("doc_id"), col("source"),
+            TextOps.qualityCols(col("text"), TextOps.tokens(col("text")))
+              .last),
+          col("doc_id"), col("source"), col("quality_score"),
+          buckets = 64, salt = "bt"),
+        base.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long")))
+        .select(col("grp").as("source"), col("n_games"), col("n_wins"),
+          col("n_longer"), col("wins_longer"), col("wins_shorter"),
+          col("longer_win_share"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS q,
+      |    len($tokSql)::BIGINT AS nt FROM documents),
+      |bk AS (SELECT doc_id, source, q, nt,
+      |    ${md5HashSql("doc_id::VARCHAR || '#bt'")} % 64 AS bucket,
+      |    ${md5HashSql("doc_id::VARCHAR || '#bt.o'")} AS h
+      |  FROM q),
+      |w AS (SELECT doc_id, source, q, nt, bucket,
+      |    row_number() OVER win AS pos,
+      |    lead(doc_id) OVER win AS doc_b,
+      |    lead(source) OVER win AS src_b,
+      |    lead(q) OVER win AS q_b,
+      |    lead(nt) OVER win AS nt_b
+      |  FROM bk WINDOW win AS (PARTITION BY bucket ORDER BY h, doc_id)),
+      |oc AS (SELECT doc_id AS ka, source AS ga, nt AS la,
+      |    doc_b AS kb, src_b AS gb, nt_b AS lb,
+      |    CASE WHEN q > q_b THEN doc_id WHEN q_b > q THEN doc_b
+      |      WHEN doc_id < doc_b THEN doc_id ELSE doc_b END AS wk
+      |  FROM w WHERE pos % 2 = 1 AND doc_b IS NOT NULL
+      |    AND source <> src_b),
+      |pa AS (SELECT ga AS source, (wk = ka) AS won,
+      |    (la > lb) AS longer, (la < lb) AS shorter FROM oc
+      |  UNION ALL SELECT gb, (wk = kb), (lb > la), (lb < la) FROM oc)
+      |SELECT source, count(*)::BIGINT AS n_games,
+      |  sum(CASE WHEN won THEN 1 ELSE 0 END)::BIGINT AS n_wins,
+      |  sum(CASE WHEN longer THEN 1 ELSE 0 END)::BIGINT AS n_longer,
+      |  sum(CASE WHEN longer AND won THEN 1 ELSE 0 END)::BIGINT
+      |    AS wins_longer,
+      |  sum(CASE WHEN shorter AND won THEN 1 ELSE 0 END)::BIGINT
+      |    AS wins_shorter,
+      |  CASE WHEN sum(CASE WHEN longer THEN 1 ELSE 0 END) > 0 THEN
+      |    round(sum(CASE WHEN longer AND won THEN 1 ELSE 0 END)::DOUBLE
+      |      / sum(CASE WHEN longer THEN 1 ELSE 0 END), 6) END
+      |    AS longer_win_share
+      |FROM pa GROUP BY source""".stripMargin))
+
   // --------------------------------------- fractional-epoch replication
   // The "epochs per domain" mix (weight 2.5 -> two copies each + a
   // deterministic 50% of docs a third; 0.4 -> 40% of docs once): one
@@ -1329,5 +1390,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, c01)
 }

@@ -45,11 +45,26 @@ object Preference {
     * i < j lexicographically. */
   def pairComparisons(df: DataFrame, key: Column, group: Column,
                       score: Column, buckets: Int, salt: String = "bt")
+  : DataFrame =
+    pairOutcomes(df, key, group, score, buckets, salt)
+      .select(least(col("group_a"), col("group_b")).as("i"),
+        greatest(col("group_a"), col("group_b")).as("j"),
+        col("win_group").as("_win"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_win") === col("i"), 1L).otherwise(0L)).as("wins_i"))
+
+  /** The per-comparison layer under [[pairComparisons]]: one row per
+    * decided comparison — (key_a, group_a, score_a, key_b, group_b,
+    * score_b, win_key, win_group), a/b in hash order. Exposed so audits
+    * (length bias, calibration) can see individual outcomes; the
+    * aggregated pair table is its groupBy. */
+  def pairOutcomes(df: DataFrame, key: Column, group: Column,
+                   score: Column, buckets: Int, salt: String = "bt")
   : DataFrame = {
-    require(buckets >= 1, "pairComparisons: buckets must be positive")
+    require(buckets >= 1, "pairOutcomes: buckets must be positive")
     val win = Window.partitionBy(col("_b")).orderBy(col("_h"), col("_k"))
-    val paired = df
-      .select(key.as("_k"), group.as("_g"), score.as("_q"))
+    df.select(key.as("_k"), group.as("_g"), score.as("_q"))
       .withColumn("_b",
         Dedup.md5Hash(col("_k").cast("string"), lit(salt)) % buckets)
       .withColumn("_h",
@@ -60,15 +75,51 @@ object Preference {
       .withColumn("_q2", lead(col("_q"), 1).over(win))
       .filter(col("_pos") % 2 === 1 && col("_k2").isNotNull
         && col("_g") =!= col("_g2"))
-    val winner = when(col("_q") > col("_q2"), col("_g"))
-      .when(col("_q2") > col("_q"), col("_g2"))
-      .when(col("_k") < col("_k2"), col("_g")).otherwise(col("_g2"))
-    paired
-      .select(least(col("_g"), col("_g2")).as("i"),
-        greatest(col("_g"), col("_g2")).as("j"), winner.as("_win"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("_win") === col("i"), 1L).otherwise(0L)).as("wins_i"))
+      .withColumn("win_key",
+        when(col("_q") > col("_q2"), col("_k"))
+          .when(col("_q2") > col("_q"), col("_k2"))
+          .when(col("_k") < col("_k2"), col("_k")).otherwise(col("_k2")))
+      .select(col("_k").as("key_a"), col("_g").as("group_a"),
+        col("_q").as("score_a"), col("_k2").as("key_b"),
+        col("_g2").as("group_b"), col("_q2").as("score_b"),
+        col("win_key"),
+        when(col("win_key") === col("_k"), col("_g")).otherwise(col("_g2"))
+          .as("win_group"))
+  }
+
+  /** Length-bias audit of a [[pairOutcomes]] comparison set — the
+    * standard verbosity check on preference data (does "longer" win more
+    * than it should?). Joins a (key, len) table onto both sides of every
+    * comparison, then aggregates per group: games, wins, games where
+    * this side was the longer one, wins while longer / while shorter,
+    * and the longer-win share (6-dp; NULL when the group never fielded
+    * the longer side). A longer_win_share far above n_wins/n_games says
+    * the preference signal is confounded with length. Integer-exact
+    * counts; two key equi-joins + one group aggregation — linear. */
+  def lengthBiasAudit(outcomes: DataFrame, lengths: DataFrame)
+  : DataFrame = {
+    val la = lengths.toDF("key_a", "_la")
+    val lb = lengths.toDF("key_b", "_lb")
+    val oc = outcomes.join(la, Seq("key_a")).join(lb, Seq("key_b"))
+    val pa = oc.select(col("group_a").as("grp"),
+        (col("win_key") === col("key_a")).as("_won"),
+        (col("_la") > col("_lb")).as("_longer"),
+        (col("_la") < col("_lb")).as("_shorter"))
+      .union(oc.select(col("group_b").as("grp"),
+        (col("win_key") === col("key_b")).as("_won"),
+        (col("_lb") > col("_la")).as("_longer"),
+        (col("_lb") < col("_la")).as("_shorter")))
+    pa.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("_won"), 1L).otherwise(0L)).as("n_wins"),
+        sum(when(col("_longer"), 1L).otherwise(0L)).as("n_longer"),
+        sum(when(col("_longer") && col("_won"), 1L).otherwise(0L))
+          .as("wins_longer"),
+        sum(when(col("_shorter") && col("_won"), 1L).otherwise(0L))
+          .as("wins_shorter"))
+      .withColumn("longer_win_share",
+        when(col("n_longer") > 0,
+          round(col("wins_longer").cast("double") / col("n_longer"), 6)))
   }
 
   /** Fixed-iteration Bradley–Terry MM over an aggregated pair table

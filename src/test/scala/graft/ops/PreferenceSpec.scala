@@ -53,6 +53,27 @@ class PreferenceSpec extends SparkSpec {
     assert(rows.sorted == again.sorted)
   }
 
+  test("lengthBiasAudit: exact counts on a crafted outcome set") {
+    // hand-built outcomes: pair (1,2) won by 1, pair (3,4) won by 4 —
+    // lengths 1:10, 2:5 (winner longer), 3:7, 4:7 (equal), so group x
+    // (docs 1,3): 2 games, 1 win, longer once, won it; y (2,4): 2 games,
+    // 1 win, never longer → share NULL
+    val outcomes = Seq(
+      (1L, "x", 0.9, 2L, "y", 0.1, 1L, "x"),
+      (3L, "x", 0.2, 4L, "y", 0.8, 4L, "y"))
+      .toDF("key_a", "group_a", "score_a", "key_b", "group_b",
+        "score_b", "win_key", "win_group")
+    val lengths = Seq((1L, 10L), (2L, 5L), (3L, 7L), (4L, 7L))
+      .toDF("k", "len")
+    val got = Preference.lengthBiasAudit(outcomes, lengths)
+      .select("grp", "n_games", "n_wins", "n_longer", "wins_longer",
+        "wins_shorter", "longer_win_share")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("x", 2L, 1L, 1L, 1L, 0L, Some(1.0)),
+      ("y", 2L, 1L, 0L, 0L, 0L, None)))
+  }
+
   test("pairComparisons: winner by score, key breaks ties") {
     // bucket count 1 → one stream; hash order decides neighbours, so
     // recover the pairing and check each winner against the inputs
