@@ -235,6 +235,77 @@ private[graft] object QueriesVectors {
       |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS digest
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  // ----------------------------------------- multimodal token packing
+  // The VLM training-prep capstone: every doc carries a VARIABLE-size
+  // image (dims content-addressed per row — real collections never share
+  // one geometry), the engine DECODES the actual PGM bytes, converts the
+  // decoded dims into a patch-token budget (ceil(w/4)·ceil(h/4) patches
+  // + 2 boundary specials — the ViT patchify arithmetic), adds the text
+  // tokens, and packs the combined budget through d74's packSequences.
+  // The oracle re-derives dims, the full variable-size raster sum, the
+  // patch arithmetic AND the packing cumsum from the hash spec alone —
+  // so a codec regression at any geometry, or a packing drift, hash-fails
+  // the row. Linear: encode/decode ride mapPartitions, packing is d74's
+  // one stream-key exchange.
+  private val m05: (String, QFn, Option[String]) = ("m05_vlm_pack",
+    (s, d) => {
+      val base = docs(s, d)
+      val dims = base.select(col("doc_id"), col("source"), col("text"),
+        (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
+          % 24).as("w"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
+          % 12).as("h"))
+      val dec = Multimodal.decodePgmBatched(
+        Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
+          col("h")),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+      val budget = base.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("txt_tokens"))
+        .join(dec, Seq("doc_id"))
+        .withColumn("img_tokens",
+          (expr("(width + 3) div 4") * expr("(height + 3) div 4") + 2)
+            .cast("long"))
+      Sampling.packSequences(budget, col("doc_id"), col("source"),
+          col("txt_tokens") + col("img_tokens"), capacity = 256,
+          shards = 4, salt = "vlm")
+        .select(col("doc_id"), col("source"), col("width"), col("height"),
+          col("px_sum"), col("img_tokens"), col("txt_tokens"),
+          col("n_tokens"), col("first_chunk"), col("chunk_offset"),
+          col("last_chunk"))
+    },
+    Some(s"""WITH dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+      |      AS w,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+      |      AS h,
+      |    len($tokSql)::BIGINT AS txt
+      |  FROM documents),
+      |px AS (SELECT doc_id,
+      |    sum(('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR),
+      |      ((i % 16) * 2 + 1)::INT, 2))::BIGINT)::BIGINT AS px_sum
+      |  FROM (SELECT doc_id, t, unnest(range(w * h)) AS i FROM dim)
+      |  GROUP BY doc_id),
+      |tk AS (SELECT doc_id, source, w, h, txt,
+      |    (((w + 3) // 4) * ((h + 3) // 4) + 2)::BIGINT AS img
+      |  FROM dim),
+      |pk AS (SELECT doc_id, source, w, h, txt, img,
+      |    (txt + img)::BIGINT AS n_tokens,
+      |    ${md5HashSql("doc_id::VARCHAR || '#vlm.s'")} % 4 AS shard
+      |  FROM tk),
+      |pko AS (SELECT doc_id, source, w, h, txt, img, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS st
+      |  FROM pk)
+      |SELECT k.doc_id, k.source, k.w AS width, k.h AS height, p.px_sum,
+      |  k.img AS img_tokens, k.txt AS txt_tokens, k.n_tokens,
+      |  (k.st // 256)::BIGINT AS first_chunk,
+      |  (k.st % 256)::BIGINT AS chunk_offset,
+      |  ((k.st + k.n_tokens - 1) // 256)::BIGINT AS last_chunk
+      |FROM pko k JOIN px p USING (doc_id)""".stripMargin))
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
   // bucket size; a vector is dropped when an earlier same-bucket member is
@@ -1000,5 +1071,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04, m05)
 }

@@ -148,6 +148,41 @@ object Multimodal {
     }.toDF(idCol, "payload")
   }
 
+  /** [[encodePgmFromText]] with PER-ROW dimensions supplied as columns —
+    * the variable-size corpus shape (real image collections never share
+    * one geometry). Pixel fill is the same engine-neutral md5 grid
+    * (digest bytes of `text#block`), just cut at w×h, so an external
+    * engine re-derives any row's raster from (text, w, h) alone. Dims
+    * are caller-provided columns precisely so they can be
+    * content-addressed with the SAME hash family the oracle replays
+    * (Dedup.md5Hash) instead of a second JVM-side hash path. */
+  def encodePgmSized(df: DataFrame, idCol: String, textCol: String,
+                     wCol: Column, hCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      wCol.cast("int"), hCol.cast("int")).as[(Long, String, Int, Int)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t, w, h) =>
+        require(w >= 1 && h >= 1, s"encodePgmSized: bad dims ${w}x$h")
+        val n = w * h
+        val px = new Array[Byte](n)
+        var b = 0
+        while (b * 16 < n) {
+          md.reset()
+          val dig = md.digest((t + "#" + b)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 16 && b * 16 + j < n) { px(b * 16 + j) = dig(j); j += 1 }
+          b += 1
+        }
+        (id, Pgm.encode(Pgm.Image(w, h, 255, px)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
   /** REAL per-partition batched decode: [[Pgm.decode]] parses each
     * payload's actual bytes (header tokens, comment skipping, raster) and
     * the row's features are computed from the DECODED pixel grid —

@@ -80,6 +80,32 @@ class PgmSpec extends SparkSpec {
     }
   }
 
+  test("encodePgmSized: per-row dims, raster = derived grid cut at w*h") {
+    val df = Seq((1L, "alpha", 5, 3), (2L, "beta", 16, 8), (3L, "", 1, 1))
+      .toDF("doc_id", "text", "w", "h")
+    val got = Multimodal.decodePgmBatched(
+      Multimodal.encodePgmSized(df, "doc_id", "text", col("w"), col("h")),
+      "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def pixels(t: String, n: Int): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to (n - 1) / 16).flatMap { b =>
+        md.reset()
+        md.digest((t + "#" + b)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(_ & 0xff).toSeq
+      }.take(n)
+    }
+    Seq((1L, "alpha", 5, 3), (2L, "beta", 16, 8), (3L, "", 1, 1))
+      .foreach { case (id, t, w, h) =>
+        val r = got(id)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        assert(r.getAs[String]("px_csv")
+          === pixels(t, w * h).mkString(","))
+      }
+  }
+
   test("resizePgmBatched 16x8→4x4 keeps pixels at (4x, 2y)") {
     val df = Seq((7L, "resize me")).toDF("doc_id", "text")
     val enc = Multimodal.encodePgmFromText(df, "doc_id", "text")
