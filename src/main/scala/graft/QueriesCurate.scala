@@ -899,56 +899,101 @@ private[graft] object QueriesCurate {
         .select(col("item").as("source"), col("n_games"), col("n_wins"),
           col("strength"))
     },
-    Some {
-      val iterCtes = (1 to 3).map { k =>
-        s"""d$k AS (SELECT item, CAST(round(sum(t), 6) AS DOUBLE) AS d
-           |  FROM (SELECT p.i AS item,
-           |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
-           |    FROM p JOIN s${k - 1} a ON a.item = p.i
-           |    JOIN s${k - 1} b ON b.item = p.j
-           |    UNION ALL
-           |    SELECT p.j AS item,
-           |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
-           |    FROM p JOIN s${k - 1} a ON a.item = p.i
-           |    JOIN s${k - 1} b ON b.item = p.j)
-           |  GROUP BY item),
-           |s$k AS (SELECT st.item,
-           |    round((st.n_wins + 1)::DOUBLE
-           |      / (d.d + 2.0 / (sp.s + 1.0)), 6) AS s
-           |  FROM st JOIN d$k d USING (item)
-           |  JOIN s${k - 1} sp USING (item))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS q
-        |  FROM documents),
-        |bk AS (SELECT doc_id, source, q,
-        |    ${md5HashSql("doc_id::VARCHAR || '#bt'")} % 64 AS bucket,
-        |    ${md5HashSql("doc_id::VARCHAR || '#bt.o'")} AS h
-        |  FROM q),
-        |w AS (SELECT doc_id, source, q, bucket,
-        |    row_number() OVER win AS pos,
-        |    lead(doc_id) OVER win AS doc_b,
-        |    lead(source) OVER win AS src_b,
-        |    lead(q) OVER win AS q_b
-        |  FROM bk WINDOW win AS (PARTITION BY bucket ORDER BY h, doc_id)),
-        |pr AS (SELECT least(source, src_b) AS i,
-        |    greatest(source, src_b) AS j,
-        |    CASE WHEN q > q_b THEN source WHEN q_b > q THEN src_b
-        |      WHEN doc_id < doc_b THEN source ELSE src_b END AS winner
-        |  FROM w WHERE pos % 2 = 1 AND doc_b IS NOT NULL
-        |    AND source <> src_b),
-        |p AS (SELECT i, j, count(*)::BIGINT AS n,
-        |    sum(CASE WHEN winner = i THEN 1 ELSE 0 END)::BIGINT AS wi
-        |  FROM pr GROUP BY i, j),
-        |st AS (SELECT item, sum(n)::BIGINT AS n_games,
-        |    sum(w)::BIGINT AS n_wins
-        |  FROM (SELECT i AS item, n, wi AS w FROM p
-        |    UNION ALL SELECT j AS item, n, n - wi AS w FROM p)
-        |  GROUP BY item),
-        |s0 AS (SELECT item, 1.0::DOUBLE AS s FROM st),
-        |$iterCtes
-        |SELECT st.item AS source, st.n_games, st.n_wins, s3.s AS strength
-        |FROM st JOIN s3 USING (item)""".stripMargin
-    })
+    Some(s"""WITH $btCtesSql
+      |SELECT st.item AS source, st.n_games, st.n_wins, s3.s AS strength
+      |FROM st JOIN s3 USING (item)""".stripMargin))
+
+  // d78/d80's shared oracle stack: pairing → pair aggregation → three
+  // Bradley–Terry MM iterations (s0..s3), as CTE bodies for a WITH.
+  // lazy: referenced from d78's initializer, which runs first in
+  // declaration order.
+  private lazy val btCtesSql: String = {
+    val iterCtes = (1 to 3).map { k =>
+      s"""d$k AS (SELECT item, CAST(round(sum(t), 6) AS DOUBLE) AS d
+         |  FROM (SELECT p.i AS item,
+         |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
+         |    FROM p JOIN s${k - 1} a ON a.item = p.i
+         |    JOIN s${k - 1} b ON b.item = p.j
+         |    UNION ALL
+         |    SELECT p.j AS item,
+         |      CAST(p.n::DOUBLE / (a.s + b.s) AS DECIMAL(20,10)) AS t
+         |    FROM p JOIN s${k - 1} a ON a.item = p.i
+         |    JOIN s${k - 1} b ON b.item = p.j)
+         |  GROUP BY item),
+         |s$k AS (SELECT st.item,
+         |    round((st.n_wins + 1)::DOUBLE
+         |      / (d.d + 2.0 / (sp.s + 1.0)), 6) AS s
+         |  FROM st JOIN d$k d USING (item)
+         |  JOIN s${k - 1} sp USING (item))""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT doc_id, source, $qScoreSql AS q
+      |  FROM documents),
+      |bk AS (SELECT doc_id, source, q,
+      |    ${md5HashSql("doc_id::VARCHAR || '#bt'")} % 64 AS bucket,
+      |    ${md5HashSql("doc_id::VARCHAR || '#bt.o'")} AS h
+      |  FROM q),
+      |w AS (SELECT doc_id, source, q, bucket,
+      |    row_number() OVER win AS pos,
+      |    lead(doc_id) OVER win AS doc_b,
+      |    lead(source) OVER win AS src_b,
+      |    lead(q) OVER win AS q_b
+      |  FROM bk WINDOW win AS (PARTITION BY bucket ORDER BY h, doc_id)),
+      |pr AS (SELECT least(source, src_b) AS i,
+      |    greatest(source, src_b) AS j,
+      |    CASE WHEN q > q_b THEN source WHEN q_b > q THEN src_b
+      |      WHEN doc_id < doc_b THEN source ELSE src_b END AS winner
+      |  FROM w WHERE pos % 2 = 1 AND doc_b IS NOT NULL
+      |    AND source <> src_b),
+      |p AS (SELECT i, j, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN winner = i THEN 1 ELSE 0 END)::BIGINT AS wi
+      |  FROM pr GROUP BY i, j),
+      |st AS (SELECT item, sum(n)::BIGINT AS n_games,
+      |    sum(w)::BIGINT AS n_wins
+      |  FROM (SELECT i AS item, n, wi AS w FROM p
+      |    UNION ALL SELECT j AS item, n, n - wi AS w FROM p)
+      |  GROUP BY item),
+      |s0 AS (SELECT item, 1.0::DOUBLE AS s FROM st),
+      |$iterCtes""".stripMargin
+  }
+
+  // --------------------------------- Bradley–Terry calibration audit
+  // Goodness-of-fit for the d78 leaderboard: per source pair, the
+  // model-PREDICTED win probability s_i/(s_i+s_j) against the OBSERVED
+  // win rate wi/n, plus the absolute gap — the calibration table an
+  // arena operator reads before trusting the ratings (systematic gaps =
+  // intransitivity or confounds the scalar model can't express; d79
+  // names one). Reuses the fitted strengths; sources² rows, broadcast
+  // joins, corpus untouched beyond the shared pairing pass.
+  private val d80: (String, QFn, Option[String]) = ("d80_bt_calibration",
+    (s, d) => {
+      val base = docs(s, d)
+      val pairs = Preference.pairComparisons(
+        base.select(col("doc_id"), col("source"),
+          TextOps.qualityCols(col("text"), TextOps.tokens(col("text")))
+            .last),
+        col("doc_id"), col("source"), col("quality_score"),
+        buckets = 64, salt = "bt")
+      val str = Preference.bradleyTerry(pairs, iters = 3)
+        .select(col("item"), col("strength"))
+      pairs
+        .join(broadcast(str.toDF("i", "_si")), Seq("i"))
+        .join(broadcast(str.toDF("j", "_sj")), Seq("j"))
+        .withColumn("p_pred",
+          round(col("_si") / (col("_si") + col("_sj")), 6))
+        .withColumn("p_obs",
+          round(col("wins_i").cast("double") / col("n"), 6))
+        .select(col("i"), col("j"), col("n"), col("wins_i"),
+          col("p_pred"), col("p_obs"),
+          round(abs(col("p_pred") - col("p_obs")), 6).as("abs_err"))
+    },
+    Some(s"""WITH $btCtesSql,
+      |cal AS (SELECT p.i, p.j, p.n, p.wi AS wins_i,
+      |    round(a.s / (a.s + b.s), 6) AS p_pred,
+      |    round(p.wi::DOUBLE / p.n, 6) AS p_obs
+      |  FROM p JOIN s3 a ON a.item = p.i JOIN s3 b ON b.item = p.j)
+      |SELECT i, j, n, wins_i, p_pred, p_obs,
+      |  round(abs(p_pred - p_obs), 6) AS abs_err
+      |FROM cal""".stripMargin))
 
   // --------------------------------- preference length-bias audit
   // The standard verbosity check on preference data: over d78's EXACT
@@ -1390,5 +1435,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, c01)
 }

@@ -74,6 +74,24 @@ class PlanShapeSpec extends SparkSpec {
       s"epoch shuffle must not range-sort globally:\n$finalPlan")
   }
 
+  test("pairOutcomes: bucket-hash exchange + window, never a global sort") {
+    // the comparison build must ride the content-addressed bucket key —
+    // a rangepartitioning here would mean a corpus-wide sort at 100 TB
+    import graft.ops.Preference
+    val df = spark.range(300).select(col("id"),
+      (col("id") % 5).cast("string").as("g"),
+      (col("id") % 11).cast("double").as("q"))
+    val out = Preference.pairOutcomes(df, col("id"), col("g"), col("q"),
+      buckets = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"pairing must not global-sort:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected one bucket-hash exchange, found $n:\n$plan")
+  }
+
   test("packSequences: ONE stream-key hash exchange; manifest adds none") {
     // the packing cumsum must ride a single hash partition on the
     // (domain, shard) stream key — never a global range sort — and the
