@@ -831,6 +831,58 @@ private[graft] object QueriesCurate {
       |    - sum(n_tokens))::BIGINT AS waste_tokens
       |FROM pko GROUP BY source, shard""".stripMargin))
 
+  // --------------------------------- data-parallel training schedule
+  // Closes the curation → trainer lineage: d74's packed chunks, epoch-
+  // shuffled (content-addressed, the d57/epochShuffle idiom) and
+  // round-robin-linearized into the DDP consumption order — one row per
+  // chunk with (shuffle_shard, pos, global_idx, rank, step), so "what
+  // does GPU r compute at step t" is answerable — and auditable —
+  // on any engine. global_idx = (pos−1)·shards + shard is injective
+  // (shard is the residue); rank/step are its mod/div by world size 4.
+  // Tail gaps in global_idx are the sampler's drop_last artifact,
+  // surfaced not hidden. One shard-hash exchange beyond the pack.
+  private val d81: (String, QFn, Option[String]) = ("d81_train_schedule",
+    (s, d) => {
+      val chunks = Sampling.chunkManifest(
+          Sampling.packSequences(
+            docs(s, d).select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))), capacity = packCap,
+            shards = packShards),
+          capacity = packCap)
+        .select(col("source"), col("shard").as("pack_shard"), col("chunk"))
+        .distinct()
+      Sampling.trainSchedule(chunks,
+          concat_ws("|", col("source"), col("pack_shard"), col("chunk")),
+          shards = 8, epoch = 1, worldSize = 4)
+        .select(col("source"), col("pack_shard"), col("chunk"),
+          col("shard").as("shuffle_shard"), col("pos"), col("global_idx"),
+          col("rank"), col("step"))
+    },
+    Some(s"""WITH $packStreamsSql,
+      |ch0 AS (SELECT source, shard AS pack_shard,
+      |    unnest(range(st // $packCap,
+      |      (st + n_tokens - 1) // $packCap + 1)) AS chunk
+      |  FROM pko),
+      |ch AS (SELECT DISTINCT source, pack_shard, chunk FROM ch0),
+      |k AS (SELECT source, pack_shard, chunk,
+      |    source || '|' || pack_shard::VARCHAR || '|' || chunk::VARCHAR
+      |      AS ck
+      |  FROM ch),
+      |sh AS (SELECT source, pack_shard, chunk, ck,
+      |    ${md5HashSql("ck || '#sched1.s'")} % 8 AS shuffle_shard,
+      |    ${md5HashSql("ck || '#sched1.p'")} AS hp
+      |  FROM k),
+      |o AS (SELECT source, pack_shard, chunk, shuffle_shard,
+      |    row_number() OVER (PARTITION BY shuffle_shard
+      |      ORDER BY hp, ck)::BIGINT AS pos
+      |  FROM sh)
+      |SELECT source, pack_shard, chunk, shuffle_shard, pos,
+      |  ((pos - 1) * 8 + shuffle_shard)::BIGINT AS global_idx,
+      |  (((pos - 1) * 8 + shuffle_shard) % 4)::BIGINT AS rank,
+      |  (((pos - 1) * 8 + shuffle_shard) // 4)::BIGINT AS step
+      |FROM o""".stripMargin))
+
   // ------------------------------------------- UniMax epoch allocation
   // The budget-CONSTRAINED member of the mix family (Chung et al., ICLR
   // 2023): given per-source token mass, a total token budget of 180% of
@@ -1435,5 +1487,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, c01)
 }

@@ -383,6 +383,27 @@ object Sampling {
       .withColumn("waste_tokens",
         col("n_chunks") * capacity - col("n_tokens"))
 
+  /** Data-parallel training schedule over a chunk universe: the answer to
+    * "what does GPU r compute at optimizer step t?", derivable on any
+    * engine. [[epochShuffle]] gives each chunk a content-addressed
+    * (shuffle_shard, pos); the round-robin interleave
+    * `global_idx = (pos−1)·shards + shard` (injective: shard is the
+    * residue) linearizes the shards exactly like a distributed sampler
+    * interleaves its workers, and `rank = global_idx mod worldSize`,
+    * `step = global_idx div worldSize` is the DDP consumption order at
+    * one sample per rank per step. Unequal shard tails leave gaps high in
+    * `global_idx` — the standard drop_last/padding artifact, surfaced
+    * rather than hidden. Pure integer arithmetic after the shuffle's one
+    * shard-hash exchange; shards scale with the cluster. */
+  def trainSchedule(df: DataFrame, key: Column, shards: Int, epoch: Int,
+                    worldSize: Int, salt: String = "sched"): DataFrame = {
+    require(worldSize >= 1, "trainSchedule: worldSize must be positive")
+    epochShuffle(df, key, shards, epoch, salt)
+      .withColumn("global_idx", (col("pos") - 1) * shards + col("shard"))
+      .withColumn("rank", col("global_idx") % worldSize)
+      .withColumn("step", expr(s"global_idx div $worldSize"))
+  }
+
   /** UniMax epoch allocation (Chung et al., ICLR 2023): given per-domain
     * token counts, a total token BUDGET and a per-domain repeat cap of
     * `maxEpochs`, allocate the budget so every domain is as close to

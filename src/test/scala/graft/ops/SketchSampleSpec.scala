@@ -214,6 +214,33 @@ class SketchSampleSpec extends SparkSpec {
     assert(run(7) == got)
   }
 
+  test("trainSchedule: injective global_idx, DDP rank/step, stable") {
+    val df = (0L until 97L).map(i => Tuple1(i)).toDF("k")
+    def run(part: Int) = Sampling.trainSchedule(df.repartition(part),
+        col("k"), shards = 4, epoch = 1, worldSize = 3)
+      .select("k", "shard", "pos", "global_idx", "rank", "step")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val got = run(2)
+    // one slot per chunk, no collisions (shard is the residue)
+    assert(got.map(_._4).distinct.size == 97)
+    got.foreach { case (_, shard, pos, g, r, st) =>
+      assert(g == (pos - 1) * 4 + shard)
+      assert(r == g % 3 && st == g / 3)
+      assert(g % 4 == shard)
+    }
+    // dense prefix: every slot below shards*min(shard size) is taken
+    val minShard = got.groupBy(_._2).map(_._2.size).min
+    val taken = got.map(_._4).toSet
+    assert((0L until 4L * minShard).forall(taken))
+    // content-addressed: identical schedule under any partitioning
+    assert(run(7).sorted == got.sorted)
+    // a different epoch deals a different order
+    val e2 = Sampling.trainSchedule(df, col("k"), 4, epoch = 2,
+        worldSize = 3)
+      .select("k", "global_idx").as[(Long, Long)].collect().toMap
+    assert(got.exists { case (k, _, _, g, _, _) => e2(k) != g })
+  }
+
   test("uniMaxAllocation: saturated prefix + constant fair share, exact") {
     // tokens 10,20,40,80; cap 2 epochs; budget = 150*9 div 5 = 270.
     // caps 20,40,80,160; ranks 1..4: r=4 is the first where
