@@ -1019,12 +1019,14 @@ private[graft] object QueriesCurate {
   private val d80: (String, QFn, Option[String]) = ("d80_bt_calibration",
     (s, d) => {
       val base = docs(s, d)
+      // checkpoint the pair table: it feeds BOTH the fit and the final
+      // calibration join — without this the corpus pairing runs twice
       val pairs = Preference.pairComparisons(
         base.select(col("doc_id"), col("source"),
           TextOps.qualityCols(col("text"), TextOps.tokens(col("text")))
             .last),
         col("doc_id"), col("source"), col("quality_score"),
-        buckets = 64, salt = "bt")
+        buckets = 64, salt = "bt").coalesce(1).localCheckpoint(true)
       val str = Preference.bradleyTerry(pairs, iters = 3)
         .select(col("item"), col("strength"))
       pairs

@@ -130,15 +130,20 @@ object Preference {
     * table is items²-bounded — iterations never touch the corpus. */
   def bradleyTerry(pairs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "bradleyTerry: iters must be >= 1")
+    // ONE partition for the loop state: the pair table is items²-bounded
+    // (items are models/sources — thousands at most), so every iteration
+    // join and aggregation stays a single-task stage instead of paying
+    // 3 × several 32-partition shuffles of 20-row tables; the corpus
+    // never enters the loop.
     val p = pairs.select(col("i"), col("j"), col("n"), col("wins_i"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     val stats = p.select(col("i").as("item"), col("n"),
         col("wins_i").as("_w"))
       .union(p.select(col("j").as("item"), col("n"),
         (col("n") - col("wins_i")).as("_w")))
       .groupBy(col("item"))
       .agg(sum(col("n")).as("n_games"), sum(col("_w")).as("n_wins"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     var str = stats.select(col("item"), lit(1.0).as("s"))
     for (_ <- 0 until iters) {
       val withS = p
