@@ -883,6 +883,62 @@ private[graft] object QueriesCurate {
       |  (((pos - 1) * 8 + shuffle_shard) // 4)::BIGINT AS step
       |FROM o""".stripMargin))
 
+  // ------------------------------------- training-time mix visibility
+  // The audit on top of d81: join the schedule with each chunk's actual
+  // token mass (manifest segment sums — capacity everywhere except each
+  // stream's last partial chunk) and aggregate per (50-step bucket ×
+  // source): the data mix AS THE MODEL SEES IT over training time. A
+  // well-shuffled schedule shows every source in every bucket at its
+  // corpus share; drift here means the shuffle or the packing leaks
+  // order. Same content-addressed schedule as d81 (identical chunk keys
+  // → identical positions), so the two rows cross-check each other.
+  private val d82: (String, QFn, Option[String]) = ("d82_step_mix",
+    (s, d) => {
+      val cm = Sampling.chunkManifest(
+          Sampling.packSequences(
+            docs(s, d).select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))), capacity = packCap,
+            shards = packShards),
+          capacity = packCap)
+        .groupBy(col("source"), col("shard").as("pack_shard"),
+          col("chunk"))
+        .agg(sum(col("tok_len")).as("chunk_tokens"))
+      Sampling.trainSchedule(cm,
+          concat_ws("|", col("source"), col("pack_shard"), col("chunk")),
+          shards = 8, epoch = 1, worldSize = 4)
+        .withColumn("step_bucket", expr("step div 50"))
+        .groupBy(col("step_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("n_tokens"))
+    },
+    Some(s"""WITH $packStreamsSql,
+      |sp AS (SELECT source, shard AS pack_shard, st,
+      |    st + n_tokens AS en,
+      |    unnest(range(st // $packCap,
+      |      (st + n_tokens - 1) // $packCap + 1)) AS chunk
+      |  FROM pko),
+      |cm AS (SELECT source, pack_shard, chunk,
+      |    sum(least(en, (chunk + 1) * $packCap)
+      |      - greatest(st, chunk * $packCap))::BIGINT AS chunk_tokens
+      |  FROM sp GROUP BY source, pack_shard, chunk),
+      |k AS (SELECT source, pack_shard, chunk, chunk_tokens,
+      |    source || '|' || pack_shard::VARCHAR || '|' || chunk::VARCHAR
+      |      AS ck
+      |  FROM cm),
+      |sh AS (SELECT source, chunk_tokens, ck,
+      |    ${md5HashSql("ck || '#sched1.s'")} % 8 AS shuffle_shard,
+      |    ${md5HashSql("ck || '#sched1.p'")} AS hp
+      |  FROM k),
+      |o AS (SELECT source, chunk_tokens, shuffle_shard,
+      |    row_number() OVER (PARTITION BY shuffle_shard
+      |      ORDER BY hp, ck)::BIGINT AS pos
+      |  FROM sh)
+      |SELECT ((((pos - 1) * 8 + shuffle_shard) // 4) // 50)::BIGINT
+      |    AS step_bucket, source,
+      |  count(*)::BIGINT AS n_chunks, sum(chunk_tokens)::BIGINT AS n_tokens
+      |FROM o GROUP BY step_bucket, source""".stripMargin))
+
   // ------------------------------------------- UniMax epoch allocation
   // The budget-CONSTRAINED member of the mix family (Chung et al., ICLR
   // 2023): given per-source token mass, a total token budget of 180% of
@@ -1489,5 +1545,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, c01)
 }
