@@ -557,23 +557,71 @@ private[graft] object QueriesCurate {
           Subword.unitCount(col("_e"), size(col("_t"))).as("n_subwords"),
           md5(col("_e")).as("enc_fp"))
     },
-    Some {
-      val framed =
-        s"'·' || regexp_replace(array_to_string($tokSql, ' '), " +
-          "'(.)', '\\1·', 'g')"
-      val encSql = Subword.defaultMerges.foldLeft(framed) {
-        case (acc, (x, y)) =>
-          (1 to 6).foldLeft(acc)((c, _) =>
-            s"replace($c, '·${x}·${y}·', '·${x}${y}·')")
-      }
-      s"""WITH e AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens,
-        |  $encSql AS enc FROM documents)
-        |SELECT doc_id, n_tokens,
-        | CASE WHEN n_tokens = 0 THEN 0 ELSE
-        |   length(enc) - length(replace(enc, '·', '')) - 1
-        |   - (n_tokens - 1) END::BIGINT AS n_subwords,
-        | md5(enc) AS enc_fp FROM e""".stripMargin
-    })
+    Some(s"""WITH e AS (SELECT doc_id, len($tokSql)::BIGINT AS n_tokens,
+      |  $bpeEncSql AS enc FROM documents)
+      |SELECT doc_id, n_tokens,
+      | CASE WHEN n_tokens = 0 THEN 0 ELSE
+      |   length(enc) - length(replace(enc, '·', '')) - 1
+      |   - (n_tokens - 1) END::BIGINT AS n_subwords,
+      | md5(enc) AS enc_fp FROM e""".stripMargin))
+
+  // d55/d83's shared oracle fragment: the committed merge table applied
+  // as d55's sentinel-framed replace chain (lazy: referenced from d55's
+  // initializer, which runs first in declaration order).
+  private lazy val bpeEncSql: String = {
+    val framed =
+      s"'·' || regexp_replace(array_to_string($tokSql, ' '), " +
+        "'(.)', '\\1·', 'g')"
+    Subword.defaultMerges.foldLeft(framed) {
+      case (acc, (x, y)) =>
+        (1 to 6).foldLeft(acc)((c, _) =>
+          s"replace($c, '·${x}·${y}·', '·${x}${y}·')")
+    }
+  }
+
+  // ------------------------------------------ tokenizer fertility audit
+  // The tokenizer-health table per source: bytes, whitespace words, BPE
+  // subwords (d55's committed merge table), and the two ratios every
+  // multilingual tokenizer review reads — FERTILITY (subwords per word;
+  // high = the tokenizer fragments this source, its effective context
+  // shrinks and its per-token price rises) and BYTES PER SUBWORD
+  // (compression; low = the vocabulary undersells this source). One
+  // linear projection + a source-count aggregation, decimal-free since
+  // the counts are integers and the ratios round at publish.
+  private val d83: (String, QFn, Option[String]) = ("d83_bpe_fertility",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val enc = Subword.encode(array_join(toks, " "),
+        Subword.defaultMerges)
+      docs(s, d).select(col("source"),
+          octet_length(coalesce(col("text"), lit(""))).cast("long")
+            .as("_nb"),
+          size(toks).cast("long").as("_nt"),
+          Subword.unitCount(enc, size(toks)).as("_ns"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nb")).as("n_bytes"),
+          sum(col("_nt")).as("n_tokens"), sum(col("_ns")).as("n_subwords"))
+        .withColumn("fertility", when(col("n_tokens") > 0,
+          round(col("n_subwords").cast("double") / col("n_tokens"), 6)))
+        .withColumn("bytes_per_subword", when(col("n_subwords") > 0,
+          round(col("n_bytes").cast("double") / col("n_subwords"), 6)))
+    },
+    Some(s"""WITH e AS (SELECT source,
+      |    octet_length(encode(coalesce(text, '')))::BIGINT AS nb,
+      |    len($tokSql)::BIGINT AS nt, $bpeEncSql AS enc
+      |  FROM documents),
+      |u AS (SELECT source, nb, nt,
+      |    CASE WHEN nt = 0 THEN 0 ELSE
+      |      length(enc) - length(replace(enc, '·', '')) - 1 - (nt - 1)
+      |    END::BIGINT AS ns
+      |  FROM e)
+      |SELECT source, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS n_bytes,
+      |  sum(nt)::BIGINT AS n_tokens, sum(ns)::BIGINT AS n_subwords,
+      |  CASE WHEN sum(nt) > 0 THEN
+      |    round(sum(ns)::DOUBLE / sum(nt), 6) END AS fertility,
+      |  CASE WHEN sum(ns) > 0 THEN
+      |    round(sum(nb)::DOUBLE / sum(ns), 6) END AS bytes_per_subword
+      |FROM u GROUP BY source""".stripMargin))
 
   // ----------------------------------------------- BPE merge LEARNING
   // d55 encodes against a committed merge table; this derives one — the
@@ -1545,5 +1593,5 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, c01)
 }
