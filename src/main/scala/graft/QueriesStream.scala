@@ -365,6 +365,38 @@ object QueriesStream {
       |FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin))
 
+  // ---------------------------------- incremental packing stats (d75)
+  // d75's streaming twin: the padding-waste readout maintained as shards
+  // land. packingStatsRaw skips the placement window (a cumsum can't
+  // stream) and computes chunks/waste from each stream's token TOTAL —
+  // which is all they ever depended on — via one keyed integer
+  // aggregation, streamable in update/complete mode. The batch row here
+  // runs the SAME function over the static table and must equal d75
+  // exactly (same salt/capacity/shards; the oracle is d75's minus the
+  // placement CTE). EventStreamSpec proves batch ≡ streaming over
+  // micro-batches.
+  private val s14: (String, QFn, Option[String]) = ("s14_stream_pack_stats",
+    (s, d) => graft.ops.Sampling.packingStatsRaw(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"), col("source"),
+        size(graft.ops.TextOps.tokens(col("text"))), capacity = 128,
+        shards = 4)
+      .select(col("source"), col("shard"), col("n_docs"),
+        col("n_tokens"), col("n_chunks"), col("waste_tokens")),
+    Some(s"""WITH pk AS (SELECT source,
+      |    len(${graft.QueriesText.tokSql})::BIGINT AS n_tokens,
+      |    ${graft.QueriesText.md5HashSql(
+                "doc_id::VARCHAR || '#pack.s'")} % 4 AS shard
+      |  FROM documents)
+      |SELECT source, shard, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS n_tokens,
+      |  ((sum(n_tokens) + 127) // 128)::BIGINT AS n_chunks,
+      |  (((sum(n_tokens) + 127) // 128) * 128 - sum(n_tokens))::BIGINT
+      |    AS waste_tokens
+      |FROM pk WHERE n_tokens > 0 GROUP BY source, shard""".stripMargin))
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s14)
 }

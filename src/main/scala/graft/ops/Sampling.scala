@@ -383,6 +383,33 @@ object Sampling {
       .withColumn("waste_tokens",
         col("n_chunks") * capacity - col("n_tokens"))
 
+  /** [[packingStats]] computed straight from the RAW doc table — no
+    * placement window, just the shard hash, the zero-token filter and one
+    * keyed aggregation — so the SAME plan runs over a STREAM (update/
+    * complete mode: a windowed cumsum can't stream, a keyed integer sum
+    * can). Batch result ≡ packingStats(packSequences(...)) by
+    * construction: chunks/waste depend only on each stream's token TOTAL,
+    * not on the placement. This is the production monitoring shape —
+    * shards land continuously, the padding-waste readout stays current
+    * without ever re-reading the corpus. */
+  def packingStatsRaw(df: DataFrame, key: Column, domain: Column,
+                      nTokens: Column, capacity: Int, shards: Int,
+                      salt: String = "pack"): DataFrame = {
+    require(capacity >= 1, "packingStatsRaw: capacity must be positive")
+    require(shards >= 1, "packingStatsRaw: shards must be positive")
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard",
+        (Dedup.md5Hash(key.cast("string"), lit(s"$salt.s")) % shards)
+          .cast("long"))
+      .groupBy(domain, col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("n_chunks",
+        floor((col("n_tokens") + capacity - 1) / capacity).cast("long"))
+      .withColumn("waste_tokens",
+        col("n_chunks") * capacity - col("n_tokens"))
+  }
+
   /** Data-parallel training schedule over a chunk universe: the answer to
     * "what does GPU r compute at optimizer step t?", derivable on any
     * engine. [[epochShuffle]] gives each chunk a content-addressed

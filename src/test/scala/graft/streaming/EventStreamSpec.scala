@@ -633,4 +633,46 @@ class EventStreamSpec extends SparkSpec {
       assert(rows == Set((0, 2L), (1, 1L), (9, 1L)))
     } finally q.stop()
   }
+
+  test("packingStatsRaw streams: complete-mode stats equal the batch run " +
+      "and the packed-placement stats") {
+    // the s14 contract: chunks/waste depend only on each (source, shard)
+    // stream's token TOTAL, so the raw keyed aggregation (a) streams in
+    // complete mode across micro-batches, (b) equals the same function
+    // over the static table, and (c) equals packingStats over the full
+    // d74 placement — the padding-waste readout stays current as shards
+    // land, without ever re-running the placement window.
+    import graft.ops.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 60L), (3L, "web", 130L),
+      (4L, "code", 7L), (5L, "code", 250L), (6L, "web", 128L),
+      (7L, "code", 1L), (8L, "web", 0L)) // zero-token row must drop
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Sampling.packingStatsRaw(
+        in.toDF().toDF("doc_id", "source", "toks"),
+        col("doc_id"), col("source"), col("toks"), capacity = 128,
+        shards = 2)
+      .writeStream.format("memory").queryName("packstats")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(4): _*); q.processAllAvailable()
+      in.addData(docs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "shard", "n_docs", "n_tokens", "n_chunks",
+          "waste_tokens")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val static = docs.toDF("doc_id", "source", "toks")
+    val batch = Sampling.packingStatsRaw(static, col("doc_id"),
+      col("source"), col("toks"), capacity = 128, shards = 2)
+    val viaPlacement = Sampling.packingStats(
+      Sampling.packSequences(static, col("doc_id"), col("source"),
+        col("toks"), capacity = 128, shards = 2),
+      col("source"), capacity = 128)
+    val streamed = rows(spark.table("packstats"))
+    assert(streamed.nonEmpty && streamed.map(_._3).sum == 7L) // 8 docs - 1 zero
+    assert(streamed == rows(batch))
+    assert(rows(batch) == rows(viaPlacement))
+  }
 }
