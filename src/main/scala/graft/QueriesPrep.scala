@@ -158,6 +158,41 @@ private[graft] object QueriesPrep {
         |FROM item GROUP BY majority""".stripMargin
     })
 
+  // ------------------------- inter-annotator agreement kappa (d84)
+  // The QA audit over the SAME multi-annotator stand-in d65 votes on
+  // (user_id = item, event_type = vote): Fleiss-style chance-corrected
+  // agreement, pooled pairwise form, grouped by panel size so redundancy
+  // buys visibility (does agreement hold when more raters weigh in?).
+  // kappa near 0 = the votes are chance-level noise and d65's majority
+  // is not a usable label; the gate labeling vendors are paid against.
+  // All inputs exact BIGINTs, two double divisions + IEEE arithmetic at
+  // publish (ops/Prep.agreementByPanel scaladoc); kappa is
+  // negative-zero-normalized (exact-chance agreement cancels to ~0).
+  private val d84: (String, QFn, Option[String]) = ("d84_rater_kappa",
+    (s, d) => Prep.agreementByPanel(ev(s, d), "user_id", "event_type"),
+    Some("""WITH c AS (SELECT user_id AS i, event_type AS v,
+      |    count(*)::BIGINT AS nij FROM events GROUP BY 1, 2),
+      |  it AS (SELECT i, sum(nij)::BIGINT AS ni,
+      |      (sum(nij * (nij - 1)) // 2)::BIGINT AS agree
+      |    FROM c GROUP BY 1 HAVING sum(nij) >= 2),
+      |  g AS (SELECT ni AS n_raters, count(*)::BIGINT AS n_items,
+      |      sum(agree)::BIGINT AS agree_pairs,
+      |      (sum(ni * (ni - 1)) // 2)::BIGINT AS total_pairs
+      |    FROM it GROUP BY ni),
+      |  m AS (SELECT it.ni AS n_raters, c.v, sum(c.nij)::BIGINT AS mj
+      |    FROM c JOIN it USING (i) GROUP BY 1, 2),
+      |  e AS (SELECT n_raters, sum(mj * mj)::BIGINT AS pe_num,
+      |      sum(mj)::BIGINT AS mm FROM m GROUP BY 1),
+      |  k AS (SELECT n_raters, n_items, agree_pairs, total_pairs,
+      |      agree_pairs::DOUBLE / total_pairs::DOUBLE AS po,
+      |      pe_num::DOUBLE / (mm::DOUBLE * mm::DOUBLE) AS pe
+      |    FROM g JOIN e USING (n_raters))
+      |SELECT n_raters, n_items, agree_pairs, total_pairs,
+      |  round(po, 6) AS po, round(pe, 6) AS pe,
+      |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) + 0.0
+      |    END AS kappa
+      |FROM k""".stripMargin))
+
   // --------------------------------- k-anonymity release audit (d66)
   // The privacy gate beside d16's PII redaction and d46's release set:
   // one row per occupied quasi-identifier combination — (market segment,
@@ -272,5 +307,5 @@ private[graft] object QueriesPrep {
       |FROM g ORDER BY score DESC, doc_id LIMIT $DSIR_K""".stripMargin))
 
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70)
+    Seq(d63, d64, d65, d66, d69, d70, d84)
 }

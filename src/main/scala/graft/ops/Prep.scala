@@ -126,6 +126,60 @@ object Prep {
       .withColumn("at_risk", (col("n") < k).cast("long"))
   }
 
+  /** Fleiss-style chance-corrected inter-annotator agreement, pooled by
+    * panel size — the audit BESIDE [[majorityVote]]: d65 tells you the
+    * consensus label, this tells you whether the raters agree more than
+    * chance would (kappa ≈ 0 means the labels are noise no vote can
+    * rescue; the table every labeling-vendor QA pass reads). Per panel
+    * size n (items that received exactly n votes, n ≥ 2):
+    *
+    *   P_o = Σ_items Σ_labels C(n_ij, 2) / Σ_items C(n_i, 2)
+    *     (pooled pairwise agreement: of all rater pairs on the same
+    *     item, the share that chose the same label)
+    *   P_e = Σ_labels M_j² / M²  (squared marginal shares — the chance
+    *     two independent raters drawn from this panel group collide)
+    *   kappa = (P_o − P_e) / (1 − P_e), NULL when P_e = 1 (a single
+    *     occupied label makes chance correction undefined).
+    *
+    * Determinism: every count is an exact BIGINT (agreeing pairs,
+    * total pairs, marginals); P_o and P_e are ONE double division each
+    * over those exact integers and kappa is IEEE arithmetic on the two —
+    * identical expression both engines, 6-dp cross-engine round at
+    * publish (negative-zero-normalized: P_o − P_e is a near-cancellation
+    * when agreement is exactly chance-level). Scale shape: two corpus
+    * aggregations (item×label counts, then per-item), both map-side
+    * combined; everything after is panel-group-sized. */
+  def agreementByPanel(votes: DataFrame, item: String, vote: String)
+  : DataFrame = {
+    val c = votes.groupBy(col(item).as("_i"), col(vote).as("_v"))
+      .agg(count(lit(1)).as("_nij"))
+    val it = c.groupBy(col("_i"))
+      .agg(sum(col("_nij")).as("_ni"),
+        (sum(col("_nij") * (col("_nij") - 1)) / 2).cast("long").as("_agree"))
+      .filter(col("_ni") >= 2)
+    val g = it.groupBy(col("_ni").as("n_raters"))
+      .agg(count(lit(1)).as("n_items"), sum(col("_agree")).as("agree_pairs"),
+        (sum(col("_ni") * (col("_ni") - 1)) / 2).cast("long")
+          .as("total_pairs"))
+    val m = c.join(it.select(col("_i"), col("_ni")), Seq("_i"))
+      .groupBy(col("_ni").as("n_raters"), col("_v"))
+      .agg(sum(col("_nij")).as("_mj"))
+    val e = m.groupBy(col("n_raters"))
+      .agg(sum(col("_mj") * col("_mj")).as("_pe_num"),
+        sum(col("_mj")).as("_m"))
+    val po = col("agree_pairs").cast("double") /
+      col("total_pairs").cast("double")
+    val pe = col("_pe_num").cast("double") /
+      (col("_m").cast("double") * col("_m").cast("double"))
+    g.join(e, Seq("n_raters"))
+      .select(col("n_raters"), col("n_items"), col("agree_pairs"),
+        col("total_pairs"),
+        CrossRound.round(po, 6).as("po"),
+        CrossRound.round(pe, 6).as("pe"),
+        when(pe < 1.0,
+          CrossRound.roundNz((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** The packed-score argmax over closed-vocab count columns: with `w`
     * the smallest power of two > |V|, `score_i = cnt_i·w − i`;
     * `g = greatest(scores)` recovers `i = (w − g mod w) mod w` and

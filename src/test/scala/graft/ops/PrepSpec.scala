@@ -119,4 +119,28 @@ class PrepSpec extends SparkSpec {
     assert(out(("NY", 1)) == (3L, 2L, 0L))
     assert(out(("LA", 2)) == (2L, 1L, 1L))
   }
+
+  test("agreementByPanel: hand-computed pooled kappa per panel size") {
+    // panel 3: item A = [x,x,x] (3 agreeing pairs of 3), item B =
+    //   [x,y,y] (1 of 3) -> po = 4/6; marginals x=4, y=2 of M=6 ->
+    //   pe = (16+4)/36 = 5/9; kappa = (2/3 - 5/9)/(1 - 5/9) = 0.25
+    // panel 2: item C = [x,y] (0 of 1), item D = [y,y] (1 of 1) ->
+    //   po = 1/2; marginals x=1, y=3 of M=4 -> pe = 10/16;
+    //   kappa = (0.5 - 0.625)/0.375 = -1/3
+    // panel 4: item E = [z,z,z,z] alone -> pe = 1 -> kappa NULL
+    // item F has ONE vote and must be excluded entirely
+    val votes = (Seq.fill(3)(("A", "x")) ++ Seq(("B", "x"), ("B", "y"),
+      ("B", "y"), ("C", "x"), ("C", "y"), ("D", "y"), ("D", "y")) ++
+      Seq.fill(4)(("E", "z")) :+ ("F", "x")).toDF("item", "vote")
+    val out = Prep.agreementByPanel(votes, "item", "vote")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), Option(r.get(6)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out.keySet == Set(2L, 3L, 4L)) // panel 1 (item F) dropped
+    assert(out(3L) == (2L, 4L, 6L, 0.666667, 0.555556, Some(0.25)))
+    assert(out(2L) == (2L, 1L, 2L, 0.5, 0.625, Some(-0.333333)))
+    assert(out(4L)._6.isEmpty) // single occupied label: chance = 1
+    assert(out(4L)._4 == 1.0 && out(4L)._5 == 1.0)
+  }
 }
