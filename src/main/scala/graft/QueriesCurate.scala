@@ -1593,5 +1593,57 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, c01)
+  // --------------------------- group-relative advantage, GRPO (d85)
+  // The critic-free RL normalization (Shao et al. 2024, DeepSeekMath)
+  // beside the preference family d78-d80: sample groups stand in as
+  // content-addressed (source, md5 % 16) buckets — each bucket plays
+  // "k completions of one prompt" — and the reward is the integer-exact
+  // type-token ratio in ppm, (n_distinct * 1e6) DIV n_tokens, so the
+  // window sums feeding mean/σ are BIGINT-exact (the helper's
+  // determinism contract; Preference.groupAdvantage scaladoc). One
+  // exchange on the group key; singleton / constant-reward groups emit
+  // advantage 0, the zero-gradient convention.
+  private val d85: (String, QFn, Option[String]) = ("d85_grpo_advantage",
+    (s, d) => {
+      val t = docs(s, d)
+      val toks = TextOps.tokens(col("text"))
+      val base = t.select(col("doc_id"), col("source"),
+          size(array_distinct(toks)).cast("long").as("_nd"),
+          size(toks).cast("long").as("_nt"))
+        .filter(col("_nt") > 0)
+      Preference.groupAdvantage(base,
+        col("doc_id"),
+        concat(col("source"), lit("#"),
+          (Dedup.md5Hash(col("doc_id").cast("string"), lit("grpo")) % 16)
+            .cast("string")),
+        (col("_nd") * 1000000L) / col("_nt"))
+        .withColumnRenamed("key", "doc_id")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source,
+      |    len(list_distinct($tokSql))::BIGINT AS nd,
+      |    len($tokSql)::BIGINT AS nt
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    source || '#' ||
+      |      (${md5HashSql("doc_id::VARCHAR || '#grpo'")} % 16)::VARCHAR
+      |      AS grp,
+      |    ((nd * 1000000) // nt)::BIGINT AS reward
+      |  FROM q WHERE nt > 0),
+      |w AS (SELECT doc_id, grp, reward,
+      |    count(*) OVER (PARTITION BY grp)::BIGINT AS n_group,
+      |    sum(reward) OVER (PARTITION BY grp)::BIGINT AS s1,
+      |    sum(reward * reward) OVER (PARTITION BY grp)::BIGINT AS s2
+      |  FROM r),
+      |m AS (SELECT *, s1::DOUBLE / n_group::DOUBLE AS mean,
+      |    sqrt(greatest(s2::DOUBLE / n_group::DOUBLE
+      |      - (s1::DOUBLE / n_group::DOUBLE)
+      |        * (s1::DOUBLE / n_group::DOUBLE), 0.0)) AS std
+      |  FROM w)
+      |SELECT doc_id, grp, reward, n_group,
+      |  round(mean, 6) AS r_mean, round(std, 6) AS r_std,
+      |  round(CASE WHEN std > 0.0 THEN (reward::DOUBLE - mean) / std
+      |    ELSE 0.0 END, 6) + 0.0 AS advantage
+      |FROM m""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, c01)
 }

@@ -122,6 +122,50 @@ object Preference {
           round(col("wins_longer").cast("double") / col("n_longer"), 6)))
   }
 
+  /** Group-relative advantage (the GRPO normalization, Shao et al. 2024:
+    * DeepSeekMath): within each group of k candidate completions for the
+    * same prompt, advantage_i = (r_i − mean_group) / std_group
+    * (population σ) — the critic-free baseline RL-finetuning pipelines
+    * compute over every sampled generation batch. Emits one row per
+    * member: (key, grp, reward, n_group, r_mean, r_std, advantage);
+    * std = 0 groups (all rewards equal, or singletons) get advantage 0,
+    * the convention that zeroes their gradient contribution.
+    *
+    * Determinism: `reward` must be integer-valued (cast to long), so the
+    * window sums Σr and Σr² are EXACT regardless of partitioning or
+    * order; mean/var/std/advantage are then fixed IEEE expressions over
+    * those exact integers — identical on any engine that replays the
+    * same expression shape. Advantage is negative-zero-normalized
+    * (r ≈ mean cancels to a signed tiny). Σr² bounds the reward scale:
+    * |r| ≤ 1e6 keeps a 9-billion-member group inside BIGINT; wider
+    * rewards at wider scales move the sums to DECIMAL(38,0).
+    *
+    * Scale shape: ONE exchange on the group key, three window aggregates
+    * over it, then pure projection — groups are k-sized (a prompt's
+    * sample set), so no skew, no join, no corpus-global state; group
+    * count grows with the corpus and never bottlenecks. */
+  def groupAdvantage(df: DataFrame, key: Column, group: Column,
+                     reward: Column): DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+    val nD = col("n_group").cast("double")
+    val mean = col("_s1").cast("double") / nD
+    df.select(key.as("key"), group.as("grp"),
+        reward.cast("long").as("reward"))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .withColumn("_s1", sum(col("reward")).over(w))
+      .withColumn("_s2", sum(col("reward") * col("reward")).over(w))
+      .withColumn("_mean", mean)
+      .withColumn("_std", sqrt(greatest(
+        col("_s2").cast("double") / nD - col("_mean") * col("_mean"),
+        lit(0.0))))
+      .select(col("key"), col("grp"), col("reward"), col("n_group"),
+        round(col("_mean"), 6).as("r_mean"),
+        round(col("_std"), 6).as("r_std"),
+        CrossRound.roundNz(when(col("_std") > 0.0,
+          (col("reward").cast("double") - col("_mean")) / col("_std"))
+          .otherwise(lit(0.0)), 6).as("advantage"))
+  }
+
   /** Fixed-iteration Bradley–Terry MM over an aggregated pair table
     * (i, j, n, wins_i). Each iteration: s_x ← (wins_x + 1) /
     * (Σ_pairs n/(s_x + s_opp) + 2/(s_x + 1)), the +1/+2 terms being the

@@ -109,4 +109,26 @@ class PreferenceSpec extends SparkSpec {
     }.toSeq.sorted
     assert(pairs.toSeq.sorted == expAgg)
   }
+
+  test("groupAdvantage: hand-computed normalization per group") {
+    // group g1 = [10, 20, 30]: mean 20, var (100+400+900)/3 - 400 =
+    //   200/3, std sqrt(200/3) ≈ 8.164966 → advantages ∓1.224745, 0
+    // group g2 = [5, 5]: std 0 → both advantages 0 (zero-gradient)
+    // group g3 = [7]: singleton → advantage 0
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g2", 5L), (5L, "g2", 5L), (6L, "g3", 7L))
+      .toDF("k", "g", "r")
+    val out = Preference.groupAdvantage(df, col("k"), col("g"), col("r"))
+      .select("key", "n_group", "r_mean", "r_std", "advantage")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val std = math.sqrt(200.0 / 3.0)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(1L) == ((1L, 3L, 20.0, r6(std), r6((10 - 20) / std))))
+    assert(out(2L) == ((2L, 3L, 20.0, r6(std), 0.0)))
+    assert(out(3L) == ((3L, 3L, 20.0, r6(std), r6((30 - 20) / std))))
+    assert(out(4L) == ((4L, 2L, 5.0, 0.0, 0.0)))
+    assert(out(5L) == ((5L, 2L, 5.0, 0.0, 0.0)))
+    assert(out(6L) == ((6L, 1L, 7.0, 0.0, 0.0)))
+  }
 }
