@@ -134,24 +134,29 @@ private[graft] object QueriesCorpus {
   // domain-shift score deciding whether a source needs its own mixing
   // weight. Count tables are integer and vocabulary-sized; only the final
   // Σ p·log2(p/q) is float (round 6; accumulation noise ~1e-13).
-  private val d29: (String, QFn, Option[String]) = ("d29_source_kl",
-    (s, d) => {
-      val toks = docs(s, d).select(col("source"),
-        explode(TextOps.tokens(col("text"))).as("tk"))
-      val sc = toks.groupBy(col("source"), col("tk"))
-        .agg(count(lit(1)).as("cs"))
-      val cc = toks.groupBy(col("tk")).agg(count(lit(1)).as("cc2"))
-      val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-      val nc = toks.agg(count(lit(1)).as("nc"))
-      val ps = col("cs").cast("double") / col("ns").cast("double")
-      val pc = col("cc2").cast("double") / col("nc").cast("double")
-      sc.join(cc, Seq("tk")).join(ns, Seq("source"))
-        .crossJoin(broadcast(nc))
-        .groupBy(col("source"), col("ns"))
-        .agg(round(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
-        .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
-    },
-    Some(s"""WITH t AS (SELECT source, unnest($tokSql) AS tk
+  /** d29's (source, n_tokens, kl_bits) table as a factored function —
+    * d86's DoReMi-style reweighting consumes the SAME computation its
+    * own registered row verifies (the e22 factored-reuse move). */
+  private[graft] def sourceKlDf(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tk"))
+    val sc = toks.groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).as("cs"))
+    val cc = toks.groupBy(col("tk")).agg(count(lit(1)).as("cc2"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val nc = toks.agg(count(lit(1)).as("nc"))
+    val ps = col("cs").cast("double") / col("ns").cast("double")
+    val pc = col("cc2").cast("double") / col("nc").cast("double")
+    sc.join(cc, Seq("tk")).join(ns, Seq("source"))
+      .crossJoin(broadcast(nc))
+      .groupBy(col("source"), col("ns"))
+      .agg(round(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
+  }
+
+  /** The DuckDB twin of [[sourceKlDf]], shared by d29 and d86. */
+  private[graft] val sourceKlSql: String =
+    s"""WITH t AS (SELECT source, unnest($tokSql) AS tk
       |  FROM documents),
       |sc AS (SELECT source, tk, count(*) AS cs FROM t GROUP BY 1, 2),
       |cc AS (SELECT tk, count(*) AS cc2 FROM t GROUP BY 1),
@@ -162,7 +167,10 @@ private[graft] object QueriesCorpus {
       |   * log2((cs::DOUBLE / ns::DOUBLE) / (cc2::DOUBLE / nc::DOUBLE))), 6)
       |   AS kl_bits
       |FROM sc JOIN cc USING (tk) JOIN ns USING (source), nc
-      |GROUP BY source, ns""".stripMargin))
+      |GROUP BY source, ns""".stripMargin
+
+  private val d29: (String, QFn, Option[String]) = ("d29_source_kl",
+    (s, d) => sourceKlDf(s, d), Some(sourceKlSql))
 
   // --------------------------------------------- duplicated-span fraction
   // Per-doc fraction of n-gram OCCURRENCES whose n-gram appears in >= 2

@@ -1645,5 +1645,30 @@ private[graft] object QueriesCurate {
       |    ELSE 0.0 END, 6) + 0.0 AS advantage
       |FROM m""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, c01)
+  // --------------------------- DoReMi excess-loss reweighting (d86)
+  // The mix family's fourth member: d47 flattens by temperature, d58
+  // applies given epochs, d77 allocates under a budget — d86 DERIVES a
+  // mix from model-facing signal (Xie et al., NeurIPS 2023), using
+  // d29's KL(source ‖ corpus) as the static excess-loss proxy via the
+  // FACTORED d29 computation (QueriesCorpus.sourceKlDf/sourceKlSql — the
+  // oracle replays the same KL its own d29 row verifies, then the
+  // 2^(λ·KL) boost and the decimal-sandwich normalization). boost > 1 =
+  // the corpus LM underfits this source, give it more epochs.
+  private val d86: (String, QFn, Option[String]) = ("d86_doremi_mix",
+    (s, d) => Sampling.doremiWeights(QueriesCorpus.sourceKlDf(s, d),
+      lambda = 1.0),
+    Some(s"""WITH kl AS (${QueriesCorpus.sourceKlSql}),
+      |tt AS (SELECT sum(n_tokens)::BIGINT AS tot FROM kl),
+      |b AS (SELECT source, n_tokens, kl_bits,
+      |    n_tokens::DOUBLE / tot::DOUBLE AS share,
+      |    round((n_tokens::DOUBLE / tot::DOUBLE)
+      |      * pow(2.0, 1.0 * kl_bits), 6)::DECIMAL(20,10) AS term
+      |  FROM kl, tt),
+      |nm AS (SELECT sum(term) AS norm FROM b)
+      |SELECT source, n_tokens, round(share, 6) AS token_share, kl_bits,
+      |  round(term::DOUBLE / norm::DOUBLE, 6) AS weight,
+      |  round((term::DOUBLE / norm::DOUBLE) / share, 6) AS boost
+      |FROM b, nm""".stripMargin))
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, c01)
 }

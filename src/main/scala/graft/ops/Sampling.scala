@@ -154,6 +154,47 @@ object Sampling {
       .drop("_dom")
   }
 
+  /** DoReMi-flavored domain reweighting (Xie et al., NeurIPS 2023): the
+    * one-shot exponentiated-gradient step of the published minimax
+    * recipe, driven by a STATIC excess-loss proxy instead of a trained
+    * proxy model. Input: one row per domain (source, n_tokens,
+    * kl_bits) — kl_bits = KL(domain ‖ corpus) in bits (d29's drift
+    * stat) stands in for the per-domain excess loss (a domain far from
+    * the corpus LM is exactly a domain the corpus LM underfits). The
+    * update is DoReMi's: weight_s ∝ share_s · 2^(λ·excess_s),
+    * normalized over domains; λ = 0 returns the natural mix, larger λ
+    * shifts budget toward high-excess domains. `boost` = weight/share
+    * is the epoch multiplier d58's replication step consumes — this row
+    * DERIVES the mix the rest of the family applies (d47 flattens by
+    * temperature, d77 allocates under a budget, d86 reweights by
+    * excess loss).
+    *
+    * Determinism: share = exact-BIGINT division; the single
+    * transcendental (2^λ·kl, libm last-ulp class like d29's log2) is
+    * 6-dp-rounded, then the normalization runs the q62 decimal
+    * sandwich — DECIMAL(20,10) cast, EXACT decimal sum, ONE double
+    * division per domain, 6-dp publish. Scale shape: the input is
+    * domain-count-sized (broadcast-scale forever); the two aggregates
+    * are over that tiny table, never the corpus. */
+  def doremiWeights(kl: DataFrame, lambda: Double = 1.0): DataFrame = {
+    val xr = graft.ops.CrossRound
+    val tot = kl.agg(sum(col("n_tokens")).as("_tot"))
+    val share = col("n_tokens").cast("double") / col("_tot").cast("double")
+    val base = kl.crossJoin(broadcast(tot))
+      .withColumn("_share", share)
+      .withColumn("_term",
+        xr.round(col("_share") * pow(lit(2.0), lit(lambda) * col("kl_bits")),
+          6).cast("decimal(20,10)"))
+    val norm = base.agg(sum(col("_term")).as("_norm"))
+    val weightU = col("_term").cast("double") / col("_norm").cast("double")
+    base.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tokens"),
+        xr.round(col("_share"), 6).as("token_share"),
+        col("kl_bits"),
+        xr.round(weightU, 6).as("weight"),
+        xr.round(weightU / col("_share"), 6).as("boost"))
+  }
+
   /** Weighted priority sampling (Duffield–Lund–Thorup shape): per group,
     * keep the k rows with the smallest priority u/w, where u is the
     * content-addressed md5 uniform and w an integer weight — selection

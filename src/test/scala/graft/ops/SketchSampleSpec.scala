@@ -356,4 +356,29 @@ class SketchSampleSpec extends SparkSpec {
     assert(m((2L, "cherry")) == ((1L, 1L, w(1, 1))))
     assert(out.length == 4)
   }
+
+  test("doremiWeights: exact-pow literal frame, λ scaling, natural mix") {
+    // kl ∈ {0, 1} keeps 2^(λ·kl) exact (no libm): a = (300 tokens,
+    // kl 0) → term 0.75·1 = 0.75; b = (100, kl 1) → 0.25·2 = 0.5;
+    // norm 1.25 → weights 0.6 / 0.4, boosts 0.8 / 1.6
+    val kl = Seq(("a", 300L, 0.0), ("b", 100L, 1.0))
+      .toDF("source", "n_tokens", "kl_bits")
+    val got = Sampling.doremiWeights(kl, lambda = 1.0)
+      .select("source", "token_share", "weight", "boost")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 0.75, 0.6, 0.8)))
+    assert(got("b") == (("b", 0.25, 0.4, 1.6)))
+    // λ = 0 disables the boost: weights return to the natural shares
+    val flat = Sampling.doremiWeights(kl, lambda = 0.0)
+      .select("source", "weight", "boost")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(flat("a") == (("a", 0.75, 1.0)))
+    assert(flat("b") == (("b", 0.25, 1.0)))
+    // weights always normalize to 1 (decimal-sandwich sum is exact)
+    val s = Sampling.doremiWeights(kl, lambda = 3.0)
+      .agg(org.apache.spark.sql.functions.sum($"weight"))
+      .as[Double].head()
+    assert(math.abs(s - 1.0) < 2e-6)
+  }
 }
