@@ -1670,5 +1670,74 @@ private[graft] object QueriesCurate {
       |  round((term::DOUBLE / norm::DOUBLE) / share, 6) AS boost
       |FROM b, nm""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, c01)
+  // ------------------------ quality-filter threshold sweep (d87)
+  // The operating-point table every learned quality filter ships with
+  // (the fastText/classifier-distillation workflow): sweep the d03
+  // quality score against the d13 rule labels and publish precision /
+  // recall / F1 at 21 thresholds — the curve an operator reads to pick
+  // the keep cutoff. d31 calibrates the score per source; d87 grades it
+  // as a CLASSIFIER of the rule verdict. Integer-exact throughout: the
+  // 6-dp score is lifted to an exact BIGINT grid (floor(q·1e6 + 0.5) —
+  // the published double sits within 1e-10 of its 6-dp decimal, so the
+  // +0.5 floor recovers the integer EXACTLY), counts accumulate per
+  // 0.05-wide bucket (score ≥ t ⇔ bucket ≥ k, the grid aligns), and
+  // every published ratio is ONE double division of exact BIGINTs
+  // (F1 via 2·TP/(pred+pos) — single-division form, no P·R compound).
+  // Scale shape: ONE corpus aggregation to a 21-row histogram
+  // (map-side combined); the sweep is a 21×21 broadcast triangle join —
+  // the corpus is never scanned per threshold.
+  private val d87: (String, QFn, Option[String]) = ("d87_quality_pr_sweep",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = docs(s, d).select(
+        TextOps.qualityCols(col("text"), toks).last,
+        TextOps.ruleFilterCols(col("text"), toks).last)
+      Prep.thresholdSweep(base,
+        floor(col("quality_score") * lit(1000000.0) + lit(0.5)),
+        col("keep"), steps = 20)
+    },
+    Some {
+      val stopList = TextOps.langStopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (SELECT doc_id, $qScoreSql AS q,
+        |    len($tokSql)::BIGINT AS n,
+        |    CASE WHEN len($tokSql) > 0 THEN
+        |      list_sum(list_transform($tokSql, x -> len(x)))::DOUBLE
+        |        / len($tokSql)::DOUBLE ELSE 0 END AS mtl,
+        |    CASE WHEN len($tokSql) > 0 THEN
+        |      len(list_filter($tokSql,
+        |        x -> list_contains([$stopList], x)))::DOUBLE
+        |        / len($tokSql)::DOUBLE ELSE 0 END AS sr,
+        |    CASE WHEN len($tokSql) > 0 THEN
+        |      len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE
+        |      ELSE 0 END AS ttr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+        |        / length(text)::DOUBLE ELSE 0 END AS dr
+        |  FROM documents),
+        |s AS (SELECT floor(q * 1000000.0 + 0.5)::BIGINT AS sm,
+        |    (NOT (n < 20 OR n > 1000 OR mtl < 3.0 OR mtl > 10.0
+        |      OR dr > 0.2 OR sr < 0.01 OR ttr < 0.35))::BIGINT AS keep
+        |  FROM m),
+        |h AS (SELECT (sm // 50000)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n, sum(keep)::BIGINT AS pos
+        |  FROM s GROUP BY 1),
+        |tt AS (SELECT sum(pos)::BIGINT AS tp_all FROM h),
+        |kk AS (SELECT range::BIGINT AS k FROM range(0, 21)),
+        |agg AS (SELECT kk.k, coalesce(sum(h.n), 0)::BIGINT AS n_pred,
+        |    coalesce(sum(h.pos), 0)::BIGINT AS tp
+        |  FROM kk LEFT JOIN h ON h.bucket >= kk.k GROUP BY kk.k)
+        |SELECT k::DOUBLE / 20.0 AS threshold, n_pred, tp,
+        |  (n_pred - tp)::BIGINT AS fp, (tp_all - tp)::BIGINT AS fn,
+        |  CASE WHEN n_pred > 0
+        |    THEN round(tp::DOUBLE / n_pred::DOUBLE, 6) END AS prec,
+        |  CASE WHEN tp_all > 0
+        |    THEN round(tp::DOUBLE / tp_all::DOUBLE, 6) END AS rec,
+        |  CASE WHEN n_pred + tp_all > 0
+        |    THEN round(2.0 * tp::DOUBLE / (n_pred + tp_all)::DOUBLE, 6)
+        |    END AS f1
+        |FROM agg, tt""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, c01)
 }

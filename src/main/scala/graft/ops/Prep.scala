@@ -180,6 +180,50 @@ object Prep {
           CrossRound.roundNz((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Precision/recall/F1 threshold sweep of an integer-grid score
+    * against a binary label — the operating-point table a learned
+    * quality filter ships with (pick the keep cutoff off this curve).
+    * `scoreMicro` must already live on the exact BIGINT micro grid
+    * (0..1e6, e.g. floor(q·1e6 + 0.5) of a 6-dp-rounded score);
+    * `steps` equal-width thresholds k/steps, k = 0..steps. Emits per
+    * threshold: n_pred, tp, fp, fn, prec, rec, f1 — all counts exact,
+    * every ratio ONE double division (F1 in the single-division form
+    * 2·TP/(pred + pos)), NULL where undefined.
+    *
+    * Scale shape: ONE corpus aggregation to a (steps+1)-row histogram
+    * with map-side combine, then a broadcast triangle join of two tiny
+    * tables — the corpus is never scanned per threshold. */
+  def thresholdSweep(df: DataFrame, scoreMicro: Column, label: Column,
+                     steps: Int = 20): DataFrame = {
+    require(steps >= 1 && 1000000 % steps == 0,
+      "thresholdSweep: steps must divide the 1e6 micro grid")
+    val stepW = 1000000.0 / steps
+    val hist = df.select(scoreMicro.cast("long").as("_sm"),
+        label.cast("long").as("_y"))
+      .groupBy(floor(col("_sm") / lit(stepW)).cast("long").as("_bucket"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"))
+    val tot = hist.agg(sum(col("_pos")).as("_tp_all"))
+    val ks = df.sparkSession.range(0, steps + 1).select(col("id").as("_k"))
+    ks.join(broadcast(hist), col("_bucket") >= col("_k"), "left")
+      .groupBy(col("_k"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("_pos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("_k").cast("double") / lit(steps.toDouble)).as("threshold"),
+        col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("_tp_all") - col("tp")).as("fn"),
+        when(col("n_pred") > 0, CrossRound.round(col("tp").cast("double")
+          / col("n_pred").cast("double"), 6)).as("prec"),
+        when(col("_tp_all") > 0, CrossRound.round(col("tp").cast("double")
+          / col("_tp_all").cast("double"), 6)).as("rec"),
+        when(col("n_pred") + col("_tp_all") > 0,
+          CrossRound.round(lit(2.0) * col("tp").cast("double")
+            / (col("n_pred") + col("_tp_all")).cast("double"), 6))
+          .as("f1"))
+  }
+
   /** The packed-score argmax over closed-vocab count columns: with `w`
     * the smallest power of two > |V|, `score_i = cnt_i·w − i`;
     * `g = greatest(scores)` recovers `i = (w − g mod w) mod w` and

@@ -143,4 +143,33 @@ class PrepSpec extends SparkSpec {
     assert(out(4L)._6.isEmpty) // single occupied label: chance = 1
     assert(out(4L)._4 == 1.0 && out(4L)._5 == 1.0)
   }
+
+  test("thresholdSweep: exact TP/FP/FN accounting at the grid boundary") {
+    // steps = 2: thresholds 0, 0.5, 1. Scores on the micro grid:
+    // 499999 sits BELOW the 0.5 cut, 500000 exactly ON it (score ≥ t
+    // includes the boundary — bucket arithmetic must agree)
+    val rows = Seq((0L, 1L), (499999L, 0L), (500000L, 1L), (1000000L, 0L))
+      .toDF("sm", "y")
+    val out = Prep.thresholdSweep(rows, col("sm"), col("y"), steps = 2)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(0.0) == ((4L, 2L, 2L, 0L,
+      Some(0.5), Some(1.0), Some(0.666667))))
+    assert(out(0.5) == ((2L, 1L, 1L, 1L, Some(0.5), Some(0.5), Some(0.5))))
+    assert(out(1.0) == ((1L, 0L, 1L, 2L, Some(0.0), Some(0.0), Some(0.0))))
+  }
+
+  test("thresholdSweep: empty-above thresholds emit zero rows not gaps; " +
+      "all-negative labels NULL the recall") {
+    val rows = Seq((100000L, 0L), (200000L, 0L)).toDF("sm", "y")
+    val out = Prep.thresholdSweep(rows, col("sm"), col("y"), steps = 4)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(out.size == 5) // every threshold present, even empty ones
+    assert(out(1.0)._1 == 0L && out(1.0)._2.isEmpty) // prec NULL at 0 pred
+    assert(out(0.0)._3.isEmpty) // recall NULL: no positives exist
+  }
 }
