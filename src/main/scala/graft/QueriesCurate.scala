@@ -496,6 +496,26 @@ private[graft] object QueriesCurate {
   // carries each doc's FULL unpruned BM25 (d23's formula) so the driver
   // hash locks index path and direct path together — pruning loss on
   // this corpus is visible as score_micro/1e6 vs bm25_full divergence.
+  /** d54's impact-pruned postings as factored DuckDB CTEs (t, dl, tfc,
+    * st, dft, wt, pr) — shared by d54's own lock and d90's RAG pack, so
+    * the retrieval substrate both replay is literally one SQL text. */
+  private val postingsCtesSql: String =
+    s"""t AS (SELECT doc_id AS doc, $tokSql AS w FROM documents),
+      |dl AS (SELECT doc, len(w)::DOUBLE AS dl FROM t),
+      |tfc AS (SELECT doc, term, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc, unnest(w) AS term FROM t) GROUP BY 1, 2),
+      |st AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dl),
+      |dft AS (SELECT term, count(*)::DOUBLE AS dft FROM tfc GROUP BY 1),
+      |wt AS (SELECT tfc.doc, tfc.term,
+      |  floor(ln(1.0 + (nd - dft + 0.5) / (dft + 0.5))
+      |    * (tf * (1.2 + 1.0)
+      |       / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6)::BIGINT AS wm
+      |  FROM tfc JOIN dl USING (doc) JOIN dft USING (term), st),
+      |pr AS (SELECT term, doc, wm, row_number() OVER (
+      |    PARTITION BY term ORDER BY wm DESC, doc ASC) AS rn FROM wt)"""
+      .stripMargin
+
   private val d54: (String, QFn, Option[String]) = ("d54_inverted_index",
     (s, d) => {
       val dir = Queries.rtDir("d54", d)
@@ -512,20 +532,7 @@ private[graft] object QueriesCurate {
     },
     Some {
       val qTerms = QueriesDocs.bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id AS doc, $tokSql AS w FROM documents),
-        |dl AS (SELECT doc, len(w)::DOUBLE AS dl FROM t),
-        |tfc AS (SELECT doc, term, count(*)::DOUBLE AS tf
-        |  FROM (SELECT doc, unnest(w) AS term FROM t) GROUP BY 1, 2),
-        |st AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dl),
-        |dft AS (SELECT term, count(*)::DOUBLE AS dft FROM tfc GROUP BY 1),
-        |wt AS (SELECT tfc.doc, tfc.term,
-        |  floor(ln(1.0 + (nd - dft + 0.5) / (dft + 0.5))
-        |    * (tf * (1.2 + 1.0)
-        |       / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))
-        |    * 1e6)::BIGINT AS wm
-        |  FROM tfc JOIN dl USING (doc) JOIN dft USING (term), st),
-        |pr AS (SELECT term, doc, wm, row_number() OVER (
-        |    PARTITION BY term ORDER BY wm DESC, doc ASC) AS rn FROM wt),
+      s"""WITH $postingsCtesSql,
         |q AS (SELECT doc, sum(wm)::BIGINT AS score_micro FROM pr
         |  WHERE rn <= 50 AND term IN ($qTerms) GROUP BY doc),
         |top AS (SELECT doc, score_micro, row_number() OVER (
@@ -1739,5 +1746,58 @@ private[graft] object QueriesCurate {
         |FROM agg, tt""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, c01)
+  // ------------------------------ RAG context packing (d90)
+  // The step between retrieval and the training example: a query batch
+  // hits the d54 impact-pruned index (REBUILT and persisted here, then
+  // re-read — the production read path), per-query top-k by exact
+  // integer posting sums, then greedy rank-order packing into a token
+  // budget. Rows past the budget stay visible with in_context = 0 — the
+  // truncation audit. Query-time work is bounded BY CONSTRUCTION at
+  // |terms|·maxPostings candidates per query (see
+  // Relevance.ragContextPack scaladoc); zero query-time floats. The
+  // oracle replays the postings via the SAME factored CTEs d54 locks.
+  private val ragQueries: Seq[(String, Seq[String])] = Seq(
+    ("q1", Seq("spark", "join", "data")),
+    ("q2", Seq("window", "stream", "batch")),
+    ("q3", Seq("hash", "sort", "merge")))
+
+  private val d90: (String, QFn, Option[String]) = ("d90_rag_context",
+    (s, d) => {
+      import s.implicits._
+      val dir = Queries.rtDir("d90", d)
+      Relevance.bm25IndexPostings(docs(s, d), "doc_id", "text",
+        maxPostings = 50).write.mode("overwrite").parquet(dir)
+      val qt = ragQueries
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("qid", "term")
+      val docTokens = docs(s, d).select(col("doc_id").as("doc"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Relevance.ragContextPack(s.read.parquet(dir), qt, docTokens,
+        k = 8, budgetTokens = 96L)
+    },
+    Some {
+      val qtVals = ragQueries.flatMap { case (q, ts) =>
+        ts.map(t => s"('$q', '$t')") }.mkString(", ")
+      s"""WITH $postingsCtesSql,
+        |ix AS (SELECT term, doc, wm FROM pr WHERE rn <= 50),
+        |qt(qid, term) AS (VALUES $qtVals),
+        |sc AS (SELECT qid, doc, sum(wm)::BIGINT AS score_micro
+        |  FROM ix JOIN qt USING (term) GROUP BY 1, 2),
+        |tp AS (SELECT qid, doc, score_micro, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc ASC)::BIGINT
+        |    AS rank
+        |  FROM sc QUALIFY rank <= 8),
+        |tk AS (SELECT doc_id AS doc, len($tokSql)::BIGINT AS n_tokens
+        |  FROM documents),
+        |fin AS (SELECT tp.qid, tp.rank, tp.doc, tp.score_micro,
+        |    tk.n_tokens,
+        |    sum(tk.n_tokens) OVER (PARTITION BY tp.qid
+        |      ORDER BY tp.rank)::BIGINT AS cum_tokens
+        |  FROM tp JOIN tk USING (doc))
+        |SELECT qid, rank, doc, score_micro, n_tokens, cum_tokens,
+        |  (cum_tokens <= 96)::BIGINT AS in_context
+        |FROM fin""".stripMargin
+    })
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d90, c01)
 }

@@ -127,6 +127,53 @@ object Relevance {
       "score_micro", "doc", k)
   }
 
+  /** RAG context assembly over a [[bm25IndexPostings]] index: for every
+    * query in a (qid, term) bag table, retrieve the top-`k` documents and
+    * greedily pack them into a token budget in rank order — the step
+    * that turns a retrieval index into the `context` field of a RAG
+    * training example (or a serving prompt). Emits one row per retained
+    * (qid, rank): score, the doc's token count, the running
+    * `cum_tokens`, and `in_context` = the greedy keep decision
+    * (cum ≤ budget) — rows past the budget stay visible with flag 0, so
+    * the table also answers "what got truncated".
+    *
+    * Determinism: posting weights are the index's exact integers, so
+    * per-(qid, doc) scores are exact BIGINT sums; ranking is
+    * (score_micro desc, doc asc) — total order; the packing cumsum is
+    * an integer window over unique ranks. No float anywhere at query
+    * time — the one transcendental (BM25's ln) was baked into the index
+    * at build time.
+    *
+    * Scale shape: the query bag broadcasts (a serving batch is small);
+    * candidates per query are bounded BY CONSTRUCTION at
+    * |query terms| · maxPostings — d54's impact pruning caps each
+    * term's posting list, so per-query work is independent of corpus
+    * size. The rank window partitions by qid over those bounded
+    * candidate sets (parallelism = batch size, the standard serving
+    * shape), and the token join streams the corpus against the
+    * broadcast k-row winner set. */
+  def ragContextPack(index: DataFrame, queryTerms: DataFrame,
+                     docTokens: DataFrame, k: Int, budgetTokens: Long)
+  : DataFrame = {
+    require(k >= 1, "ragContextPack: k must be >= 1")
+    val scored = index.join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("weight_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc").asc)
+    val top = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val cumW = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(top).join(docTokens, Seq("doc"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW))
+      .withColumn("in_context",
+        (col("cum_tokens") <= budgetTokens).cast("long"))
+      .select(col("qid"), col("rank"), col("doc"), col("score_micro"),
+        col("n_tokens"), col("cum_tokens"), col("in_context"))
+  }
+
   /** Global top-`k` of `df` by (`scoreCol` desc, `idCol` asc), with a dense
     * 1-based `rank` column. The sort+limit is Spark's TakeOrdered (per
     * partition top-k, then a k-row merge on the driver-side exchange) — no

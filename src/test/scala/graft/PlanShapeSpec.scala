@@ -533,6 +533,34 @@ class PlanShapeSpec extends SparkSpec {
       s"global sort in the resample:\n$p70")
   }
 
+  test("GRPO advantage (d85): ONE group-key exchange, no range sort") {
+    // Preference.groupAdvantage's scale claim: the corpus moves once
+    // (hash on the group key for the three window sums); everything
+    // after is projection. A join-back implementation would show a
+    // second exchange here.
+    val (h, r, _) = exchangeCounts(finalPlanOf("d85_grpo_advantage"))
+    assert(h == 1 && r == 0,
+      s"expected exactly one hash exchange, no range: h=$h r=$r")
+  }
+
+  test("PR sweep (d87): corpus folds to the histogram once; thresholds " +
+      "join broadcast") {
+    // Prep.thresholdSweep's scale claim: one corpus-sized aggregation to
+    // the 21-bucket histogram, then the 21x21 triangle join runs on
+    // broadcast aggregates — the corpus is never scanned per threshold.
+    val plan = finalPlanOf("d87_quality_pr_sweep")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h <= 2 && r == 0,
+      s"expected histogram + tiny threshold exchanges only: h=$h r=$r:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"threshold sweep must join the broadcast histogram:\n$plan")
+  }
+
+  test("rater kappa (d84): aggregation tree only — no range sort anywhere") {
+    val (_, r, _) = exchangeCounts(finalPlanOf("d84_rater_kappa"))
+    assert(r == 0, s"unexpected range exchange in d84: r=$r")
+  }
+
   test("nearestCentroid broadcasts centroids; vectors shuffle once for the argmin") {
     // e21's scale claim: the corpus side fans out x |labels| MAP-SIDE
     // (broadcast nested-loop against the labels-row centroid table) and

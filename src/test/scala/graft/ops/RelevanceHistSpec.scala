@@ -38,6 +38,27 @@ class RelevanceHistSpec extends SparkSpec {
     assert(out == Map(2L -> 1, 1L -> 2, 3L -> 3)) // tie 1 vs 3 → id asc
   }
 
+  test("ragContextPack: rank by exact sums, greedy budget, truncation rows") {
+    // index: q-terms hit docs with integer weights; query A = {x, y},
+    // query B = {y}. Doc scores for A: d1 = 10+5 = 15, d2 = 8, d3 = 7;
+    // tokens d1 = 40, d2 = 50, d3 = 20 → cum 40, 90, 110: with budget
+    // 100 the THIRD doc is truncated even though a later smaller doc
+    // would fit — greedy is rank-order by contract, not knapsack
+    val index = Seq(("x", 1L, 10L), ("x", 2L, 8L), ("y", 1L, 5L),
+      ("y", 3L, 7L)).toDF("term", "doc", "weight_micro")
+    val qt = Seq(("A", "x"), ("A", "y"), ("B", "y")).toDF("qid", "term")
+    val tk = Seq((1L, 40L), (2L, 50L), (3L, 20L)).toDF("doc", "n_tokens")
+    val out = Relevance.ragContextPack(index, qt, tk, k = 3,
+        budgetTokens = 100L)
+      .select("qid", "rank", "doc", "score_micro", "cum_tokens",
+        "in_context")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 1L, 1L, 15L, 40L, 1L), ("A", 2L, 2L, 8L, 90L, 1L),
+      ("A", 3L, 3L, 7L, 110L, 0L), // visible but flagged out
+      ("B", 1L, 3L, 7L, 20L, 1L), ("B", 2L, 1L, 5L, 60L, 1L)))
+  }
+
   test("rrfFuse sums reciprocal ranks across lists") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
