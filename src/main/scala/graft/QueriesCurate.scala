@@ -1004,14 +1004,19 @@ private[graft] object QueriesCurate {
   // takes epochs as GIVEN — d77 is where those epochs come from. All
   // branch decisions are 64-bit-integer exact (budget = total*9 DIV 5);
   // the oracle replays rank, prefix sum, r* and the fair share verbatim.
-  private val d77: (String, QFn, Option[String]) = ("d77_unimax_epochs",
-    (s, d) => Sampling.uniMaxAllocation(
+  /** d77's allocation as a factored function + SQL (source, n_tokens,
+    * cap_tokens, alloc_tokens, epochs, saturated) — d88's repeat-value
+    * audit consumes the SAME allocation its own d77 row verifies. */
+  private def uniMaxDf(s: SparkSession, d: String): DataFrame =
+    Sampling.uniMaxAllocation(
         docs(s, d).select(col("source"), col("text")),
         col("source"), size(TextOps.tokens(col("text"))),
         maxEpochs = 2, budgetNum = 9, budgetDen = 5)
       .select(col("source"), col("n_tokens"), col("cap_tokens"),
-        col("alloc_tokens"), col("epochs"), col("saturated")),
-    Some(s"""WITH tok AS (SELECT source,
+        col("alloc_tokens"), col("epochs"), col("saturated"))
+
+  private val uniMaxSql: String =
+    s"""WITH tok AS (SELECT source,
       |    sum(len($tokSql))::BIGINT AS n_tokens
       |  FROM documents GROUP BY source),
       |t AS (SELECT ((sum(n_tokens) * 9) // 5)::BIGINT AS budget,
@@ -1035,7 +1040,11 @@ private[graft] object QueriesCurate {
       |  FROM o, t, rs, fs)
       |SELECT source, n_tokens, cap_tokens, alloc_tokens,
       |  round(alloc_tokens / n_tokens, 6) AS epochs, saturated
-      |FROM a""".stripMargin))
+      |FROM a""".stripMargin
+
+  private val d77: (String, QFn, Option[String]) = ("d77_unimax_epochs",
+    (s, d) => uniMaxDf(s, d),
+    Some(uniMaxSql))
 
   // --------------------------------- Bradley–Terry preference strength
   // The leaderboard computation over preference data (the RLHF/arena
@@ -1746,6 +1755,28 @@ private[graft] object QueriesCurate {
         |FROM agg, tt""".stripMargin
     })
 
+  // ----------------------- repeated-epoch value audit (d88)
+  // The budget review OVER d77's allocation: Muennighoff et al. 2023's
+  // data-constrained scaling law says repeated epochs decay in value
+  // (R* ≈ 15.39); d88 grades each source's allocation by how many of
+  // its scheduled tokens still teach (Sampling.dataConstrainedValue
+  // scaladoc — the multiplier is published 6-dp so the one exp() is
+  // scale-independent). Consumes the FACTORED d77 computation, so the
+  // oracle replays the identical allocation d77's own row verifies.
+  private val d88: (String, QFn, Option[String]) = ("d88_repeat_value",
+    (s, d) => Sampling.dataConstrainedValue(uniMaxDf(s, d)),
+    Some(s"""WITH a AS ($uniMaxSql),
+      |e AS (SELECT source, n_tokens, epochs, saturated,
+      |    round(CASE WHEN epochs <= 1.0 THEN epochs
+      |      ELSE 1.0 + 15.39 * (1.0 - exp((greatest(epochs - 1.0, 0.0)
+      |        * -1.0) / 15.39)) END, 6) AS eff_epochs
+      |  FROM a)
+      |SELECT source, n_tokens, epochs, saturated, eff_epochs,
+      |  round(n_tokens::DOUBLE * eff_epochs, 6) AS effective_tokens,
+      |  CASE WHEN epochs > 0.0 THEN round(eff_epochs / epochs, 6) END
+      |    AS utilization
+      |FROM e""".stripMargin))
+
   // ------------------------------ RAG context packing (d90)
   // The step between retrieval and the training example: a query batch
   // hits the d54 impact-pruned index (REBUILT and persisted here, then
@@ -1799,5 +1830,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d90, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, c01)
 }

@@ -195,6 +195,39 @@ object Sampling {
         xr.round(weightU / col("_share"), 6).as("boost"))
   }
 
+  /** Data-constrained scaling audit (Muennighoff et al., NeurIPS 2023
+    * "Scaling Data-Constrained Language Models"): the value of repeated
+    * epochs decays exponentially — with R = epochs and the paper's
+    * fitted decay constant R* ≈ 15.39, the effective epoch multiplier
+    * is  eff = 1 + R*·(1 − e^(−(R−1)/R*))  for R > 1 (and exactly R for
+    * R ≤ 1: a partial first pass is all-new tokens). Consumes an epoch
+    * allocation (d77's output: source, n_tokens, epochs, saturated) and
+    * answers the question a budget review asks of the mix: how many of
+    * the tokens the schedule will spend still TEACH, per source.
+    *
+    * Published columns: eff_epochs (the multiplier, 6-dp — bounded by
+    * 1 + R*, so the exp()'s libm last-ulp is absorbed at ANY corpus
+    * scale, unlike a token-denominated exp), effective_tokens =
+    * n_tokens · ROUNDED multiplier (one deterministic product of an
+    * exact BIGINT and the published 6-dp double), utilization =
+    * eff_epochs / epochs (≤ 1; the wasted-compute share is 1 − this).
+    * Domain-table-sized input → broadcast-scale forever. */
+  def dataConstrainedValue(alloc: DataFrame, rStar: Double = 15.39)
+  : DataFrame = {
+    val xr = graft.ops.CrossRound
+    val reps = greatest(col("epochs") - lit(1.0), lit(0.0))
+    val effRaw = when(col("epochs") <= 1.0, col("epochs"))
+      .otherwise(lit(1.0) + lit(rStar)
+        * (lit(1.0) - exp((reps * lit(-1.0)) / lit(rStar))))
+    alloc.select(col("source"), col("n_tokens"), col("epochs"),
+        col("saturated"), xr.round(effRaw, 6).as("eff_epochs"))
+      .withColumn("effective_tokens",
+        xr.round(col("n_tokens").cast("double") * col("eff_epochs"), 6))
+      .withColumn("utilization",
+        when(col("epochs") > 0.0,
+          xr.round(col("eff_epochs") / col("epochs"), 6)))
+  }
+
   /** Weighted priority sampling (Duffield–Lund–Thorup shape): per group,
     * keep the k rows with the smallest priority u/w, where u is the
     * content-addressed md5 uniform and w an integer weight — selection

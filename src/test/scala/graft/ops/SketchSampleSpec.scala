@@ -381,4 +381,26 @@ class SketchSampleSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(s - 1.0) < 2e-6)
   }
+
+  test("dataConstrainedValue: R ≤ 1 passes through; decay matches the " +
+      "closed form; utilization falls with epochs") {
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val eff = (r: Double) =>
+      r6(1.0 + 15.39 * (1.0 - math.exp(-(r - 1.0) / 15.39)))
+    val df = Seq(("a", 1000L, 0.5, 0L), ("b", 1000L, 1.0, 0L),
+      ("c", 1000L, 2.0, 1L), ("d", 1000L, 16.39, 1L))
+      .toDF("source", "n_tokens", "epochs", "saturated")
+    val got = Sampling.dataConstrainedValue(df)
+      .select("source", "eff_epochs", "effective_tokens", "utilization")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // a partial first pass is all fresh tokens: eff = R, utilization 1
+    assert(got("a") == (("a", 0.5, 500.0, 1.0)))
+    assert(got("b") == (("b", 1.0, 1000.0, 1.0)))
+    assert(got("c")._2 == eff(2.0))
+    assert(got("c")._3 == r6(1000.0 * eff(2.0)))
+    // R − 1 = R*: multiplier hits 1 + R*(1 − 1/e) ≈ 10.73 of 16.39 asked
+    assert(got("d")._2 == eff(16.39))
+    assert(got("d")._4 < got("c")._4 && got("c")._4 < 1.0)
+  }
 }
