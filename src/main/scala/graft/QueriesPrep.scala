@@ -193,6 +193,28 @@ private[graft] object QueriesPrep {
       |    END AS kappa
       |FROM k""".stripMargin))
 
+  // ------------------------------- SFT example assembly (d89)
+  // The step that turns interaction logs into instruction-tuning rows:
+  // each user's event stream is a "conversation", every turn with
+  // context becomes (context = last ≤3 turns, target = turn) plus the
+  // loss-mask boundary n_ctx and a content-addressed example_fp that
+  // makes the emitted dataset d01-dedupable. ONE user-key exchange
+  // (Prep.sftExamples scaladoc); ordering is the total (ts, event_id)
+  // so the context strings are engine-independent.
+  private val d89: (String, QFn, Option[String]) = ("d89_sft_examples",
+    (s, d) => Prep.sftExamples(ev(s, d), col("user_id"), col("event_id"),
+      Seq(col("ts"), col("event_id")), col("event_type"), k = 3),
+    Some("""WITH o AS (SELECT user_id, event_id, event_type,
+      |    array_to_string(list(event_type) OVER w, ' ') AS context,
+      |    count(*) OVER w AS n_ctx
+      |  FROM events WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id AS convo_id, event_id AS example_id, context,
+      |  event_type AS target, n_ctx::BIGINT AS n_ctx,
+      |  md5(context || ' => ' || event_type) AS example_fp
+      |FROM o WHERE n_ctx >= 1""".stripMargin))
+
   // --------------------------------- k-anonymity release audit (d66)
   // The privacy gate beside d16's PII redaction and d46's release set:
   // one row per occupied quasi-identifier combination — (market segment,
@@ -307,5 +329,5 @@ private[graft] object QueriesPrep {
       |FROM g ORDER BY score DESC, doc_id LIMIT $DSIR_K""".stripMargin))
 
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70, d84)
+    Seq(d63, d64, d65, d66, d69, d70, d84, d89)
 }

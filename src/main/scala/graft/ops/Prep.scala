@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Supervised-training data preparation: leakage-free target encoding,
@@ -178,6 +179,42 @@ object Prep {
         CrossRound.round(pe, 6).as("pe"),
         when(pe < 1.0,
           CrossRound.roundNz((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Conversation flattening into SFT training examples: within each
+    * conversation (ordered by `ord`, which must be a TOTAL order — ties
+    * would make the context nondeterministic), every turn with at least
+    * one predecessor becomes one example — `context` = the previous
+    * up-to-`k` turns space-joined in order, `target` = the turn itself,
+    * `n_ctx` the context length in turns (the loss-mask boundary: a
+    * trainer masks exactly the context prefix), and `example_fp` =
+    * md5(context " => " target), the content-addressed example id that
+    * makes the emitted dataset exact-dedupable (d01) and joinable
+    * across re-runs. The first turn of a conversation emits nothing
+    * (no context to condition on).
+    *
+    * Scale shape: ONE exchange on the conversation key + the
+    * partition-local sort the window plans; per-conversation cost is
+    * bounded by conversation length (the q12 per-user trade). The
+    * collect_list frame is at most `k` elements — constant memory. */
+  def sftExamples(df: DataFrame, convo: Column, exampleId: Column,
+                  ord: Seq[Column], turn: Column, k: Int): DataFrame = {
+    require(k >= 1, "sftExamples: k must be >= 1")
+    val ordCols = ord.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val base = df.select(convo.as("convo_id") +:
+      exampleId.as("example_id") +: turn.as("target") +: ordCols: _*)
+    val w = Window.partitionBy(col("convo_id"))
+      .orderBy(ord.indices.map(i => col(s"_o$i")): _*)
+      .rowsBetween(-k, -1)
+    base
+      .withColumn("context",
+        concat_ws(" ", collect_list(col("target")).over(w)))
+      .withColumn("n_ctx", count(lit(1)).over(w))
+      .filter(col("n_ctx") >= 1)
+      .select(col("convo_id"), col("example_id"), col("context"),
+        col("target"), col("n_ctx"),
+        md5(concat(col("context"), lit(" => "), col("target"))
+          .cast("binary")).as("example_fp"))
   }
 
   /** Precision/recall/F1 threshold sweep of an integer-grid score

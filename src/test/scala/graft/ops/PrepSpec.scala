@@ -162,6 +162,32 @@ class PrepSpec extends SparkSpec {
     assert(out(1.0) == ((1L, 0L, 1L, 2L, Some(0.0), Some(0.0), Some(0.0))))
   }
 
+  test("sftExamples: context is the last k turns in order; first turn " +
+      "emits nothing; fp is content-addressed") {
+    // conversation 1: turns a b c d e → examples for b..e with contexts
+    // "a", "a b", "a b c", then the k=3 window SLIDES: "b c d" for e.
+    // conversation 2: single turn → no examples.
+    val df = Seq((1L, 10L, "a"), (1L, 11L, "b"), (1L, 12L, "c"),
+      (1L, 13L, "d"), (1L, 14L, "e"), (2L, 20L, "z"))
+      .toDF("u", "eid", "turn")
+    val out = Prep.sftExamples(df, col("u"), col("eid"),
+        Seq(col("eid")), col("turn"), k = 3)
+      .select("convo_id", "example_id", "context", "target", "n_ctx")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 11L, "a", "b", 1L), (1L, 12L, "a b", "c", 2L),
+      (1L, 13L, "a b c", "d", 3L), (1L, 14L, "b c d", "e", 3L)))
+    // fingerprint = md5 of the rendered example, reproducible
+    val fp = Prep.sftExamples(df, col("u"), col("eid"),
+        Seq(col("eid")), col("turn"), k = 3)
+      .filter(col("example_id") === 11L)
+      .select("example_fp").as[String].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("a => b".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp == md)
+  }
+
   test("thresholdSweep: empty-above thresholds emit zero rows not gaps; " +
       "all-negative labels NULL the recall") {
     val rows = Seq((100000L, 0L), (200000L, 0L)).toDF("sm", "y")
