@@ -306,6 +306,72 @@ private[graft] object QueriesVectors {
       |  ((k.st + k.n_tokens - 1) // 256)::BIGINT AS last_chunk
       |FROM pko k JOIN px p USING (doc_id)""".stripMargin))
 
+  // --------------------------- perceptual-hash image dedup (m06)
+  // The image-side exact-dedup move: 64-bit aHash (resample to 8×8,
+  // bit = pixel above the integer mean) over REAL decoded bytes, on a
+  // corpus where every image also ships its REAL half-resolution
+  // thumbnail (decode → resizeNearest → re-encode — the codec runs on
+  // every row twice). Because nearest-neighbor resamples compose
+  // exactly at integer ratios, an image and its thumbnail sample the
+  // SAME source pixels and MUST collapse to one hash bucket — the
+  // near-dup class resolution changes create, caught without any
+  // pairwise pixel comparison. Scale shape: hashing is per-row codec
+  // work (embarrassingly parallel); the only exchange is the
+  // 64-bit-key bucket count — the d01 exact-dedup plan, image edition.
+  // The oracle re-derives BOTH variants' 64 sampled bytes from the
+  // md5 grid spec (thumb through its own two-step floor mapping), the
+  // strict-mean bits and the two unsigned halves.
+  private val m06: (String, QFn, Option[String]) = ("m06_phash_dedup",
+    (s, d) => {
+      val dims = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(16L) * (lit(1L) +
+          Dedup.md5Hash(col("doc_id").cast("string"), lit("m06.w")) % 2))
+          .as("w"),
+        lit(16L).as("h"))
+      val orig = Multimodal.encodePgmSized(dims, "doc_id", "text",
+        col("w"), col("h"))
+      val thumb = Multimodal.halfPayload(orig, "doc_id", "payload")
+      val both = orig.withColumn("variant", lit("orig"))
+        .unionByName(thumb.withColumn("variant", lit("thumb")))
+      val hashed = Multimodal.aHash64Batched(both, "doc_id", "variant",
+        "payload")
+      hashed.withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ahash_hi"), col("ahash_lo"))))
+    },
+    Some(s"""WITH dim AS (SELECT doc_id, coalesce(text, '') AS t,
+      |    (16 * (1 + ${md5HashSql("doc_id::VARCHAR || '#m06.w'")} % 2))
+      |      ::BIGINT AS w, 16::BIGINT AS h
+      |  FROM documents),
+      |v AS (SELECT doc_id, t, w, h, 'orig' AS variant, w AS vw, h AS vh
+      |    FROM dim
+      |  UNION ALL
+      |  SELECT doc_id, t, w, h, 'thumb', w // 2, h // 2 FROM dim),
+      |smp AS (SELECT doc_id, t, w, variant, vw, vh, k,
+      |    (((k % 8) * vw) // 8) * (w // vw) AS ox,
+      |    (((k // 8) * vh) // 8) * (h // vh) AS oy
+      |  FROM (SELECT *, unnest(range(64)) AS k FROM v)),
+      |pxs AS (SELECT doc_id, variant, vw, vh, k,
+      |    ('0x' || substr(md5(t || '#' || ((oy * w + ox) // 16)::VARCHAR),
+      |      (((oy * w + ox) % 16) * 2 + 1)::INT, 2))::BIGINT AS px
+      |  FROM smp),
+      |tot AS (SELECT doc_id, variant, min(vw)::BIGINT AS width,
+      |    min(vh)::BIGINT AS height, sum(px)::BIGINT AS s
+      |  FROM pxs GROUP BY 1, 2),
+      |bits AS (SELECT p.doc_id, p.variant,
+      |    sum(CASE WHEN p.k < 32 AND p.px * 64 > t.s
+      |      THEN (1::BIGINT << p.k) ELSE 0 END)::BIGINT AS ahash_lo,
+      |    sum(CASE WHEN p.k >= 32 AND p.px * 64 > t.s
+      |      THEN (1::BIGINT << (p.k - 32)) ELSE 0 END)::BIGINT AS ahash_hi
+      |  FROM pxs p JOIN tot t USING (doc_id, variant) GROUP BY 1, 2),
+      |b2 AS (SELECT b.doc_id, b.variant, t.width, t.height,
+      |    b.ahash_lo, b.ahash_hi
+      |  FROM bits b JOIN tot t USING (doc_id, variant))
+      |SELECT doc_id, variant, width, height, ahash_lo, ahash_hi,
+      |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo)::BIGINT
+      |    AS bucket_n
+      |FROM b2""".stripMargin))
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup shape: centroid bucketing caps the pairwise-cosine term at
   // bucket size; a vector is dropped when an earlier same-bucket member is
@@ -1071,5 +1137,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04, m05)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04, m05, m06)
 }

@@ -226,6 +226,68 @@ object Multimodal {
       "px_csv")
   }
 
+  /** REAL half-resolution thumbnail per row: decode → nearest-neighbor
+    * resize to (w/2, h/2) → re-encode. The classic perceptual near-dup
+    * (same content, different resolution) built through the actual
+    * codec; requires even source dims (the integer-ratio case where
+    * nearest-neighbor pyramids compose exactly — see [[aHash64Batched]]'s
+    * collapse contract). */
+  def halfPayload(df: DataFrame, idCol: String, payloadCol: String)
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = Pgm.decode(bytes)
+        require(img.width % 2 == 0 && img.height % 2 == 0,
+          s"halfPayload: odd dims ${img.width}x${img.height}")
+        (id, Pgm.encode(
+          Pgm.resizeNearest(img, img.width / 2, img.height / 2)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** 64-bit average hash (aHash — the classic perceptual image
+    * fingerprint): decode → nearest-neighbor resample to 8×8 → bit k set
+    * iff pixel_k · 64 > Σ pixels (strict integer mean compare, no
+    * float). Published as two unsigned 32-bit halves (ahash_lo bits
+    * 0–31, ahash_hi bits 32–63) so a SQL twin never shifts into the
+    * BIGINT sign bit. Because [[Pgm.resizeNearest]] maps by
+    * floor(i·src/dst), resamples COMPOSE EXACTLY for integer ratios —
+    * an image and its [[halfPayload]] thumbnail sample the identical
+    * source pixels and collapse to the SAME hash, which is precisely
+    * the near-dup the fingerprint exists to catch. Per-partition
+    * batched like every codec stage; emits (id, tag, width, height,
+    * ahash_lo, ahash_hi) with the VARIANT's decoded dims. */
+  def aHash64Batched(df: DataFrame, idCol: String, tagCol: String,
+                     payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(tagCol).cast("string"),
+      col(payloadCol).cast("binary")).as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, tag, bytes) =>
+        val img = Pgm.decode(bytes)
+        val small = Pgm.resizeNearest(img, 8, 8)
+        var sum = 0L
+        var k = 0
+        while (k < 64) { sum += (small.pixels(k) & 0xff).toLong; k += 1 }
+        var lo = 0L
+        var hi = 0L
+        k = 0
+        while (k < 64) {
+          if ((small.pixels(k) & 0xff).toLong * 64L > sum) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (id, tag, img.width.toLong, img.height.toLong, lo, hi)
+      }
+    }.toDF(idCol, tagCol, "width", "height", "ahash_lo", "ahash_hi")
+  }
+
   private def pixelStats(id: Long, img: Pgm.Image)
   : (Long, Long, Long, Long, Long, Long, Long, String) = {
     var sum = 0L; var min = 255L; var max = 0L

@@ -106,6 +106,37 @@ class PgmSpec extends SparkSpec {
       }
   }
 
+  test("aHash64Batched: hand-computed bits on an 8x8 ramp; unsigned halves") {
+    // pixels 0..63: sum = 2016, bit k set iff k·64 > 2016 ⇔ k ≥ 32 —
+    // exactly the high half: lo = 0, hi = 2^32 − 1 (all 32 bits)
+    val px = Array.tabulate(64)(_.toByte)
+    val payload = Pgm.encode(Pgm.Image(8, 8, 255, px))
+    val out = Multimodal.aHash64Batched(
+        Seq((1L, "o", payload)).toDF("id", "tag", "payload"),
+        "id", "tag", "payload")
+      .select("width", "height", "ahash_lo", "ahash_hi")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((8L, 8L, 0L, 0xFFFFFFFFL)))
+  }
+
+  test("aHash collapses an image with its halfPayload thumbnail " +
+      "(integer-ratio pyramid), and separates a genuinely different image") {
+    val a = Array.tabulate(256)(i => (i % 251).toByte) // 16x16
+    val b = Array.tabulate(256)(i => (255 - i % 251).toByte)
+    val df = Seq((1L, Pgm.encode(Pgm.Image(16, 16, 255, a))),
+      (2L, Pgm.encode(Pgm.Image(16, 16, 255, b)))).toDF("id", "payload")
+    val thumbs = Multimodal.halfPayload(df, "id", "payload")
+    val all = df.withColumn("tag", lit("orig"))
+      .unionByName(thumbs.withColumn("tag", lit("thumb")))
+    val h = Multimodal.aHash64Batched(all, "id", "tag", "payload")
+      .select("id", "tag", "ahash_lo", "ahash_hi")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(h((1L, "orig")) == h((1L, "thumb")))
+    assert(h((2L, "orig")) == h((2L, "thumb")))
+    assert(h((1L, "orig")) != h((2L, "orig")))
+  }
+
   test("resizePgmBatched 16x8→4x4 keeps pixels at (4x, 2y)") {
     val df = Seq((7L, "resize me")).toDF("doc_id", "text")
     val enc = Multimodal.encodePgmFromText(df, "doc_id", "text")
