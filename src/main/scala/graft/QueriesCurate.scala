@@ -275,29 +275,12 @@ private[graft] object QueriesCurate {
   // stage is individually oracle-verified; this query verifies the
   // PLUMBING between them (joins, filters, the decimal-exact quality
   // mean). Per-source output rows: the release manifest.
-  private val d46: (String, QFn, Option[String]) = ("d46_release_set",
-    (s, d) => {
-      val base = docs(s, d)
-      val keepers = Dedup.exact(base, "doc_id",
-          TextOps.fingerprint(col("text")))
-        .select(col("keep_id").as("doc_id"))
-      val clean = Dedup.decontaminate(base, "doc_id", "text", n = 4,
-          isEval = col("doc_id") % 25 === 0)
-        .filter(col("contaminated") === 0)
-        .select(col("doc").as("doc_id"))
-      base.select(col("doc_id"), col("source"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-          TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
-        .join(keepers, Seq("doc_id"))
-        .join(clean, Seq("doc_id"))
-        .filter(col("quality_score") >= 0.5)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          round(sum(col("quality_score").cast("decimal(18,9)"))
-            .cast("double") / count(lit(1)), 6).as("mean_quality"))
-    },
-    Some(s"""WITH exg AS (SELECT min(doc_id) AS keep_id FROM documents
+  /** d46's release-gate CTEs (exact-dup keepers, decontamination hits,
+    * per-doc tokens + quality) as one factored SQL text — shared by
+    * d46's own manifest and c02's trainer-handoff funnel, so both
+    * replay literally the same survivor definition. */
+  private val releaseCtesSql: String =
+    s"""exg AS (SELECT min(doc_id) AS keep_id FROM documents
       |  GROUP BY md5(trim(regexp_replace(lower(text),
       |    '[^a-z0-9]+', ' ', 'g')))),
       |toks AS (SELECT doc_id, $tokSql AS w FROM documents),
@@ -309,7 +292,38 @@ private[graft] object QueriesCurate {
       |hit AS (SELECT doc_id, count(*) AS n_overlap
       |  FROM sh JOIN evs USING (s) WHERE doc_id % 25 <> 0 GROUP BY 1),
       |q AS (SELECT doc_id, source, len($tokSql)::BIGINT AS n_tokens,
-      |  $qScoreSql AS quality_score FROM documents)
+      |  $qScoreSql AS quality_score FROM documents)""".stripMargin
+
+  /** The Spark twin of [[releaseCtesSql]]: the per-doc release survivor
+    * set (doc_id, source, n_tokens, quality_score) — d46 aggregates it
+    * into the manifest, c02 packs it for the trainer handoff. */
+  private def releaseDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val keepers = Dedup.exact(base, "doc_id",
+        TextOps.fingerprint(col("text")))
+      .select(col("keep_id").as("doc_id"))
+    val clean = Dedup.decontaminate(base, "doc_id", "text", n = 4,
+        isEval = col("doc_id") % 25 === 0)
+      .filter(col("contaminated") === 0)
+      .select(col("doc").as("doc_id"))
+    base.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+      .join(keepers, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5)
+  }
+
+  private val d46: (String, QFn, Option[String]) = ("d46_release_set",
+    (s, d) => {
+      releaseDocs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("quality_score").cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"))
+    },
+    Some(s"""WITH $releaseCtesSql
       |SELECT source, count(*)::BIGINT AS n_docs,
       | sum(n_tokens)::BIGINT AS n_tokens,
       | round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE)
@@ -1777,6 +1791,70 @@ private[graft] object QueriesCurate {
       |    AS utilization
       |FROM e""".stripMargin))
 
+  // ------------------------- trainer-handoff funnel capstone (c02)
+  // c01 verifies the CURATION funnel's plumbing; c02 verifies the
+  // handoff from curation to the trainer: raw corpus → d46's release
+  // gates (exact-dup keepers ∩ decontaminated ∩ quality floor, the
+  // FACTORED releaseDocs/releaseCtesSql both rows replay) → d74/d75's
+  // 128-token packing of the SURVIVORS (the real pipeline order: pack
+  // what you ship, not what you crawled) — per source: docs and tokens
+  // at each stage, chunk count, padding waste, and the two shares a
+  // budget review reads (release_share = survived tokens, waste_share
+  // = padding overhead of the shipped chunks). Every count exact; the
+  // two shares are one double division each.
+  private val c02: (String, QFn, Option[String]) = ("c02_training_funnel",
+    (s, d) => {
+      val raw = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_raw"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("n_tokens_raw"))
+      val rel = releaseDocs(s, d)
+      val relAgg = rel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_release"),
+          sum(col("n_tokens")).as("n_tokens_release"))
+      val pk = Sampling.packingStatsRaw(rel, col("doc_id"), col("source"),
+          col("n_tokens"), capacity = 128, shards = 4)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chunks")).as("n_chunks"),
+          sum(col("waste_tokens")).as("waste_tokens"))
+      raw.join(relAgg, Seq("source")).join(pk, Seq("source"))
+        .select(col("source"), col("n_docs_raw"), col("n_tokens_raw"),
+          col("n_docs_release"), col("n_tokens_release"),
+          col("n_chunks"), col("waste_tokens"),
+          round(col("n_tokens_release").cast("double")
+            / col("n_tokens_raw").cast("double"), 6).as("release_share"),
+          round(col("waste_tokens").cast("double")
+            / (col("n_chunks") * 128).cast("double"), 6).as("waste_share"))
+    },
+    Some(s"""WITH $releaseCtesSql,
+      |rel AS (SELECT q.doc_id, q.source, q.n_tokens
+      |  FROM q JOIN exg ON q.doc_id = exg.keep_id
+      |  LEFT JOIN hit h ON q.doc_id = h.doc_id
+      |  WHERE q.doc_id % 25 <> 0 AND coalesce(h.n_overlap, 0) = 0
+      |    AND quality_score >= 0.5),
+      |raw AS (SELECT source, count(*)::BIGINT AS n_docs_raw,
+      |    sum(len($tokSql))::BIGINT AS n_tokens_raw
+      |  FROM documents GROUP BY 1),
+      |relagg AS (SELECT source, count(*)::BIGINT AS n_docs_release,
+      |    sum(n_tokens)::BIGINT AS n_tokens_release
+      |  FROM rel GROUP BY 1),
+      |pk AS (SELECT source,
+      |    ${md5HashSql("doc_id::VARCHAR || '#pack.s'")} % 4 AS shard,
+      |    sum(n_tokens)::BIGINT AS st
+      |  FROM rel WHERE n_tokens > 0 GROUP BY 1, 2),
+      |pka AS (SELECT source,
+      |    sum((st + 127) // 128)::BIGINT AS n_chunks,
+      |    sum(((st + 127) // 128) * 128 - st)::BIGINT AS waste_tokens
+      |  FROM pk GROUP BY 1)
+      |SELECT r.source, n_docs_raw, n_tokens_raw, n_docs_release,
+      |  n_tokens_release, n_chunks, waste_tokens,
+      |  round(n_tokens_release::DOUBLE / n_tokens_raw::DOUBLE, 6)
+      |    AS release_share,
+      |  round(waste_tokens::DOUBLE / (n_chunks * 128)::DOUBLE, 6)
+      |    AS waste_share
+      |FROM raw r JOIN relagg USING (source) JOIN pka USING (source)"""
+      .stripMargin))
+
   // ------------------------------ RAG context packing (d90)
   // The step between retrieval and the training example: a query batch
   // hits the d54 impact-pruned index (REBUILT and persisted here, then
@@ -1830,5 +1908,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, c01)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, c01, c02)
 }
