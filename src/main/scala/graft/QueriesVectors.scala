@@ -143,34 +143,88 @@ private[graft] object QueriesVectors {
   // oracle replays the banding with the same literal hyperplanes. The exact
   // all-pairs form survives as Similarity.cosineNearDupExact, cross-checked
   // against this plan by SimilarityNearDupSpec.
+  /** e03's banded-candidates + exact-cosine CTE chain (e, sigs, banded,
+    * cand, scored — threshold left to the consumer), factored so e24's
+    * semantic decontamination replays the SAME pair substrate e03's own
+    * row verifies. */
+  private val lshScoredCtesSql: String = {
+    val rows = LSH_PLANES / LSH_BANDS
+    val mask = (1L << rows) - 1
+    val sigExpr = (0 until LSH_PLANES).map { p =>
+      val plane = Similarity.planeVector(p, LSH_DIMS)
+        .map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
+      |banded AS (SELECT vec_id, v, band,
+      |   (sig >> (band * $rows)) & $mask AS bits
+      |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
+      |cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
+      |   y.vec_id AS b, y.v AS vb
+      |  FROM banded x JOIN banded y
+      |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+      |scored AS (SELECT a, b,
+      |   round(list_dot_product(va, vb)
+      |     / (sqrt(list_dot_product(va, va))
+      |        * sqrt(list_dot_product(vb, vb))), 6) AS sim FROM cand)"""
+      .stripMargin
+  }
+
   private val e03: (String, QFn, Option[String]) = ("e03_cosine_neardup",
     (s, d) => Similarity.lshNearDupPairs(
       emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
       0.5, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS),
-    Some {
-      val rows = LSH_PLANES / LSH_BANDS
-      val mask = (1L << rows) - 1
-      val sigExpr = (0 until LSH_PLANES).map { p =>
-        val plane = Similarity.planeVector(p, LSH_DIMS)
-          .map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
-        |banded AS (SELECT vec_id, v, band,
-        |   (sig >> (band * $rows)) & $mask AS bits
-        |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
-        |cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
-        |   y.vec_id AS b, y.v AS vb
-        |  FROM banded x JOIN banded y
-        |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
-        |scored AS (SELECT a, b,
-        |   round(list_dot_product(va, vb)
-        |     / (sqrt(list_dot_product(va, va))
-        |        * sqrt(list_dot_product(vb, vb))), 6) AS sim FROM cand)
-        |SELECT a, b, sim FROM scored WHERE sim >= 0.5""".stripMargin
-    })
+    Some(s"""WITH $lshScoredCtesSql
+      |SELECT a, b, sim FROM scored WHERE sim >= 0.5""".stripMargin))
+
+  // -------------------------- semantic decontamination (e24)
+  // The embedding-side twin of d14/d42: n-gram decontamination misses
+  // paraphrases; the semantic pass flags TRAIN vectors whose embedding
+  // sits near any EVAL vector (vec_id % 25 = 0, the d46 eval
+  // convention). Candidates come from e03's LSH banding (factored
+  // lshScoredCtesSql — never a train×eval nested loop), exact cosine
+  // verifies, and each flagged train vector reports its hit count and
+  // best-matching eval item (rounded-sim rank, eval-id tiebreak — the
+  // d24 deterministic-rank discipline). At 100 TB the banding bounds
+  // candidate volume exactly as e03's row measures; the per-vector
+  // rank window runs on candidate hits only.
+  private val e24: (String, QFn, Option[String]) = ("e24_sem_decontam",
+    (s, d) => {
+      val pairs = Similarity.lshNearDupPairs(
+        emb(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec")),
+        0.3, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
+      val te = pairs.filter(col("a") % 25 =!= 0 && col("b") % 25 === 0)
+          .select(col("a").as("vec_id"), col("b").as("eval_id"),
+            col("sim"))
+        .unionByName(
+          pairs.filter(col("b") % 25 =!= 0 && col("a") % 25 === 0)
+            .select(col("b").as("vec_id"), col("a").as("eval_id"),
+              col("sim")))
+      val byVec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+      te.withColumn("_rn", row_number().over(
+          byVec.orderBy(col("sim").desc, col("eval_id").asc)))
+        .withColumn("n_eval_hits", count(lit(1)).over(byVec))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("n_eval_hits"),
+          col("eval_id").as("best_eval"), col("sim").as("best_sim"))
+    },
+    Some(s"""WITH $lshScoredCtesSql,
+      |te AS (SELECT a AS vec_id, b AS eval_id, sim FROM scored
+      |    WHERE sim >= 0.3 AND a % 25 <> 0 AND b % 25 = 0
+      |  UNION ALL
+      |  SELECT b, a, sim FROM scored
+      |    WHERE sim >= 0.3 AND b % 25 <> 0 AND a % 25 = 0),
+      |rk AS (SELECT vec_id, eval_id, sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, eval_id) AS rn,
+      |    count(*) OVER (PARTITION BY vec_id)::BIGINT AS n_eval_hits
+      |  FROM te)
+      |SELECT vec_id, n_eval_hits, eval_id AS best_eval, sim AS best_sim
+      |FROM rk WHERE rn = 1""".stripMargin))
 
   // ------------------------------------------------- multimodal plumbing
   private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",
@@ -1137,5 +1191,5 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, m01, m02, m03, m04, m05, m06)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, m01, m02, m03, m04, m05, m06)
 }

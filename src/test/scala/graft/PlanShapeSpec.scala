@@ -561,6 +561,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(r == 0, s"unexpected range exchange in d84: r=$r")
   }
 
+  test("SFT assembly (d89): ONE conversation-key exchange, no range sort") {
+    val (h, r, _) = exchangeCounts(finalPlanOf("d89_sft_examples"))
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange (the convo window), no range: h=$h r=$r")
+  }
+
+  test("perceptual-hash dedup (m06): codec work is per-row; the only " +
+      "exchange is the hash-bucket count") {
+    val (h, r, _) = exchangeCounts(finalPlanOf("m06_phash_dedup"))
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange (the bucket window), no range: h=$h r=$r")
+  }
+
+  test("RAG pack (d90): broadcast query bag + winner set; no range sort") {
+    val plan = finalPlanOf("d90_rag_context")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"unexpected range exchange in the RAG pack: r=$r")
+    assert(plan.contains("BroadcastExchange"),
+      s"query bag / winner set must broadcast:\n$plan")
+  }
+
   test("nearestCentroid broadcasts centroids; vectors shuffle once for the argmin") {
     // e21's scale claim: the corpus side fans out x |labels| MAP-SIDE
     // (broadcast nested-loop against the labels-row centroid table) and
