@@ -201,10 +201,11 @@ private[graft] object QueriesPrep {
   // makes the emitted dataset d01-dedupable. ONE user-key exchange
   // (Prep.sftExamples scaladoc); ordering is the total (ts, event_id)
   // so the context strings are engine-independent.
-  private val d89: (String, QFn, Option[String]) = ("d89_sft_examples",
-    (s, d) => Prep.sftExamples(ev(s, d), col("user_id"), col("event_id"),
-      Seq(col("ts"), col("event_id")), col("event_type"), k = 3),
-    Some("""WITH o AS (SELECT user_id, event_id, event_type,
+  /** d89's oracle text, shared with s15's streaming twin — the batch
+    * window form both the window query and the stateful processor must
+    * equal. */
+  private[graft] val sftSql: String =
+    """WITH o AS (SELECT user_id, event_id, event_type,
       |    array_to_string(list(event_type) OVER w, ' ') AS context,
       |    count(*) OVER w AS n_ctx
       |  FROM events WINDOW w AS (PARTITION BY user_id
@@ -213,7 +214,12 @@ private[graft] object QueriesPrep {
       |SELECT user_id AS convo_id, event_id AS example_id, context,
       |  event_type AS target, n_ctx::BIGINT AS n_ctx,
       |  md5(context || ' => ' || event_type) AS example_fp
-      |FROM o WHERE n_ctx >= 1""".stripMargin))
+      |FROM o WHERE n_ctx >= 1""".stripMargin
+
+  private val d89: (String, QFn, Option[String]) = ("d89_sft_examples",
+    (s, d) => Prep.sftExamples(ev(s, d), col("user_id"), col("event_id"),
+      Seq(col("ts"), col("event_id")), col("event_type"), k = 3),
+    Some(sftSql))
 
   // --------------------------------- k-anonymity release audit (d66)
   // The privacy gate beside d16's PII redaction and d46's release set:

@@ -396,7 +396,34 @@ object QueriesStream {
       |    AS waste_tokens
       |FROM pk WHERE n_tokens > 0 GROUP BY source, shard""".stripMargin))
 
+  // ---------------------------------- online SFT example emission (s15)
+  // d89's streaming twin through the SAME stateful processor the stream
+  // runs (EventStream.sftStream scaladoc): batch TWS over full
+  // histories == the d89 window form, so this row proves the online
+  // example generator emits byte-identical training rows — train/serve
+  // equivalence for DATA, not just features (s13). Oracle = d89's SQL,
+  // shared verbatim. Same RocksDB-provider scoping as s13.
+  private val s15: (String, QFn, Option[String]) = ("s15_stream_sft",
+    (s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+        .as[EventStream.SftEvent]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try EventStream.sftStream(evs, k = 3).toDF()
+        .localCheckpoint(eager = true)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(QueriesPrep.sftSql))
+
   val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14)
+      s14, s15)
 }

@@ -335,6 +335,72 @@ object EventStream {
     }
   }
 
+  case class SftEvent(user_id: Long, us: Long, event_id: Long,
+                      event_type: String)
+  case class SftOut(convo_id: Long, example_id: Long, context: String,
+                    target: String, n_ctx: Long, example_fp: String)
+
+  /** ONLINE SFT example emission — the streaming twin of d89
+    * (`Prep.sftExamples`): as each turn of a conversation lands, emit
+    * the training example it completes (context = the last ≤ `k`
+    * previous turns held in typed ListState, target = the turn, n_ctx
+    * the loss-mask boundary, example_fp the content-addressed md5) and
+    * append the turn to the state. First turns emit nothing. The batch
+    * twin is the SAME processor over full histories (TWS batch runs all
+    * of a user's rows through one handleInputRows call), which equals
+    * the d89 window form exactly — so train-time (batch) and
+    * online-generation (stream) examples are identical by construction,
+    * the same train/serve contract s13 pins for features. State is at
+    * most `k` strings per user; same in-order-arrival caveat as s13. */
+  def sftStream(events: Dataset[SftEvent], k: Int): Dataset[SftOut] = {
+    import events.sparkSession.implicits._
+    org.apache.spark.sql.graftshim.StateShim
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new SftProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  class SftProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SftEvent, SftOut] {
+    @transient private var turns: org.apache.spark.sql.streaming
+      .ListState[String] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+    : Unit =
+      turns = getHandle.getListState[String]("turns",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+
+    override def handleInputRows(user: Long, rows: Iterator[SftEvent],
+                                 timerValues: org.apache.spark.sql.streaming
+                                   .TimerValues): Iterator[SftOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (turns.exists()) buf ++= turns.get()
+      val out = sorted.flatMap { e =>
+        val res = if (buf.nonEmpty) {
+          val ctx = buf.mkString(" ")
+          Some(SftOut(user, e.event_id, ctx, e.event_type,
+            buf.length.toLong, md5hex(ctx + " => " + e.event_type)))
+        } else None
+        buf += e.event_type
+        if (buf.length > k) buf.remove(0)
+        res
+      }
+      turns.put(buf.toArray)
+      out.iterator
+    }
+  }
+
   case class SessEvent(user_id: Long, us: Long, cents: Long,
                        ts: java.sql.Timestamp)
   case class SessState(start: Long, last: Long, n: Long, cents: Long)

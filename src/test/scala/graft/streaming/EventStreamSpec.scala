@@ -634,6 +634,53 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sftStream carries context across micro-batches and equals both " +
+      "the batch twin and the d89 window form") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+    val evs = Seq(
+      EventStream.SftEvent(1L, 10L, 100L, "a"),
+      EventStream.SftEvent(1L, 11L, 101L, "b"),
+      EventStream.SftEvent(2L, 10L, 200L, "x"),
+      // second batch: user 1's context ("a b") must survive in state
+      EventStream.SftEvent(1L, 12L, 102L, "c"),
+      EventStream.SftEvent(1L, 13L, 103L, "d"),
+      EventStream.SftEvent(1L, 14L, 104L, "e"),
+      EventStream.SftEvent(2L, 11L, 201L, "y"))
+    val in = MemoryStream[EventStream.SftEvent]
+    val q = EventStream.sftStream(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("sftout")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(3): _*); q.processAllAvailable()
+      in.addData(evs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("convo_id", "example_id", "context", "target", "n_ctx",
+          "example_fp")
+        .as[(Long, Long, String, String, Long, String)].collect().toSet
+    val streamed = rows(spark.table("sftout"))
+    // the k=3 window slid: example for 'e' sees "b c d", not "a b c d"
+    assert(streamed.exists(r => r._4 == "e" && r._3 == "b c d"))
+    assert(streamed.exists(r => r._4 == "c" && r._3 == "a b")) // x-batch
+    val batchTwin = rows(EventStream.sftStream(evs.toDS(), k = 3).toDF())
+    assert(streamed == batchTwin)
+    val viaWindow = rows(graft.ops.Prep.sftExamples(
+      evs.toDF("user_id", "us", "event_id", "event_type"),
+      col("user_id"), col("event_id"),
+      Seq(col("us"), col("event_id")), col("event_type"), k = 3)
+      .withColumnRenamed("convo_id", "convo_id"))
+    assert(streamed == viaWindow)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("packingStatsRaw streams: complete-mode stats equal the batch run " +
       "and the packed-placement stats") {
     // the s14 contract: chunks/waste depend only on each (source, shard)
