@@ -1855,6 +1855,51 @@ private[graft] object QueriesCurate {
       |FROM raw r JOIN relagg USING (source) JOIN pka USING (source)"""
       .stripMargin))
 
+  // ------------------------ span-corruption objective prep (d91)
+  // The denoising-objective sibling of d74's GPT packing: T5-style span
+  // corruption (Raffel et al. 2020) with block-aligned content-addressed
+  // masking — block b masked iff md5(doc#b#span) % 7 = 0 (≈14%, the
+  // paper's 15% ballpark), sentinels block-addressed so the whole op is
+  // a pure order-free projection (TextOps.spanCorruptionCols scaladoc).
+  // Published as full-stream digests (input_fp/target_fp — the d55
+  // policy: the hash locks the entire corruption, not a summary).
+  private val d91: (String, QFn, Option[String]) = ("d91_span_corruption",
+    (s, d) => docs(s, d).select(col("doc_id") +:
+      TextOps.spanCorruptionCols(col("doc_id"),
+        TextOps.tokens(col("text")), block = 3, modulus = 7,
+        salt = "span"): _*),
+    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |b AS (SELECT doc_id, w, len(w)::BIGINT AS n,
+      |    CASE WHEN len(w) > 0 THEN range((len(w) + 2) // 3)
+      |      ELSE range(0) END AS bs
+      |  FROM t),
+      |m AS (SELECT doc_id, w, n, bs,
+      |    list_filter(bs, x -> ('0x' || substr(md5(doc_id::VARCHAR
+      |      || '#' || x::VARCHAR || '#span'), 1, 15))::BIGINT % 7 = 0)
+      |      AS mb
+      |  FROM b),
+      |r AS (SELECT doc_id, n,
+      |    coalesce(array_to_string(flatten(list_transform(bs, x ->
+      |      CASE WHEN list_contains(mb, x)
+      |        THEN ['<extra_id_' || x::VARCHAR || '>']
+      |        ELSE list_slice(w, x * 3 + 1, x * 3 + 3) END)), ' '), '')
+      |      AS input_str,
+      |    coalesce(array_to_string(list_transform(mb, x ->
+      |      '<extra_id_' || x::VARCHAR || '> '
+      |        || coalesce(array_to_string(
+      |          list_slice(w, x * 3 + 1, x * 3 + 3), ' '), '')), ' '),
+      |      '') AS target_str,
+      |    len(mb)::BIGINT AS n_spans,
+      |    len(flatten(list_transform(mb,
+      |      x -> list_slice(w, x * 3 + 1, x * 3 + 3))))::BIGINT
+      |      AS n_masked
+      |  FROM m)
+      |SELECT doc_id, n AS n_tokens, n_spans, n_masked,
+      |  CASE WHEN n > 0 THEN round(n_masked::DOUBLE / n::DOUBLE, 6)
+      |    ELSE 0.0 END AS corruption_rate,
+      |  md5(input_str) AS input_fp, md5(target_str) AS target_fp
+      |FROM r""".stripMargin))
+
   // ------------------------------ RAG context packing (d90)
   // The step between retrieval and the training example: a query batch
   // hits the d54 impact-pruned index (REBUILT and persisted here, then
@@ -1908,5 +1953,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, c01, c02)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, c01, c02)
 }

@@ -368,6 +368,57 @@ object TextOps {
             + 1.0), 6).as("tfidf"))
   }
 
+  /** T5-style span-corruption prep (Raffel et al. 2020 §3.1.4): the
+    * denoising-objective sibling of the d74 GPT packing — mask spans of
+    * the input, emit (corrupted input, span targets). Spans are
+    * BLOCK-ALIGNED and CONTENT-ADDRESSED: tokens group into fixed
+    * `block`-length blocks, block b of a doc is masked iff
+    * md5(doc#b#salt) % modulus == 0 — no greedy left-to-right scan, so
+    * the selection is order-free, overlap-free by construction, and an
+    * external engine replays it from the hash spec alone. Sentinels are
+    * block-addressed (`<extra_id_b>`) rather than densely renumbered —
+    * dense ids need a per-doc prefix count; block addressing keeps the
+    * whole op a pure projection, and a T5-exact renumbering is a
+    * downstream per-doc transform over ≤ blocks elements.
+    *
+    * Returns columns: n_tokens, n_spans, n_masked, corruption_rate
+    * (6-dp), input_fp / target_fp — md5 digests of the full rendered
+    * input/target streams, so the driver hash locks the entire
+    * corruption, not a summary (the d55 policy). Zero-token docs emit
+    * 0/0/empty-string digests. Per-row projection: embarrassingly
+    * parallel, no shuffle at any corpus size. */
+  def spanCorruptionCols(docId: Column, toks: Column, block: Int,
+                         modulus: Int, salt: String): Seq[Column] = {
+    require(block >= 1 && modulus >= 2, "spanCorruption: bad params")
+    val n = size(toks)
+    val nb = ((n + block - 1) / block).cast("int")
+    val blockIdx = when(n > 0, sequence(lit(0), nb - 1))
+      .otherwise(array().cast("array<int>"))
+    def maskedB(b: Column): Column =
+      Dedup.md5Hash(concat(docId.cast("string"), lit("#"),
+        b.cast("string")), lit(salt)) % modulus === 0
+    def blockToks(b: Column): Column =
+      slice(toks, b * block + 1, lit(block))
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val inputStr = array_join(flatten(transform(blockIdx,
+      b => when(maskedB(b), array(sentinel(b))).otherwise(blockToks(b)))),
+      " ")
+    val maskedBlocks = filter(blockIdx, b => maskedB(b))
+    val targetStr = array_join(transform(maskedBlocks,
+      b => concat(sentinel(b), lit(" "), array_join(blockToks(b), " "))),
+      " ")
+    val nMasked = size(flatten(transform(maskedBlocks, b => blockToks(b))))
+      .cast("long")
+    Seq(n.cast("long").as("n_tokens"),
+      size(maskedBlocks).cast("long").as("n_spans"),
+      nMasked.as("n_masked"),
+      when(n > 0, round(nMasked.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("corruption_rate"),
+      md5(inputStr.cast("binary")).as("input_fp"),
+      md5(targetStr.cast("binary")).as("target_fp"))
+  }
+
   /** Token count via whitespace split and via the token regex — the two
     * "token counting" conventions (SURVEY-plus scope), both exact ints. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {

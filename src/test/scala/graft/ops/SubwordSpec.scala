@@ -159,4 +159,40 @@ class SubwordSpec extends SparkSpec {
       Subword.encode(lit("x"), Seq("a" -> "a"))
     }
   }
+
+  test("spanCorruptionCols: digests match a reconstruction from the same " +
+      "hash decisions; zero-token docs digest empty streams") {
+    import spark.implicits._
+    val text = "a b c d e f g h i j" // 10 tokens → blocks [abc][def][ghi][j]
+    val df = Seq((7L, text), (8L, "!!!")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextOps.spanCorruptionCols(
+        col("doc_id"), TextOps.tokens(col("text")), block = 3,
+        modulus = 7, salt = "span"): _*)
+      .as[(Long, Long, Long, Long, Double, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // recover the content-addressed mask decisions with the SAME hash
+    val masked = (0 until 4).map { b =>
+      val h = Seq.empty[Int].toDF("x").sparkSession.range(1)
+        .select(Dedup.md5Hash(lit(s"7#$b"), lit("span")) % 7 === 0)
+        .as[Boolean].head()
+      b -> h
+    }.toMap
+    val toks = text.split(" ")
+    val blocks = toks.grouped(3).toArray
+    val input = blocks.indices.flatMap { b =>
+      if (masked(b)) Seq(s"<extra_id_$b>") else blocks(b).toSeq
+    }.mkString(" ")
+    val target = blocks.indices.filter(masked).map { b =>
+      s"<extra_id_$b> " + blocks(b).mkString(" ")
+    }.mkString(" ")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nSpans = blocks.indices.count(masked)
+    val nMasked = blocks.indices.filter(masked).map(blocks(_).length).sum
+    assert(out(7L) == ((7L, 10L, nSpans.toLong, nMasked.toLong,
+      math.round(nMasked / 10.0 * 1e6) / 1e6, md5hex(input),
+      md5hex(target))))
+    // zero tokens: no spans, both digests are of the empty stream
+    assert(out(8L) == ((8L, 0L, 0L, 0L, 0.0, md5hex(""), md5hex(""))))
+  }
 }
