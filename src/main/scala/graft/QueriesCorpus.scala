@@ -227,8 +227,10 @@ private[graft] object QueriesCorpus {
   // d26's unigram surprisal with first-order context. Count tables are
   // vocabulary-sized (shuffled joins on bigram/word keys); the corpus total
   // rides as a 1-row broadcast; never collected.
-  private val d32: (String, QFn, Option[String]) = ("d32_bigram_lm",
-    (s, d) => {
+  /** d32's per-doc (doc_id, n_bigrams, mean_nll) as a factored function —
+    * d92's CCNet-style bucketing consumes the SAME LM score its own
+    * d32 row verifies (the d29/d86 move). */
+  private[graft] def bigramNllDf(s: SparkSession, d: String): DataFrame = {
       val t = docs(s, d).select(col("doc_id"),
         TextOps.tokens(col("text")).as("w"))
       // occurrences feed the bigram count table AND the probe join —
@@ -257,8 +259,11 @@ private[graft] object QueriesCorpus {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
-    },
-    Some(s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
+  }
+
+  /** The DuckDB twin of [[bigramNllDf]], shared by d32 and d92. */
+  private[graft] val bigramNllSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS w FROM documents),
       |occ AS (SELECT doc_id,
       |  unnest(list_transform(range(1, greatest(len(w), 1)),
       |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bg
@@ -279,7 +284,70 @@ private[graft] object QueriesCorpus {
       |  round(avg(nll), 6) AS mean_nll FROM p GROUP BY 1)
       |SELECT d.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
       | COALESCE(mean_nll, 0.0) AS mean_nll
-      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin))
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
+  private val d32: (String, QFn, Option[String]) = ("d32_bigram_lm",
+    (s, d) => bigramNllDf(s, d), Some(bigramNllSql))
+
+  // --------------------------- CCNet perplexity bucketing (d92)
+  // The step CCNet (Wenzek et al. 2020) runs on top of the LM score:
+  // split each source's documents into head/middle/tail TERCILES of
+  // model surprisal — head feeds the clean corpus, tail gets dropped,
+  // middle is the judgement call. Consumes d32's FACTORED per-doc
+  // mean_nll; terciles come from a per-source HISTOGRAM on a 0.01-bit
+  // grid (the d87 move — far finer than the head/tail decision needs),
+  // so the cut is integer-exact cumulative counting, never an
+  // interpolated percentile and never a per-source global sort: one
+  // corpus aggregation to (source × grid) rows, two windows over THAT,
+  // and the sources×2 threshold table broadcasts back. Ties at a cut
+  // land on the lower bucket together — deterministic by construction.
+  private val d92: (String, QFn, Option[String]) = ("d92_ppl_buckets",
+    (s, d) => {
+      val src = bigramNllDf(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val g = floor(col("mean_nll") * 100).cast("long")
+      val hg = src.groupBy(col("source"), g.as("g"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("g"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val th = hg.withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("g")))
+            .as("head_cut_cb"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("g")))
+            .as("middle_cut_cb"))
+      src.join(broadcast(th), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("mean_nll"), col("head_cut_cb"), col("middle_cut_cb"),
+          when(g <= col("head_cut_cb"), "head")
+            .when(g <= col("middle_cut_cb"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    },
+    Some(s"""WITH nl AS ($bigramNllSql),
+      |src AS (SELECT n.doc_id, d.source, n.n_bigrams, n.mean_nll
+      |  FROM nl n JOIN documents d USING (doc_id)),
+      |hg AS (SELECT source, floor(mean_nll * 100)::BIGINT AS g,
+      |    count(*)::BIGINT AS c
+      |  FROM src GROUP BY 1, 2),
+      |cm AS (SELECT source, g,
+      |    sum(c) OVER (PARTITION BY source ORDER BY g)::BIGINT AS cum,
+      |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+      |  FROM hg),
+      |th AS (SELECT source,
+      |    min(CASE WHEN cum * 3 >= n THEN g END)::BIGINT AS head_cut_cb,
+      |    min(CASE WHEN cum * 3 >= n * 2 THEN g END)::BIGINT
+      |      AS middle_cut_cb
+      |  FROM cm GROUP BY 1)
+      |SELECT s.doc_id, s.source, s.n_bigrams, s.mean_nll,
+      |  th.head_cut_cb, th.middle_cut_cb,
+      |  CASE WHEN floor(s.mean_nll * 100) <= th.head_cut_cb THEN 'head'
+      |    WHEN floor(s.mean_nll * 100) <= th.middle_cut_cb THEN 'middle'
+      |    ELSE 'tail' END AS ppl_bucket
+      |FROM src s JOIN th USING (source)""".stripMargin))
 
   // --------------------------------------------- curriculum ordering
   // Global training order: rank every doc by quality (desc, doc_id ties)
@@ -607,5 +675,5 @@ private[graft] object QueriesCorpus {
       |FROM i JOIN sz za ON za.source = sa
       | JOIN sz zb ON zb.source = sb""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92)
 }
