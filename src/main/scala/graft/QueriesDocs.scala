@@ -367,6 +367,60 @@ private[graft] object QueriesDocs {
         |FROM t""".stripMargin
     })
 
+  // --------------------------- consistent pseudonymization (d93)
+  // d16 REDACTS (every email becomes the same `<EMAIL>`); d93
+  // PSEUDONYMIZES — each entity maps to a content-addressed placeholder
+  // (`<user_K>` / `<id_K>`, K = md5(entity)%997), so the same entity
+  // carries the same token in every document and cross-document
+  // structure ("these two docs mention the same account") survives the
+  // privacy pass. Span-exact two-pass rewrite (emails, then digit runs
+  // on the email-pseudonymized text — d16's ordering), no string fold,
+  // no residue (TextOps.pseudonymize scaladoc). Text travels as a
+  // digest (the d16 policy); n_entities counts the doc's DISTINCT
+  // placeholders — the per-doc entity diversity an anonymization
+  // review reads next to k-anonymity (d66).
+  private val d93: (String, QFn, Option[String]) = ("d93_pseudonymize",
+    (s, d) => {
+      val em = TextOps.pseudonymize(col("text"), TextOps.emailPattern,
+        "user", 997, "piiem")
+      val out = TextOps.pseudonymize(em, TextOps.digitRunPattern,
+        "id", 997, "piiid")
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextOps.emailPattern),
+          lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(em, lit(TextOps.digitRunPattern),
+          lit(0))).cast("long").as("n_digit_runs"),
+        size(array_distinct(regexp_extract_all(out,
+          lit("<(user|id)_[0-9]+>"), lit(0)))).cast("long")
+          .as("n_entities"),
+        md5(out.cast("binary")).as("pseudo_digest"))
+    },
+    Some {
+      val em = TextOps.emailPattern
+      val dr = TextOps.digitRunPattern
+      def pse(src: String, pat: String, tag: String, salt: String) =
+        s"""array_to_string(list_transform(
+           |  string_split(regexp_replace(replace($src, chr(1), ''),
+           |    '$pat', chr(1) || '\\0' || chr(1), 'g'), chr(1)),
+           |  p -> CASE WHEN regexp_full_match(p, '$pat')
+           |    THEN '<${tag}_' ||
+           |      (${md5HashSql(s"p || '#$salt'")} % 997)::VARCHAR || '>'
+           |    ELSE p END), '')""".stripMargin
+      s"""WITH a AS (SELECT doc_id, text,
+        |    ${pse("text", em, "user", "piiem")} AS em_txt
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, em_txt,
+        |    ${pse("em_txt", dr, "id", "piiid")} AS out_txt
+        |  FROM a)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(em_txt, '$dr'))::BIGINT AS n_digit_runs,
+        |  len(list_distinct(regexp_extract_all(out_txt,
+        |    '<(user|id)_[0-9]+>')))::BIGINT AS n_entities,
+        |  md5(out_txt) AS pseudo_digest
+        |FROM b""".stripMargin
+    })
+
   // ------------------------------------------------ token chunking
   // Overlapping context windows (size 64, stride 48) — the sequence-prep
   // step between curation and tokenized training shards. Rows ≈ n/stride
@@ -577,5 +631,5 @@ private[graft] object QueriesDocs {
         |FROM u GROUP BY doc_id""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d93)
 }

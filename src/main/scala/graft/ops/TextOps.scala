@@ -368,6 +368,31 @@ object TextOps {
             + 1.0), 6).as("tfidf"))
   }
 
+  /** Consistent pseudonymization of one PII pattern: every match is
+    * replaced by a CONTENT-ADDRESSED placeholder `<tag_K>`,
+    * K = md5(match#salt) % mod — so the same entity maps to the same
+    * placeholder in every document (referential integrity survives:
+    * "same user appears in doc A and doc B" is still a join), which
+    * plain redaction (d16's `<EMAIL>`) destroys. Span-exact by
+    * construction: matches are delimited in ONE regexp pass
+    * with a \\u0001 sentinel (any pre-existing sentinel stripped first),
+    * the text splits on the delimiter, and exactly the full-match
+    * segments rewrite — no string-fold, so an entity re-occurring
+    * inside a longer entity can never leave a partial residue. Pure
+    * projection: codegen'd regex + HOFs, no shuffle at any scale. */
+  def pseudonymize(text: Column, pattern: String, tag: String, mod: Int,
+                   salt: String): Column = {
+    require(mod >= 2, "pseudonymize: mod must be >= 2")
+    val sep = "\u0001"
+    val marked = regexp_replace(
+      regexp_replace(text, sep, ""), pattern, sep + "$0" + sep)
+    array_join(transform(split(marked, sep), p =>
+      when(p.rlike("^(" + pattern + ")$"),
+        concat(lit("<" + tag + "_"),
+          (Dedup.md5Hash(p, lit(salt)) % mod).cast("string"), lit(">")))
+        .otherwise(p)), "")
+  }
+
   /** T5-style span-corruption prep (Raffel et al. 2020 §3.1.4): the
     * denoising-objective sibling of the d74 GPT packing — mask spans of
     * the input, emit (corrupted input, span targets). Spans are

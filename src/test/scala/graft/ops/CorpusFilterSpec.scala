@@ -77,6 +77,32 @@ class CorpusFilterSpec extends SparkSpec {
     assert(out(1).getAs[Long]("pii_free") == 1)
   }
 
+  test("pseudonymize: same entity → same placeholder across docs; " +
+      "distinct entities differ; non-matches untouched") {
+    val df = Seq(
+      (1L, "pay bob@example.com ref 12345678 ok"),
+      (2L, "also bob@example.com and eve@x.org"),
+      (3L, "ref 12345678 again plus 99887766")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.pseudonymize(
+          TextOps.pseudonymize(col("text"), TextOps.emailPattern,
+            "user", 997, "piiem"),
+          TextOps.digitRunPattern, "id", 997, "piiid").as("p"))
+      .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+    def tok(s: String, pre: String) =
+      ("<" + pre + "_[0-9]+>").r.findAllIn(s).toList
+    val bob1 = tok(out(1L), "user").head
+    val List(bob2, eve2) = tok(out(2L), "user")
+    assert(bob1 == bob2)     // referential integrity across documents
+    assert(bob2 != eve2)     // distinct entities get distinct tokens
+    val ref1 = tok(out(1L), "id").head
+    val List(ref3, other3) = tok(out(3L), "id")
+    assert(ref1 == ref3 && ref3 != other3)
+    // surrounding prose is byte-identical
+    assert(out(1L) == s"pay $bob1 ref $ref1 ok")
+    assert(out(2L) == s"also $bob2 and $eve2")
+  }
+
   test("chunkCols covers every token with overlapping windows") {
     val text = (1 to 150).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
