@@ -421,6 +421,80 @@ private[graft] object QueriesDocs {
         |FROM b""".stripMargin
     })
 
+  // ------------------------------- token-F1 eval kernel (d94)
+  // The SQuAD-style eval metric (Rajpurkar et al. 2016) as a corpus
+  // operator — the kernel an at-scale eval harness runs over millions
+  // of (prediction, gold) pairs: per pair, multiset token overlap
+  // Σ_t min(c_pred, c_gold), then single-division precision/recall/F1
+  // and the exact-match flag. Pairs here are deterministic: gold = the
+  // doc's text, pred = d71's release-B perturbation (ids ≡0 mod 11
+  // rewritten, so the metric sees true 1.0s AND true <1.0s). Scale
+  // shape: two explodes to (doc, token, count) with map-side combine,
+  // ONE equi-join on (doc, token) — never a per-doc quadratic scan;
+  // counts exact BIGINT, three divisions at publish.
+  private val d94: (String, QFn, Option[String]) = ("d94_token_f1",
+    (s, d) => {
+      val base = docs(s, d)
+      val gold = base.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("_w"))
+      val pred = base.select(col("doc_id"),
+        TextOps.tokens(when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("_w"))
+      def cnt(df: DataFrame, side: String) =
+        df.select(col("doc_id"), explode(col("_w")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as(s"c_$side"))
+      val ov = cnt(pred, "p").join(cnt(gold, "g"), Seq("doc_id", "tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(least(col("c_p"), col("c_g"))).as("n_overlap"))
+      val sizes = gold.select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_gold"))
+        .join(pred.select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_pred")), Seq("doc_id"))
+      sizes.join(ov, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .select(col("doc_id"), col("n_pred"), col("n_gold"),
+          col("n_overlap"),
+          when(col("n_pred") > 0, round(col("n_overlap").cast("double")
+            / col("n_pred").cast("double"), 6)).as("prec"),
+          when(col("n_gold") > 0, round(col("n_overlap").cast("double")
+            / col("n_gold").cast("double"), 6)).as("rec"),
+          when(col("n_pred") + col("n_gold") > 0,
+            round(lit(2.0) * col("n_overlap").cast("double")
+              / (col("n_pred") + col("n_gold")).cast("double"), 6))
+            .as("f1"),
+          (col("n_overlap") === col("n_pred") &&
+            col("n_overlap") === col("n_gold")).cast("long")
+            .as("exact_match"))
+    },
+    Some(s"""WITH g AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |p AS (SELECT doc_id, regexp_extract_all(lower(
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+      |      ELSE text END), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |gc AS (SELECT doc_id, tok, count(*)::BIGINT AS c_g
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM g) GROUP BY 1, 2),
+      |pc AS (SELECT doc_id, tok, count(*)::BIGINT AS c_p
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM p) GROUP BY 1, 2),
+      |ov AS (SELECT doc_id, sum(least(c_p, c_g))::BIGINT AS n_overlap
+      |  FROM pc JOIN gc USING (doc_id, tok) GROUP BY 1),
+      |sz AS (SELECT g.doc_id, len(p.w)::BIGINT AS n_pred,
+      |    len(g.w)::BIGINT AS n_gold
+      |  FROM g JOIN p USING (doc_id))
+      |SELECT s.doc_id, s.n_pred, s.n_gold,
+      |  coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+      |  CASE WHEN s.n_pred > 0 THEN round(coalesce(o.n_overlap, 0)::DOUBLE
+      |    / s.n_pred::DOUBLE, 6) END AS prec,
+      |  CASE WHEN s.n_gold > 0 THEN round(coalesce(o.n_overlap, 0)::DOUBLE
+      |    / s.n_gold::DOUBLE, 6) END AS rec,
+      |  CASE WHEN s.n_pred + s.n_gold > 0
+      |    THEN round(2.0 * coalesce(o.n_overlap, 0)::DOUBLE
+      |      / (s.n_pred + s.n_gold)::DOUBLE, 6) END AS f1,
+      |  (coalesce(o.n_overlap, 0) = s.n_pred
+      |    AND coalesce(o.n_overlap, 0) = s.n_gold)::BIGINT AS exact_match
+      |FROM sz s LEFT JOIN ov o USING (doc_id)""".stripMargin))
+
   // ------------------------------------------------ token chunking
   // Overlapping context windows (size 64, stride 48) — the sequence-prep
   // step between curation and tokenized training shards. Rows ≈ n/stride
@@ -631,5 +705,5 @@ private[graft] object QueriesDocs {
         |FROM u GROUP BY doc_id""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d93)
+  val defs: Seq[(String, QFn, Option[String])] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d93, d94)
 }
