@@ -303,9 +303,13 @@ private[graft] object QueriesCorpus {
   // land on the lower bucket together — deterministic by construction.
   private val d92: (String, QFn, Option[String]) = ("d92_ppl_buckets",
     (s, d) => {
+      // src feeds the tercile histogram AND the final projection —
+      // materialize once (the jaccardPairs policy) so the bigram-LM
+      // count joins behind bigramNllDf run a single time
       val src = bigramNllDf(s, d)
         .join(docs(s, d).select(col("doc_id"), col("source")),
           Seq("doc_id"))
+        .localCheckpoint(true)
       val g = floor(col("mean_nll") * 100).cast("long")
       val hg = src.groupBy(col("source"), g.as("g"))
         .agg(count(lit(1)).as("c"))

@@ -1641,12 +1641,16 @@ private[graft] object QueriesCurate {
           size(array_distinct(toks)).cast("long").as("_nd"),
           size(toks).cast("long").as("_nt"))
         .filter(col("_nt") > 0)
+      // `div`, not `/`: Divide is double-typed, and truncating a
+      // round-to-nearest double can disagree with the oracle's integer
+      // floor `//` once _nt is large enough that the quotient sits
+      // within an ulp of an integer — `div` keeps the quotient exact
       Preference.groupAdvantage(base,
         col("doc_id"),
         concat(col("source"), lit("#"),
           (Dedup.md5Hash(col("doc_id").cast("string"), lit("grpo")) % 16)
             .cast("string")),
-        (col("_nd") * 1000000L) / col("_nt"))
+        expr("_nd * 1000000L div _nt"))
         .withColumnRenamed("key", "doc_id")
     },
     Some(s"""WITH q AS (SELECT doc_id, source,
@@ -1808,7 +1812,10 @@ private[graft] object QueriesCurate {
         .agg(count(lit(1)).as("n_docs_raw"),
           sum(size(TextOps.tokens(col("text"))).cast("long"))
             .as("n_tokens_raw"))
-      val rel = releaseDocs(s, d)
+      // the survivor set feeds the release aggregate AND the packing
+      // stats — materialize once (the jaccardPairs policy) so the
+      // dedup/decontaminate/quality gate pipeline runs a single time
+      val rel = releaseDocs(s, d).localCheckpoint(true)
       val relAgg = rel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_release"),
           sum(col("n_tokens")).as("n_tokens_release"))

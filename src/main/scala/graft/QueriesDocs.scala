@@ -449,9 +449,11 @@ private[graft] object QueriesDocs {
         .groupBy(col("doc_id"))
         .agg(sum(least(col("c_p"), col("c_g"))).as("n_overlap"))
       val sizes = gold.select(col("doc_id"),
-          size(col("_w")).cast("long").as("n_gold"))
+          size(col("_w")).cast("long").as("n_gold"),
+          array_join(col("_w"), " ").as("_gs"))
         .join(pred.select(col("doc_id"),
-          size(col("_w")).cast("long").as("n_pred")), Seq("doc_id"))
+          size(col("_w")).cast("long").as("n_pred"),
+          array_join(col("_w"), " ").as("_ps")), Seq("doc_id"))
       sizes.join(ov, Seq("doc_id"), "left")
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .select(col("doc_id"), col("n_pred"), col("n_gold"),
@@ -464,9 +466,10 @@ private[graft] object QueriesDocs {
             round(lit(2.0) * col("n_overlap").cast("double")
               / (col("n_pred") + col("n_gold")).cast("double"), 6))
             .as("f1"),
-          (col("n_overlap") === col("n_pred") &&
-            col("n_overlap") === col("n_gold")).cast("long")
-            .as("exact_match"))
+          // SQuAD EM is normalized STRING equality (normalizer here =
+          // the tokenizer), not multiset equality — a token-permuted
+          // prediction must score EM 0 even at F1 1.0
+          (col("_ps") === col("_gs")).cast("long").as("exact_match"))
     },
     Some(s"""WITH g AS (SELECT doc_id, $tokSql AS w FROM documents),
       |p AS (SELECT doc_id, regexp_extract_all(lower(
@@ -480,7 +483,9 @@ private[graft] object QueriesDocs {
       |ov AS (SELECT doc_id, sum(least(c_p, c_g))::BIGINT AS n_overlap
       |  FROM pc JOIN gc USING (doc_id, tok) GROUP BY 1),
       |sz AS (SELECT g.doc_id, len(p.w)::BIGINT AS n_pred,
-      |    len(g.w)::BIGINT AS n_gold
+      |    len(g.w)::BIGINT AS n_gold,
+      |    (coalesce(array_to_string(p.w, ' '), '')
+      |      = coalesce(array_to_string(g.w, ' '), ''))::BIGINT AS em
       |  FROM g JOIN p USING (doc_id))
       |SELECT s.doc_id, s.n_pred, s.n_gold,
       |  coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
@@ -491,8 +496,7 @@ private[graft] object QueriesDocs {
       |  CASE WHEN s.n_pred + s.n_gold > 0
       |    THEN round(2.0 * coalesce(o.n_overlap, 0)::DOUBLE
       |      / (s.n_pred + s.n_gold)::DOUBLE, 6) END AS f1,
-      |  (coalesce(o.n_overlap, 0) = s.n_pred
-      |    AND coalesce(o.n_overlap, 0) = s.n_gold)::BIGINT AS exact_match
+      |  s.em AS exact_match
       |FROM sz s LEFT JOIN ov o USING (doc_id)""".stripMargin))
 
   // ------------------------------------------------ token chunking

@@ -192,10 +192,14 @@ private[graft] object QueriesVectors {
   // rank window runs on candidate hits only.
   private val e24: (String, QFn, Option[String]) = ("e24_sem_decontam",
     (s, d) => {
+      // both direction filters consume the pair table — materialize once
+      // (the jaccardPairs multi-consumer policy) or the banded self-join
+      // and cosine verify run once per branch
       val pairs = Similarity.lshNearDupPairs(
         emb(s, d).select(col("vec_id").as("id"),
           col("embedding").as("vec")),
         0.3, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
+        .localCheckpoint(true)
       val te = pairs.filter(col("a") % 25 =!= 0 && col("b") % 25 === 0)
           .select(col("a").as("vec_id"), col("b").as("eval_id"),
             col("sim"))
@@ -382,8 +386,11 @@ private[graft] object QueriesVectors {
           Dedup.md5Hash(col("doc_id").cast("string"), lit("m06.w")) % 2))
           .as("w"),
         lit(16L).as("h"))
+      // orig feeds the thumbnail path AND the union — materialize once
+      // so each doc's md5-grid raster is synthesized and encoded a
+      // single time (the jaccardPairs policy; codec work dominates)
       val orig = Multimodal.encodePgmSized(dims, "doc_id", "text",
-        col("w"), col("h"))
+        col("w"), col("h")).localCheckpoint(true)
       val thumb = Multimodal.halfPayload(orig, "doc_id", "payload")
       val both = orig.withColumn("variant", lit("orig"))
         .unionByName(thumb.withColumn("variant", lit("thumb")))

@@ -154,13 +154,16 @@ object Prep {
   : DataFrame = {
     val c = votes.groupBy(col(item).as("_i"), col(vote).as("_v"))
       .agg(count(lit(1)).as("_nij"))
+    // halve with a bit shift, not `/ 2`: Divide is double-typed, and a
+    // 53-bit mantissa would silently truncate pair counts past 2^53 —
+    // the sums are even and non-negative, so >> 1 is the exact form
     val it = c.groupBy(col("_i"))
       .agg(sum(col("_nij")).as("_ni"),
-        (sum(col("_nij") * (col("_nij") - 1)) / 2).cast("long").as("_agree"))
+        shiftright(sum(col("_nij") * (col("_nij") - 1)), 1).as("_agree"))
       .filter(col("_ni") >= 2)
     val g = it.groupBy(col("_ni").as("n_raters"))
       .agg(count(lit(1)).as("n_items"), sum(col("_agree")).as("agree_pairs"),
-        (sum(col("_ni") * (col("_ni") - 1)) / 2).cast("long")
+        shiftright(sum(col("_ni") * (col("_ni") - 1)), 1)
           .as("total_pairs"))
     val m = c.join(it.select(col("_i"), col("_ni")), Seq("_i"))
       .groupBy(col("_ni").as("n_raters"), col("_v"))
