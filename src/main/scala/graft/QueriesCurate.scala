@@ -1813,9 +1813,10 @@ private[graft] object QueriesCurate {
           sum(size(TextOps.tokens(col("text"))).cast("long"))
             .as("n_tokens_raw"))
       // the survivor set feeds the release aggregate AND the packing
-      // stats — materialize once (the jaccardPairs policy) so the
-      // dedup/decontaminate/quality gate pipeline runs a single time
-      val rel = releaseDocs(s, d).localCheckpoint(true)
+      // stats; both consumers share the gate pipeline's exchanges via
+      // ReusedExchange, and an explicit localCheckpoint measured
+      // slightly NET-NEGATIVE at sf1 (4.3s -> 4.7s) — keep the lineage
+      val rel = releaseDocs(s, d)
       val relAgg = rel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_release"),
           sum(col("n_tokens")).as("n_tokens_release"))

@@ -192,14 +192,15 @@ private[graft] object QueriesVectors {
   // rank window runs on candidate hits only.
   private val e24: (String, QFn, Option[String]) = ("e24_sem_decontam",
     (s, d) => {
-      // both direction filters consume the pair table — materialize once
-      // (the jaccardPairs multi-consumer policy) or the banded self-join
-      // and cosine verify run once per branch
+      // both direction filters consume the pair table; an explicit
+      // localCheckpoint was MEASURED NET-NEGATIVE here (sf1 isolated:
+      // 2.8s -> 5.2s) — the branches share the banded join through
+      // ReusedExchange, so forcing materialization only adds the
+      // blocking write. Trust the exchange reuse.
       val pairs = Similarity.lshNearDupPairs(
         emb(s, d).select(col("vec_id").as("id"),
           col("embedding").as("vec")),
         0.3, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS)
-        .localCheckpoint(true)
       val te = pairs.filter(col("a") % 25 =!= 0 && col("b") % 25 === 0)
           .select(col("a").as("vec_id"), col("b").as("eval_id"),
             col("sim"))
@@ -386,11 +387,15 @@ private[graft] object QueriesVectors {
           Dedup.md5Hash(col("doc_id").cast("string"), lit("m06.w")) % 2))
           .as("w"),
         lit(16L).as("h"))
-      // orig feeds the thumbnail path AND the union — materialize once
-      // so each doc's md5-grid raster is synthesized and encoded a
-      // single time (the jaccardPairs policy; codec work dominates)
+      // orig feeds the thumbnail path AND the union, so the md5-grid
+      // synthesis runs once per branch (mapPartitions has no exchange
+      // to reuse) — measured FLAT at these scales (overhead dominates
+      // the tiny rasters), and a payload localCheckpoint is the wrong
+      // trade at 100 TB (it pins every image in block-manager memory);
+      // a real deployment persists the encoded corpus to storage once
+      // (m04's binaryFile path) and reads both branches from there
       val orig = Multimodal.encodePgmSized(dims, "doc_id", "text",
-        col("w"), col("h")).localCheckpoint(true)
+        col("w"), col("h"))
       val thumb = Multimodal.halfPayload(orig, "doc_id", "payload")
       val both = orig.withColumn("variant", lit("orig"))
         .unionByName(thumb.withColumn("variant", lit("thumb")))
