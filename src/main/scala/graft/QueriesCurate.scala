@@ -1384,11 +1384,28 @@ private[graft] object QueriesCurate {
       // sf0.001/sf0.01). At sf1 this cuts the steady-state cost from
       // ~12 s (recomputing d05's posting join every run) to the ~3 s
       // signature stack the audit actually owns.
+      // Atomic materialization: a crashed first write would leave a
+      // partial dir a bare isDirectory test happily reuses. Gate the
+      // skip on parquet's _SUCCESS marker, and publish via
+      // write-to-temp + atomic rename so a reader never sees a
+      // half-written truth table.
       val truthDir = Queries.rtDir("d62truth", d)
-      if (!new java.io.File(truthDir).isDirectory)
+      if (!new java.io.File(truthDir, "_SUCCESS").isFile) {
+        val tmp = java.nio.file.Paths.get(truthDir + ".tmp")
+        val dst = java.nio.file.Paths.get(truthDir)
         Dedup.jaccardPairs(base, "doc_id", "text", n = 3,
           threshold = 0.2, maxPostings = 50)
-          .write.mode("overwrite").parquet(truthDir)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (java.nio.file.Files.isDirectory(dst)) { // stale partial dir
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dst).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, dst) }
+      }
       val truth = s.read.parquet(truthDir)
       // signatures as the NATIVE wide projection (no explode, no
       // signature shuffle) — the same stack d06 uses; the truth posting

@@ -88,7 +88,12 @@ object Pgm {
     // exactly ONE whitespace byte separates header from raster
     if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
     pos += 1
-    val n = w * h
+    // long arithmetic: a crafted header like 65536x65536 would wrap an
+    // Int product to 0 and sail past the raster-length checks below
+    val nL = w.toLong * h
+    if (nL > bytes.length.toLong)
+      fail(s"raster truncated: ${bytes.length - pos} of $nL pixel bytes")
+    val n = nL.toInt
     if (bytes.length - pos < n)
       fail(s"raster truncated: ${bytes.length - pos} of $n pixel bytes")
     if (bytes.length - pos > n)

@@ -137,8 +137,10 @@ object Preference {
     * those exact integers — identical on any engine that replays the
     * same expression shape. Advantage is negative-zero-normalized
     * (r ≈ mean cancels to a signed tiny). Σr² bounds the reward scale:
-    * |r| ≤ 1e6 keeps a 9-billion-member group inside BIGINT; wider
-    * rewards at wider scales move the sums to DECIMAL(38,0).
+    * |r| ≤ 1e6 keeps a 9-million-member group inside BIGINT
+    * (n·(1e6)² ≤ 9.2e18 ⇒ n ≤ ~9.2e6 — ample for k-sized prompt sample
+    * sets, which are tens to thousands); wider rewards or genuinely
+    * huge groups move the window sums to DECIMAL(38,0).
     *
     * Scale shape: ONE exchange on the group key, three window aggregates
     * over it, then pure projection — groups are k-sized (a prompt's
