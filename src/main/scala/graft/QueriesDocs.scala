@@ -262,38 +262,45 @@ private[graft] object QueriesDocs {
   // --------------------------------------------- rule-based quality filter
   // C4-style ordered reject rules with first-fail reason ('ok' = keep).
   // Stopword rule is C4-directional: reject docs LACKING stopwords.
+  /** d13's per-doc metric + rule CTEs (`m`: unrounded n/mtl/sr/ttr/dr,
+    * `r`: m + first-fail reject_reason) as one factored SQL text —
+    * shared by d13's own filter table and d95's quality-classifier
+    * oracle, so the classifier's pseudo-labels replay literally the
+    * same rule text d13 verifies. */
+  private[graft] lazy val ruleCtesSql: String = {
+    val stopList = TextOps.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString(", ")
+    s"""m AS (SELECT doc_id, len($tokSql)::BIGINT AS n,
+      | CASE WHEN len($tokSql) > 0 THEN
+      |   list_sum(list_transform($tokSql, x -> len(x)))::DOUBLE
+      |     / len($tokSql)::DOUBLE ELSE 0 END AS mtl,
+      | CASE WHEN len($tokSql) > 0 THEN
+      |   len(list_filter($tokSql, x -> list_contains([$stopList], x)))::DOUBLE
+      |     / len($tokSql)::DOUBLE ELSE 0 END AS sr,
+      | CASE WHEN len($tokSql) > 0 THEN
+      |   len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE
+      |   ELSE 0 END AS ttr,
+      | CASE WHEN length(text) > 0 THEN
+      |   len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+      |     / length(text)::DOUBLE ELSE 0 END AS dr
+      | FROM documents),
+      |r AS (SELECT *, CASE WHEN n < 20 THEN 'too_short'
+      |  WHEN n > 1000 THEN 'too_long'
+      |  WHEN mtl < 3.0 OR mtl > 10.0 THEN 'token_len'
+      |  WHEN dr > 0.2 THEN 'digit'
+      |  WHEN sr < 0.01 THEN 'stopword'
+      |  WHEN ttr < 0.35 THEN 'repetition'
+      |  ELSE 'ok' END AS reject_reason FROM m)""".stripMargin
+  }
+
   private val d13: (String, QFn, Option[String]) = ("d13_rule_filter",
     (s, d) => docs(s, d).select(col("doc_id") +:
       TextOps.ruleFilterCols(col("text"), TextOps.tokens(col("text"))): _*),
-    Some {
-      val stopList = TextOps.langStopwords.flatMap(_._2)
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH m AS (SELECT doc_id, len($tokSql)::BIGINT AS n,
-        | CASE WHEN len($tokSql) > 0 THEN
-        |   list_sum(list_transform($tokSql, x -> len(x)))::DOUBLE
-        |     / len($tokSql)::DOUBLE ELSE 0 END AS mtl,
-        | CASE WHEN len($tokSql) > 0 THEN
-        |   len(list_filter($tokSql, x -> list_contains([$stopList], x)))::DOUBLE
-        |     / len($tokSql)::DOUBLE ELSE 0 END AS sr,
-        | CASE WHEN len($tokSql) > 0 THEN
-        |   len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE
-        |   ELSE 0 END AS ttr,
-        | CASE WHEN length(text) > 0 THEN
-        |   len(regexp_extract_all(text, '[0-9]'))::DOUBLE
-        |     / length(text)::DOUBLE ELSE 0 END AS dr
-        | FROM documents),
-        |r AS (SELECT *, CASE WHEN n < 20 THEN 'too_short'
-        |  WHEN n > 1000 THEN 'too_long'
-        |  WHEN mtl < 3.0 OR mtl > 10.0 THEN 'token_len'
-        |  WHEN dr > 0.2 THEN 'digit'
-        |  WHEN sr < 0.01 THEN 'stopword'
-        |  WHEN ttr < 0.35 THEN 'repetition'
-        |  ELSE 'ok' END AS reject_reason FROM m)
-        |SELECT doc_id, n AS n_tokens, round(mtl, 6) AS mean_token_len,
-        | round(sr, 6) AS stopword_ratio, round(ttr, 6) AS type_token_ratio,
-        | reject_reason, (reject_reason = 'ok')::BIGINT AS keep
-        |FROM r""".stripMargin
-    })
+    Some(s"""WITH $ruleCtesSql
+      |SELECT doc_id, n AS n_tokens, round(mtl, 6) AS mean_token_len,
+      | round(sr, 6) AS stopword_ratio, round(ttr, 6) AS type_token_ratio,
+      | reject_reason, (reject_reason = 'ok')::BIGINT AS keep
+      |FROM r""".stripMargin))
 
   // ------------------------------------------- benchmark decontamination
   // Train docs sharing any word 4-gram with the eval slice (doc_id % 25 = 0)

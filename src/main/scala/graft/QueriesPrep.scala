@@ -334,6 +334,124 @@ private[graft] object QueriesPrep {
       |  (ORDER BY score DESC, doc_id) AS rank
       |FROM g ORDER BY score DESC, doc_id LIMIT $DSIR_K""".stripMargin))
 
+  // --------------------------------- trained quality classifier (d95)
+  // The data-selection model stage every pretraining pipeline runs
+  // (GPT-3's reference-vs-crawl logistic filter, DCLM's fastText gate),
+  // with the FIT inside the verified surface: distill d13's C4-style
+  // rule filter into a smooth logistic-like scorer — features are d03's
+  // published 6-dp quality ratios plus a rational length saturation,
+  // pseudo-labels are d13's keep flag, and three full-batch gradient
+  // steps of Learn.logisticFit produce 6-dp-grid weights the output
+  // row carries (w0..w4), so the DuckDB oracle — which REPLAYS the
+  // entire training loop as a w0→g1→w1→g2→w2→g3→w3 CTE chain over
+  // literally the same rule text d13 verifies (factored ruleCtesSql) —
+  // hash-checks the learned model itself, not just the scoring pass.
+  // No exp() anywhere: the squash is the rational fast sigmoid and
+  // every gradient is an exact DECIMAL(20,10) sum, so the fit is
+  // bit-identical at any parallelism (see Learn scaladoc).
+  //
+  // Scale shape: one feature projection (localCheckpoint'd — it feeds
+  // 3 gradient passes + the scoring pass), each pass a map-side-
+  // combinable aggregation to ONE driver row; scoring is a pure
+  // projection with the weights as literals. At 100 TB: fit on a
+  // deterministic sample (d20/d51), score the corpus — same code.
+  // Raw features: d03's published 6-dp ratios (stopword, type-token),
+  // mean token length scaled to O(1), and a saturating short-doc length
+  // ramp min(n,25)/25 (the distiller's knowledge that doc length stops
+  // mattering past ~the rule threshold — without it the best LINEAR
+  // model is 0.70 accurate; with it 0.85, measured at sf0.01). Features
+  // are then STANDARDIZED on the 6-dp grid (Learn.standardStats) —
+  // unscaled full-batch GD on these ratios oscillates at any usable lr
+  // and never beats the base rate.
+  private def qcFeatures(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id") +: (TextOps.qualityCols(col("text"), toks)
+          :+ TextOps.ruleFilterCols(col("text"), toks).last): _*)
+      .select(col("doc_id"), col("keep").as("label"),
+        col("keep").cast("double").as("y"),
+        col("stopword_ratio").as("r1"),
+        col("type_token_ratio").as("r2"),
+        (col("mean_token_len") / lit(10.0)).as("r3"),
+        (least(col("n_tokens"), lit(25L)).cast("double") / lit(25.0))
+          .as("r4"))
+  }
+
+  private val QC_ITERS = 10
+  private val QC_LR = 8.0
+
+  private val d95: (String, QFn, Option[String]) = ("d95_quality_classifier",
+    (s, d) => {
+      val fx = qcFeatures(s, d).localCheckpoint(true)
+      val raw = (1 to 4).map(j => col(s"r$j"))
+      val stats = Learn.standardStats(fx, raw)
+      val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+        (r - lit(mu)) / lit(sd)
+      }
+      val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
+      val p = Learn.score(w.toSeq, xs)
+      fx.select(Seq(col("doc_id"), col("label"),
+        round(p, 6).as("score"),
+        (p >= 0.5).cast("long").as("pred")) ++
+        w.zipWithIndex.map { case (wj, j) => lit(wj).as(s"w$j") }: _*)
+    },
+    Some {
+      val z = "(a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4)"
+      val p = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+      val statAggs = (1 to 4).flatMap(j => Seq(
+        s"CAST(round(sum(CAST(r$j AS DECIMAL(20,10))), 6) AS DOUBLE)"
+          + s" AS s1_$j",
+        s"CAST(round(sum(CAST(r$j * r$j AS DECIMAL(20,10))), 6) AS DOUBLE)"
+          + s" AS s2_$j")).mkString(",\n    ")
+      val muSds = (1 to 4).map(j =>
+        s"round(s1_$j / nn, 6) AS mu$j").mkString(",\n    ")
+      val sds = (1 to 4).map(j =>
+        s"round(sqrt(greatest(s2_$j / nn - mu$j * mu$j, 1e-12)), 6)"
+          + s" AS sd$j").mkString(",\n    ")
+      val stdFeats = (1 to 4).map(j =>
+        s"(r$j - mu$j) / sd$j AS x$j").mkString(",\n    ")
+      // Each iteration is ONE aggregate CTE that references w(k-1)
+      // exactly once (gradient and update fused; the constant weight
+      // columns ride through max()) — a gradient/update CTE pair
+      // references w(k-1) twice, and DuckDB's inlining then expands the
+      // chain 2^iters times (measured: 453 s at 10 iterations vs <1 s
+      // for this form). fx/fs are MATERIALIZED for the same reason:
+      // 11 passes read the feature table, not re-tokenize the corpus.
+      val iterCtes = (1 to QC_ITERS).map { k =>
+        val upds = (0 to 4).map(j =>
+          s"round(max(a$j) + $QC_LR * CAST(round(sum(CAST((y - $p) * x$j"
+            + s" AS DECIMAL(20,10))), 6) AS DOUBLE) / max(nn), 6) AS a$j")
+          .mkString(",\n    ")
+        s"""w$k AS (SELECT $upds
+           |  FROM fs, w${k - 1}, nc)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${QueriesDocs.ruleCtesSql},
+        |fx AS MATERIALIZED (SELECT doc_id,
+        |    (reject_reason = 'ok')::BIGINT AS label,
+        |    CASE WHEN reject_reason = 'ok' THEN 1.0 ELSE 0.0 END AS y,
+        |    round(sr, 6) AS r1, round(ttr, 6) AS r2,
+        |    round(mtl, 6) / 10.0 AS r3,
+        |    least(n, 25)::DOUBLE / 25.0 AS r4
+        |  FROM r),
+        |nc AS (SELECT count(*)::BIGINT AS nn FROM fx),
+        |st1 AS (SELECT $statAggs
+        |  FROM fx),
+        |st2 AS (SELECT $muSds
+        |  FROM st1, nc),
+        |st AS (SELECT $sds
+        |  FROM st1, st2, nc),
+        |fs AS MATERIALIZED (SELECT doc_id, label, y, 1.0::DOUBLE AS x0,
+        |    $stdFeats
+        |  FROM fx, st2, st),
+        |w0 AS (SELECT 0.0::DOUBLE AS a0, 0.0::DOUBLE AS a1,
+        |  0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3, 0.0::DOUBLE AS a4),
+        |$iterCtes
+        |SELECT f.doc_id, f.label, round($p, 6) AS score,
+        |  ($p >= 0.5)::BIGINT AS pred,
+        |  a0 AS w0, a1 AS w1, a2 AS w2, a3 AS w3, a4 AS w4
+        |FROM fs f, w$QC_ITERS""".stripMargin
+    })
+
   val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70, d84, d89)
+    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95)
 }
