@@ -134,7 +134,7 @@ object Queries {
   /** Registration order is the public contract (SparkEntry hands it to the
     * driver): q01..q77 with q26b after q26 — the sub-registries are
     * ordered, contiguous slices of that sequence. */
-  val defs: Seq[(String, QFn, Option[String])] =
+  lazy val defs: Seq[(String, QFn, Option[String])] =
     QueriesCore.defs ++ QueriesPipeline.defs ++
       QueriesScale.defs ++ QueriesAnalytics.defs ++ QueriesTrain.defs
 }

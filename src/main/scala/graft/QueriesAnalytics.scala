@@ -894,5 +894,5 @@ private[graft] object QueriesAnalytics {
       | min(jw) AS min_jw
       |FROM p WHERE jw >= 0.9 GROUP BY nat""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82)
 }

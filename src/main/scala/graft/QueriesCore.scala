@@ -426,5 +426,5 @@ private[graft] object QueriesCore {
     })
 
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
 }

@@ -679,5 +679,5 @@ private[graft] object QueriesCorpus {
       |FROM i JOIN sz za ON za.source = sa
       | JOIN sz zb ON zb.source = sb""".stripMargin))
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92)
 }

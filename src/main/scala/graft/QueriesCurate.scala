@@ -1640,6 +1640,77 @@ private[graft] object QueriesCurate {
       |SELECT source, change, count(*) AS n
       |FROM j GROUP BY source, change""".stripMargin))
 
+  // ----------------------------- release PSI drift audit (d96)
+  // The drift gate beside d71's membership diff: d71 counts which docs
+  // changed between releases; d96 measures whether the QUALITY
+  // DISTRIBUTION moved — the Population Stability Index over d03's
+  // score on a 20-bucket micro grid (the d87 lift), per source, between
+  // the same release pair d71 defines. Each release contributes its own
+  // bucketed rows (release B's perturbed docs re-score their REVISED
+  // text), so the audit sees metric drift, not just adds/removes. PSI
+  // conventions: Laplace-smoothed shares, contributions ≥ 0, > 0.25 =
+  // block the release. One corpus exchange; the grid is |sources|×20.
+  private val d96: (String, QFn, Option[String]) = ("d96_psi_drift",
+    (s, d) => {
+      val base = docs(s, d)
+      def bucketOf(text: Column): Column = {
+        val q = TextOps.qualityCols(text, TextOps.tokens(text)).last
+        val sm = floor(q * lit(1000000.0) + lit(0.5))
+        least(lit(19L), floor(sm.cast("double") / lit(50000.0)))
+      }
+      val relA = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("source"), bucketOf(col("text")).as("bucket"),
+          lit(1L).as("ia"), lit(0L).as("ib"))
+      val textB = when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+      val relB = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("source"), bucketOf(textB).as("bucket"),
+          lit(0L).as("ia"), lit(1L).as("ib"))
+      Prep.psiDrift(relA.unionAll(relB), col("source"), col("bucket"),
+          col("ia"), col("ib"), buckets = 20)
+        .withColumnRenamed("grp", "source")
+    },
+    Some {
+      val bucket = s"least(19, floor(($qScoreSql) * 1000000.0 + 0.5)" +
+        "::BIGINT // 50000)::BIGINT"
+      s"""WITH asrc AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |bsrc AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |u AS (SELECT source, $bucket AS bucket,
+        |    1::BIGINT AS ia, 0::BIGINT AS ib FROM asrc
+        |  UNION ALL
+        |  SELECT source, $bucket AS bucket,
+        |    0::BIGINT AS ia, 1::BIGINT AS ib FROM bsrc),
+        |cg AS (SELECT source, bucket, sum(ia)::BIGINT AS n_a,
+        |    sum(ib)::BIGINT AS n_b FROM u GROUP BY 1, 2),
+        |sp AS (SELECT s.source, b.bucket::BIGINT AS bucket
+        |  FROM (SELECT DISTINCT source FROM u) s,
+        |    (SELECT unnest(range(0, 20)) AS bucket) b),
+        |dn AS (SELECT sp.source, sp.bucket,
+        |    coalesce(n_a, 0)::BIGINT AS n_a,
+        |    coalesce(n_b, 0)::BIGINT AS n_b
+        |  FROM sp LEFT JOIN cg ON cg.source = sp.source
+        |    AND cg.bucket = sp.bucket),
+        |tw AS (SELECT source, bucket, n_a, n_b,
+        |    (n_a + 1)::DOUBLE
+        |      / ((sum(n_a) OVER (PARTITION BY source)) + 20)::DOUBLE
+        |      AS pa,
+        |    (n_b + 1)::DOUBLE
+        |      / ((sum(n_b) OVER (PARTITION BY source)) + 20)::DOUBLE
+        |      AS pb
+        |  FROM dn),
+        |f AS (SELECT source, bucket, n_a, n_b,
+        |    round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |    round((pa - pb) * ln(pa / pb), 6) AS contrib FROM tw)
+        |SELECT source, bucket, n_a, n_b, p_a, p_b, contrib,
+        |  round(CAST(sum(CAST(contrib AS DECIMAL(18,9)))
+        |    OVER (PARTITION BY source) AS DOUBLE), 6) AS psi
+        |FROM f""".stripMargin
+    })
+
   // --------------------------- group-relative advantage, GRPO (d85)
   // The critic-free RL normalization (Shao et al. 2024, DeepSeekMath)
   // beside the preference family d78-d80: sample groups stand in as
@@ -1978,5 +2049,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, c01, c02)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, d96, c01, c02)
 }

@@ -945,5 +945,5 @@ private[graft] object QueriesPipeline {
           |    FROM events WINDOW p AS (PARTITION BY user_id))""".stripMargin)
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q84, q85, q80, q83, q86, q87)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q21, q22, q23, q24, q25, q26, q26b, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q84, q85, q80, q83, q86, q87)
 }

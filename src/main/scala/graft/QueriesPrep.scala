@@ -363,12 +363,23 @@ private[graft] object QueriesPrep {
   // are then STANDARDIZED on the 6-dp grid (Learn.standardStats) —
   // unscaled full-batch GD on these ratios oscillates at any usable lr
   // and never beats the base rate.
-  private def qcFeatures(s: SparkSession, d: String): DataFrame = {
+  /** d95's raw per-doc feature projection (doc_id, source, label, y,
+    * r1..r4) — the Spark twin of the oracle's `fx` CTE. Shared by the
+    * fit (d95) and the streaming gate's batch twin (s16), which carries
+    * `source` through to its per-source pass-rate aggregate. */
+  private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame =
+    qcRawFeatures(Tables.documents(s, d))
+
+  /** The same projection over ANY frame with (doc_id, source, text) —
+    * a pure per-row map, so it runs unchanged on a STREAM of documents
+    * (EventStreamSpec drives the s16 gate through it). */
+  private[graft] def qcRawFeatures(docsDf: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    Tables.documents(s, d).select(
-        col("doc_id") +: (TextOps.qualityCols(col("text"), toks)
-          :+ TextOps.ruleFilterCols(col("text"), toks).last): _*)
-      .select(col("doc_id"), col("keep").as("label"),
+    docsDf.select(
+        Seq(col("doc_id"), col("source"))
+          ++ TextOps.qualityCols(col("text"), toks)
+          :+ TextOps.ruleFilterCols(col("text"), toks).last: _*)
+      .select(col("doc_id"), col("source"), col("keep").as("label"),
         col("keep").cast("double").as("y"),
         col("stopword_ratio").as("r1"),
         col("type_token_ratio").as("r2"),
@@ -377,27 +388,58 @@ private[graft] object QueriesPrep {
           .as("r4"))
   }
 
-  private val QC_ITERS = 10
-  private val QC_LR = 8.0
+  private[graft] val QC_ITERS = 10
+  private[graft] val QC_LR = 8.0
+
+  /** The fitted d95 model over a scale dir: (weights w0..w4,
+    * per-feature (mean, std)) — s16 re-fits through this so the online
+    * gate serves literally the model d95 verifies. */
+  private[graft] def qcModel(s: SparkSession, d: String)
+      : (DataFrame, Array[Double], Array[(Double, Double)]) = {
+    val fx = qcFeatures(s, d).localCheckpoint(true)
+    val raw = (1 to 4).map(j => col(s"r$j"))
+    val stats = Learn.standardStats(fx, raw)
+    val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+      (r - lit(mu)) / lit(sd)
+    }
+    val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
+    (fx, w, stats)
+  }
 
   private val d95: (String, QFn, Option[String]) = ("d95_quality_classifier",
     (s, d) => {
-      val fx = qcFeatures(s, d).localCheckpoint(true)
+      val (fx, w, stats) = qcModel(s, d)
       val raw = (1 to 4).map(j => col(s"r$j"))
-      val stats = Learn.standardStats(fx, raw)
       val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
         (r - lit(mu)) / lit(sd)
       }
-      val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
       val p = Learn.score(w.toSeq, xs)
       fx.select(Seq(col("doc_id"), col("label"),
         round(p, 6).as("score"),
         (p >= 0.5).cast("long").as("pred")) ++
         w.zipWithIndex.map { case (wj, j) => lit(wj).as(s"w$j") }: _*)
     },
-    Some {
-      val z = "(a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4)"
-      val p = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+    Some(s"""WITH $qcCtesSql
+      |SELECT f.doc_id, f.label, round($qcScoreSql, 6) AS score,
+      |  ($qcScoreSql >= 0.5)::BIGINT AS pred,
+      |  a0 AS w0, a1 AS w1, a2 AS w2, a3 AS w3, a4 AS w4
+      |FROM fs f, w$QC_ITERS""".stripMargin))
+
+  /** The fast-sigmoid score expression over fs columns x0..x4 and a
+    * weights CTE's a0..a4 — shared by d95's per-doc scoring and s16's
+    * gate aggregate, both FROM fs, w$QC_ITERS. */
+  private[graft] lazy val qcScoreSql: String = {
+    val z = "(a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4)"
+    s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+  }
+
+  /** d95's full training replay as factored CTE bodies (rule filter →
+    * features fx → standardization st → fs → gradient chain w0..wN) —
+    * d95 scores per doc from it, s16's streaming-gate batch twin
+    * aggregates per source from it, so the consumer replays literally
+    * the fit its producer row verifies (the btCtesSql move). */
+  private[graft] lazy val qcCtesSql: String = {
+      val p = qcScoreSql
       val statAggs = (1 to 4).flatMap(j => Seq(
         s"CAST(round(sum(CAST(r$j AS DECIMAL(20,10))), 6) AS DOUBLE)"
           + s" AS s1_$j",
@@ -425,14 +467,14 @@ private[graft] object QueriesPrep {
         s"""w$k AS (SELECT $upds
            |  FROM fs, w${k - 1}, nc)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${QueriesDocs.ruleCtesSql},
-        |fx AS MATERIALIZED (SELECT doc_id,
+      s"""${QueriesDocs.ruleCtesSql},
+        |fx AS MATERIALIZED (SELECT doc_id, source,
         |    (reject_reason = 'ok')::BIGINT AS label,
         |    CASE WHEN reject_reason = 'ok' THEN 1.0 ELSE 0.0 END AS y,
         |    round(sr, 6) AS r1, round(ttr, 6) AS r2,
         |    round(mtl, 6) / 10.0 AS r3,
         |    least(n, 25)::DOUBLE / 25.0 AS r4
-        |  FROM r),
+        |  FROM r JOIN documents USING (doc_id)),
         |nc AS (SELECT count(*)::BIGINT AS nn FROM fx),
         |st1 AS (SELECT $statAggs
         |  FROM fx),
@@ -440,18 +482,15 @@ private[graft] object QueriesPrep {
         |  FROM st1, nc),
         |st AS (SELECT $sds
         |  FROM st1, st2, nc),
-        |fs AS MATERIALIZED (SELECT doc_id, label, y, 1.0::DOUBLE AS x0,
+        |fs AS MATERIALIZED (SELECT doc_id, source, label, y,
+        |    1.0::DOUBLE AS x0,
         |    $stdFeats
         |  FROM fx, st2, st),
         |w0 AS (SELECT 0.0::DOUBLE AS a0, 0.0::DOUBLE AS a1,
         |  0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3, 0.0::DOUBLE AS a4),
-        |$iterCtes
-        |SELECT f.doc_id, f.label, round($p, 6) AS score,
-        |  ($p >= 0.5)::BIGINT AS pred,
-        |  a0 AS w0, a1 AS w1, a2 AS w2, a3 AS w3, a4 AS w4
-        |FROM fs f, w$QC_ITERS""".stripMargin
-    })
+        |$iterCtes""".stripMargin
+  }
 
-  val defs: Seq[(String, QFn, Option[String])] =
+  lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95)
 }

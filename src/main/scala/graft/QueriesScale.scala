@@ -529,5 +529,5 @@ private[graft] object QueriesScale {
       |GROUP BY user_id""".stripMargin))
 
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

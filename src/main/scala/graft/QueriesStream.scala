@@ -423,7 +423,32 @@ object QueriesStream {
     },
     Some(QueriesPrep.sftSql))
 
-  val defs: Seq[(String, QFn, Option[String])] =
+  // ---------------------------------- online quality gate (s16)
+  // d95's serve side: the stream applies literally the model the batch
+  // fit verified — qcModel re-fits (weights + standardization on the
+  // 6-dp grid), then Learn.qualityGateStats aggregates per-source docs
+  // seen / docs passing / exact-decimal mean score. The aggregation is
+  // a plain keyed count/sum, so the SAME call streams in complete mode
+  // with state bounded by |sources| (EventStreamSpec drives it over a
+  // MemoryStream and proves stream ≡ batch); this registry row is the
+  // batch twin, and the oracle replays the ENTIRE chain — rule labels,
+  // standardization, all ten gradient steps, then the gate aggregate —
+  // through the factored qcCtesSql, so fit and serve replay one text.
+  private val s16: (String, QFn, Option[String]) = ("s16_stream_quality_gate",
+    (s, d) => {
+      val (fx, w, stats) = QueriesPrep.qcModel(s, d)
+      graft.ops.Learn.qualityGateStats(fx, w.toSeq, stats.toSeq)
+    },
+    Some(s"""WITH ${QueriesPrep.qcCtesSql}
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN ${QueriesPrep.qcScoreSql} >= 0.5
+      |    THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+      |  round(CAST(sum(CAST(round(${QueriesPrep.qcScoreSql}, 6)
+      |      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_score
+      |FROM fs, w${QueriesPrep.QC_ITERS}
+      |GROUP BY source""".stripMargin))
+
+  lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15)
+      s14, s15, s16)
 }

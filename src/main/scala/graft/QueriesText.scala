@@ -89,7 +89,7 @@ object QueriesText {
 
   /** Registration order is the public contract: d01..d65, e01..e19,
     * m01..m02, c01 — ordered slices assembled from the sub-registries. */
-  val defs: Seq[(String, QFn, Option[String])] =
+  lazy val defs: Seq[(String, QFn, Option[String])] =
     QueriesDocs.defs ++ QueriesCorpus.defs ++
       QueriesCurate.defs ++ QueriesPrep.defs ++ QueriesVectors.defs
 }

@@ -112,5 +112,5 @@ private[graft] object QueriesTrain {
       None
     })
 
-  val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90)
 }

@@ -11,7 +11,12 @@ import graft.schema.Tables
   * QueriesText (training-data-pipeline operators). */
 object SparkEntry {
 
-  private val all: Seq[(String, (SparkSession, String) => DataFrame,
+  // lazy (as is every sub-registry defs): the sub-registries cross-
+  // reference each other's factored SQL, so a STRICT concatenation can
+  // observe a mid-clinit null when an entry point touches a sub-registry
+  // object first (the r11 graft.Train NPE class — LearnSpec/s16 hit it
+  // again through QueriesPrep; laziness makes init order irrelevant).
+  private lazy val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] = Queries.defs ++ QueriesText.defs ++ QueriesStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -98,6 +98,29 @@ object Learn {
   def score(w: Seq[Double], xs: Seq[Column]): Column =
     fastSigmoid(linComb(w, xs))
 
+  /** The online quality gate: score a feature frame (columns `source`,
+    * `r1..rK`) with a fitted model and aggregate per source — docs seen,
+    * docs passing the 0.5 threshold, and the exact-decimal mean of the
+    * 6-dp scores. The input can be a STREAM (the aggregation is a plain
+    * keyed count/sum, so it runs in complete mode with state bounded by
+    * |sources|) or the static table — one definition, two execution
+    * modes, which is what makes it the train/serve gate: the stream
+    * serves literally the model the batch fit (d95) verified. */
+  def qualityGateStats(feats: DataFrame, w: Seq[Double],
+                       stats: Seq[(Double, Double)]): DataFrame = {
+    val raw = (1 to stats.size).map(j => col(s"r$j"))
+    val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+      (r - lit(mu)) / lit(sd)
+    }
+    val p = score(w, xs)
+    feats.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum((p >= 0.5).cast("long")).as("n_pass"),
+      CrossRound.round(
+        sum(CrossRound.round(p, 6).cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("mean_score"))
+  }
+
   /** Per-feature (mean, std) on the 6-dp grid — the standardization pass
     * that makes full-batch gradient descent well-conditioned (raw ratio
     * features differ in scale by orders of magnitude; unscaled GD

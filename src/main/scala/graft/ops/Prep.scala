@@ -264,6 +264,58 @@ object Prep {
           .as("f1"))
   }
 
+  /** Population Stability Index between two cohorts of one bucketed
+    * metric — the release-gate drift audit (PSI is the credit-risk /
+    * model-monitoring standard; > 0.25 conventionally blocks a release).
+    * Input: one row per (cohort-membership) observation with a group
+    * key, a bucket in [0, buckets), and 0/1 membership flags for cohort
+    * A and B (a doc in both releases contributes one row per side, so
+    * metric DRIFT — same doc, different bucket — is visible, not just
+    * membership churn). Emits the full dense per-(group, bucket) table:
+    * exact counts, Laplace-smoothed shares p = (c+1)/(n+buckets), the
+    * per-bucket PSI contribution (p_a − p_b)·ln(p_a/p_b) ≥ 0, and the
+    * group's total PSI as an exact-decimal window sum of the 6-dp
+    * contributions.
+    *
+    * Determinism: counts are exact BIGINTs, shares are single IEEE
+    * divisions of exact integers, the one ln() rounds at 6 dp (the
+    * d26/d69 libm policy), and the total sums 6-dp-grid values through
+    * DECIMAL(18,9) — order-independent at any parallelism.
+    *
+    * Scale shape: ONE corpus-sized exchange (the (group, bucket) count
+    * aggregation with map-side combine); everything after runs on the
+    * |groups|·buckets dense grid — broadcast-scale forever. */
+  def psiDrift(df: DataFrame, grp: Column, bucket: Column,
+               inA: Column, inB: Column, buckets: Int): DataFrame = {
+    val c = df.select(grp.as("grp"), bucket.cast("long").as("bucket"),
+      inA.cast("long").as("_ia"), inB.cast("long").as("_ib"))
+    val counts = c.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("_ia")).as("n_a"), sum(col("_ib")).as("n_b"))
+    val spine = c.select(col("grp")).distinct()
+      .select(col("grp"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+    val wG = Window.partitionBy(col("grp"))
+    val dense = spine.join(counts, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("_ta", sum(col("n_a")).over(wG))
+      .withColumn("_tb", sum(col("n_b")).over(wG))
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (col("_ta") + lit(buckets.toLong)).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (col("_tb") + lit(buckets.toLong)).cast("double")
+    dense
+      .withColumn("p_a", CrossRound.round(pa, 6))
+      .withColumn("p_b", CrossRound.round(pb, 6))
+      .withColumn("contrib", CrossRound.round((pa - pb) * log(pa / pb), 6))
+      .withColumn("psi", CrossRound.round(
+        sum(col("contrib").cast("decimal(18,9)")).over(wG).cast("double"),
+        6))
+      .select(col("grp"), col("bucket"), col("n_a"), col("n_b"),
+        col("p_a"), col("p_b"), col("contrib"), col("psi"))
+  }
+
   /** The packed-score argmax over closed-vocab count columns: with `w`
     * the smallest power of two > |V|, `score_i = cnt_i·w − i`;
     * `g = greatest(scores)` recovers `i = (w − g mod w) mod w` and

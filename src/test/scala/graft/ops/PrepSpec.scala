@@ -198,4 +198,27 @@ class PrepSpec extends SparkSpec {
     assert(out(1.0)._1 == 0L && out(1.0)._2.isEmpty) // prec NULL at 0 pred
     assert(out(0.0)._3.isEmpty) // recall NULL: no positives exist
   }
+
+  test("psiDrift: identical cohorts score 0, dense grid, hand value") {
+    // group g: A = {b0, b0, b1}, B = {b0, b1, b1} over 4 buckets.
+    // Shares: pA = (2+1)/7, (1+1)/7, 1/7, 1/7; pB mirrors buckets 0/1.
+    // PSI = Σ (pA−pB)·ln(pA/pB) = 2·(1/7)·ln(3/2) rounded per-bucket.
+    val rows = Seq(
+      ("g", 0L, 1L, 0L), ("g", 0L, 1L, 0L), ("g", 1L, 1L, 0L),
+      ("g", 0L, 0L, 1L), ("g", 1L, 0L, 1L), ("g", 1L, 0L, 1L),
+      // group h: identical cohorts → every contrib 0, psi 0
+      ("h", 2L, 1L, 1L), ("h", 3L, 1L, 1L))
+      .toDF("src", "bucket", "ia", "ib")
+    val out = Prep.psiDrift(rows, col("src"), col("bucket"),
+      col("ia"), col("ib"), buckets = 4)
+    val byKey = out.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(6), r.getDouble(7))).toMap
+    assert(byKey.size == 8) // dense: 2 groups × 4 buckets
+    val c = Learn.round6((3.0 / 7 - 2.0 / 7) * math.log((3.0 / 7) / (2.0 / 7)))
+    assert(byKey(("g", 0L))._3 == c && byKey(("g", 1L))._3 == c)
+    assert(byKey(("g", 2L))._3 == 0.0 && byKey(("g", 3L))._3 == 0.0)
+    assert(byKey(("g", 0L))._4 == Learn.round6(2 * c))
+    assert(byKey(("h", 2L)) == ((1L, 1L, 0.0, 0.0)))
+    assert(out.collect().forall(_.getDouble(6) >= 0.0)) // contribs ≥ 0
+  }
 }

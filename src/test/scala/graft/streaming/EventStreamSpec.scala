@@ -722,4 +722,44 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == rows(batch))
     assert(rows(batch) == rows(viaPlacement))
   }
+
+  test("qualityGateStats streams: the served model equals the batch gate") {
+    // the s16 contract: a fitted d95 model (weights + standardization,
+    // here small literals on the 6-dp grid) applied through the SAME
+    // qcRawFeatures → qualityGateStats call on (a) a MemoryStream of raw
+    // documents across two micro-batches in complete mode and (b) the
+    // static table — per-source docs/pass/mean-score must be identical,
+    // the train/serve equivalence the row exists to pin.
+    import graft.ops.Learn
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog and runs"),
+      (2L, "web", "a a a a a a a a a a a a"),
+      (3L, "code", "def main print hello world and return zero now"),
+      (4L, "web", ("the cat sat on the mat and then the dog sat on " +
+        "the mat too while it was raining outside all day long")),
+      (5L, "code", "x y z"))
+    val w = Seq(0.4, 0.3, 1.2, -0.2, 2.1)
+    val stats = Seq((0.2, 0.15), (0.6, 0.2), (0.45, 0.08), (0.5, 0.3))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Learn.qualityGateStats(
+        graft.QueriesPrep.qcRawFeatures(df), w, stats)
+    val in = MemoryStream[(Long, String, String)]
+    val q = gate(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "n_pass", "mean_score")
+        .as[(String, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("qgate"))
+    val batch = rows(gate(docs.toDF("doc_id", "source", "text")))
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum == 5L)
+    // scores genuinely vary: the gate is not a constant pass-through
+    assert(streamed.map(_._4).size > 1)
+  }
 }
