@@ -1741,16 +1741,7 @@ private[graft] object QueriesCurate {
         expr("_nd * 1000000L div _nt"))
         .withColumnRenamed("key", "doc_id")
     },
-    Some(s"""WITH q AS (SELECT doc_id, source,
-      |    len(list_distinct($tokSql))::BIGINT AS nd,
-      |    len($tokSql)::BIGINT AS nt
-      |  FROM documents),
-      |r AS (SELECT doc_id,
-      |    source || '#' ||
-      |      (${md5HashSql("doc_id::VARCHAR || '#grpo'")} % 16)::VARCHAR
-      |      AS grp,
-      |    ((nd * 1000000) // nt)::BIGINT AS reward
-      |  FROM q WHERE nt > 0),
+    Some(s"""WITH $grpoRewardCtesSql,
       |w AS (SELECT doc_id, grp, reward,
       |    count(*) OVER (PARTITION BY grp)::BIGINT AS n_group,
       |    sum(reward) OVER (PARTITION BY grp)::BIGINT AS s1,
@@ -1766,6 +1757,80 @@ private[graft] object QueriesCurate {
       |  round(CASE WHEN std > 0.0 THEN (reward::DOUBLE - mean) / std
       |    ELSE 0.0 END, 6) + 0.0 AS advantage
       |FROM m""".stripMargin))
+
+  /** d85's candidate-group + integer reward CTEs (content-addressed
+    * (source, md5 % 16) groups, ppm TTR reward) as one factored text —
+    * shared by d85's advantage normalization and d97's best-of-n
+    * selection, so the two RL-prep rows replay the same sample-set
+    * definition. Final CTE `r`: (doc_id, grp, reward). */
+  private lazy val grpoRewardCtesSql: String =
+    s"""q AS (SELECT doc_id, source,
+      |    len(list_distinct($tokSql))::BIGINT AS nd,
+      |    len($tokSql)::BIGINT AS nt
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    source || '#' ||
+      |      (${md5HashSql("doc_id::VARCHAR || '#grpo'")} % 16)::VARCHAR
+      |      AS grp,
+      |    ((nd * 1000000) // nt)::BIGINT AS reward
+      |  FROM q WHERE nt > 0)""".stripMargin
+
+  // --------------------------------- best-of-n selection (d97)
+  // The rejection-sampling / RFT step beside d85: where GRPO normalizes
+  // every candidate's reward, best-of-n KEEPS only the argmax candidate
+  // per sample group (Touvron et al. 2023's rejection sampling, RFT) —
+  // deterministic tie-break (min doc_id among the max rewards), with
+  // the audit stats a selection review reads: group size, exact-ratio
+  // mean reward, and the winner's margin over the runner-up (NULL for
+  // singleton groups — no second candidate to beat). Same factored
+  // group/reward definition as d85; one window over the group key.
+  private val d97: (String, QFn, Option[String]) = ("d97_best_of_n",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, d)
+      val toks = TextOps.tokens(col("text"))
+      val base = t.select(col("doc_id"), col("source"),
+          size(array_distinct(toks)).cast("long").as("_nd"),
+          size(toks).cast("long").as("_nt"))
+        .filter(col("_nt") > 0)
+        .select(col("doc_id"),
+          concat(col("source"), lit("#"),
+            (Dedup.md5Hash(col("doc_id").cast("string"), lit("grpo"))
+              % 16).cast("string")).as("grp"),
+          expr("_nd * 1000000L div _nt").as("reward"))
+      val win = Window.partitionBy(col("grp"))
+        .orderBy(col("reward").desc, col("doc_id"))
+      val ranked = base.withColumn("_rn", row_number().over(win))
+        .localCheckpoint(true) // feeds winner, runner-up AND group stats
+      val gs = ranked.groupBy(col("grp")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("reward")).as("_s"))
+      val best = ranked.filter(col("_rn") === 1)
+        .select(col("grp"), col("doc_id").as("best_doc_id"),
+          col("reward").as("best_reward"))
+      val second = ranked.filter(col("_rn") === 2)
+        .select(col("grp"), col("reward").as("_r2"))
+      gs.join(best, Seq("grp")).join(second, Seq("grp"), "left")
+        .select(col("grp"), col("n_candidates"), col("best_doc_id"),
+          col("best_reward"),
+          round(col("_s").cast("double")
+            / col("n_candidates").cast("double"), 6).as("mean_reward"),
+          (col("best_reward") - col("_r2")).as("margin"))
+    },
+    Some(s"""WITH $grpoRewardCtesSql,
+      |rk AS (SELECT doc_id, grp, reward, row_number() OVER (
+      |    PARTITION BY grp ORDER BY reward DESC, doc_id) AS rn
+      |  FROM r),
+      |gs AS (SELECT grp, count(*)::BIGINT AS n_candidates,
+      |    sum(reward)::BIGINT AS s FROM rk GROUP BY grp),
+      |b1 AS (SELECT grp, doc_id AS best_doc_id, reward AS best_reward
+      |  FROM rk WHERE rn = 1),
+      |b2 AS (SELECT grp, reward AS r2 FROM rk WHERE rn = 2)
+      |SELECT gs.grp, n_candidates, best_doc_id, best_reward,
+      |  round(s::DOUBLE / n_candidates::DOUBLE, 6) AS mean_reward,
+      |  (best_reward - r2)::BIGINT AS margin
+      |FROM gs JOIN b1 USING (grp) LEFT JOIN b2 USING (grp)"""
+      .stripMargin))
 
   // --------------------------- DoReMi excess-loss reweighting (d86)
   // The mix family's fourth member: d47 flattens by temperature, d58
@@ -2049,5 +2114,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, d96, c01, c02)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, d96, d97, c01, c02)
 }

@@ -1203,5 +1203,60 @@ private[graft] object QueriesVectors {
     },
     Some(mmrSql(5)))
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, m01, m02, m03, m04, m05, m06)
+  // ------------------------------------ cluster purity audit (e25)
+  // The label-side audit of e12's learned clustering: contingency of
+  // (learned cid × ground-truth label), per-cluster majority label with
+  // a deterministic tie-break (min label among the max counts), purity
+  // = majority share, and the corpus-level purity Σ maj_c / N — the
+  // standard external-validation readout (purity/NMI family) a
+  // clustering-driven curation step (e18's balanced draw, e23's
+  // SemDeDup) is gated on. Pure composition: the oracle nests e12's own
+  // kmeansSql (the q76/d52 move), so the audited assignment can't
+  // drift from the audit. Everything after the fit runs on the
+  // k×|labels| contingency — broadcast-scale forever.
+  private val e25: (String, QFn, Option[String]) = ("e25_cluster_purity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asg = Similarity.kmeans(
+        emb(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec")),
+        KM_K, KM_ITERS, dims = LSH_DIMS)
+        .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"))
+      val ct = asg.join(
+          emb(s, d).select(col("vec_id"),
+            col("label").cast("long").as("label")), Seq("vec_id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds majority, sizes AND the total
+      val mj = ct.withColumn("_r", row_number().over(
+          Window.partitionBy(col("cid"))
+            .orderBy(col("n").desc, col("label"))))
+        .filter(col("_r") === 1)
+        .select(col("cid"), col("label").as("top_label"),
+          col("n").as("top_n"))
+      val cl = ct.groupBy(col("cid")).agg(sum(col("n")).as("n_vecs"))
+      val tot = mj.agg(sum(col("top_n")).as("_s"))
+        .crossJoin(ct.agg(sum(col("n")).as("_nn")))
+      cl.join(mj, Seq("cid")).crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"), col("top_label"), col("top_n"),
+          round(col("top_n").cast("double")
+            / col("n_vecs").cast("double"), 6).as("purity"),
+          round(col("_s").cast("double")
+            / col("_nn").cast("double"), 6).as("overall_purity"))
+    },
+    Some(s"""WITH km AS ($kmeansSql),
+      |ct AS (SELECT cid, label::BIGINT AS label, count(*)::BIGINT AS n
+      |  FROM km JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+      |mj AS (SELECT cid, label AS top_label, n AS top_n FROM (
+      |    SELECT cid, label, n, row_number() OVER (PARTITION BY cid
+      |      ORDER BY n DESC, label) AS r FROM ct) WHERE r = 1),
+      |cl AS (SELECT cid, sum(n)::BIGINT AS n_vecs FROM ct GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(top_n)::BIGINT FROM mj) AS s,
+      |  (SELECT sum(n)::BIGINT FROM ct) AS nn)
+      |SELECT cl.cid, n_vecs, top_label, top_n,
+      |  round(top_n::DOUBLE / n_vecs::DOUBLE, 6) AS purity,
+      |  round(s::DOUBLE / nn::DOUBLE, 6) AS overall_purity
+      |FROM cl JOIN mj USING (cid), tot""".stripMargin))
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06)
 }
