@@ -679,5 +679,111 @@ private[graft] object QueriesCorpus {
       |FROM i JOIN sz za ON za.source = sa
       | JOIN sz zb ON zb.source = sb""".stripMargin))
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92)
+  // ------------------------------------ Heaps'-law vocab growth (d98)
+  // The type-token growth diagnostic beside d33's Zipf fit: per source,
+  // vocabulary size V at 8 evenly-spaced token checkpoints of the
+  // deterministic doc_id-ordered token stream, and the Heaps exponent β
+  // from the log-log OLS fit V ≈ k·Cᵝ (Heaps 1978; β≪ typical ~0.5 =
+  // repetitive/templated source, β→1 = open vocabulary — the readout a
+  // tokenizer-budget or dedup review reads per source).
+  //
+  // Determinism: first-occurrence positions are exact BIGINTs (per-
+  // source cumsum offsets, the d74 window), checkpoints are integer
+  // floor-divisions, V is an exact count; ln() rounds at 8 dp (the d69
+  // libm policy) and the OLS sums run through DECIMAL(20,10) — order-
+  // independent at any parallelism; β and ln k are single IEEE
+  // expressions over those sums rounded once.
+  //
+  // Scale shape: one token explode → ONE (source, token) aggregation
+  // (the d54 inverted-index exchange) for first positions, a per-source
+  // doc-count window for offsets, then everything runs on |types|
+  // joined against a broadcast 8-row-per-source checkpoint table. The
+  // per-source token ORDER is the only corpus-global notion, and it
+  // derives from the (source, doc_id) sort key — no global sort is ever
+  // executed, just window cumsums per source.
+  private val d98: (String, QFn, Option[String]) = ("d98_heaps_law",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("_w"))
+        .withColumn("_nt", size(col("_w")).cast("long"))
+        .filter(col("_nt") > 0)
+      val wOff = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withOff = base.withColumn("_off",
+        coalesce(sum(col("_nt")).over(wOff), lit(0L)))
+      val fp = withOff
+        .select(col("source"), col("_off"), posexplode(col("_w")))
+        .select(col("source"), col("col").as("_tok"),
+          (col("_off") + col("pos") + lit(1L)).as("_gpos"))
+        .groupBy(col("source"), col("_tok"))
+        .agg(min(col("_gpos")).as("_fp"))
+      val ck = base.groupBy(col("source")).agg(sum(col("_nt")).as("_total"))
+        .filter(col("_total") >= 8L)
+        .select(col("source").as("_csrc"), col("_total"),
+          explode(sequence(lit(1L), lit(8L))).as("i"))
+        .withColumn("c_tokens", expr("_total * i div 8"))
+      val v = fp.join(broadcast(ck),
+          fp("source") === ck("_csrc") && col("_fp") <= col("c_tokens"))
+        .groupBy(col("_csrc").as("source"), col("i"), col("c_tokens"))
+        .agg(count(lit(1)).as("v_types"))
+      val wS = Window.partitionBy(col("source"))
+      def dsum(c: Column) =
+        sum(c.cast("decimal(20,10)")).over(wS).cast("double")
+      val xy = v
+        .withColumn("x", round(log(col("c_tokens").cast("double")), 8))
+        .withColumn("y", round(log(col("v_types").cast("double")), 8))
+      val sm = xy
+        .withColumn("_sx", dsum(col("x")))
+        .withColumn("_sy", dsum(col("y")))
+        .withColumn("_sxy", dsum(col("x") * col("y")))
+        .withColumn("_sxx", dsum(col("x") * col("x")))
+        .withColumn("beta", round(
+          (lit(8.0) * col("_sxy") - col("_sx") * col("_sy"))
+            / (lit(8.0) * col("_sxx") - col("_sx") * col("_sx")), 6))
+      sm.select(col("source"), col("i"), col("c_tokens"), col("v_types"),
+        col("x"), col("y"), col("beta"),
+        round((col("_sy") - col("beta") * col("_sx")) / lit(8.0), 6)
+          .as("lnk"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, $tokSql AS w
+      |  FROM documents WHERE len($tokSql) > 0),
+      |off AS (SELECT doc_id, source, len(w)::BIGINT AS nt, w,
+      |    coalesce(sum(len(w)) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS off
+      |  FROM tk),
+      |fp AS (SELECT source, t AS tok, min(off + i)::BIGINT AS fp FROM (
+      |    SELECT source, off, unnest(w) AS t,
+      |      unnest(range(1, len(w) + 1)) AS i FROM off)
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT source, sum(nt)::BIGINT AS total FROM off
+      |  GROUP BY 1 HAVING sum(nt) >= 8),
+      |ck AS (SELECT source, i, ((total * i) // 8)::BIGINT AS c_tokens
+      |  FROM (SELECT source, total, unnest(range(1, 9))::BIGINT AS i
+      |    FROM tt)),
+      |v AS (SELECT ck.source, ck.i, ck.c_tokens, count(*)::BIGINT
+      |    AS v_types
+      |  FROM fp JOIN ck ON fp.source = ck.source
+      |    AND fp.fp <= ck.c_tokens
+      |  GROUP BY 1, 2, 3),
+      |xy AS (SELECT source, i, c_tokens, v_types,
+      |    round(ln(c_tokens::DOUBLE), 8) AS x,
+      |    round(ln(v_types::DOUBLE), 8) AS y FROM v),
+      |sm AS (SELECT source, i, c_tokens, v_types, x, y,
+      |    CAST(sum(CAST(x AS DECIMAL(20,10))) OVER ws AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(20,10))) OVER ws AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(20,10))) OVER ws AS DOUBLE)
+      |      AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(20,10))) OVER ws AS DOUBLE)
+      |      AS sxx
+      |  FROM xy WINDOW ws AS (PARTITION BY source)),
+      |f1 AS (SELECT *, round((8.0 * sxy - sx * sy)
+      |    / (8.0 * sxx - sx * sx), 6) AS beta FROM sm)
+      |SELECT source, i, c_tokens, v_types, x, y, beta,
+      |  round((sy - beta * sx) / 8.0, 6) AS lnk
+      |FROM f1""".stripMargin))
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98)
 }
