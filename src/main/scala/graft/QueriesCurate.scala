@@ -1959,6 +1959,54 @@ private[graft] object QueriesCurate {
   // budget review reads (release_share = survived tokens, waste_share
   // = padding overhead of the shipped chunks). Every count exact; the
   // two shares are one double division each.
+  // ----------------------- learned-vs-rule selection report (c03)
+  // The question a team adopting a learned quality filter (d95) asks
+  // before flipping the switch: per source, how does the model's gate
+  // differ from the rule gate it distilled — rule∧model agreement,
+  // what ONLY the model admits (the DCLM pitch: learned filters
+  // recover docs rules kill), what ONLY the rules keep (the model's
+  // misses), with token masses for the budget view. Pure composition:
+  // per-doc label and score come from the SAME fitted model d95
+  // verifies (memoized qcModel; oracle replays the whole fit through
+  // the factored qcCtesSql), then ONE source-sized aggregation.
+  private val c03: (String, QFn, Option[String]) = ("c03_selection_report",
+    (s, d) => {
+      val (fx, w, stats) = QueriesPrep.qcModel(s, d)
+      val raw = (1 to 4).map(j => col(s"r$j"))
+      val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+        (r - lit(mu)) / lit(sd)
+      }
+      val pred = (Learn.score(w.toSeq, xs) >= 0.5).cast("long")
+      fx.select(col("source"), col("label"), pred.as("_p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).as("rule_keep"),
+          sum(col("_p")).as("model_keep"),
+          sum(col("label") * col("_p")).as("keep_both"),
+          sum(col("label") * (lit(1L) - col("_p"))).as("only_rule"),
+          sum((lit(1L) - col("label")) * col("_p")).as("only_model"),
+          round((sum(col("label") * col("_p"))
+            + sum((lit(1L) - col("label")) * (lit(1L) - col("_p"))))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("agreement"))
+    },
+    Some {
+      val p = QueriesPrep.qcScoreSql
+      s"""WITH ${QueriesPrep.qcCtesSql},
+        |pd AS (SELECT source, label,
+        |    (CASE WHEN $p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM fs, w${QueriesPrep.QC_ITERS})
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(label)::BIGINT AS rule_keep,
+        |  sum(p)::BIGINT AS model_keep,
+        |  sum(label * p)::BIGINT AS keep_both,
+        |  sum(label * (1 - p))::BIGINT AS only_rule,
+        |  sum((1 - label) * p)::BIGINT AS only_model,
+        |  round((sum(label * p) + sum((1 - label) * (1 - p)))::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS agreement
+        |FROM pd GROUP BY source""".stripMargin
+    })
+
   private val c02: (String, QFn, Option[String]) = ("c02_training_funnel",
     (s, d) => {
       val raw = docs(s, d).groupBy(col("source"))
@@ -2114,5 +2162,5 @@ private[graft] object QueriesCurate {
         |FROM fin""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, d96, d97, c01, c02)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d41, d42, d43, d44, d45, d46, d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, d58, d59, d60, d61, d62, d67, d68, d71, d72, d73, d74, d75, d76, d77, d78, d79, d80, d81, d82, d83, d85, d86, d87, d88, d90, d91, d96, d97, c01, c02, c03)
 }
