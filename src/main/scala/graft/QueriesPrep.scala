@@ -363,6 +363,48 @@ private[graft] object QueriesPrep {
   // are then STANDARDIZED on the 6-dp grid (Learn.standardStats) —
   // unscaled full-batch GD on these ratios oscillates at any usable lr
   // and never beats the base rate.
+  // --------------------------------- DP-style noisy release (d99)
+  // The privacy family's release step (d16 redacts, d66 audits
+  // k-anonymity, d93 pseudonymizes — d99 RELEASES aggregate stats under
+  // the Laplace mechanism): per source, doc count (sensitivity 1,
+  // scale 1/ε) and the per-doc-CLIPPED token sum (clip at 1000 = the
+  // d13 length cap, so one doc moves the sum by ≤1000 → scale 1000/ε),
+  // ε = 1. Noise is the content-addressed inverse-CDF draw
+  // (Prep.laplaceNoise, the d70 Gumbel idiom) so the oracle verifies
+  // the MECHANISM — clipping, sensitivity scaling, inverse CDF —
+  // bit-for-bit; a production release swaps in a real entropy source
+  // and publishes ONLY the noisy columns (the true columns here exist
+  // for the verification harness). One source-sized aggregation.
+  private val d99: (String, QFn, Option[String]) = ("d99_dp_release",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(size(TextOps.tokens(col("text"))).cast("long"),
+          lit(1000L))).as("tok_clipped"))
+      .select(col("source"), col("n_docs"), col("tok_clipped"),
+        round(col("n_docs")
+          + Prep.laplaceNoise(col("source"), "dp.n", 1.0), 6)
+          .as("noisy_docs"),
+        round(col("tok_clipped")
+          + Prep.laplaceNoise(col("source"), "dp.t", 1000.0), 6)
+          .as("noisy_tokens")),
+    Some {
+      def lap(salt: String, scale: String) = {
+        val u = s"(((${md5HashSql(s"source || '#$salt'")} >> 8) + 1)" +
+          "::DOUBLE / 4503599627370497::DOUBLE)"
+        s"(-$scale) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))"
+      }
+      s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(least(len(${QueriesText.tokSql}), 1000))::BIGINT
+        |      AS tok_clipped
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, tok_clipped,
+        |  round(n_docs + ${lap("dp.n", "1.0")}, 6) AS noisy_docs,
+        |  round(tok_clipped + ${lap("dp.t", "1000.0")}, 6)
+        |    AS noisy_tokens
+        |FROM a""".stripMargin
+    })
+
   /** d95's raw per-doc feature projection (doc_id, source, label, y,
     * r1..r4) — the Spark twin of the oracle's `fx` CTE. Shared by the
     * fit (d95) and the streaming gate's batch twin (s16), which carries
@@ -500,5 +542,5 @@ private[graft] object QueriesPrep {
   }
 
   lazy val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95)
+    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95, d99)
 }

@@ -264,6 +264,23 @@ object Prep {
           .as("f1"))
   }
 
+  /** Content-addressed Laplace(0, scale) noise for DP-style releases:
+    * u = ((h>>8)+1)/(2^52+1) with h the 60-bit md5Hash(key # salt) — the
+    * d70 Gumbel idiom, u strictly in (0,1), every integer in the ratio
+    * exactly double-representable — then the inverse CDF
+    * −scale·sign(u−½)·ln(1−2|u−½|). Engine-replayable by construction
+    * (the same property that makes d70's resampling verifiable): a
+    * PRODUCTION ε-DP release must draw from a real entropy source —
+    * this deterministic draw is the test-harness form that lets the
+    * oracle verify the MECHANISM (clipping, sensitivity scaling,
+    * inverse CDF) bit-for-bit. u = ½ exactly → sign 0 → noise 0. */
+  def laplaceNoise(key: Column, salt: String, scale: Double): Column = {
+    val u = (shiftright(Dedup.md5Hash(key.cast("string"), lit(salt)), 8)
+      + lit(1L)).cast("double") / lit(4503599627370497L).cast("double")
+    val d = u - lit(0.5)
+    lit(-scale) * signum(d) * log(lit(1.0) - lit(2.0) * abs(d))
+  }
+
   /** Population Stability Index between two cohorts of one bucketed
     * metric — the release-gate drift audit (PSI is the credit-risk /
     * model-monitoring standard; > 0.25 conventionally blocks a release).

@@ -221,4 +221,29 @@ class PrepSpec extends SparkSpec {
     assert(byKey(("h", 2L)) == ((1L, 1L, 0.0, 0.0)))
     assert(out.collect().forall(_.getDouble(6) >= 0.0)) // contribs ≥ 0
   }
+
+  test("laplaceNoise: deterministic, scale-proportional, sign-balanced") {
+    val keys = (0 until 400).map(i => s"k$i").toDF("k")
+    val n1 = keys.select(col("k"),
+        Prep.laplaceNoise(col("k"), "t", 1.0).as("e1"),
+        Prep.laplaceNoise(col("k"), "t", 10.0).as("e10"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // same key + salt → same draw (content-addressed), scale is linear
+    assert(n1.values.forall { case (a, b) => b == a * 10.0 })
+    val again = keys.select(Prep.laplaceNoise(col("k"), "t", 1.0))
+      .as[Double].collect()
+    assert(again.toSeq == keys.select(col("k")).as[String].collect()
+      .toSeq.map(k => n1(k)._1))
+    // symmetric around 0: both signs well represented, median near 0
+    val vals = n1.values.map(_._1).toSeq.sorted
+    val neg = vals.count(_ < 0)
+    assert(neg > 120 && neg < 280, s"sign balance off: $neg/400 negative")
+    assert(math.abs(vals(200)) < 0.2, s"median ${vals(200)} far from 0")
+    assert(vals.forall(v => !v.isNaN && !v.isInfinite))
+    // a different salt decorrelates the draw
+    val other = keys.select(Prep.laplaceNoise(col("k"), "u", 1.0))
+      .as[Double].collect().toSet
+    assert(other != n1.values.map(_._1).toSet)
+  }
 }
