@@ -375,8 +375,13 @@ private[graft] object QueriesPrep {
   // bit-for-bit; a production release swaps in a real entropy source
   // and publishes ONLY the noisy columns (the true columns here exist
   // for the verification harness). One source-sized aggregation.
-  private val d99: (String, QFn, Option[String]) = ("d99_dp_release",
-    (s, d) => Tables.documents(s, d)
+  /** d99's computation over ANY (source, text) frame — the aggregation
+    * is a keyed count/sum and the noise a post-aggregate projection, so
+    * the SAME call runs in complete output mode on a STREAM of
+    * documents (s17's twin; state bounded by |sources|): the
+    * continuously-updated noisy telemetry shape. */
+  private[graft] def dpReleaseDf(docsDf: DataFrame): DataFrame =
+    docsDf
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(least(size(TextOps.tokens(col("text"))).cast("long"),
@@ -387,23 +392,31 @@ private[graft] object QueriesPrep {
           .as("noisy_docs"),
         round(col("tok_clipped")
           + Prep.laplaceNoise(col("source"), "dp.t", 1000.0), 6)
-          .as("noisy_tokens")),
-    Some {
-      def lap(salt: String, scale: String) = {
-        val u = s"(((${md5HashSql(s"source || '#$salt'")} >> 8) + 1)" +
-          "::DOUBLE / 4503599627370497::DOUBLE)"
-        s"(-$scale) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))"
-      }
-      s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(least(len(${QueriesText.tokSql}), 1000))::BIGINT
-        |      AS tok_clipped
-        |  FROM documents GROUP BY source)
-        |SELECT source, n_docs, tok_clipped,
-        |  round(n_docs + ${lap("dp.n", "1.0")}, 6) AS noisy_docs,
-        |  round(tok_clipped + ${lap("dp.t", "1000.0")}, 6)
-        |    AS noisy_tokens
-        |FROM a""".stripMargin
-    })
+          .as("noisy_tokens"))
+
+  /** d99's oracle text, shared verbatim by s17's batch twin (the
+    * s15/sftSql precedent: one definition, two execution modes, one
+    * oracle). */
+  private[graft] lazy val dpReleaseSql: String = {
+    def lap(salt: String, scale: String) = {
+      val u = s"(((${md5HashSql(s"source || '#$salt'")} >> 8) + 1)" +
+        "::DOUBLE / 4503599627370497::DOUBLE)"
+      s"(-$scale) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))"
+    }
+    s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(least(len(${QueriesText.tokSql}), 1000))::BIGINT
+      |      AS tok_clipped
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, tok_clipped,
+      |  round(n_docs + ${lap("dp.n", "1.0")}, 6) AS noisy_docs,
+      |  round(tok_clipped + ${lap("dp.t", "1000.0")}, 6)
+      |    AS noisy_tokens
+      |FROM a""".stripMargin
+  }
+
+  private val d99: (String, QFn, Option[String]) = ("d99_dp_release",
+    (s, d) => dpReleaseDf(Tables.documents(s, d)),
+    Some(dpReleaseSql))
 
   /** d95's raw per-doc feature projection (doc_id, source, label, y,
     * r1..r4) — the Spark twin of the oracle's `fx` CTE. Shared by the

@@ -448,7 +448,20 @@ object QueriesStream {
       |FROM fs, w${QueriesPrep.QC_ITERS}
       |GROUP BY source""".stripMargin))
 
+  // ---------------------------------- streaming DP release (s17)
+  // d99's streaming twin (the s14/s15 move — one definition, two
+  // execution modes, one oracle): the per-source noisy telemetry table
+  // updates continuously in complete mode — the aggregation is a keyed
+  // count/sum with state bounded by |sources|, and the Laplace noise is
+  // a post-aggregate projection whose content-addressed draw depends
+  // only on the source key, so every emitted snapshot is the correctly
+  // noised release for the data seen so far. EventStreamSpec proves
+  // stream ≡ batch across micro-batches; this row is the batch twin.
+  private val s17: (String, QFn, Option[String]) = ("s17_stream_dp_release",
+    (s, d) => QueriesPrep.dpReleaseDf(Tables.documents(s, d)),
+    Some(QueriesPrep.dpReleaseSql))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16)
+      s14, s15, s16, s17)
 }

@@ -762,4 +762,41 @@ class EventStreamSpec extends SparkSpec {
     // scores genuinely vary: the gate is not a constant pass-through
     assert(streamed.map(_._4).size > 1)
   }
+
+  test("dpReleaseDf streams: every complete-mode snapshot is the " +
+      "correctly noised release for the data seen so far") {
+    // the s17 contract: keyed count/sum + post-aggregate noise whose
+    // draw depends only on the source key — so the stream's final
+    // snapshot equals the batch release, and the MID-STREAM snapshot
+    // equals the batch release over the prefix (checked via a second
+    // batch call on the first micro-batch alone).
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", "alpha beta gamma delta"),
+      (2L, "web", "one two three"),
+      (3L, "code", "def main return"),
+      (4L, "web", "lorem ipsum dolor sit amet"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.QueriesPrep.dpReleaseDf(
+        in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("dprel")
+      .outputMode("complete").start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "tok_clipped", "noisy_docs",
+          "noisy_tokens")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    val mid = try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      val m = rows(spark.table("dprel"))
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+      m
+    } finally q.stop()
+    val end = rows(spark.table("dprel"))
+    assert(mid == rows(graft.QueriesPrep.dpReleaseDf(
+      docs.take(2).toDF("doc_id", "source", "text"))))
+    assert(end == rows(graft.QueriesPrep.dpReleaseDf(
+      docs.toDF("doc_id", "source", "text"))))
+    // the noise moved the published values off the true integers
+    assert(end.forall(r => r._4 != r._2.toDouble))
+  }
 }
