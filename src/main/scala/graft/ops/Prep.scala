@@ -306,9 +306,14 @@ object Prep {
                inA: Column, inB: Column, buckets: Int): DataFrame = {
     val c = df.select(grp.as("grp"), bucket.cast("long").as("bucket"),
       inA.cast("long").as("_ia"), inB.cast("long").as("_ib"))
+    // grid-sized and read twice (spine + join) — localCheckpoint so the
+    // spine's distinct does NOT re-run the corpus aggregation (and the
+    // corpus is scanned exactly once more than the A/B union needs;
+    // PlanShapeSpec pins the scan count)
     val counts = c.groupBy(col("grp"), col("bucket"))
       .agg(sum(col("_ia")).as("n_a"), sum(col("_ib")).as("n_b"))
-    val spine = c.select(col("grp")).distinct()
+      .localCheckpoint(true)
+    val spine = counts.select(col("grp")).distinct()
       .select(col("grp"),
         explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
     val wG = Window.partitionBy(col("grp"))

@@ -598,4 +598,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"unbroadcast cartesian in the centroid fan-out:\n$plan")
   }
+
+  test("PSI drift (d96): corpus folds to the (group, bucket) grid once; " +
+      "no range sort") {
+    // Prep.psiDrift's scale claim: ONE corpus-sized hash aggregation to
+    // the counts table; the dense spine, totals and PSI windows all run
+    // on the |groups|×buckets grid. Extra hash exchanges here are
+    // grid-sized (spine distinct/join/window), so the pin is on the
+    // ABSENCE of any range sort and of a second corpus aggregation
+    // shape: the union input appears in exactly two scan branches.
+    val plan = finalPlanOf("d96_psi_drift")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"range sort in PSI plan:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"more corpus scans than the A/B union + spine:\n$plan")
+  }
+
+  test("best-of-n (d97): ONE group-key exchange feeds window and " +
+      "aggregates; no range sort") {
+    // the ranked frame is localCheckpoint'd, so probe the operator
+    // shape on the pre-checkpoint window: one hash exchange on grp, the
+    // per-group ordering is the window's partition-local sort.
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dedup
+    val df = spark.range(300).select(col("id").as("doc_id"),
+      (col("id") % 11).cast("string").as("grp"),
+      (col("id") % 37).as("reward"))
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(col("reward").desc, col("doc_id"))
+    val ranked = df.withColumn("_rn", row_number().over(win))
+    ranked.collect()
+    val (h, r, _) = exchangeCounts(
+      ranked.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head)
+    assert(h == 1 && r == 0, s"expected one hash exchange: h=$h r=$r")
+  }
+
+  test("Heaps growth (d98): no global range sort — per-source order " +
+      "lives in window-local sorts; checkpoints broadcast") {
+    val plan = finalPlanOf("d98_heaps_law")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"global range sort in d98 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"checkpoint table not broadcast:\n$plan")
+  }
+
+  test("DP release (d99/s17): ONE corpus aggregation, noise is pure " +
+      "projection") {
+    val (h, r, _) = exchangeCounts(finalPlanOf("d99_dp_release"))
+    assert(h == 1 && r == 0,
+      s"expected exactly one hash exchange, no range: h=$h r=$r")
+  }
 }
