@@ -1258,5 +1258,65 @@ private[graft] object QueriesVectors {
       |  round(s::DOUBLE / nn::DOUBLE, 6) AS overall_purity
       |FROM cl JOIN mj USING (cid), tot""".stripMargin))
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06)
+  // ------------------------------------ image quality gate (m07)
+  // The d13 rule filter, image edition: REAL decode of m05's variable-
+  // geometry PGMs → exact integer moments (Σp, Σp² — the d85 contract)
+  // → the three rules every VLM ingest runs: too-small (w·h < 256, the
+  // rule that genuinely bites on this corpus's 8–31 × 4–15 geometry),
+  // brightness band (32 ≤ mean ≤ 224: not all-black/all-white), and
+  // flatness (σ ≥ 8: blank frames carry no signal). md5-derived pixels
+  // are near-uniform, so brightness/flatness pass here and SIZE is the
+  // discriminating rule — on real data all three bite; the keep flag
+  // compares unrounded doubles both engines compute identically. The
+  // oracle re-derives every pixel from the generation spec (the m05
+  // move), so a codec or moment regression at any geometry hash-fails.
+  private val m07: (String, QFn, Option[String]) = ("m07_image_quality_gate",
+    (s, d) => {
+      val base = docs(s, d)
+      val dims = base.select(col("doc_id"), col("source"), col("text"),
+        (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
+          % 24).as("w"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
+          % 12).as("h"))
+      val st = Multimodal.qualityStatsBatched(
+        Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
+          col("h")),
+        "doc_id", "payload")
+      val n = (col("width") * col("height")).cast("double")
+      val mean = col("px_sum").cast("double") / n
+      val sd = sqrt(greatest(col("px_sq").cast("double") / n - mean * mean,
+        lit(0.0)))
+      st.join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("width"), col("height"),
+          round(mean, 6).as("px_mean"), round(sd, 6).as("px_std"),
+          (col("width") * col("height") >= 256L && mean >= 32.0
+            && mean <= 224.0 && sd >= 8.0).cast("long").as("keep"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+        |      AS w,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+        |      AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, sum($byte)::BIGINT AS px_sum,
+        |    sum($byte * $byte)::BIGINT AS px_sq
+        |  FROM (SELECT doc_id, t, unnest(range(w * h)) AS i FROM dim)
+        |  GROUP BY doc_id),
+        |m AS (SELECT d.doc_id, d.source, d.w AS width, d.h AS height,
+        |    px_sum::DOUBLE / (d.w * d.h)::DOUBLE AS mean,
+        |    sqrt(greatest(px_sq::DOUBLE / (d.w * d.h)::DOUBLE
+        |      - (px_sum::DOUBLE / (d.w * d.h)::DOUBLE)
+        |        * (px_sum::DOUBLE / (d.w * d.h)::DOUBLE), 0.0)) AS sd
+        |  FROM dim d JOIN px USING (doc_id))
+        |SELECT doc_id, source, width, height,
+        |  round(mean, 6) AS px_mean, round(sd, 6) AS px_std,
+        |  (width * height >= 256 AND mean >= 32.0 AND mean <= 224.0
+        |    AND sd >= 8.0)::BIGINT AS keep
+        |FROM m""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07)
 }

@@ -306,6 +306,31 @@ object Multimodal {
       sum, min, max, sb.toString)
   }
 
+  /** Decode + the exact integer moments an image-quality gate needs:
+    * (id, width, height, px_sum, px_sq) with Σp and Σp² as exact Longs
+    * (255²·Int.MaxValue pixels still fits), so mean/contrast/flatness
+    * downstream are single IEEE expressions over exact integers — the
+    * d85 determinism contract, image edition. Per-row projection, no
+    * shuffle; the m07 gate builds on it. */
+  def qualityStatsBatched(df: DataFrame, idCol: String,
+                          payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = Pgm.decode(bytes)
+        var s = 0L; var sq = 0L; var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xff).toLong
+          s += v; sq += v * v; i += 1
+        }
+        (id, img.width.toLong, img.height.toLong, s, sq)
+      }
+    }.toDF(idCol, "width", "height", "px_sum", "px_sq")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

@@ -150,4 +150,21 @@ class PgmSpec extends SparkSpec {
     assert(rs.getAs[String]("px_csv") === exp.mkString(","))
     assert(rs.getAs[Long]("px_sum") === exp.map(_.toLong).sum)
   }
+
+  test("qualityStatsBatched: exact Σp and Σp² against the csv decode") {
+    val df = Seq((9L, "moments"), (10L, "of a gate")).toDF("doc_id", "text")
+    val enc = Multimodal.encodePgmFromText(df, "doc_id", "text")
+    val csv = Multimodal.decodePgmBatched(enc, "doc_id", "payload")
+      .select("doc_id", "px_csv").as[(Long, String)].collect().toMap
+    val qs = Multimodal.qualityStatsBatched(enc, "doc_id", "payload")
+      .collect()
+    assert(qs.length == 2)
+    qs.foreach { r =>
+      val px = csv(r.getAs[Long]("doc_id")).split(",").map(_.toLong)
+      assert(r.getAs[Long]("px_sum") === px.sum)
+      assert(r.getAs[Long]("px_sq") === px.map(v => v * v).sum)
+      assert(r.getAs[Long]("width") * r.getAs[Long]("height")
+        === px.length.toLong)
+    }
+  }
 }
