@@ -120,6 +120,15 @@ object Queries {
       }
       rtDirs.synchronized(rtDirs.toSeq).foreach(p => rm(new java.io.File(p)))
     }))
+  /** Register an EXTRA path under the shutdown-hook cleanup — for
+    * side-paths derived from an rtDir (d62's write-to-temp dir): a
+    * write that dies mid-job must not leak its partial directory past
+    * the JVM, the exact garbage the hook exists to prevent. */
+  private[graft] def rtRegister(p: String): Unit = {
+    rtCleanupHook
+    rtDirs.synchronized { rtDirs += p; () }
+  }
+
   /** Package-visible so QueriesText (e13's index dir) shares the same
     * pid-keyed, shutdown-hook-cleaned tmp-dir discipline. */
   private[graft] def rtDir(tag: String, d: String): String = {

@@ -704,11 +704,16 @@ private[graft] object QueriesCorpus {
   private val d98: (String, QFn, Option[String]) = ("d98_heaps_law",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // localCheckpoint: two independent branches consume the tokenized
+      // frame (first-position window AND per-source totals) — without
+      // it the corpus is scanned and regex-tokenized twice (the re-scan
+      // class the d96 plan pin caught)
       val base = docs(s, d)
         .select(col("doc_id"), col("source"),
           TextOps.tokens(col("text")).as("_w"))
         .withColumn("_nt", size(col("_w")).cast("long"))
         .filter(col("_nt") > 0)
+        .localCheckpoint(true)
       val wOff = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val withOff = base.withColumn("_off",

@@ -1391,16 +1391,20 @@ private[graft] object QueriesCurate {
       // half-written truth table.
       val truthDir = Queries.rtDir("d62truth", d)
       if (!new java.io.File(truthDir, "_SUCCESS").isFile) {
+        // the temp path is registered with the shutdown-hook cleanup
+        // BEFORE the write: a write that dies mid-job must not leak
+        // its partial dir past the JVM
+        Queries.rtRegister(truthDir + ".tmp")
         val tmp = java.nio.file.Paths.get(truthDir + ".tmp")
         val dst = java.nio.file.Paths.get(truthDir)
         Dedup.jaccardPairs(base, "doc_id", "text", n = 3,
           threshold = 0.2, maxPostings = 50)
           .write.mode("overwrite").parquet(tmp.toString)
-        if (java.nio.file.Files.isDirectory(dst)) { // stale partial dir
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dst).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
+        if (java.nio.file.Files.isDirectory(dst)) // stale partial dir
+          rm(dst.toFile)
         try java.nio.file.Files.move(tmp, dst,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.AtomicMoveNotSupportedException =>

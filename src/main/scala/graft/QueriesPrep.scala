@@ -340,10 +340,10 @@ private[graft] object QueriesPrep {
   // with the FIT inside the verified surface: distill d13's C4-style
   // rule filter into a smooth logistic-like scorer — features are d03's
   // published 6-dp quality ratios plus a rational length saturation,
-  // pseudo-labels are d13's keep flag, and three full-batch gradient
-  // steps of Learn.logisticFit produce 6-dp-grid weights the output
-  // row carries (w0..w4), so the DuckDB oracle — which REPLAYS the
-  // entire training loop as a w0→g1→w1→g2→w2→g3→w3 CTE chain over
+  // pseudo-labels are d13's keep flag, and QC_ITERS (= 10) full-batch
+  // gradient steps of Learn.logisticFit produce 6-dp-grid weights the
+  // output row carries (w0..w4), so the DuckDB oracle — which REPLAYS
+  // the entire training loop as a w0→w1→…→w10 fused CTE chain over
   // literally the same rule text d13 verifies (factored ruleCtesSql) —
   // hash-checks the learned model itself, not just the scoring pass.
   // No exp() anywhere: the squash is the rational fast sigmoid and
@@ -383,9 +383,13 @@ private[graft] object QueriesPrep {
   private[graft] def dpReleaseDf(docsDf: DataFrame): DataFrame =
     docsDf
       .groupBy(col("source"))
+      // coalesce: a NULL-text doc must contribute 0 tokens (and still
+      // count in n_docs) — without it both engines would SKIP the row
+      // in the sum (size(null) = null), a released stat silently
+      // excluding documents the count includes
       .agg(count(lit(1)).as("n_docs"),
-        sum(least(size(TextOps.tokens(col("text"))).cast("long"),
-          lit(1000L))).as("tok_clipped"))
+        sum(least(size(TextOps.tokens(coalesce(col("text"), lit(""))))
+          .cast("long"), lit(1000L))).as("tok_clipped"))
       .select(col("source"), col("n_docs"), col("tok_clipped"),
         round(col("n_docs")
           + Prep.laplaceNoise(col("source"), "dp.n", 1.0), 6)
@@ -406,7 +410,8 @@ private[graft] object QueriesPrep {
     s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
       |    sum(least(len(${QueriesText.tokSql}), 1000))::BIGINT
       |      AS tok_clipped
-      |  FROM documents GROUP BY source)
+      |  FROM (SELECT source, coalesce(text, '') AS text
+      |    FROM documents) dd GROUP BY source)
       |SELECT source, n_docs, tok_clipped,
       |  round(n_docs + ${lap("dp.n", "1.0")}, 6) AS noisy_docs,
       |  round(tok_clipped + ${lap("dp.t", "1000.0")}, 6)
@@ -452,13 +457,20 @@ private[graft] object QueriesPrep {
     * deterministic (Learn scaladoc), so d95 and s16 in one
     * bench/verify run pay the 11 training passes once (the d62
     * materialize-once pattern; entries live for the JVM, bounded by
-    * the handful of scale dirs a process touches). */
+    * the handful of scale dirs a process touches). Keyed by
+    * (applicationId, dir), not dir alone: the cached frame is a
+    * localCheckpoint bound to its SparkContext, so an entry from a
+    * stopped context must NOT be served to a new session in the same
+    * JVM (it would fail with "SparkContext has been shut down" instead
+    * of re-fitting) — a fresh context gets a fresh applicationId and
+    * therefore a fresh fit. */
   private val qcModelMemo = scala.collection.mutable.Map.empty[
     String, (DataFrame, Array[Double], Array[(Double, Double)])]
 
   private[graft] def qcModel(s: SparkSession, d: String)
       : (DataFrame, Array[Double], Array[(Double, Double)]) =
-    qcModelMemo.synchronized(qcModelMemo.getOrElseUpdate(d, {
+    qcModelMemo.synchronized(qcModelMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$d", {
       val fx = qcFeatures(s, d).localCheckpoint(true)
       val raw = (1 to 4).map(j => col(s"r$j"))
       val stats = Learn.standardStats(fx, raw)
