@@ -704,16 +704,17 @@ private[graft] object QueriesCorpus {
   private val d98: (String, QFn, Option[String]) = ("d98_heaps_law",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // localCheckpoint: two independent branches consume the tokenized
-      // frame (first-position window AND per-source totals) — without
-      // it the corpus is scanned and regex-tokenized twice (the re-scan
-      // class the d96 plan pin caught)
+      // Two branches consume the tokenized frame (first-position window
+      // AND per-source totals), so the corpus tokenizes twice — a
+      // localCheckpoint was MEASURED NET-NEGATIVE here (isolated: sf0.1
+      // 0.71s -> 0.85s, sf1 1.20s -> 1.48s; the totals branch prunes to
+      // a count-only scan that is cheaper than materializing the
+      // exploded-width frame). The r12 rule: profile before checkpoint.
       val base = docs(s, d)
         .select(col("doc_id"), col("source"),
           TextOps.tokens(col("text")).as("_w"))
         .withColumn("_nt", size(col("_w")).cast("long"))
         .filter(col("_nt") > 0)
-        .localCheckpoint(true)
       val wOff = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val withOff = base.withColumn("_off",
