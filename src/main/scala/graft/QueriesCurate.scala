@@ -1804,8 +1804,11 @@ private[graft] object QueriesCurate {
           expr("_nd * 1000000L div _nt").as("reward"))
       val win = Window.partitionBy(col("grp"))
         .orderBy(col("reward").desc, col("doc_id"))
+      // feeds winner, runner-up AND group stats; profiled per the r12
+      // rule: sf1 isolated 0.82s with vs 1.39s without (three window
+      // recomputes) — the checkpoint wins
       val ranked = base.withColumn("_rn", row_number().over(win))
-        .localCheckpoint(true) // feeds winner, runner-up AND group stats
+        .localCheckpoint(true)
       val gs = ranked.groupBy(col("grp")).agg(
         count(lit(1)).as("n_candidates"),
         sum(col("reward")).as("_s"))
