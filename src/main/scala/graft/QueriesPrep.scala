@@ -566,6 +566,60 @@ private[graft] object QueriesPrep {
         |$iterCtes""".stripMargin
   }
 
+  // --------------------------- classifier calibration curve (d100)
+  // The reliability diagram for d95 — the d80-calibration move applied
+  // to the learned filter: bucket the model score on a 20-cell micro
+  // grid (the d87 lift), and per cell compare the exact-decimal mean
+  // PREDICTED score against the OBSERVED rule-keep rate, with the
+  // absolute gap. Systematic gaps = the smooth scorer is over/under-
+  // confident in that score band — the table a filter-adoption review
+  // reads next to c03's agreement counts before trusting d95's 0.5
+  // threshold. Same memoized fit; ONE corpus aggregation to the
+  // 20-cell grid; oracle replays fit + curve through qcCtesSql.
+  private val d100: (String, QFn, Option[String]) = ("d100_calibration",
+    (s, d) => {
+      val (fx, w, stats) = qcModel(s, d)
+      val raw = (1 to 4).map(j => col(s"r$j"))
+      val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+        (r - lit(mu)) / lit(sd)
+      }
+      val p = Learn.score(w.toSeq, xs)
+      val sm = floor(p * lit(1000000.0) + lit(0.5))
+      fx.select(col("label"),
+          least(lit(19L), floor(sm.cast("double") / lit(50000.0)))
+            .as("bucket"),
+          round(p, 6).cast("decimal(18,9)").as("_p6"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).as("n_keep"),
+          round(sum(col("_p6")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_score"))
+        .withColumn("keep_rate",
+          round(col("n_keep").cast("double")
+            / col("n_docs").cast("double"), 6))
+        .withColumn("abs_gap",
+          round(abs(col("mean_score") - col("keep_rate")), 6))
+    },
+    Some {
+      val p = qcScoreSql
+      s"""WITH $qcCtesSql,
+        |pb AS (SELECT label,
+        |    least(19, floor($p * 1000000.0 + 0.5)::BIGINT // 50000)
+        |      ::BIGINT AS bucket,
+        |    CAST(round($p, 6) AS DECIMAL(18,9)) AS p6
+        |  FROM fs, w$QC_ITERS),
+        |ag AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+        |    sum(label)::BIGINT AS n_keep,
+        |    round(CAST(sum(p6) AS DOUBLE) / count(*)::DOUBLE, 6)
+        |      AS mean_score
+        |  FROM pb GROUP BY bucket)
+        |SELECT bucket, n_docs, n_keep, mean_score,
+        |  round(n_keep::DOUBLE / n_docs::DOUBLE, 6) AS keep_rate,
+        |  round(abs(mean_score - round(n_keep::DOUBLE / n_docs::DOUBLE,
+        |    6)), 6) AS abs_gap
+        |FROM ag""".stripMargin
+    })
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95, d99)
+    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95, d99, d100)
 }
