@@ -620,6 +620,66 @@ private[graft] object QueriesPrep {
         |FROM ag""".stripMargin
     })
 
+  // --------------------------- gradient-alignment influence (d101)
+  // Targeted data selection by first-order influence (the LESS / DsDm
+  // shape, Xia et al. 2024): at d95's fitted weights, a training doc's
+  // per-example gradient is g_i = (y_i − σ̃(w·x_i))·x_i and the target
+  // slice's mean gradient ḡ_T is the same sum over the held-out eval
+  // docs (doc_id % 25 = 0, the d14 eval convention) — influence_i =
+  // g_i · ḡ_T: upweighting a positively-aligned doc moves the model in
+  // the direction that improves the target slice. Exactly the "which
+  // training data helps THIS eval" question targeted-selection
+  // pipelines answer, over the engine's own verified fit.
+  //
+  // Determinism: ḡ_T components are round6(exact DECIMAL sums)/n_T (the
+  // Learn gradient discipline); per-doc influence is a fixed-order
+  // 5-term dot product of IEEE doubles rounded once. Scale: ONE
+  // aggregation over the target slice to a broadcast 1-row vector,
+  // then a pure per-doc projection — no join, no second exchange.
+  private val d101: (String, QFn, Option[String]) = ("d101_influence",
+    (s, d) => {
+      val (fx, w, stats) = qcModel(s, d)
+      val raw = (1 to 4).map(j => col(s"r$j"))
+      val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+        (r - lit(mu)) / lit(sd)
+      }
+      val res = col("y") - Learn.score(w.toSeq, xs)
+      val tAggs = xs.zipWithIndex.map { case (xj, j) =>
+        sum((res * xj).cast("decimal(20,10)")).as(s"t$j")
+      } :+ count(lit(1)).as("nt")
+      val tRow = fx.filter(col("doc_id") % 25 === 0)
+        .agg(tAggs.head, tAggs.tail: _*).collect()(0)
+      val ntD = tRow.getLong(5).toDouble
+      val tg = Array.tabulate(5) { j =>
+        val s6 = if (tRow.isNullAt(j)) 0.0
+          else tRow.getDecimal(j)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        s6 / ntD
+      }
+      val infl = xs.zipWithIndex
+        .map { case (xj, j) => res * xj * lit(tg(j)) }.reduce(_ + _)
+      // roundNz: influence is a signed alignment that CAN round to zero
+      // from below (tiny-residual docs) — the q87 −0.0 class
+      fx.select(col("doc_id"), col("label"),
+        (col("doc_id") % 25 === 0).cast("long").as("in_target"),
+        CrossRound.roundNz(infl, 6).as("influence"))
+    },
+    Some {
+      val p = qcScoreSql
+      val tAggs = (0 to 4).map(j =>
+        s"CAST(round(sum(CAST((y - $p) * x$j AS DECIMAL(20,10))), 6)"
+          + s" AS DOUBLE) / count(*)::DOUBLE AS t$j").mkString(",\n    ")
+      val dot = (0 to 4).map(j => s"(f.y - $p) * f.x$j * tg.t$j")
+        .mkString(" + ")
+      s"""WITH $qcCtesSql,
+        |tg AS (SELECT $tAggs
+        |  FROM fs, w$QC_ITERS WHERE doc_id % 25 = 0)
+        |SELECT f.doc_id, f.label,
+        |  (f.doc_id % 25 = 0)::BIGINT AS in_target,
+        |  round($dot, 6) + 0.0 AS influence
+        |FROM fs f, w$QC_ITERS, tg""".stripMargin
+    })
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
-    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95, d99, d100)
+    Seq(d63, d64, d65, d66, d69, d70, d84, d89, d95, d99, d100, d101)
 }
