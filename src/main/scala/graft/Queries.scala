@@ -25,6 +25,16 @@ import graft.schema.Tables
  * ratios guard their denominator on a 2-dp grid before dividing so a
  * float-noise "zero" can never explode.
  *
+ * SIGNED quantity => CrossRound.roundNz, never plain round (the ±0.0
+ * class that shipped red twice: q87 r11, d98 r13). Any rounded column
+ * whose true value can cancel to zero — slopes, correlations, KL/PSI
+ * terms, score deltas, cumulative sums of centered values — lands on
+ * -0.0 in DuckDB (sign-preserving C round) but +0.0 in Spark
+ * (BigDecimal round), and the driver hashes the raw double bytes.
+ * roundNz appends `+ 0.0` after the round (IEEE: -0.0 + 0.0 = +0.0);
+ * the oracle SQL must append the same `+ 0.0`. tools/check_oracle.py
+ * is sign-of-zero sensitive since r14 precisely to catch this class.
+ *
  * DuckDB TYPE-WIDENING trap (cost q44 three red rounds): DuckDB's
  * `sum(BIGINT)` — including window sums and `sum(CASE ...)` — widens to
  * HUGEINT, which hash-mismatches Spark's BIGINT even when every value is
@@ -141,8 +151,10 @@ object Queries {
   }
 
   /** Registration order is the public contract (SparkEntry hands it to the
-    * driver): q01..q77 with q26b after q26 — the sub-registries are
-    * ordered, contiguous slices of that sequence. */
+    * driver): q01..q90 with q26b after q26 — the sub-registries are
+    * ordered, contiguous slices of that sequence. The text/LLM-pipeline
+    * surface (d/e/m/c/s keys) registers separately via
+    * [[QueriesText.defs]]. */
   lazy val defs: Seq[(String, QFn, Option[String])] =
     QueriesCore.defs ++ QueriesPipeline.defs ++
       QueriesScale.defs ++ QueriesAnalytics.defs ++ QueriesTrain.defs

@@ -421,7 +421,9 @@ private[graft] object QueriesAnalytics {
           - sum(a).cast("double") * sum(a).cast("double"))
         val dy = (n * sum(b * b).cast("double")
           - sum(b).cast("double") * sum(b).cast("double"))
-        round(num / sqrt(dx * dy), 6)
+        // correlation is signed: exact cancellation lands on ±0.0 —
+        // roundNz + oracle '+ 0.0' (registry float policy, r13 audit)
+        CrossRound.roundNz(num / sqrt(dx * dy), 6)
       }
       perUser.agg(count(lit(1)).as("n_users"),
         corrOf(col("x"), col("y")).as("r_click_purchase"),
@@ -435,7 +437,7 @@ private[graft] object QueriesAnalytics {
            | / sqrt((count(*)::DOUBLE * sum($a * $a)::DOUBLE
            |     - sum($a)::DOUBLE * sum($a)::DOUBLE)
            |   * (count(*)::DOUBLE * sum($b * $b)::DOUBLE
-           |     - sum($b)::DOUBLE * sum($b)::DOUBLE)), 6)"""
+           |     - sum($b)::DOUBLE * sum($b)::DOUBLE)), 6) + 0.0"""
           .stripMargin.replaceAll("\n", "")
       s"""WITH u AS (SELECT user_id,
         |  CAST(coalesce(sum(CASE WHEN event_type = 'click'

@@ -150,7 +150,7 @@ private[graft] object QueriesCorpus {
     sc.join(cc, Seq("tk")).join(ns, Seq("source"))
       .crossJoin(broadcast(nc))
       .groupBy(col("source"), col("ns"))
-      .agg(round(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
+      .agg(CrossRound.roundNz(sum(ps * log2(ps / pc)), 6).as("kl_bits"))
       .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
   }
 
@@ -165,7 +165,7 @@ private[graft] object QueriesCorpus {
       |SELECT source, ns AS n_tokens,
       | round(sum((cs::DOUBLE / ns::DOUBLE)
       |   * log2((cs::DOUBLE / ns::DOUBLE) / (cc2::DOUBLE / nc::DOUBLE))), 6)
-      |   AS kl_bits
+      |   + 0.0 AS kl_bits
       |FROM sc JOIN cc USING (tk) JOIN ns USING (source), nc
       |GROUP BY source, ns""".stripMargin
 
@@ -745,12 +745,13 @@ private[graft] object QueriesCorpus {
         .withColumn("_sy", dsum(col("y")))
         .withColumn("_sxy", dsum(col("x") * col("y")))
         .withColumn("_sxx", dsum(col("x") * col("x")))
-        .withColumn("beta", round(
+        .withColumn("beta", CrossRound.roundNz(
           (lit(8.0) * col("_sxy") - col("_sx") * col("_sy"))
             / (lit(8.0) * col("_sxx") - col("_sx") * col("_sx")), 6))
       sm.select(col("source"), col("i"), col("c_tokens"), col("v_types"),
         col("x"), col("y"), col("beta"),
-        round((col("_sy") - col("beta") * col("_sx")) / lit(8.0), 6)
+        CrossRound.roundNz(
+          (col("_sy") - col("beta") * col("_sx")) / lit(8.0), 6)
           .as("lnk"))
     },
     Some(s"""WITH tk AS (SELECT doc_id, source, $tokSql AS w
@@ -786,9 +787,9 @@ private[graft] object QueriesCorpus {
       |      AS sxx
       |  FROM xy WINDOW ws AS (PARTITION BY source)),
       |f1 AS (SELECT *, round((8.0 * sxy - sx * sy)
-      |    / (8.0 * sxx - sx * sx), 6) AS beta FROM sm)
+      |    / (8.0 * sxx - sx * sx), 6) + 0.0 AS beta FROM sm)
       |SELECT source, i, c_tokens, v_types, x, y, beta,
-      |  round((sy - beta * sx) / 8.0, 6) AS lnk
+      |  round((sy - beta * sx) / 8.0, 6) + 0.0 AS lnk
       |FROM f1""".stripMargin))
 
   lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98)

@@ -1708,10 +1708,10 @@ private[graft] object QueriesCurate {
         |  FROM dn),
         |f AS (SELECT source, bucket, n_a, n_b,
         |    round(pa, 6) AS p_a, round(pb, 6) AS p_b,
-        |    round((pa - pb) * ln(pa / pb), 6) AS contrib FROM tw)
+        |    round((pa - pb) * ln(pa / pb), 6) + 0.0 AS contrib FROM tw)
         |SELECT source, bucket, n_a, n_b, p_a, p_b, contrib,
         |  round(CAST(sum(CAST(contrib AS DECIMAL(18,9)))
-        |    OVER (PARTITION BY source) AS DOUBLE), 6) AS psi
+        |    OVER (PARTITION BY source) AS DOUBLE), 6) + 0.0 AS psi
         |FROM f""".stripMargin
     })
 
@@ -1788,27 +1788,35 @@ private[graft] object QueriesCurate {
   // mean reward, and the winner's margin over the runner-up (NULL for
   // singleton groups — no second candidate to beat). Same factored
   // group/reward definition as d85; one window over the group key.
+  /** d97's ranked candidate frame BEFORE the localCheckpoint — exposed
+    * so PlanShapeSpec can pin the registered query's own operator shape
+    * (one grp hash exchange, window-local sort), not a synthetic
+    * stand-in's. */
+  private[graft] def bestOfNRanked(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d)
+    val toks = TextOps.tokens(col("text"))
+    val base = t.select(col("doc_id"), col("source"),
+        size(array_distinct(toks)).cast("long").as("_nd"),
+        size(toks).cast("long").as("_nt"))
+      .filter(col("_nt") > 0)
+      .select(col("doc_id"),
+        concat(col("source"), lit("#"),
+          (Dedup.md5Hash(col("doc_id").cast("string"), lit("grpo"))
+            % 16).cast("string")).as("grp"),
+        expr("_nd * 1000000L div _nt").as("reward"))
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(col("reward").desc, col("doc_id"))
+    base.withColumn("_rn", row_number().over(win))
+  }
+
   private val d97: (String, QFn, Option[String]) = ("d97_best_of_n",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = docs(s, d)
-      val toks = TextOps.tokens(col("text"))
-      val base = t.select(col("doc_id"), col("source"),
-          size(array_distinct(toks)).cast("long").as("_nd"),
-          size(toks).cast("long").as("_nt"))
-        .filter(col("_nt") > 0)
-        .select(col("doc_id"),
-          concat(col("source"), lit("#"),
-            (Dedup.md5Hash(col("doc_id").cast("string"), lit("grpo"))
-              % 16).cast("string")).as("grp"),
-          expr("_nd * 1000000L div _nt").as("reward"))
-      val win = Window.partitionBy(col("grp"))
-        .orderBy(col("reward").desc, col("doc_id"))
       // feeds winner, runner-up AND group stats; profiled per the r12
       // rule: sf1 isolated 0.82s with vs 1.39s without (three window
       // recomputes) — the checkpoint wins
-      val ranked = base.withColumn("_rn", row_number().over(win))
-        .localCheckpoint(true)
+      val ranked = bestOfNRanked(s, d).localCheckpoint(true)
       val gs = ranked.groupBy(col("grp")).agg(
         count(lit(1)).as("n_candidates"),
         sum(col("reward")).as("_s"))

@@ -464,13 +464,26 @@ private[graft] object QueriesPrep {
     * JVM (it would fail with "SparkContext has been shut down" instead
     * of re-fitting) — a fresh context gets a fresh applicationId and
     * therefore a fresh fit. */
-  private val qcModelMemo = scala.collection.mutable.Map.empty[
-    String, (DataFrame, Array[Double], Array[(Double, Double)])]
+  /** Per-key lazy cell: the map only ever holds cheap cells, so
+    * concurrent fits on DIFFERENT dirs never serialize on a map-wide
+    * lock; the fit itself runs under the cell's own lazy-val lock. */
+  private final class QcCell(thunk: () =>
+      (DataFrame, Array[Double], Array[(Double, Double)])) {
+    lazy val value: (DataFrame, Array[Double], Array[(Double, Double)]) =
+      thunk()
+  }
+  private val qcModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, QcCell]
 
   private[graft] def qcModel(s: SparkSession, d: String)
-      : (DataFrame, Array[Double], Array[(Double, Double)]) =
-    qcModelMemo.synchronized(qcModelMemo.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}:$d", {
+      : (DataFrame, Array[Double], Array[(Double, Double)]) = {
+    val appId = s.sparkContext.applicationId
+    // Evict entries keyed to stopped contexts: only one SparkContext is
+    // live per JVM, so any key with a different applicationId holds a
+    // localCheckpoint'd frame of a dead session — unusable and otherwise
+    // retained for the JVM lifetime.
+    qcModelMemo.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    qcModelMemo.computeIfAbsent(s"$appId:$d", _ => new QcCell(() => {
       val fx = qcFeatures(s, d).localCheckpoint(true)
       val raw = (1 to 4).map(j => col(s"r$j"))
       val stats = Learn.standardStats(fx, raw)
@@ -479,7 +492,8 @@ private[graft] object QueriesPrep {
       }
       val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
       (fx, w, stats)
-    }))
+    })).value
+  }
 
   private val d95: (String, QFn, Option[String]) = ("d95_quality_classifier",
     (s, d) => {

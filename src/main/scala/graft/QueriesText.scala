@@ -87,8 +87,10 @@ object QueriesText {
 
   private[graft] val MINHASH_BANDS = 4
 
-  /** Registration order is the public contract: d01..d65, e01..e19,
-    * m01..m02, c01 — ordered slices assembled from the sub-registries. */
+  /** Registration order is the public contract: d01..d101, e01..e25,
+    * m01..m07, c01..c03 (streaming twins s01..s17 register via
+    * [[QueriesStream]]) — ordered slices assembled from the
+    * sub-registries. */
   lazy val defs: Seq[(String, QFn, Option[String])] =
     QueriesDocs.defs ++ QueriesCorpus.defs ++
       QueriesCurate.defs ++ QueriesPrep.defs ++ QueriesVectors.defs

@@ -81,6 +81,7 @@ object Learn {
         sum(((y - p) * xj).cast("decimal(20,10)")).as(s"g$j")
       } :+ count(lit(1)).as("n")
       val row = df.agg(gradAggs.head, gradAggs.tail: _*).collect()(0)
+      require(row.getLong(xs.size) > 0, "logisticFit: empty input")
       val nD = row.getLong(xs.size).toDouble
       w = Array.tabulate(xs.size) { j =>
         val g6 =
@@ -138,6 +139,7 @@ object Learn {
         sum((c * c).cast("decimal(20,10)")).as(s"s2_$j"))
     } :+ count(lit(1)).as("n")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(row.getLong(2 * cols.size) > 0, "standardStats: empty input")
     val nD = row.getLong(2 * cols.size).toDouble
     def dec6(i: Int): Double =
       if (row.isNullAt(i)) 0.0

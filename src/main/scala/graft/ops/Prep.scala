@@ -331,8 +331,13 @@ object Prep {
     dense
       .withColumn("p_a", CrossRound.round(pa, 6))
       .withColumn("p_b", CrossRound.round(pb, 6))
-      .withColumn("contrib", CrossRound.round((pa - pb) * log(pa / pb), 6))
-      .withColumn("psi", CrossRound.round(
+      // contrib is mathematically >= 0 but lands on IEEE -0.0 when
+      // pa/pb rounds to exactly 1.0 while pa - pb is a tiny negative:
+      // (-eps) * ln(1.0) = -0.0. Signed-derived quantity => roundNz
+      // (registry float policy; the q87/d98 failure class).
+      .withColumn("contrib",
+        CrossRound.roundNz((pa - pb) * log(pa / pb), 6))
+      .withColumn("psi", CrossRound.roundNz(
         sum(col("contrib").cast("decimal(18,9)")).over(wG).cast("double"),
         6))
       .select(col("grp"), col("bucket"), col("n_a"), col("n_b"),

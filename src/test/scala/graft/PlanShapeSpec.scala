@@ -616,17 +616,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("best-of-n (d97): ONE group-key exchange feeds window and " +
       "aggregates; no range sort") {
-    // the ranked frame is localCheckpoint'd, so probe the operator
-    // shape on the pre-checkpoint window: one hash exchange on grp, the
-    // per-group ordering is the window's partition-local sort.
-    import org.apache.spark.sql.expressions.Window
-    import graft.ops.Dedup
-    val df = spark.range(300).select(col("id").as("doc_id"),
-      (col("id") % 11).cast("string").as("grp"),
-      (col("id") % 37).as("reward"))
-    val win = Window.partitionBy(col("grp"))
-      .orderBy(col("reward").desc, col("doc_id"))
-    val ranked = df.withColumn("_rn", row_number().over(win))
+    // the registered query localCheckpoints the ranked frame, so probe
+    // the REAL pre-checkpoint builder (QueriesCurate.bestOfNRanked —
+    // the exact frame d97 checkpoints): one hash exchange on grp, the
+    // per-group ordering is the window's partition-local sort. A shuffle
+    // or global sort slipped into d97's ranking now fails this pin.
+    val ranked = QueriesCurate.bestOfNRanked(spark, sf)
     ranked.collect()
     val (h, r, _) = exchangeCounts(
       ranked.queryExecution.executedPlan.toString
@@ -649,5 +644,32 @@ class PlanShapeSpec extends SparkSpec {
     val (h, r, _) = exchangeCounts(finalPlanOf("d99_dp_release"))
     assert(h == 1 && r == 0,
       s"expected exactly one hash exchange, no range: h=$h r=$r")
+  }
+
+  test("calibration curve (d100): scores fold off the checkpointed fit " +
+      "in ONE grid aggregation — no corpus re-scan, no range sort") {
+    // the memoized d95 fit localCheckpoints the feature frame, so the
+    // curve must read THAT (no parquet scan of documents) and collapse
+    // to the 20-cell grid through a single hash exchange.
+    val plan = finalPlanOf("d100_calibration")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange, no range sort: h=$h r=$r\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"corpus re-scan beside the checkpointed fit:\n$plan")
+  }
+
+  test("influence (d101): pure per-doc projection over the checkpointed " +
+      "fit — ZERO exchanges, no join, no corpus re-scan") {
+    // the target-slice mean gradient rides in as collected literals
+    // (the broadcast-scalar pattern), so the published frame is a
+    // projection of the checkpoint: any exchange or parquet scan means
+    // the query regressed to a join or a corpus re-read.
+    val plan = finalPlanOf("d101_influence")
+    val (h, r, sp) = exchangeCounts(plan)
+    assert(h == 0 && r == 0 && sp == 0,
+      s"expected a projection-only plan: h=$h r=$r single=$sp\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"corpus re-scan beside the checkpointed fit:\n$plan")
   }
 }

@@ -65,7 +65,16 @@ def cmp(name, spark_df, duck_df):
             if xn != yn:
                 return f"NULLDIFF col={col} row={i} spark={x} duck={y}"
             if isinstance(x, float) or isinstance(y, float):
-                if float(x) != float(y):
+                fx, fy = float(x), float(y)
+                # The driver hashes the raw double BYTES, so -0.0 != +0.0
+                # there even though Python's == says they are equal. q87
+                # (r11) and d98 (r13) both shipped red through this gate
+                # because `float(x) != float(y)` is sign-of-zero blind.
+                # repr() distinguishes '-0.0' from '0.0' and is otherwise
+                # exact for finite doubles (shortest round-trip repr).
+                if fx != fy or (fx == 0.0 and
+                                math.copysign(1.0, fx) !=
+                                math.copysign(1.0, fy)):
                     return f"VAL col={col} row={i} spark={x!r} duck={y!r}"
             elif str(x) != str(y):
                 return f"VAL col={col} row={i} spark={x!r} duck={y!r}"
