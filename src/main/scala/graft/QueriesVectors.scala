@@ -1318,5 +1318,69 @@ private[graft] object QueriesVectors {
         |FROM m""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07)
+  // ------------------------------------ audio quality gate (m08)
+  // The m07 gate, SECOND modality: every doc gets a genuine RIFF/WAVE
+  // payload (8-bit mono PCM, length content-addressed per row — real
+  // clip collections never share one duration; samples = the same
+  // engine-neutral md5(text#block) grid the image rows use), the engine
+  // DECODES the actual container bytes (magic, fmt chunk, data chunk)
+  // into exact integer moments, and gates on the three rules every
+  // audio ingest runs: too-short (< 96 samples = under 12 ms at 8 kHz —
+  // the rule that genuinely bites on this corpus's 64–255 sample
+  // range), DC-offset band (96 ≤ mean ≤ 160: not stuck/clipped), and
+  // flatness (σ ≥ 16: silence carries no signal). md5-derived samples
+  // are near-uniform, so offset/flatness pass here and LENGTH is the
+  // discriminating rule — on real data all three bite. The oracle
+  // re-derives every sample from the generation spec (the m05/m07
+  // move), so a container or moment regression at any length
+  // hash-fails the row. Linear: encode/decode ride mapPartitions
+  // (byte-codec work, the justified case); everything after is a
+  // broadcast-joined projection.
+  private val m08: (String, QFn, Option[String]) = ("m08_audio_quality_gate",
+    (s, d) => {
+      val base = docs(s, d)
+      val lens = base.select(col("doc_id"), col("source"), col("text"),
+        (lit(64L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("aud"))
+          % 192).as("n"))
+      val st = Multimodal.audioStatsBatched(
+        Multimodal.encodeWavFromText(lens, "doc_id", "text", col("n")),
+        "doc_id", "payload")
+      val n = col("n_samples").cast("double")
+      val mean = col("amp_sum").cast("double") / n
+      val sd = sqrt(greatest(col("amp_sq").cast("double") / n - mean * mean,
+        lit(0.0)))
+      st.join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("sample_rate"),
+          col("n_samples"),
+          expr("n_samples * 1000 div sample_rate").as("duration_ms"),
+          round(mean, 6).as("amp_mean"), round(sd, 6).as("amp_std"),
+          (col("n_samples") >= 96L && mean >= 96.0 && mean <= 160.0
+            && sd >= 16.0).cast("long").as("keep"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH clip AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (64 + ${md5HashSql("doc_id::VARCHAR || '#aud'")} % 192)::BIGINT
+        |      AS n
+        |  FROM documents),
+        |amp AS (SELECT doc_id, sum($byte)::BIGINT AS amp_sum,
+        |    sum($byte * $byte)::BIGINT AS amp_sq
+        |  FROM (SELECT doc_id, t, unnest(range(n)) AS i FROM clip)
+        |  GROUP BY doc_id),
+        |m AS (SELECT c.doc_id, c.source, c.n,
+        |    amp_sum::DOUBLE / c.n::DOUBLE AS mean,
+        |    sqrt(greatest(amp_sq::DOUBLE / c.n::DOUBLE
+        |      - (amp_sum::DOUBLE / c.n::DOUBLE)
+        |        * (amp_sum::DOUBLE / c.n::DOUBLE), 0.0)) AS sd
+        |  FROM clip c JOIN amp USING (doc_id))
+        |SELECT doc_id, source, 8000::BIGINT AS sample_rate,
+        |  n AS n_samples, (n * 1000 // 8000)::BIGINT AS duration_ms,
+        |  round(mean, 6) AS amp_mean, round(sd, 6) AS amp_std,
+        |  (n >= 96 AND mean >= 96.0 AND mean <= 160.0
+        |    AND sd >= 16.0)::BIGINT AS keep
+        |FROM m""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08)
 }

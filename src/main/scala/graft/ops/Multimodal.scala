@@ -331,6 +331,67 @@ object Multimodal {
     }.toDF(idCol, "width", "height", "px_sum", "px_sq")
   }
 
+  /** Deterministic REAL audio payloads from a text column — the audio
+    * twin of [[encodePgmSized]]: per doc, `nCol` 8-bit PCM samples drawn
+    * from the SAME engine-neutral md5(text#block) grid (16 digest bytes
+    * per block, cut at n), serialized through [[Wav.encode]] into actual
+    * RIFF/WAVE bytes any audio tool would open. Variable per-row length
+    * (real clip collections never share one duration) with the length
+    * content-addressed by the caller, so an external engine re-derives
+    * any row's samples from (text, n) alone. Per-partition MessageDigest
+    * init, same batch shape as [[decodeBatched]]. */
+  def encodeWavFromText(df: DataFrame, idCol: String, textCol: String,
+                        nCol: Column, sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      nCol.cast("int")).as[(Long, String, Int)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t, n) =>
+        require(n >= 1, s"encodeWavFromText: bad sample count $n")
+        val smp = new Array[Byte](n)
+        var b = 0
+        while (b * 16 < n) {
+          md.reset()
+          val dig = md.digest((t + "#" + b)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 16 && b * 16 + j < n) { smp(b * 16 + j) = dig(j); j += 1 }
+          b += 1
+        }
+        (id, Wav.encode(Wav.Clip(sampleRate, smp)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Decode + the exact integer moments an AUDIO quality gate needs —
+    * [[qualityStatsBatched]]'s audio twin: [[Wav.decode]] parses each
+    * payload's actual RIFF bytes (magic, fmt chunk, data chunk) and
+    * emits (id, sample_rate, n_samples, amp_sum, amp_sq) with Σs and Σs²
+    * as exact Longs, so loudness/flatness downstream are single IEEE
+    * expressions over exact integers. Per-row projection, no shuffle;
+    * the m08 gate builds on it. */
+  def audioStatsBatched(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val clip = Wav.decode(bytes)
+        var s = 0L; var sq = 0L; var i = 0
+        while (i < clip.samples.length) {
+          val v = (clip.samples(i) & 0xff).toLong
+          s += v; sq += v * v; i += 1
+        }
+        (id, clip.sampleRate.toLong, clip.samples.length.toLong, s, sq)
+      }
+    }.toDF(idCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

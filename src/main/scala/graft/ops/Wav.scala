@@ -1,0 +1,102 @@
+package graft.ops
+
+/**
+ * Pure-JVM WAV (RIFF, 8-bit unsigned mono PCM) codec — the m-family's
+ * SECOND real modality beside [[Pgm]]'s images. WAV is chosen the same
+ * way PGM was: a real, widely-produced container (every audio toolchain
+ * writes it), exactly implementable with zero native libraries, and
+ * 8-bit PCM samples are plain unsigned bytes — so decode → moments →
+ * gate stays bit-exact and DuckDB-replayable, keeping the audio rows
+ * inside the same hash-checked correctness gate as the image rows.
+ *
+ * Container layout (RIFF/WAVE spec):
+ *   "RIFF" <u32le riffSize> "WAVE"
+ *   "fmt " <u32le 16> <u16le format=1 (PCM)> <u16le channels>
+ *          <u32le sampleRate> <u32le byteRate> <u16le blockAlign>
+ *          <u16le bitsPerSample>
+ *   "data" <u32le dataSize> <dataSize sample bytes>
+ * Unknown chunks between "fmt " and "data" are skipped per the spec
+ * (real encoders emit LIST/fact chunks); everything malformed — wrong
+ * magic, non-PCM, stereo, non-8-bit, truncated data, trailing garbage —
+ * throws loudly (the [[Pgm.decode]] codec contract: a corpus surfaces
+ * container bugs as errors, not as skewed stats).
+ *
+ * Scale: per-row CPU inside `mapPartitions` — no shuffle, no state; a
+ * production swap-in for FLAC/MP3 replaces [[decode]]'s body behind the
+ * same signature.
+ */
+object Wav {
+
+  /** Decoded clip: `samples` as raw unsigned bytes (read via `& 0xff`;
+    * 8-bit PCM is unsigned with 128 = silence, per the WAV spec). */
+  final case class Clip(sampleRate: Int, samples: Array[Byte])
+
+  /** Serialize to RIFF/WAVE bytes: canonical 44-byte header, 8-bit
+    * unsigned mono PCM. */
+  def encode(clip: Clip): Array[Byte] = {
+    require(clip.sampleRate > 0, s"bad sample rate ${clip.sampleRate}")
+    val n = clip.samples.length
+    val out = new Array[Byte](44 + n)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + n)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16)
+    bb.putShort(1)                       // PCM
+    bb.putShort(1)                       // mono
+    bb.putInt(clip.sampleRate)
+    bb.putInt(clip.sampleRate)           // byteRate = rate·ch·bits/8
+    bb.putShort(1)                       // blockAlign
+    bb.putShort(8)                       // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(n)
+    bb.put(clip.samples)
+    out
+  }
+
+  /** Parse RIFF/WAVE bytes. Accepts only the form this engine's audio
+    * rows gate on — PCM, mono, 8-bit — and skips unknown chunks before
+    * "data". Throws IllegalArgumentException on anything malformed. */
+  def decode(bytes: Array[Byte]): Clip = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WAV: $msg")
+    if (bytes.length < 44) fail(s"only ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t)
+      new String(t, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    if (tag() != "RIFF") fail("missing RIFF magic")
+    val riffSize = bb.getInt
+    if (riffSize != bytes.length - 8)
+      fail(s"RIFF size $riffSize != ${bytes.length - 8}")
+    if (tag() != "WAVE") fail("missing WAVE form type")
+    if (tag() != "fmt ") fail("first chunk is not fmt")
+    if (bb.getInt != 16) fail("non-PCM fmt chunk size")
+    if (bb.getShort != 1) fail("not PCM")
+    if (bb.getShort != 1) fail("not mono")
+    val rate = bb.getInt
+    if (rate <= 0) fail(s"bad sample rate $rate")
+    val byteRate = bb.getInt
+    if (byteRate != rate) fail(s"byteRate $byteRate != rate $rate")
+    if (bb.getShort != 1) fail("blockAlign != 1")
+    if (bb.getShort != 8) fail("not 8-bit")
+    // skip unknown chunks until "data"
+    var dataSize = -1
+    while (dataSize < 0) {
+      if (bb.remaining < 8) fail("no data chunk")
+      val t = tag()
+      val sz = bb.getInt
+      if (sz < 0 || sz > bb.remaining) fail(s"chunk $t size $sz overruns")
+      if (t == "data") dataSize = sz
+      else bb.position(bb.position() + sz + (sz & 1)) // chunks pad to even
+    }
+    val samples = new Array[Byte](dataSize)
+    bb.get(samples)
+    if (bb.remaining != 0) fail(s"${bb.remaining} trailing bytes")
+    Clip(rate, samples)
+  }
+}
