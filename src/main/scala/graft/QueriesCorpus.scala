@@ -792,5 +792,62 @@ private[graft] object QueriesCorpus {
       |  round((sy - beta * sx) / 8.0, 6) + 0.0 AS lnk
       |FROM f1""".stripMargin))
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98)
+  // ---------------------------------- maximal duplicated spans (d102)
+  // Exact-substring dedup, completion pass (Lee et al. 2022): d30 scores
+  // window-repeat coverage, d53 excises keeping one canonical copy; d102
+  // detects the MAXIMAL repeated regions (islands merge of the repeated
+  // suffix-window cover — a 30-token repeat is ONE span of 30, not 23
+  // overlapping windows) and cuts EVERY occurrence, the
+  // decontamination-grade variant. Survivors carry a '|' junction marker
+  // so the cleaned text never fabricates adjacencies; PropertiesSpec
+  // proves the excised corpus contains no repeated window at all. k = 8
+  // sized to this corpus's 56-token average (production uses 50 on
+  // document-scale text; the operator is k-agnostic). Linear: one
+  // window-key shuffle for occ counts, doc-key islands/rebuild windows.
+  private val d102: (String, QFn, Option[String]) = ("d102_max_dup_spans",
+    (s, d) => Dedup.maxDupSpans(docs(s, d), "doc_id", "text", k = 8)
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        col("n_dup_windows"), col("n_spans"), col("max_span_tokens"),
+        col("n_excised"), md5(col("clean_text")).as("clean_fp")),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+      |wins AS (SELECT doc_id, i - 1 AS spos,
+      |    array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      |  FROM (SELECT doc_id, w,
+      |      unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM toks)),
+      |dg AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, spos FROM wins JOIN dg USING (g)),
+      |cov AS (SELECT DISTINCT doc_id, spos + j AS pos
+      |  FROM dup, range(8) t(j)),
+      |isl AS (SELECT doc_id, pos, pos - row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY pos) AS grp FROM cov),
+      |sp AS (SELECT doc_id, count(*) AS len FROM isl
+      |  GROUP BY doc_id, grp),
+      |ss AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+      |    max(len)::BIGINT AS max_span_tokens,
+      |    sum(len)::BIGINT AS n_excised FROM sp GROUP BY doc_id),
+      |dw AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+      |  FROM dup GROUP BY doc_id),
+      |tp AS (SELECT doc_id, unnest(range(len(w))) AS pos,
+      |    unnest(w) AS t FROM toks),
+      |sv AS (SELECT tp.doc_id, tp.pos, tp.t FROM tp
+      |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+      |  WHERE cov.pos IS NULL),
+      |sb AS (SELECT sv.doc_id, sv.pos,
+      |    CASE WHEN c2.pos IS NOT NULL THEN '|' || sv.t ELSE sv.t END
+      |      AS t2
+      |  FROM sv LEFT JOIN cov c2 ON sv.doc_id = c2.doc_id
+      |    AND sv.pos - 1 = c2.pos),
+      |cl AS (SELECT doc_id, string_agg(t2, ' ' ORDER BY pos) AS txt
+      |  FROM sb GROUP BY doc_id)
+      |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+      | coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+      | coalesce(n_spans, 0)::BIGINT AS n_spans,
+      | coalesce(max_span_tokens, 0)::BIGINT AS max_span_tokens,
+      | coalesce(n_excised, 0)::BIGINT AS n_excised,
+      | md5(coalesce(txt, '')) AS clean_fp
+      |FROM toks t LEFT JOIN dw USING (doc_id)
+      |LEFT JOIN ss USING (doc_id) LEFT JOIN cl USING (doc_id)"""
+      .stripMargin))
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98, d102)
 }

@@ -372,6 +372,90 @@ object Dedup {
       "n_excised")
   }
 
+  /** MAXIMAL duplicated-substring spans + conservative excision — the
+    * third member of the substring-dedup family, completing Lee et al.
+    * 2022's exact-substring pass ([[dupSpans]] scores coverage,
+    * [[exciseDupSpans]] keeps one canonical copy; THIS detects the
+    * maximal repeated regions and cuts EVERY occurrence — the
+    * decontamination-grade variant where no copy may survive):
+    *
+    *  1. every k-token suffix window that occurs MORE THAN ONCE in the
+    *     corpus (across docs or within one) marks its covered positions
+    *     — the relational form of the sorted-suffix-array neighbor
+    *     compare (equal adjacent suffixes ⇔ a window key with occ ≥ 2);
+    *  2. covered positions merge into MAXIMAL spans per doc by the
+    *     gaps-and-islands window over (doc, position) order — overlapping
+    *     and adjacent window covers coalesce, so a 30-token repeat
+    *     reports as ONE span of 30, not 23 overlapping windows;
+    *  3. survivors reassemble in order WITH a `|` marker at every cut
+    *     junction, so the cleaned text never fabricates an adjacency the
+    *     original corpus didn't have (re-windowing a junction-joined
+    *     text could both mint phantom k-grams and mask the invariant).
+    *
+    * The invariant this buys (PropertiesSpec): every k-window drawn from
+    * within the surviving segments occurs exactly ONCE in the original
+    * corpus — cut-all removes every occurrence of every repeated window,
+    * so the excised corpus contains no repeated window at all.
+    *
+    * Output: (doc, n_tokens, n_dup_windows, n_spans, max_span_tokens,
+    * n_excised, clean_text). Callers publish md5(clean_text); the raw
+    * text column exists for the property test and for pipelines that
+    * consume the cleaned corpus directly.
+    *
+    * Scale shape: linear like [[exciseDupSpans]] — windows shuffle ONCE
+    * on the window key for the occ-count (map-side combined), the dup
+    * probe reuses that key, and the islands window + rebuild are doc-key
+    * exchanges with partition-local sorts, never a global one. */
+  def maxDupSpans(df: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      TextOps.tokens(col(textCol)).as("w")).localCheckpoint(true)
+    val gr = toks.select(col("doc"),
+      posexplode(TextOps.shingles(col("w"), k)).as(Seq("spos", "g")))
+    val dupG = gr.groupBy(col("g")).agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2).select(col("g"))
+    // consumed by the cover AND the per-doc window count
+    val dup = gr.join(dupG, Seq("g")).localCheckpoint(true)
+    // consumed by islands, the survivor anti-join and the junction probe
+    val covered = dup.select(col("doc"),
+        explode(sequence(col("spos"), col("spos") + k - 1)).as("pos"))
+      .distinct().localCheckpoint(true)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val spans = covered
+      .withColumn("_grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc"), col("_grp")).agg(count(lit(1)).as("_len"))
+    val spanStats = spans.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_spans"),
+      max(col("_len")).as("max_span_tokens"),
+      sum(col("_len")).as("n_excised"))
+    val dw = dup.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val tok = toks.select(col("doc"),
+      posexplode(col("w")).as(Seq("pos", "t")))
+    val surv = tok.join(covered, Seq("doc", "pos"), "left_anti")
+    val bnd = covered.select(col("doc"), (col("pos") + 1).as("pos"),
+      lit(1).as("_bnd"))
+    val seg = surv.join(bnd, Seq("doc", "pos"), "left")
+      .select(col("doc"), col("pos"),
+        when(col("_bnd") === 1, concat(lit("|"), col("t")))
+          .otherwise(col("t")).as("t2"))
+    val rebuilt = seg.groupBy(col("doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t2")))),
+        x => x.getField("t2")), " ").as("clean_text"))
+    toks.select(col("doc"), size(col("w")).cast("long").as("n_tokens"))
+      .join(dw, Seq("doc"), "left")
+      .join(spanStats, Seq("doc"), "left")
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     * Candidate pairs come from the shingle join (docs sharing >= 1 shingle);
     * |A∪B| = |A| + |B| − |A∩B| keeps everything integer-exact. */

@@ -146,4 +146,44 @@ class PropertiesSpec extends SparkSpec {
       assert(r1 <= r0, s"boosting logw worsened rank: $r0 -> $r1")
     }
   }
+
+  test("maxDupSpans: the excised corpus contains no repeated k-window") {
+    // cut-all semantics: every occurrence of every repeated window is
+    // removed, so re-windowing the surviving segments (split at the '|'
+    // junction markers — never across a cut) must yield globally UNIQUE
+    // windows. Generated corpora share planted phrases so repeats occur.
+    val k = 3
+    val phrase = "alpha beta gamma delta epsilon"
+    val wordGen = Gen.oneOf("zeta", "eta", "theta", "iota", "kappa",
+      "lambda", "mu", "nu", "xi", "omicron")
+    val docGen = for {
+      pre <- Gen.listOfN(4, wordGen)
+      mid <- Gen.listOfN(3, wordGen)
+      planted <- Gen.oneOf(true, false)
+    } yield (pre ++ (if (planted) phrase.split(" ").toList else mid))
+      .mkString(" ")
+    samples(Gen.listOfN(6, docGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.maxDupSpans(df, "doc_id", "text", k)
+        .select("doc", "n_tokens", "n_excised", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+      assert(out.length == texts.length)
+      val survWindows = out.flatMap { case (_, _, _, clean) =>
+        clean.split('|').map(_.trim).filter(_.nonEmpty).flatMap { seg =>
+          seg.split(" ").sliding(k).filter(_.size == k)
+            .map(_.mkString(" "))
+        }
+      }
+      val dupes = survWindows.groupBy(identity).filter(_._2.length >= 2)
+      assert(dupes.isEmpty,
+        s"repeated windows survive excision: ${dupes.keys.take(3)}")
+      // conservation: tokens are either excised or survive
+      out.foreach { case (_, n, nx, clean) =>
+        val kept = clean.split('|').map(_.trim).filter(_.nonEmpty)
+          .map(_.split(" ").length).sum
+        assert(kept + nx == n, s"token conservation: $kept + $nx != $n")
+      }
+    }
+  }
 }
