@@ -36,6 +36,29 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // SPARK_GRAFT_BENCH_COLDFIT=1: time the d95 logistic fit WITHOUT the
+    // memo, after warmup (JIT hot) but before the timed loop (memo still
+    // cold for sfDir). The memoized family rows (d95/s16/c03/d100/d101)
+    // measure warm serving; this publishes the true first-fit cost
+    // beside them so the decade table doesn't understate the family.
+    if (sys.env.get("SPARK_GRAFT_BENCH_COLDFIT").contains("1")) {
+      val t0 = System.nanoTime()
+      try {
+        QueriesPrep.qcModelCold(spark, sfDir)
+        val cold = (System.nanoTime() - t0) / 1e9
+        val line = String.format(java.util.Locale.ROOT,
+          """{"qc_cold_fit_sec":%.3f,"sf":"%s"}""",
+          java.lang.Double.valueOf(cold), sfDir)
+        System.err.println(line)
+        for (p <- Seq("/tmp/graft_bench_coldfit.json",
+            "bench_coldfit_last.json"))
+          try java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(p), line)
+          catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cold fit failed: ${e.getMessage}")
+      }
+    }
     // best-of-N per query (default 3): a single timed pass conflates the
     // query's cost with one-off JIT/codegen/GC events that land on whichever
     // query runs when they fire (round-1 profile showed 2.8s vs 0.6s for

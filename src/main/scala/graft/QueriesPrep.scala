@@ -483,16 +483,27 @@ private[graft] object QueriesPrep {
     // localCheckpoint'd frame of a dead session — unusable and otherwise
     // retained for the JVM lifetime.
     qcModelMemo.keySet.removeIf(k => !k.startsWith(s"$appId:"))
-    qcModelMemo.computeIfAbsent(s"$appId:$d", _ => new QcCell(() => {
-      val fx = qcFeatures(s, d).localCheckpoint(true)
-      val raw = (1 to 4).map(j => col(s"r$j"))
-      val stats = Learn.standardStats(fx, raw)
-      val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
-        (r - lit(mu)) / lit(sd)
-      }
-      val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
-      (fx, w, stats)
-    })).value
+    qcModelMemo.computeIfAbsent(s"$appId:$d",
+      _ => new QcCell(() => fitQcModel(s, d))).value
+  }
+
+  /** The d95 fit WITHOUT the memo — Bench's cold-fit probe, so the
+    * published decade numbers can show the true first-fit cost beside
+    * the warm serving cost the memoized family rows measure. */
+  private[graft] def qcModelCold(s: SparkSession, d: String)
+      : (DataFrame, Array[Double], Array[(Double, Double)]) =
+    fitQcModel(s, d)
+
+  private def fitQcModel(s: SparkSession, d: String)
+      : (DataFrame, Array[Double], Array[(Double, Double)]) = {
+    val fx = qcFeatures(s, d).localCheckpoint(true)
+    val raw = (1 to 4).map(j => col(s"r$j"))
+    val stats = Learn.standardStats(fx, raw)
+    val xs = lit(1.0) +: raw.zip(stats).map { case (r, (mu, sd)) =>
+      (r - lit(mu)) / lit(sd)
+    }
+    val w = Learn.logisticFit(fx, col("y"), xs, QC_ITERS, QC_LR)
+    (fx, w, stats)
   }
 
   private val d95: (String, QFn, Option[String]) = ("d95_quality_classifier",
