@@ -461,7 +461,46 @@ object QueriesStream {
     (s, d) => QueriesPrep.dpReleaseDf(Tables.documents(s, d)),
     Some(QueriesPrep.dpReleaseSql))
 
+  // ---------------------------------- streaming audio gate (s18)
+  // m08's streaming twin (the s16 move, audio edition — one definition,
+  // two execution modes, one oracle): the gate's per-clip path is a pure
+  // per-row map (fused encode/decode/moments carrying the source key —
+  // QueriesVectors.audioGateScored), so the SAME call runs on a document
+  // STREAM; the per-source rollup is a keyed count/sum with state
+  // bounded by |sources|, complete mode. EventStreamSpec proves
+  // stream ≡ batch across micro-batches; this row is the batch twin.
+  // mean_amp is the exact-decimal mean of the published 6-dp per-clip
+  // means (the s16 mean_score discipline).
+  private val s18: (String, QFn, Option[String]) = ("s18_stream_audio_gate",
+    (s, d) => QueriesVectors.audioGateStats(Tables.documents(s, d)),
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      val md5h = "('0x' || substr(md5(doc_id::VARCHAR || '#aud'), 1, 15))" +
+        "::BIGINT"
+      s"""WITH clip AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (64 + $md5h % 192)::BIGINT AS n FROM documents),
+        |amp AS (SELECT doc_id, sum($byte)::BIGINT AS amp_sum,
+        |    sum($byte * $byte)::BIGINT AS amp_sq
+        |  FROM (SELECT doc_id, t, unnest(range(n)) AS i FROM clip)
+        |  GROUP BY doc_id),
+        |m AS (SELECT c.doc_id, c.source, c.n,
+        |    (c.n * 1000 // 8000)::BIGINT AS duration_ms,
+        |    amp_sum::DOUBLE / c.n::DOUBLE AS mean,
+        |    sqrt(greatest(amp_sq::DOUBLE / c.n::DOUBLE
+        |      - (amp_sum::DOUBLE / c.n::DOUBLE)
+        |        * (amp_sum::DOUBLE / c.n::DOUBLE), 0.0)) AS sd
+        |  FROM clip c JOIN amp USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_clips,
+        |  sum(CASE WHEN n >= 96 AND mean >= 96.0 AND mean <= 160.0
+        |    AND sd >= 16.0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  sum(duration_ms)::BIGINT AS total_ms,
+        |  round(CAST(sum(CAST(round(mean, 6) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS mean_amp
+        |FROM m GROUP BY source""".stripMargin
+    })
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17)
+      s14, s15, s16, s17, s18)
 }

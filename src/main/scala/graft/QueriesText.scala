@@ -87,8 +87,8 @@ object QueriesText {
 
   private[graft] val MINHASH_BANDS = 4
 
-  /** Registration order is the public contract: d01..d101, e01..e25,
-    * m01..m07, c01..c03 (streaming twins s01..s17 register via
+  /** Registration order is the public contract: d01..d102, e01..e25,
+    * m01..m08, c01..c03 (streaming twins s01..s18 register via
     * [[QueriesStream]]) — ordered slices assembled from the
     * sub-registries. */
   lazy val defs: Seq[(String, QFn, Option[String])] =

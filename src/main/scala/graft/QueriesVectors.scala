@@ -1333,30 +1333,49 @@ private[graft] object QueriesVectors {
   // discriminating rule — on real data all three bite. The oracle
   // re-derives every sample from the generation spec (the m05/m07
   // move), so a container or moment regression at any length
-  // hash-fails the row. Linear: encode/decode ride mapPartitions
-  // (byte-codec work, the justified case); everything after is a
-  // broadcast-joined projection.
+  // hash-fails the row. Linear: ONE fused encode/decode/moments
+  // mapPartitions pass that carries the source key (byte-codec work,
+  // the justified case); everything after is a pure projection — no
+  // join, no exchange.
+  /** The m08 gate over ANY frame with (doc_id, source, text) — a pure
+    * per-row map (content-addressed clip length → fused encode/decode/
+    * moments in ONE mapPartitions pass, no join), so it runs unchanged
+    * on a STREAM of documents: s18 aggregates exactly this frame in
+    * complete mode (EventStreamSpec drives it; the qcRawFeatures/s16
+    * precedent, audio edition). */
+  private[graft] def audioGateScored(docsDf: DataFrame): DataFrame = {
+    val lens = docsDf.select(col("doc_id"), col("source"), col("text"),
+      (lit(64L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("aud"))
+        % 192).as("n"))
+    val st = Multimodal.audioGateRows(lens, "doc_id", "source", "text",
+      col("n"))
+    val n = col("n_samples").cast("double")
+    val mean = col("amp_sum").cast("double") / n
+    val sd = sqrt(greatest(col("amp_sq").cast("double") / n - mean * mean,
+      lit(0.0)))
+    st.select(col("doc_id"), col("source"), col("sample_rate"),
+      col("n_samples"),
+      expr("n_samples * 1000 div sample_rate").as("duration_ms"),
+      round(mean, 6).as("amp_mean"), round(sd, 6).as("amp_std"),
+      (col("n_samples") >= 96L && mean >= 96.0 && mean <= 160.0
+        && sd >= 16.0).cast("long").as("keep"))
+  }
+
+  /** s18's per-source rollup over [[audioGateScored]] — a keyed
+    * count/sum (state bounded by |sources|), so the SAME call runs in
+    * complete mode on a stream or on the static table. mean_amp is the
+    * exact-decimal mean of the published 6-dp per-clip means (the s16
+    * mean_score discipline). */
+  private[graft] def audioGateStats(docsDf: DataFrame): DataFrame =
+    audioGateScored(docsDf).groupBy(col("source")).agg(
+      count(lit(1)).as("n_clips"),
+      sum(col("keep")).as("n_pass"),
+      sum(col("duration_ms")).as("total_ms"),
+      round(sum(col("amp_mean").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("mean_amp"))
+
   private val m08: (String, QFn, Option[String]) = ("m08_audio_quality_gate",
-    (s, d) => {
-      val base = docs(s, d)
-      val lens = base.select(col("doc_id"), col("source"), col("text"),
-        (lit(64L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("aud"))
-          % 192).as("n"))
-      val st = Multimodal.audioStatsBatched(
-        Multimodal.encodeWavFromText(lens, "doc_id", "text", col("n")),
-        "doc_id", "payload")
-      val n = col("n_samples").cast("double")
-      val mean = col("amp_sum").cast("double") / n
-      val sd = sqrt(greatest(col("amp_sq").cast("double") / n - mean * mean,
-        lit(0.0)))
-      st.join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("sample_rate"),
-          col("n_samples"),
-          expr("n_samples * 1000 div sample_rate").as("duration_ms"),
-          round(mean, 6).as("amp_mean"), round(sd, 6).as("amp_std"),
-          (col("n_samples") >= 96L && mean >= 96.0 && mean <= 160.0
-            && sd >= 16.0).cast("long").as("keep"))
-    },
+    (s, d) => audioGateScored(docs(s, d)),
     Some {
       val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
         " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"

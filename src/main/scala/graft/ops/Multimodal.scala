@@ -392,6 +392,50 @@ object Multimodal {
     }.toDF(idCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
   }
 
+  /** [[encodeWavFromText]] + [[audioStatsBatched]] fused into ONE
+    * per-partition pass that CARRIES the source key: encode the clip's
+    * actual RIFF bytes, decode them back (the full container roundtrip
+    * rides every row — a codec regression on either side breaks the
+    * moments), then the exact integer moments. Fusing matters twice:
+    * the m08 gate needs no join to recover `source` (a pure projection
+    * plan instead of a shuffle), and a per-row map with no join is
+    * exactly what can run UNCHANGED on a STREAM of documents — the s18
+    * gate is this function + a keyed aggregate in complete mode.
+    * Output: (id, source, sample_rate, n_samples, amp_sum, amp_sq). */
+  def audioGateRows(df: DataFrame, idCol: String, srcCol: String,
+                    textCol: String, nCol: Column,
+                    sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(srcCol).cast("string"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      nCol.cast("int")).as[(Long, String, String, Int)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, src, t, n) =>
+        require(n >= 1, s"audioGateRows: bad sample count $n")
+        val smp = new Array[Byte](n)
+        var b = 0
+        while (b * 16 < n) {
+          md.reset()
+          val dig = md.digest((t + "#" + b)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 16 && b * 16 + j < n) { smp(b * 16 + j) = dig(j); j += 1 }
+          b += 1
+        }
+        val clip = Wav.decode(Wav.encode(Wav.Clip(sampleRate, smp)))
+        var s = 0L; var sq = 0L; var i = 0
+        while (i < clip.samples.length) {
+          val v = (clip.samples(i) & 0xff).toLong
+          s += v; sq += v * v; i += 1
+        }
+        (id, src, clip.sampleRate.toLong, clip.samples.length.toLong, s, sq)
+      }
+    }.toDF(idCol, srcCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

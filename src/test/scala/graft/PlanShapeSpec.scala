@@ -646,6 +646,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one hash exchange, no range: h=$h r=$r")
   }
 
+  test("audio gate (m08): fused codec pass is projection-only — ZERO " +
+      "exchanges, one corpus scan, no join") {
+    // the fused encode/decode/moments mapPartitions carries the source
+    // key, so the gate never joins back to the corpus: any exchange here
+    // means the fusion regressed to the join shape.
+    val plan = finalPlanOf("m08_audio_quality_gate")
+    val (h, r, sp) = exchangeCounts(plan)
+    assert(h == 0 && r == 0 && sp == 0,
+      s"expected a projection-only plan: h=$h r=$r single=$sp\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan:\n$plan")
+  }
+
+  test("streaming audio gate (s18): ONE source-key exchange over the " +
+      "fused codec pass") {
+    val plan = finalPlanOf("s18_stream_audio_gate")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange, no range sort: h=$h r=$r\n$plan")
+  }
+
   test("calibration curve (d100): scores fold off the checkpointed fit " +
       "in ONE grid aggregation — no corpus re-scan, no range sort") {
     // the memoized d95 fit localCheckpoints the feature frame, so the

@@ -763,6 +763,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._4).size > 1)
   }
 
+  test("audioGateStats streams: the decoded-clip gate equals the batch gate") {
+    // the s18 contract (the s16 move, audio edition): the per-clip path
+    // is a pure per-row map — content-addressed length, fused REAL
+    // encode/decode/moments carrying the source key — so the SAME
+    // audioGateStats call runs on (a) a MemoryStream of raw documents
+    // across two micro-batches in complete mode and (b) the static
+    // table; per-source clips/pass/total-ms/mean-amp must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a a a a a a a a"),
+      (3L, "code", "def main print hello world"),
+      (4L, "web", "lorem ipsum dolor sit amet consectetur"),
+      (5L, "code", "x y z"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.QueriesVectors.audioGateStats(df)
+    val in = MemoryStream[(Long, String, String)]
+    val q = gate(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("agate")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_clips", "n_pass", "total_ms", "mean_amp")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("agate"))
+    val batch = rows(gate(docs.toDF("doc_id", "source", "text")))
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum == 5L)
+    // the REAL codec ran: durations vary with the content-addressed length
+    assert(streamed.map(_._4).size > 1)
+  }
+
   test("dpReleaseDf streams: every complete-mode snapshot is the " +
       "correctly noised release for the data seen so far") {
     // the s17 contract: keyed count/sum + post-aggregate noise whose
