@@ -1401,5 +1401,82 @@ private[graft] object QueriesVectors {
         |FROM m""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08)
+  // --------------------------- perceptual audio fingerprint dedup (m09)
+  // The m06 aHash move, audio edition: a trim-invariant envelope
+  // fingerprint (strip trailing silence → 8 integer frame energies
+  // Σ(v−128)², frame(i) = i·8 div L — exact in both engines) over REAL
+  // decoded bytes, on a corpus where every clip also ships its REAL
+  // silence-padded variant (decode → append 16–32 silence samples →
+  // re-encode; the codec runs on every row twice). Trailing silence is
+  // the canonical same-recording dup class (a recorder that stops
+  // late), and the trimmed fingerprint MUST collapse clip and variant
+  // to one bucket — caught without any pairwise sample comparison.
+  // Scale shape: fingerprinting is per-row codec work; the only
+  // exchange is the 16-byte-key bucket count — d01's exact-dedup plan.
+  // The oracle re-derives BOTH variants' samples from the generation
+  // spec (pad positions are silence by construction), replays the trim
+  // as max position with a non-silence sample, the frame map and the
+  // energy sums — a codec, trim or framing regression hash-fails.
+  private val m09: (String, QFn, Option[String]) = ("m09_audio_fp_dedup",
+    (s, d) => {
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(64L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("aud"))
+          % 192).as("n"))
+      // orig feeds the pad path AND the union — re-synthesized per
+      // branch for the same reason m06 documents (no exchange to reuse
+      // in a mapPartitions chain; a payload checkpoint pins every clip
+      // in block-manager memory, the wrong trade at 100 TB)
+      val orig = Multimodal.encodeWavFromText(lens, "doc_id", "text",
+        col("n"))
+      val pad = Multimodal.padSilence(
+        orig.withColumn("p", lit(16L) +
+          Dedup.md5Hash(col("doc_id").cast("string"), lit("m09.p")) % 17),
+        "doc_id", "payload", col("p"))
+      val both = orig.withColumn("variant", lit("orig"))
+        .unionByName(pad.withColumn("variant", lit("pad")))
+      Multimodal.audioFingerprintBatched(both, "doc_id", "variant",
+          "payload")
+        .select(col("doc_id"), col("variant"), col("trim_len"),
+          md5(col("energy_csv")).as("fp"))
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH clip AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (64 + ${md5HashSql("doc_id::VARCHAR || '#aud'")} % 192)::BIGINT
+        |      AS n,
+        |    (16 + ${md5HashSql("doc_id::VARCHAR || '#m09.p'")} % 17)
+        |      ::BIGINT AS p
+        |  FROM documents),
+        |v AS (SELECT doc_id, t, n, 'orig' AS variant, n AS total
+        |    FROM clip
+        |  UNION ALL
+        |  SELECT doc_id, t, n, 'pad', n + p FROM clip),
+        |smp AS (SELECT doc_id, variant, n, i,
+        |    CASE WHEN i < n THEN $byte ELSE 128 END AS val
+        |  FROM (SELECT *, unnest(range(total)) AS i FROM v)),
+        |tl AS (SELECT doc_id, variant,
+        |    coalesce(max(CASE WHEN val <> 128 THEN i + 1 END), 0)::BIGINT
+        |      AS l
+        |  FROM smp GROUP BY 1, 2),
+        |en AS (SELECT s.doc_id, s.variant, (s.i * 8) // t.l AS j,
+        |    sum((s.val - 128) * (s.val - 128))::BIGINT AS e
+        |  FROM smp s JOIN tl t USING (doc_id, variant)
+        |  WHERE s.i < t.l GROUP BY 1, 2, 3),
+        |sp AS (SELECT doc_id, variant, unnest(range(8)) AS j FROM tl),
+        |dn AS (SELECT sp.doc_id, sp.variant, sp.j,
+        |    coalesce(en.e, 0)::BIGINT AS e
+        |  FROM sp LEFT JOIN en ON en.doc_id = sp.doc_id
+        |    AND en.variant = sp.variant AND en.j = sp.j),
+        |f AS (SELECT doc_id, variant,
+        |    md5(string_agg(e::VARCHAR, ',' ORDER BY j)) AS fp
+        |  FROM dn GROUP BY 1, 2)
+        |SELECT f.doc_id, f.variant, t.l AS trim_len, f.fp,
+        |  count(*) OVER (PARTITION BY fp)::BIGINT AS bucket_n
+        |FROM f JOIN tl t USING (doc_id, variant)""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

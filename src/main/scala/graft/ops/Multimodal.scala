@@ -436,6 +436,67 @@ object Multimodal {
     }.toDF(idCol, srcCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
   }
 
+  /** REAL silence-padding stage: decode → append `pCol` trailing
+    * silence samples (128 = 8-bit PCM silence) → RE-ENCODE — the audio
+    * analogue of [[halfPayload]]'s variant construction (the full codec
+    * roundtrip rides every row). Trailing silence is the canonical
+    * same-recording near-dup class (a recorder that stops late), which
+    * is exactly what [[audioFingerprintBatched]]'s trim-invariant
+    * fingerprint must collapse. */
+  def padSilence(df: DataFrame, idCol: String, payloadCol: String,
+                 pCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary"), pCol.cast("int"))
+      .as[(Long, Array[Byte], Int)]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes, p) =>
+        require(p >= 0, s"padSilence: negative pad $p")
+        val clip = Wav.decode(bytes)
+        val out = new Array[Byte](clip.samples.length + p)
+        System.arraycopy(clip.samples, 0, out, 0, clip.samples.length)
+        java.util.Arrays.fill(out, clip.samples.length, out.length,
+          128.toByte)
+        (id, Wav.encode(Wav.Clip(clip.sampleRate, out)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Trim-invariant perceptual audio fingerprint: decode → strip
+    * TRAILING silence (samples == 128) → cut the trimmed clip into 8
+    * frames by `frame(i) = i·8 div L` (the integer mapping both engines
+    * replay exactly; empty frames of a short clip contribute 0) → exact
+    * integer frame energies Σ(v−128)² — the envelope signature that is
+    * IDENTICAL for a clip and its silence-padded variant, which is the
+    * collapse [[padSilence]]'s near-dup class needs (the m06 aHash
+    * move, audio edition). Emits (id, tag, trim_len, energy_csv);
+    * callers digest the csv (md5) into the bucket key. Per-partition
+    * batched codec work, no shuffle. */
+  def audioFingerprintBatched(df: DataFrame, idCol: String,
+                              tagCol: String, payloadCol: String)
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(tagCol).cast("string"),
+      col(payloadCol).cast("binary")).as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, tag, bytes) =>
+        val clip = Wav.decode(bytes)
+        var l = clip.samples.length
+        while (l > 0 && (clip.samples(l - 1) & 0xff) == 128) l -= 1
+        val e = new Array[Long](8)
+        var i = 0
+        while (i < l) {
+          val d = (clip.samples(i) & 0xff) - 128
+          e((i * 8) / l) += (d * d).toLong
+          i += 1
+        }
+        (id, tag, l.toLong, e.mkString(","))
+      }
+    }.toDF(idCol, tagCol, "trim_len", "energy_csv")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

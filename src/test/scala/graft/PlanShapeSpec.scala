@@ -646,6 +646,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one hash exchange, no range: h=$h r=$r")
   }
 
+  test("max dup spans (d102): no global range sort — islands and rebuild " +
+      "run in window-local sorts; no pair join") {
+    // the suffix-window compare is a groupBy on the window key (never a
+    // self-join) and the islands/rebuild windows partition by doc: a
+    // range exchange here means a global sort slipped into the ordering.
+    val plan = finalPlanOf("d102_max_dup_spans")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"global range sort in d102 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair-join shape in the substring dedup:\n$plan")
+  }
+
   test("audio gate (m08): fused codec pass is projection-only — ZERO " +
       "exchanges, one corpus scan, no join") {
     // the fused encode/decode/moments mapPartitions carries the source

@@ -81,6 +81,37 @@ class WavSpec extends SparkSpec {
     }
   }
 
+  test("padSilence + audioFingerprintBatched: trim-invariant collapse") {
+    val smp = Array[Byte](10, -1, 0, 50, 127, -128, 60, 70, 80, 90)
+    val base = Seq((1L, Wav.encode(Wav.Clip(8000, smp)), 5))
+      .toDF("doc_id", "payload", "p")
+    val padded = Multimodal.padSilence(base, "doc_id", "payload", col("p"))
+    val both = base.select(col("doc_id"), col("payload"))
+      .withColumn("tag", lit("orig"))
+      .unionByName(padded.withColumn("tag", lit("pad")))
+    val fps = Multimodal.audioFingerprintBatched(both, "doc_id", "tag",
+      "payload").collect().map(r =>
+        r.getAs[String]("tag") ->
+          (r.getAs[Long]("trim_len"), r.getAs[String]("energy_csv"))).toMap
+    // -128 is unsigned 128 = silence mid-clip; only TRAILING silence trims
+    assert(fps("orig") === fps("pad"))
+    assert(fps("orig")._1 === 10L)
+    // hand energies: frame(i) = i*8/10; sample unsigned values
+    val us = smp.map(_ & 0xff)
+    val e = new Array[Long](8)
+    us.zipWithIndex.foreach { case (v, i) =>
+      e(i * 8 / 10) += ((v - 128).toLong * (v - 128)) }
+    assert(fps("orig")._2 === e.mkString(","))
+    // a clip that IS all silence trims to zero and fingerprints as zeros
+    val silent = Seq((2L, Wav.encode(Wav.Clip(8000,
+      Array.fill[Byte](6)(128.toByte))), 0)).toDF("doc_id", "payload", "p")
+    val z = Multimodal.audioFingerprintBatched(
+      silent.withColumn("tag", lit("o")), "doc_id", "tag", "payload")
+      .collect()(0)
+    assert(z.getAs[Long]("trim_len") === 0L)
+    assert(z.getAs[String]("energy_csv") === Array.fill(8)(0L).mkString(","))
+  }
+
   test("m08 gate: length is the discriminating rule on this corpus") {
     val out = graft.SparkEntry.queries("m08_audio_quality_gate")(
       spark, "/root/testdata/sf0.001")
