@@ -1478,5 +1478,94 @@ private[graft] object QueriesVectors {
         |FROM f JOIN tl t USING (doc_id, variant)""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  // ------------------------------ video frame sampling (m10)
+  // The THIRD modality's ingest stage: every doc gets a genuine
+  // YUV4MPEG2 payload (4–15 mono 16×8 frames, content-addressed per
+  // frame — real collections never share one length), the engine
+  // DECODES the actual container bytes (magic, W/H/F/C params, FRAME
+  // markers, planes) and samples k = 4 frames at the evenly-spaced
+  // thumbnail-strip indices j·(F−1) div 3 (first and last always
+  // included), publishing exact integer stats + a plane digest per
+  // sample. The oracle re-derives every sampled pixel from the
+  // generation spec, so a container, sampling-index or plane regression
+  // at any frame count hash-fails. Linear: encode/decode/sample ride
+  // ONE mapPartitions pass (k-row fan-out inside the partition).
+  private val m10: (String, QFn, Option[String]) = ("m10_video_frame_sample",
+    (s, d) => {
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid"))
+          % 12).as("nf"))
+      Multimodal.videoFrameSampleBatched(
+          Multimodal.encodeY4mFromText(lens, "doc_id", "text", col("nf"),
+            segLen = 1),
+          "doc_id", "payload", k = 4)
+        .select(col("doc_id"), col("n_frames"), col("duration_ms"),
+          col("j"), col("frame_idx"), col("px_sum"), col("px_min"),
+          col("px_max"), md5(col("px_csv")).as("digest"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (idx * 8 + g // 16)" +
+        "::VARCHAR), ((g % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH vid AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#vid'")} % 12)::BIGINT
+        |      AS nf
+        |  FROM documents),
+        |sj AS (SELECT doc_id, t, nf, j, (j * (nf - 1)) // 3 AS idx
+        |  FROM (SELECT *, unnest(range(4)) AS j FROM vid)),
+        |px AS (SELECT doc_id, nf, j, idx, g, $byte AS v
+        |  FROM (SELECT *, unnest(range(128)) AS g FROM sj))
+        |SELECT doc_id, nf AS n_frames, (nf * 40)::BIGINT AS duration_ms,
+        |  j::BIGINT AS j, idx AS frame_idx, sum(v)::BIGINT AS px_sum,
+        |  min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max,
+        |  md5(string_agg(v::VARCHAR, ',' ORDER BY g)) AS digest
+        |FROM px GROUP BY doc_id, nf, j, idx""".stripMargin
+    })
+
+  // ------------------------------ video scene-cut detection (m11)
+  // The shot-segmentation stage over structured content: m11's corpus
+  // is built as SEGMENTED video (runs of 3 identical frames — real
+  // footage is still-ish runs separated by hard cuts; frame f draws
+  // content from segment key f div 3), the engine decodes the actual
+  // bytes and computes per consecutive pair the exact integer SAD (the
+  // classic cut metric), thresholding at mean-diff 4 (SAD > 512 on the
+  // 128-px plane). Cuts land EXACTLY at segment boundaries (f ≡ 0
+  // mod 3) and SAD is EXACTLY 0 inside a run — both re-derived by the
+  // oracle from the generation spec, so a decode or SAD regression
+  // hash-fails. Linear: one mapPartitions pass, (F−1)-row fan-out; the
+  // only exchange is the per-doc cut-count window (doc-keyed).
+  private val m11: (String, QFn, Option[String]) = ("m11_video_scene_cuts",
+    (s, d) => {
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(9L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid2"))
+          % 7).as("nf"))
+      Multimodal.sceneCutsBatched(
+          Multimodal.encodeY4mFromText(lens, "doc_id", "text", col("nf"),
+            segLen = 3),
+          "doc_id", "payload")
+        .withColumn("is_cut", (col("sad") > 512L).cast("long"))
+        .withColumn("n_cuts", sum(col("is_cut")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+    },
+    Some {
+      def byte(key: String) =
+        s"('0x' || substr(md5(t || '#' || ($key * 8 + g // 16)::VARCHAR)," +
+          " ((g % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH vid AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (9 + ${md5HashSql("doc_id::VARCHAR || '#vid2'")} % 7)::BIGINT
+        |      AS nf
+        |  FROM documents),
+        |pr AS (SELECT doc_id, t, f, (f - 1) // 3 AS ka, f // 3 AS kb
+        |  FROM (SELECT *, unnest(range(1, nf)) AS f FROM vid)),
+        |sd AS (SELECT doc_id, f, sum(abs(${byte("ka")} - ${byte("kb")}))
+        |    ::BIGINT AS sad
+        |  FROM (SELECT *, unnest(range(128)) AS g FROM pr)
+        |  GROUP BY doc_id, f)
+        |SELECT doc_id, f, sad, (sad > 512)::BIGINT AS is_cut,
+        |  sum(CASE WHEN sad > 512 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id)::BIGINT AS n_cuts
+        |FROM sd""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }

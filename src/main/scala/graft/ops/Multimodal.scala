@@ -497,6 +497,121 @@ object Multimodal {
     }.toDF(idCol, tagCol, "trim_len", "energy_csv")
   }
 
+  /** Deterministic REAL video payloads from a text column — the video
+    * member of the encode family ([[encodePgmSized]], [[encodeWavFromText]]):
+    * per doc, `fCol` frames of w×h mono luma serialized through
+    * [[Y4m.encode]] into actual YUV4MPEG2 bytes. Frame content is
+    * addressed by SEGMENT — frame f draws its pixels from the
+    * engine-neutral md5(text#block) grid at block offset
+    * `(f div segLen)·(w·h/16)` — so `segLen = 1` gives every frame
+    * unique content (the frame-sampling corpus) and `segLen > 1` gives
+    * runs of IDENTICAL frames with hard content changes at segment
+    * boundaries (the scene-cut corpus: real videos are exactly
+    * still-ish runs separated by cuts). An external engine re-derives
+    * any frame's plane from (text, f) alone. */
+  def encodeY4mFromText(df: DataFrame, idCol: String, textCol: String,
+                        fCol: Column, segLen: Int, w: Int = 16,
+                        h: Int = 8): DataFrame = {
+    require(segLen >= 1, s"encodeY4mFromText: bad segLen $segLen")
+    require((w * h) % 16 == 0, "plane size must be a whole md5-block count")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      fCol.cast("int")).as[(Long, String, Int)]
+    val blocksPerFrame = (w * h) / 16
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t, nf) =>
+        require(nf >= 1, s"encodeY4mFromText: bad frame count $nf")
+        val frames = Array.tabulate(nf) { f =>
+          val px = new Array[Byte](w * h)
+          val key = f / segLen
+          var b = 0
+          while (b < blocksPerFrame) {
+            md.reset()
+            val dig = md.digest((t + "#" + (key * blocksPerFrame + b))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            System.arraycopy(dig, 0, px, b * 16, 16)
+            b += 1
+          }
+          px
+        }
+        (id, Y4m.encode(Y4m.Video(w, h, 25, 1, frames)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** REAL frame sampling — the "grab k key frames" stage of a video
+    * ingest: [[Y4m.decode]] parses the actual container bytes, k frames
+    * are sampled at the evenly-spaced indices `j·(F−1) div (k−1)` (first
+    * and last always included — the standard thumbnail-strip rule), and
+    * each sampled frame emits exact integer stats plus its full plane
+    * as a csv ready for a cross-engine digest. One input row fans out
+    * to k output rows inside the partition — no shuffle. */
+  def videoFrameSampleBatched(df: DataFrame, idCol: String,
+                              payloadCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"videoFrameSampleBatched: k=$k needs first+last")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        val nf = v.frames.length
+        val durMs = nf.toLong * 1000L * v.fpsDen / v.fpsNum
+        (0 until k).map { j =>
+          val idx = j * (nf - 1) / (k - 1)
+          val fr = v.frames(idx)
+          var sum = 0L; var min = 255L; var max = 0L
+          val sb = new java.lang.StringBuilder(fr.length * 4)
+          var i = 0
+          while (i < fr.length) {
+            val p = (fr(i) & 0xff).toLong
+            sum += p
+            if (p < min) min = p
+            if (p > max) max = p
+            if (i > 0) sb.append(',')
+            sb.append(p)
+            i += 1
+          }
+          (id, nf.toLong, durMs, j.toLong, idx.toLong, sum, min, max,
+            sb.toString)
+        }
+      }
+    }.toDF(idCol, "n_frames", "duration_ms", "j", "frame_idx",
+      "px_sum", "px_min", "px_max", "px_csv")
+  }
+
+  /** REAL scene-cut detection — the shot-segmentation stage of a video
+    * pipeline: decode, then per consecutive frame pair the exact integer
+    * SAD (sum of absolute luma differences, the classic cut metric).
+    * Identical frames give SAD 0; a content change at a segment boundary
+    * gives a large SAD — the caller thresholds into cut flags. One input
+    * row fans out to F−1 pair rows inside the partition — no shuffle. */
+  def sceneCutsBatched(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        (1 until v.frames.length).map { f =>
+          val a = v.frames(f - 1); val b = v.frames(f)
+          var sad = 0L; var i = 0
+          while (i < a.length) {
+            sad += math.abs((a(i) & 0xff) - (b(i) & 0xff)).toLong
+            i += 1
+          }
+          (id, f.toLong, sad)
+        }
+      }
+    }.toDF(idCol, "f", "sad")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

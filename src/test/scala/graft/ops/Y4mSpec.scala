@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The real Y4M codec behind m10/m11: parameter-tolerant header parsing
+  * per the yuv4mpeg spec, loud failure on malformed bytes, and the Spark
+  * batch plumbing (frame sampling, SAD scene cuts) over it. */
+class Y4mSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def mkVideo(nf: Int, w: Int = 4, h: Int = 2): Y4m.Video =
+    Y4m.Video(w, h, 25, 1, Array.tabulate(nf)(f =>
+      Array.tabulate(w * h)(i => ((f * 31 + i * 7) % 256).toByte)))
+
+  test("encode/decode roundtrip preserves every frame byte") {
+    val v = mkVideo(3)
+    val back = Y4m.decode(Y4m.encode(v))
+    assert((back.width, back.height, back.fpsNum, back.fpsDen) ===
+      ((4, 2, 25, 1)))
+    assert(back.frames.length === 3)
+    v.frames.zip(back.frames).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) }
+  }
+
+  test("decode tolerates unknown header/frame params per the spec") {
+    val plane = Array.tabulate[Byte](8)(_.toByte)
+    val bytes = ascii("YUV4MPEG2 W4 H2 F30:1 Ip A128:117 Cmono " +
+      "XYSCSS=mono\nFRAME Xtimecode=1\n") ++ plane
+    val v = Y4m.decode(bytes)
+    assert((v.width, v.height, v.fpsNum, v.fpsDen) === ((4, 2, 30, 1)))
+    assert(v.frames(0).toSeq === plane.toSeq)
+  }
+
+  test("decode rejects malformed bytes loudly") {
+    val ok = Y4m.encode(mkVideo(2))
+    intercept[IllegalArgumentException](Y4m.decode(ok.dropRight(1)))
+    intercept[IllegalArgumentException](Y4m.decode(ok :+ 0.toByte))
+    intercept[IllegalArgumentException](Y4m.decode(
+      ascii("YUV4MPEG3 W4 H2 F25:1 Cmono\n")))          // wrong magic
+    intercept[IllegalArgumentException](Y4m.decode(
+      ascii("YUV4MPEG2 W4 F25:1 Cmono\nFRAME\n") ++ new Array[Byte](8)))
+    intercept[IllegalArgumentException](Y4m.decode(     // default C420
+      ascii("YUV4MPEG2 W4 H2 F25:1\nFRAME\n") ++ new Array[Byte](8)))
+    intercept[IllegalArgumentException](Y4m.decode(     // chroma form
+      ascii("YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n") ++ new Array[Byte](12)))
+  }
+
+  test("videoFrameSampleBatched: thumbnail-strip indices, exact stats") {
+    val df = Seq((1L, Y4m.encode(mkVideo(10)))).toDF("doc_id", "payload")
+    val got = Multimodal.videoFrameSampleBatched(df, "doc_id", "payload", 4)
+      .orderBy("j").collect()
+    assert(got.map(_.getAs[Long]("frame_idx")).toSeq ===
+      Seq(0L, 3L, 6L, 9L))                 // j*(10-1) div 3
+    assert(got.forall(_.getAs[Long]("n_frames") == 10L))
+    assert(got.forall(_.getAs[Long]("duration_ms") == 400L)) // 10 / 25fps
+    val v = mkVideo(10)
+    got.foreach { r =>
+      val fr = v.frames(r.getAs[Long]("frame_idx").toInt).map(_ & 0xff)
+      assert(r.getAs[Long]("px_sum") === fr.map(_.toLong).sum)
+      assert(r.getAs[String]("px_csv") === fr.mkString(","))
+    }
+  }
+
+  test("sceneCutsBatched: SAD 0 inside a run, exact SAD at a hard cut") {
+    // three frames: two identical, then a +1-everywhere change
+    val a = Array.tabulate[Byte](8)(i => (i * 3).toByte)
+    val b = a.map(x => (x + 1).toByte)
+    val vid = Y4m.Video(4, 2, 25, 1, Array(a, a.clone(), b))
+    val df = Seq((7L, Y4m.encode(vid))).toDF("doc_id", "payload")
+    val got = Multimodal.sceneCutsBatched(df, "doc_id", "payload")
+      .orderBy("f").collect()
+    assert(got.map(r => (r.getAs[Long]("f"), r.getAs[Long]("sad"))).toSeq
+      === Seq((1L, 0L), (2L, 8L)))
+  }
+
+  test("m11 corpus invariant: cuts exactly at segment boundaries") {
+    val out = graft.SparkEntry.queries("m11_video_scene_cuts")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getAs[Long]("f")
+      val cut = r.getAs[Long]("is_cut")
+      val sad = r.getAs[Long]("sad")
+      if (f % 3 == 0) assert(cut == 1L && sad > 512L,
+        s"expected a cut at segment boundary f=$f (sad=$sad)")
+      else assert(cut == 0L && sad == 0L,
+        s"expected an identical-frame run at f=$f (sad=$sad)")
+    }
+  }
+}
