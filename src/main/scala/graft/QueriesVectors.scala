@@ -1270,28 +1270,32 @@ private[graft] object QueriesVectors {
   // compares unrounded doubles both engines compute identically. The
   // oracle re-derives every pixel from the generation spec (the m05
   // move), so a codec or moment regression at any geometry hash-fails.
+  /** The m07 image gate over ANY frame with (doc_id, source, text) —
+    * the per-doc scored frame the m07 row publishes and c04's
+    * cross-modal report consumes (the audioGateScored pattern). */
+  private[graft] def imageGateScored(docsDf: DataFrame): DataFrame = {
+    val dims = docsDf.select(col("doc_id"), col("source"), col("text"),
+      (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
+        % 24).as("w"),
+      (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
+        % 12).as("h"))
+    val st = Multimodal.qualityStatsBatched(
+      Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
+        col("h")),
+      "doc_id", "payload")
+    val n = (col("width") * col("height")).cast("double")
+    val mean = col("px_sum").cast("double") / n
+    val sd = sqrt(greatest(col("px_sq").cast("double") / n - mean * mean,
+      lit(0.0)))
+    st.join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("width"), col("height"),
+        round(mean, 6).as("px_mean"), round(sd, 6).as("px_std"),
+        (col("width") * col("height") >= 256L && mean >= 32.0
+          && mean <= 224.0 && sd >= 8.0).cast("long").as("keep"))
+  }
+
   private val m07: (String, QFn, Option[String]) = ("m07_image_quality_gate",
-    (s, d) => {
-      val base = docs(s, d)
-      val dims = base.select(col("doc_id"), col("source"), col("text"),
-        (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
-          % 24).as("w"),
-        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
-          % 12).as("h"))
-      val st = Multimodal.qualityStatsBatched(
-        Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
-          col("h")),
-        "doc_id", "payload")
-      val n = (col("width") * col("height")).cast("double")
-      val mean = col("px_sum").cast("double") / n
-      val sd = sqrt(greatest(col("px_sq").cast("double") / n - mean * mean,
-        lit(0.0)))
-      st.join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("width"), col("height"),
-          round(mean, 6).as("px_mean"), round(sd, 6).as("px_std"),
-          (col("width") * col("height") >= 256L && mean >= 32.0
-            && mean <= 224.0 && sd >= 8.0).cast("long").as("keep"))
-    },
+    (s, d) => imageGateScored(docs(s, d)),
     Some {
       val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
         " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
@@ -1567,5 +1571,165 @@ private[graft] object QueriesVectors {
         |FROM sd""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  // ------------------------------ audio VAD segmentation (m12)
+  // The voice-activity stage of an audio ingest, over structured
+  // content (the m11 move, audio edition): every clip is built as 3
+  // speech bursts (24–63 content-addressed samples each) separated by
+  // 16-sample exact silences, and the engine DETECTS the utterances
+  // from the decoded bytes — sample silent iff |v−128| ≤ 4, split at
+  // silence runs ≥ 8 (short dips inside speech do not split, the
+  // hangover rule). Detection is genuine: a speech sample that falls
+  // inside the tolerance band joins the run and shifts the boundary,
+  // and the oracle replays the SAME run-length logic sample-by-sample
+  // (silent-run islands ≥ 8 → region islands → active bounds → exact
+  // segment energy), so detected starts/lengths/energies — not the
+  // construction's — are what hash-compares. Linear: one mapPartitions
+  // pass, per-segment fan-out in-partition, no shuffle at all.
+  private val m12: (String, QFn, Option[String]) = ("m12_audio_vad",
+    (s, d) => {
+      def segLen(k: Int) = lit(24L) +
+        Dedup.md5Hash(col("doc_id").cast("string"), lit(s"m12.$k")) % 40
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        array(segLen(0).cast("int"), segLen(1).cast("int"),
+          segLen(2).cast("int")).as("lens"))
+      Multimodal.vadSegmentsBatched(
+        Multimodal.encodeWavSegmented(lens, "doc_id", "text",
+          col("lens"), gap = 16),
+        "doc_id", "payload", tol = 4, minSilence = 8)
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (a // 16)::VARCHAR)," +
+        " ((a % 16) * 2 + 1)::INT, 2))::BIGINT"
+      def h(k: Int) = md5HashSql(s"doc_id::VARCHAR || '#m12.$k'")
+      s"""WITH clip AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (24 + ${h(0)} % 40)::BIGINT AS l0,
+        |    (24 + ${h(1)} % 40)::BIGINT AS l1,
+        |    (24 + ${h(2)} % 40)::BIGINT AS l2
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, i,
+        |    CASE WHEN i < l0 THEN i
+        |         WHEN i < l0 + 16 THEN NULL
+        |         WHEN i < l0 + 16 + l1 THEN i - 16
+        |         WHEN i < l0 + 32 + l1 THEN NULL
+        |         ELSE i - 32 END AS a
+        |  FROM (SELECT *, unnest(range(l0 + l1 + l2 + 32)) AS i
+        |    FROM clip)),
+        |smp AS (SELECT doc_id, i,
+        |    CASE WHEN a IS NULL THEN 128 ELSE $byte END AS val
+        |  FROM pos),
+        |sl AS (SELECT doc_id, i, val,
+        |    (abs(val - 128) <= 4) AS silent FROM smp),
+        |sil AS (SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM sl WHERE silent),
+        |longs AS (SELECT doc_id, g FROM sil GROUP BY doc_id, g
+        |  HAVING count(*) >= 8),
+        |spl AS (SELECT s.doc_id, s.i FROM sil s
+        |  JOIN longs USING (doc_id, g)),
+        |reg AS (SELECT sl.doc_id, sl.i, sl.val, sl.silent,
+        |    sl.i - row_number() OVER (PARTITION BY sl.doc_id
+        |      ORDER BY sl.i) AS rg
+        |  FROM sl LEFT JOIN spl ON sl.doc_id = spl.doc_id
+        |    AND sl.i = spl.i
+        |  WHERE spl.i IS NULL),
+        |segb AS (SELECT doc_id, rg,
+        |    min(CASE WHEN NOT silent THEN i END) AS a,
+        |    max(CASE WHEN NOT silent THEN i END) AS b
+        |  FROM reg GROUP BY doc_id, rg
+        |  HAVING min(CASE WHEN NOT silent THEN i END) IS NOT NULL),
+        |en AS (SELECT r.doc_id, sb.rg,
+        |    sum((r.val - 128) * (r.val - 128))::BIGINT AS e
+        |  FROM reg r JOIN segb sb ON r.doc_id = sb.doc_id
+        |    AND r.rg = sb.rg AND r.i BETWEEN sb.a AND sb.b
+        |  GROUP BY r.doc_id, sb.rg),
+        |f AS (SELECT doc_id, rg, a, b, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY a) - 1 AS seg FROM segb)
+        |SELECT f.doc_id, f.seg::BIGINT AS seg,
+        |  f.a::BIGINT AS seg_start, (f.b - f.a + 1)::BIGINT AS seg_len,
+        |  en.e AS energy
+        |FROM f JOIN en USING (doc_id, rg)""".stripMargin
+    })
+
+  // ---------------------------- cross-modal curation report (c04)
+  // The c01 funnel move for the multimodal gates: per source, how many
+  // assets pass the IMAGE gate (m07), the AUDIO gate (m08), and BOTH —
+  // the table a multimodal-corpus review reads to see which source's
+  // media quality is dragging (a source can ship fine images with
+  // unusable audio; per-modality rates alone hide that). Consumes the
+  // SAME scored frames m07/m08 verify (imageGateScored /
+  // audioGateScored — the c03 same-fit discipline), joined on doc_id
+  // (one doc-keyed exchange) and rolled up per source. Oracle replays
+  // both gates from the generation specs, so the report can never
+  // drift from the gates it summarizes.
+  private val c04: (String, QFn, Option[String]) = ("c04_multimodal_report",
+    (s, d) => {
+      val base = docs(s, d)
+      val img = imageGateScored(base)
+        .select(col("doc_id"), col("source"), col("keep").as("_ik"))
+      val aud = audioGateScored(base)
+        .select(col("doc_id"), col("keep").as("_ak"))
+      img.join(aud, Seq("doc_id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_ik")).as("img_keep"),
+          sum(col("_ak")).as("aud_keep"),
+          sum(col("_ik") * col("_ak")).as("both_keep"))
+        .withColumn("img_rate", round(col("img_keep").cast("double")
+          / col("n_docs").cast("double"), 6))
+        .withColumn("aud_rate", round(col("aud_keep").cast("double")
+          / col("n_docs").cast("double"), 6))
+        .withColumn("both_rate", round(col("both_keep").cast("double")
+          / col("n_docs").cast("double"), 6))
+    },
+    Some {
+      val ibyte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+        |      AS w,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+        |      AS h
+        |  FROM documents),
+        |ipx AS (SELECT doc_id, sum($ibyte)::BIGINT AS s,
+        |    sum($ibyte * $ibyte)::BIGINT AS sq
+        |  FROM (SELECT doc_id, t, unnest(range(w * h)) AS i FROM dim)
+        |  GROUP BY doc_id),
+        |im AS (SELECT d.doc_id, d.source,
+        |    CASE WHEN d.w * d.h >= 256
+        |      AND s::DOUBLE / (d.w * d.h)::DOUBLE >= 32.0
+        |      AND s::DOUBLE / (d.w * d.h)::DOUBLE <= 224.0
+        |      AND sqrt(greatest(sq::DOUBLE / (d.w * d.h)::DOUBLE
+        |        - (s::DOUBLE / (d.w * d.h)::DOUBLE)
+        |          * (s::DOUBLE / (d.w * d.h)::DOUBLE), 0.0)) >= 8.0
+        |      THEN 1 ELSE 0 END::BIGINT AS ik
+        |  FROM dim d JOIN ipx USING (doc_id)),
+        |clip AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (64 + ${md5HashSql("doc_id::VARCHAR || '#aud'")} % 192)::BIGINT
+        |      AS n
+        |  FROM documents),
+        |apx AS (SELECT doc_id, sum($ibyte)::BIGINT AS s,
+        |    sum($ibyte * $ibyte)::BIGINT AS sq
+        |  FROM (SELECT doc_id, t, unnest(range(n)) AS i FROM clip)
+        |  GROUP BY doc_id),
+        |am AS (SELECT c.doc_id,
+        |    CASE WHEN c.n >= 96
+        |      AND s::DOUBLE / c.n::DOUBLE >= 96.0
+        |      AND s::DOUBLE / c.n::DOUBLE <= 160.0
+        |      AND sqrt(greatest(sq::DOUBLE / c.n::DOUBLE
+        |        - (s::DOUBLE / c.n::DOUBLE) * (s::DOUBLE / c.n::DOUBLE),
+        |        0.0)) >= 16.0
+        |      THEN 1 ELSE 0 END::BIGINT AS ak
+        |  FROM clip c JOIN apx USING (doc_id)),
+        |j AS (SELECT im.source, im.ik, am.ak FROM im
+        |  JOIN am USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(ik)::BIGINT AS img_keep, sum(ak)::BIGINT AS aud_keep,
+        |  sum(ik * ak)::BIGINT AS both_keep,
+        |  round(sum(ik)::DOUBLE / count(*)::DOUBLE, 6) AS img_rate,
+        |  round(sum(ak)::DOUBLE / count(*)::DOUBLE, 6) AS aud_rate,
+        |  round(sum(ik * ak)::DOUBLE / count(*)::DOUBLE, 6) AS both_rate
+        |FROM j GROUP BY source""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, c04)
 }

@@ -612,6 +612,110 @@ object Multimodal {
     }.toDF(idCol, "f", "sad")
   }
 
+  /** [[encodeWavFromText]] with SPEECH/SILENCE structure — the VAD
+    * corpus generator: `lensCol` (array of per-segment sample counts)
+    * speech bursts drawn from the engine-neutral md5(text#block) grid
+    * (block index runs over ACTIVE samples only, so an external engine
+    * re-derives sample i from (text, segment layout) alone), separated
+    * by `gap` exact-silence samples (128). Real clips are exactly this:
+    * utterances separated by pauses. */
+  def encodeWavSegmented(df: DataFrame, idCol: String, textCol: String,
+                         lensCol: Column, gap: Int,
+                         sampleRate: Int = 8000): DataFrame = {
+    require(gap >= 1, s"encodeWavSegmented: bad gap $gap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      lensCol.cast("array<int>")).as[(Long, String, Seq[Int])]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t, lens) =>
+        require(lens.nonEmpty && lens.forall(_ >= 1),
+          s"encodeWavSegmented: bad segment lengths $lens")
+        val total = lens.sum + gap * (lens.size - 1)
+        val smp = new Array[Byte](total)
+        java.util.Arrays.fill(smp, 128.toByte)
+        var pos = 0
+        var a = 0 // active-sample index, continuous across segments
+        var blk = -1
+        var dig: Array[Byte] = null
+        lens.zipWithIndex.foreach { case (l, k) =>
+          if (k > 0) pos += gap
+          var j = 0
+          while (j < l) {
+            if (a / 16 != blk) {
+              blk = a / 16
+              md.reset()
+              dig = md.digest((t + "#" + blk)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            smp(pos) = dig(a % 16)
+            pos += 1; a += 1; j += 1
+          }
+        }
+        (id, Wav.encode(Wav.Clip(sampleRate, smp)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** REAL voice-activity segmentation — the VAD stage of an audio
+    * ingest: decode, mark each sample silent iff |v−128| ≤ `tol`, and
+    * split the clip at silence RUNS of at least `minSilence` samples
+    * (short dips inside speech do not split — the standard hangover
+    * rule). Emits one row per detected ACTIVE segment: (id, seg,
+    * start, len, energy) with energy the exact integer Σ(v−128)² over
+    * the segment. Detection is genuine — a speech-adjacent sample that
+    * happens to fall inside the tolerance band joins the silence run
+    * and shifts the boundary, which is exactly what the oracle replays
+    * sample-by-sample. One mapPartitions pass, per-segment fan-out
+    * in-partition; no shuffle. */
+  def vadSegmentsBatched(df: DataFrame, idCol: String, payloadCol: String,
+                         tol: Int, minSilence: Int): DataFrame = {
+    require(tol >= 0 && minSilence >= 1, s"bad VAD params $tol/$minSilence")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val s = Wav.decode(bytes).samples
+        def silent(i: Int): Boolean = math.abs((s(i) & 0xff) - 128) <= tol
+        val segs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = 0
+        var segStart = -1
+        var lastActive = -1
+        def close(): Unit = if (segStart >= 0) {
+          var e = 0L
+          var j = segStart
+          while (j <= lastActive) {
+            val d = (s(j) & 0xff) - 128
+            e += (d * d).toLong
+            j += 1
+          }
+          segs += ((id, segs.size.toLong, segStart.toLong,
+            (lastActive - segStart + 1).toLong, e))
+        }
+        while (i < s.length) {
+          if (silent(i)) {
+            // measure the run; split only when it reaches minSilence
+            var r = i
+            while (r < s.length && silent(r)) r += 1
+            if (r - i >= minSilence) { close(); segStart = -1 }
+            i = r
+          } else {
+            if (segStart < 0) segStart = i
+            lastActive = i
+            i += 1
+          }
+        }
+        close()
+        segs
+      }
+    }.toDF(idCol, "seg", "seg_start", "seg_len", "energy")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

@@ -112,6 +112,30 @@ class WavSpec extends SparkSpec {
     assert(z.getAs[String]("energy_csv") === Array.fill(8)(0L).mkString(","))
   }
 
+  test("vadSegmentsBatched: boundary wobble joins the run, short dips " +
+      "don't split, trailing silence excluded") {
+    // positions 0-8: speech (200); 9: in-BAND speech sample (126) that
+    // must JOIN the following silence run (detection, not construction);
+    // 10-17: silence; 18-22: speech with a 2-sample interior dip (130 —
+    // inside the band but shorter than minSilence, must NOT split and
+    // stays inside the span/energy); 23-29: short trailing silence
+    // (7 < 8) that must not emit or extend anything.
+    val smp = (Array.fill(9)(200) ++ Array(126) ++ Array.fill(8)(128) ++
+      Array(200, 200, 130, 130, 200) ++ Array.fill(7)(128))
+      .map(_.toByte)
+    val df = Seq((1L, Wav.encode(Wav.Clip(8000, smp))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.vadSegmentsBatched(df, "doc_id", "payload",
+        tol = 4, minSilence = 8)
+      .orderBy("seg").collect()
+      .map(r => (r.getAs[Long]("seg"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_len"), r.getAs[Long]("energy")))
+    val d72 = 72L * 72L
+    assert(got.toSeq === Seq(
+      (0L, 0L, 9L, 9L * d72),
+      (1L, 18L, 5L, 3L * d72 + 2L * 4L)))
+  }
+
   test("m08 gate: length is the discriminating rule on this corpus") {
     val out = graft.SparkEntry.queries("m08_audio_quality_gate")(
       spark, "/root/testdata/sf0.001")
