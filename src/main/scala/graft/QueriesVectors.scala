@@ -7,7 +7,7 @@ import graft.ops._
 import graft.schema.Tables
 import graft.QueriesText._
 
-/** Registry slice e01-e17 + m01-m02: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN, hard-negative mining, the matryoshka width-truncation recall audit and multimodal plumbing.
+/** Registry slice e01-e25 + m01-m12 + c04: embedding KNN (brute/LSH/IVF/PQ), k-means, random projection, persisted index, metadata-filtered ANN, hard-negative mining, the matryoshka width-truncation recall audit, and the multimodal family — real PGM/WAV/Y4M codecs with decode, resize, perceptual dedup, quality gates, VAD, frame sampling, scene cuts and the cross-modal curation report.
   * Shared helpers (docs/emb/tokSql/shCte/md5HashSql/quality+lang SQL and
   * the MinHash constants) live in [[QueriesText]]; registration order is
   * assembled there. */
