@@ -42,10 +42,17 @@ object Bench {
     // measure warm serving; this publishes the true first-fit cost
     // beside them so the decade table doesn't understate the family.
     if (sys.env.get("SPARK_GRAFT_BENCH_COLDFIT").contains("1")) {
+      // snapshot persisted RDDs so the probe's localCheckpoint blocks
+      // can be dropped afterwards — an abandoned checkpoint would pin
+      // executor memory and perturb every subsequently timed query
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try {
         QueriesPrep.qcModelCold(spark, sfDir)
         val cold = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (rddId, _) => before(rddId) }
+          .values.foreach(_.unpersist(true))
         val line = String.format(java.util.Locale.ROOT,
           """{"qc_cold_fit_sec":%.3f,"sf":"%s"}""",
           java.lang.Double.valueOf(cold), sfDir)

@@ -476,8 +476,9 @@ object QueriesStream {
     Some {
       val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
         " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
-      val md5h = "('0x' || substr(md5(doc_id::VARCHAR || '#aud'), 1, 15))" +
-        "::BIGINT"
+      // the shared helper, NOT an inline copy: this oracle must stay in
+      // lockstep with m08's, which uses the same hash form
+      val md5h = QueriesText.md5HashSql("doc_id::VARCHAR || '#aud'")
       s"""WITH clip AS (SELECT doc_id, source, coalesce(text, '') AS t,
         |    (64 + $md5h % 192)::BIGINT AS n FROM documents),
         |amp AS (SELECT doc_id, sum($byte)::BIGINT AS amp_sum,

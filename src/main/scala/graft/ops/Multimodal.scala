@@ -21,6 +21,36 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  /** The engine-neutral md5(text#block) byte grid, cut at `n` — ONE
+    * definition of the content-addressing scheme every encode stage
+    * (PGM pixels, WAV samples) and every oracle replays; a divergent
+    * copy here would silently hash-split the rows that share it. */
+  private def md5Grid(md: java.security.MessageDigest, t: String,
+                      n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var b = 0
+    while (b * 16 < n) {
+      md.reset()
+      val dig = md.digest((t + "#" + b)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 16 && b * 16 + j < n) { out(b * 16 + j) = dig(j); j += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Exact integer (Σv, Σv²) over unsigned payload bytes — the moment
+    * pair every quality gate consumes. */
+  private def byteMoments(s: Array[Byte]): (Long, Long) = {
+    var a = 0L; var sq = 0L; var i = 0
+    while (i < s.length) {
+      val v = (s(i) & 0xff).toLong
+      a += v; sq += v * v; i += 1
+    }
+    (a, sq)
+  }
+
   /** Media asset schema: opaque payload + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -132,18 +162,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, t) =>
-        val n = w * h
-        val px = new Array[Byte](n)
-        var b = 0
-        while (b * 16 < n) {
-          md.reset()
-          val dig = md.digest((t + "#" + b)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var j = 0
-          while (j < 16 && b * 16 + j < n) { px(b * 16 + j) = dig(j); j += 1 }
-          b += 1
-        }
-        (id, Pgm.encode(Pgm.Image(w, h, 255, px)))
+        (id, Pgm.encode(Pgm.Image(w, h, 255, md5Grid(md, t, w * h))))
       }
     }.toDF(idCol, "payload")
   }
@@ -167,18 +186,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, t, w, h) =>
         require(w >= 1 && h >= 1, s"encodePgmSized: bad dims ${w}x$h")
-        val n = w * h
-        val px = new Array[Byte](n)
-        var b = 0
-        while (b * 16 < n) {
-          md.reset()
-          val dig = md.digest((t + "#" + b)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var j = 0
-          while (j < 16 && b * 16 + j < n) { px(b * 16 + j) = dig(j); j += 1 }
-          b += 1
-        }
-        (id, Pgm.encode(Pgm.Image(w, h, 255, px)))
+        (id, Pgm.encode(Pgm.Image(w, h, 255, md5Grid(md, t, w * h))))
       }
     }.toDF(idCol, "payload")
   }
@@ -321,11 +329,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { case (id, bytes) =>
         val img = Pgm.decode(bytes)
-        var s = 0L; var sq = 0L; var i = 0
-        while (i < img.pixels.length) {
-          val v = (img.pixels(i) & 0xff).toLong
-          s += v; sq += v * v; i += 1
-        }
+        val (s, sq) = byteMoments(img.pixels)
         (id, img.width.toLong, img.height.toLong, s, sq)
       }
     }.toDF(idCol, "width", "height", "px_sum", "px_sq")
@@ -351,17 +355,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, t, n) =>
         require(n >= 1, s"encodeWavFromText: bad sample count $n")
-        val smp = new Array[Byte](n)
-        var b = 0
-        while (b * 16 < n) {
-          md.reset()
-          val dig = md.digest((t + "#" + b)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var j = 0
-          while (j < 16 && b * 16 + j < n) { smp(b * 16 + j) = dig(j); j += 1 }
-          b += 1
-        }
-        (id, Wav.encode(Wav.Clip(sampleRate, smp)))
+        (id, Wav.encode(Wav.Clip(sampleRate, md5Grid(md, t, n))))
       }
     }.toDF(idCol, "payload")
   }
@@ -382,11 +376,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { case (id, bytes) =>
         val clip = Wav.decode(bytes)
-        var s = 0L; var sq = 0L; var i = 0
-        while (i < clip.samples.length) {
-          val v = (clip.samples(i) & 0xff).toLong
-          s += v; sq += v * v; i += 1
-        }
+        val (s, sq) = byteMoments(clip.samples)
         (id, clip.sampleRate.toLong, clip.samples.length.toLong, s, sq)
       }
     }.toDF(idCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
@@ -415,22 +405,9 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, src, t, n) =>
         require(n >= 1, s"audioGateRows: bad sample count $n")
-        val smp = new Array[Byte](n)
-        var b = 0
-        while (b * 16 < n) {
-          md.reset()
-          val dig = md.digest((t + "#" + b)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var j = 0
-          while (j < 16 && b * 16 + j < n) { smp(b * 16 + j) = dig(j); j += 1 }
-          b += 1
-        }
-        val clip = Wav.decode(Wav.encode(Wav.Clip(sampleRate, smp)))
-        var s = 0L; var sq = 0L; var i = 0
-        while (i < clip.samples.length) {
-          val v = (clip.samples(i) & 0xff).toLong
-          s += v; sq += v * v; i += 1
-        }
+        val clip = Wav.decode(Wav.encode(
+          Wav.Clip(sampleRate, md5Grid(md, t, n))))
+        val (s, sq) = byteMoments(clip.samples)
         (id, src, clip.sampleRate.toLong, clip.samples.length.toLong, s, sq)
       }
     }.toDF(idCol, srcCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
@@ -489,7 +466,9 @@ object Multimodal {
         var i = 0
         while (i < l) {
           val d = (clip.samples(i) & 0xff) - 128
-          e((i * 8) / l) += (d * d).toLong
+          // Long arithmetic for the frame index: i*8 wraps Int at
+          // 2^28 samples (~9.3h at 8 kHz) — the oracle's BIGINT map
+          e((i.toLong * 8 / l).toInt) += (d * d).toLong
           i += 1
         }
         (id, tag, l.toLong, e.mkString(","))
@@ -560,6 +539,9 @@ object Multimodal {
       it.flatMap { case (id, bytes) =>
         val v = Y4m.decode(bytes)
         val nf = v.frames.length
+        // a header-only stream is container-valid but unsampleable —
+        // loud error, not an index crash (the codec contract)
+        require(nf >= 1, s"videoFrameSampleBatched: zero frames (id=$id)")
         val durMs = nf.toLong * 1000L * v.fpsDen / v.fpsNum
         (0 until k).map { j =>
           val idx = j * (nf - 1) / (k - 1)

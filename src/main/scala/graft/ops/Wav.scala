@@ -32,15 +32,18 @@ object Wav {
   final case class Clip(sampleRate: Int, samples: Array[Byte])
 
   /** Serialize to RIFF/WAVE bytes: canonical 44-byte header, 8-bit
-    * unsigned mono PCM. */
+    * unsigned mono PCM. An odd-length data chunk gets the RIFF-mandated
+    * pad byte (chunk SIZE still records the unpadded length), so
+    * emitted files are spec-valid for external tools. */
   def encode(clip: Clip): Array[Byte] = {
     require(clip.sampleRate > 0, s"bad sample rate ${clip.sampleRate}")
     val n = clip.samples.length
-    val out = new Array[Byte](44 + n)
+    val pad = n & 1
+    val out = new Array[Byte](44 + n + pad)
     val bb = java.nio.ByteBuffer.wrap(out)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    bb.putInt(36 + n)
+    bb.putInt(36 + n + pad)
     bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     bb.putInt(16)
@@ -75,7 +78,10 @@ object Wav {
       fail(s"RIFF size $riffSize != ${bytes.length - 8}")
     if (tag() != "WAVE") fail("missing WAVE form type")
     if (tag() != "fmt ") fail("first chunk is not fmt")
-    if (bb.getInt != 16) fail("non-PCM fmt chunk size")
+    // real PCM encoders write fmt as 16 bytes OR the 18-byte form with
+    // cbSize = 0 (WAVEFORMATEX) — both are spec-valid plain PCM
+    val fmtSize = bb.getInt
+    if (fmtSize != 16 && fmtSize != 18) fail(s"fmt chunk size $fmtSize")
     if (bb.getShort != 1) fail("not PCM")
     if (bb.getShort != 1) fail("not mono")
     val rate = bb.getInt
@@ -84,6 +90,10 @@ object Wav {
     if (byteRate != rate) fail(s"byteRate $byteRate != rate $rate")
     if (bb.getShort != 1) fail("blockAlign != 1")
     if (bb.getShort != 8) fail("not 8-bit")
+    if (fmtSize == 18) {
+      if (bb.remaining < 2) fail("truncated fmt extension")
+      if (bb.getShort != 0) fail("non-zero cbSize on a PCM fmt chunk")
+    }
     // skip unknown chunks until "data"
     var dataSize = -1
     while (dataSize < 0) {
@@ -96,6 +106,9 @@ object Wav {
     }
     val samples = new Array[Byte](dataSize)
     bb.get(samples)
+    // an odd data chunk carries the RIFF-mandated pad byte; anything
+    // beyond that is a concatenation bug and must fail loudly
+    if ((dataSize & 1) == 1 && bb.remaining == 1) bb.get()
     if (bb.remaining != 0) fail(s"${bb.remaining} trailing bytes")
     Clip(rate, samples)
   }

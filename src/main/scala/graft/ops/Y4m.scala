@@ -34,6 +34,8 @@ object Y4m {
   /** Serialize to YUV4MPEG2 bytes: canonical header with `Cmono`. */
   def encode(v: Video): Array[Byte] = {
     require(v.width > 0 && v.height > 0, s"bad dims ${v.width}x${v.height}")
+    require(v.width.toLong * v.height <= Int.MaxValue,
+      s"plane ${v.width}x${v.height} overflows the byte-array bound")
     require(v.fpsNum > 0 && v.fpsDen > 0,
       s"bad frame rate ${v.fpsNum}:${v.fpsDen}")
     val n = v.width * v.height
@@ -89,6 +91,10 @@ object Y4m {
       }
     }
     if (w <= 0 || h <= 0) fail(s"missing/bad dims W$w H$h")
+    // Int-overflow guard: W65536 H65536 would wrap w*h to 0 and the
+    // frame loop would silently accept empty planes — a malformed
+    // container must throw, not decode (the codec contract).
+    if (w.toLong * h > Int.MaxValue) fail(s"plane ${w}x$h overflows")
     if (fn <= 0 || fd <= 0) fail("missing/bad frame rate")
     if (!cSeen) fail("missing colorspace (default C420 is not mono)")
     if (!mono) fail("non-mono colorspace")

@@ -42,6 +42,37 @@ class WavSpec extends SparkSpec {
     assert(clip.samples.toSeq === Seq[Byte](10, 20))
   }
 
+  test("decode accepts the 18-byte WAVEFORMATEX PCM fmt form (cbSize 0)") {
+    val data = ascii("data") ++ Array[Byte](2, 0, 0, 0, 10, 20)
+    val fmt18 = {
+      val bb = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii("fmt ")).putInt(18).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8).putShort(0)
+      bb.array()
+    }
+    val body = ascii("WAVE") ++ fmt18 ++ data
+    val riff = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii("RIFF")).putInt(body.length).put(body)
+      bb.array()
+    }
+    assert(Wav.decode(riff).samples.toSeq === Seq[Byte](10, 20))
+    // non-zero cbSize is NOT plain PCM — must fail
+    val bad = riff.clone(); bad(36) = 2
+    intercept[IllegalArgumentException](Wav.decode(bad))
+  }
+
+  test("encode pads an odd data chunk per the RIFF spec; decode strips it") {
+    val odd = Wav.encode(Wav.Clip(8000, Array[Byte](1, 2, 3)))
+    assert(odd.length % 2 === 0)             // padded file
+    assert(Wav.decode(odd).samples.toSeq === Seq[Byte](1, 2, 3))
+    // more than the single pad byte is still a loud error
+    intercept[IllegalArgumentException](
+      Wav.decode(odd ++ Array[Byte](0, 0)))
+  }
+
   test("decode rejects malformed bytes loudly") {
     val ok = Wav.encode(Wav.Clip(8000, Array[Byte](1, 2, 3, 4)))
     intercept[IllegalArgumentException](Wav.decode(ok.dropRight(1))) // truncated

@@ -47,6 +47,8 @@ class Y4mSpec extends SparkSpec {
       ascii("YUV4MPEG2 W4 H2 F25:1\nFRAME\n") ++ new Array[Byte](8)))
     intercept[IllegalArgumentException](Y4m.decode(     // chroma form
       ascii("YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n") ++ new Array[Byte](12)))
+    intercept[IllegalArgumentException](Y4m.decode(     // w*h Int wrap
+      ascii("YUV4MPEG2 W65536 H65536 F25:1 Cmono\nFRAME\n")))
   }
 
   test("videoFrameSampleBatched: thumbnail-strip indices, exact stats") {
