@@ -501,7 +501,20 @@ object QueriesStream {
         |FROM m GROUP BY source""".stripMargin
     })
 
+  // ---------------------------------- streaming VAD (s19)
+  // m12's streaming twin, and the family's first APPEND-mode member:
+  // encode and detection are stateless per-row maps (no join, no
+  // window, no aggregate — QueriesVectors.vadSegments), so a live
+  // audio feed emits each clip's utterance segments AS THEY ARRIVE
+  // with zero state — the pre-segmentation stage of a live
+  // transcription pipeline. EventStreamSpec proves the appended rows
+  // across micro-batches equal the batch rows; one definition, two
+  // execution modes, one oracle (m12's SQL verbatim).
+  private val s19: (String, QFn, Option[String]) = ("s19_stream_vad",
+    (s, d) => QueriesVectors.vadSegments(Tables.documents(s, d)),
+    Some(QueriesVectors.vadSql))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18)
+      s14, s15, s16, s17, s18, s19)
 }

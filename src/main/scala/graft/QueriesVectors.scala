@@ -1585,19 +1585,28 @@ private[graft] object QueriesVectors {
   // segment energy), so detected starts/lengths/energies — not the
   // construction's — are what hash-compares. Linear: one mapPartitions
   // pass, per-segment fan-out in-partition, no shuffle at all.
-  private val m12: (String, QFn, Option[String]) = ("m12_audio_vad",
-    (s, d) => {
-      def segLen(k: Int) = lit(24L) +
-        Dedup.md5Hash(col("doc_id").cast("string"), lit(s"m12.$k")) % 40
-      val lens = docs(s, d).select(col("doc_id"), col("text"),
-        array(segLen(0).cast("int"), segLen(1).cast("int"),
-          segLen(2).cast("int")).as("lens"))
-      Multimodal.vadSegmentsBatched(
-        Multimodal.encodeWavSegmented(lens, "doc_id", "text",
-          col("lens"), gap = 16),
-        "doc_id", "payload", tol = 4, minSilence = 8)
-    },
-    Some {
+  /** The m12 VAD pipeline over ANY frame with (doc_id, text) — encode
+    * and detection are stateless per-row maps (no join, no window, no
+    * aggregate), so the SAME call runs in APPEND mode on a document
+    * STREAM: s19 is this function on a stream, segments emitted as
+    * they arrive (EventStreamSpec drives it; the s17/d99 one-definition
+    * precedent). */
+  private[graft] def vadSegments(docsDf: DataFrame): DataFrame = {
+    def segLen(k: Int) = lit(24L) +
+      Dedup.md5Hash(col("doc_id").cast("string"), lit(s"m12.$k")) % 40
+    val lens = docsDf.select(col("doc_id"), col("text"),
+      array(segLen(0).cast("int"), segLen(1).cast("int"),
+        segLen(2).cast("int")).as("lens"))
+    Multimodal.vadSegmentsBatched(
+      Multimodal.encodeWavSegmented(lens, "doc_id", "text",
+        col("lens"), gap = 16),
+      "doc_id", "payload", tol = 4, minSilence = 8)
+  }
+
+  /** m12's full oracle text — shared VERBATIM by s19's streaming twin
+    * (one definition, two execution modes, one oracle — the s17/d99
+    * precedent). */
+  private[graft] val vadSql: String = {
       val byte = "('0x' || substr(md5(t || '#' || (a // 16)::VARCHAR)," +
         " ((a % 16) * 2 + 1)::INT, 2))::BIGINT"
       def h(k: Int) = md5HashSql(s"doc_id::VARCHAR || '#m12.$k'")
@@ -1648,7 +1657,10 @@ private[graft] object QueriesVectors {
         |  f.a::BIGINT AS seg_start, (f.b - f.a + 1)::BIGINT AS seg_len,
         |  en.e AS energy
         |FROM f JOIN en USING (doc_id, rg)""".stripMargin
-    })
+  }
+
+  private val m12: (String, QFn, Option[String]) = ("m12_audio_vad",
+    (s, d) => vadSegments(docs(s, d)), Some(vadSql))
 
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many

@@ -798,6 +798,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._4).size > 1)
   }
 
+  test("vadSegments streams in APPEND mode: segments emitted per clip " +
+      "equal the batch segments") {
+    // the s19 contract: encode + VAD are stateless per-row maps, so an
+    // append-mode stream emits each clip's utterance rows as the clip
+    // arrives — no state, no watermark — and the union across
+    // micro-batches must equal the batch run exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b c"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing"))
+    def seg(df: org.apache.spark.sql.DataFrame) =
+      graft.QueriesVectors.vadSegments(df)
+    val in = MemoryStream[(Long, String)]
+    val q = seg(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("vadseg")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(1): _*); q.processAllAvailable()
+      in.addData(docs.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "seg", "seg_start", "seg_len", "energy")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = rows(spark.table("vadseg"))
+    val batch = rows(seg(docs.toDF("doc_id", "text")))
+    assert(streamed == batch)
+    // 3 utterances per clip by construction
+    assert(streamed.size == 9)
+  }
+
   test("dpReleaseDf streams: every complete-mode snapshot is the " +
       "correctly noised release for the data seen so far") {
     // the s17 contract: keyed count/sum + post-aggregate noise whose

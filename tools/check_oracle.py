@@ -120,5 +120,36 @@ def main():
     print(f"\n{npass}/{len(results)} pass")
     sys.exit(0 if npass == len(results) else 1)
 
+def selftest():
+    """Pins the gate's parity-critical behaviors — run after any edit to
+    cmp(): `python3 tools/check_oracle.py --selftest`. The -0.0 case is
+    the class that shipped red twice (q87 r11, d98 r13) because the old
+    `float(x) != float(y)` compare is sign-of-zero blind while the
+    driver hashes raw double bytes."""
+    base = pd.DataFrame({"k": [1, 2], "v": [0.0, 1.5]})
+    cases = [
+        ("identical", base, base.copy(), True),
+        ("neg zero", base, pd.DataFrame({"k": [1, 2], "v": [-0.0, 1.5]}),
+         False),
+        ("value diff", base, pd.DataFrame({"k": [1, 2], "v": [0.0, 1.6]}),
+         False),
+        ("row count", base, base.head(1), False),
+        ("schema", base, base.rename(columns={"v": "w"}), False),
+        ("int vs float dtype", pd.DataFrame({"v": [1, 2]}),
+         pd.DataFrame({"v": [1.0, 2.0]}), False),
+        ("nan == nan", pd.DataFrame({"v": [float("nan")]}),
+         pd.DataFrame({"v": [float("nan")]}), True),
+        ("null vs value", pd.DataFrame({"v": [None]}, dtype=object),
+         pd.DataFrame({"v": ["x"]}, dtype=object), False),
+    ]
+    bad = [n for n, a, b, want in cases
+           if (cmp(n, a, b) is None) != want]
+    for n in bad:
+        print(f"SELFTEST FAIL: {n}")
+    print(f"selftest: {len(cases) - len(bad)}/{len(cases)} pass")
+    sys.exit(1 if bad else 0)
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     main()
