@@ -151,7 +151,7 @@ object Queries {
   }
 
   /** Registration order is the public contract (SparkEntry hands it to the
-    * driver): q01..q90 with q26b after q26 — the sub-registries are
+    * driver): q01..q91 with q26b after q26 — the sub-registries are
     * ordered, contiguous slices of that sequence. The text/LLM-pipeline
     * surface (d/e/m/c/s keys) registers separately via
     * [[QueriesText.defs]]. */

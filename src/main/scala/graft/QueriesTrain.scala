@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
+import graft.ops.Sampling
 import graft.pipeline.{Pipeline, Training, TreeEnsembleModel,
   TreeEnsembleScorer}
 import graft.Queries._
@@ -112,5 +113,39 @@ private[graft] object QueriesTrain {
       None
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90)
+  // ----------------------------------------- q91: U3 batch-pad resampling
+  // run.py:128-133: before the VRAE fit, the train matrix (one row per
+  // user) is padded to a multiple of 32 with np.random.randint-resampled
+  // rows. The registered form is the DETERMINISTIC twin
+  // (Sampling.batchPadSlots): slot i picks argmin over users of
+  // md5Hash(user, "pad"+i) — uniform per slot, independent across slots,
+  // with replacement — and DuckDB replays the argmin per slot bit-for-bit.
+  // All 32 slots are published with a used flag (used = slot < pad_len) so
+  // the row count is scale-independent and the mod-32 arithmetic is itself
+  // hash-checked. The trainer-facing materialized form
+  // (Sampling.batchPadResample, count % 32 == 0 afterwards) is specced in
+  // SketchSampleSpec.
+  private val padBatch = 32
+  private val q91: (String, QFn, Option[String]) = ("q91_batch_pad",
+    (s, d) => Sampling.batchPadSlots(
+        ev(s, d).select(col("user_id")).distinct(),
+        col("user_id"), padBatch)
+      .select(col("slot"), col("pick_key").cast("long").as("user_id"),
+        col("orig_n"), col("pad_len"), col("used")),
+    Some(
+      s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+        |st AS (SELECT count(*)::BIGINT AS orig_n,
+        |  ((32 - count(*) % 32) % 32)::BIGINT AS pad_len FROM users),
+        |h AS (SELECT s.slot, u.user_id,
+        |    ('0x'||substr(md5(u.user_id::VARCHAR||'#pad'||s.slot::VARCHAR),
+        |      1, 15))::BIGINT AS hv
+        |  FROM users u CROSS JOIN
+        |    (SELECT unnest(range(0, 32))::BIGINT AS slot) s),
+        |w AS (SELECT slot, user_id, row_number() OVER (PARTITION BY slot
+        |    ORDER BY hv, user_id::VARCHAR) AS rn FROM h)
+        |SELECT w.slot, w.user_id, st.orig_n, st.pad_len,
+        |  (CASE WHEN w.slot < st.pad_len THEN 1 ELSE 0 END)::BIGINT AS used
+        |FROM w CROSS JOIN st WHERE w.rn = 1""".stripMargin))
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90, q91)
 }

@@ -573,4 +573,59 @@ object Sampling {
       .select(col(domName), col("n_tokens"), col("cap_tokens"),
         col("alloc_tokens"), col("epochs"), col("saturated"))
   }
+
+  /** U3 batch-pad resampling (reference `run.py:128-133`): the torch
+    * DataLoader wants `len(X_train) % 32 == 0`, so the reference appends
+    * `pad_len = (32 - n % 32) % 32` rows drawn i.i.d. uniform WITH
+    * replacement (`np.random.randint(0, n, pad_len)`). The deterministic
+    * Spark twin replaces the unseeded RNG with the registry's
+    * content-addressed draw (the q20/E3 move): slot i's pick is the key
+    * minimizing `md5Hash(key, "<salt><i>")` — hash-uniformity makes each
+    * slot's winner uniform over keys, independent salts make slots
+    * independent, and two slots may pick the same key (with replacement),
+    * exactly np.random.randint's distributional semantics.
+    *
+    * Scale shape: NO global index, NO sort, NO window — one scan feeding
+    * one 1-row aggregate (count + `batch` min(struct(hash, key)) columns,
+    * partial per partition), then an explode of that single row into
+    * `batch` slot rows. The selection would run unchanged over 10^11 keys.
+    * Returns exactly `batch` rows: (slot, pick_key, orig_n, pad_len,
+    * used) — used = 1 iff slot < pad_len (slots ≥ pad_len are published so
+    * the frame's shape is scale-independent and the mod arithmetic is
+    * itself hash-checked). Ties on the 60-bit hash break by key string,
+    * so the pick is deterministic even under collision. Empty input:
+    * orig_n = 0, pad_len = 0, picks null, used = 0 everywhere. */
+  def batchPadSlots(df: DataFrame, key: Column, batch: Int,
+                    salt: String = "pad"): DataFrame = {
+    require(batch >= 1, "batchPadSlots: batch must be >= 1")
+    val ks = key.cast("string")
+    val winners = (0 until batch).map(i => min(struct(
+      Dedup.md5Hash(ks, lit(s"$salt$i")).as("h"), ks.as("k"))).as(s"_w$i"))
+    val one = df.agg(count(lit(1)).cast("long").as("orig_n"), winners: _*)
+      .withColumn("pad_len",
+        ((lit(batch) - col("orig_n") % batch) % batch).cast("long"))
+    val slotArr = array((0 until batch).map(i => struct(
+      lit(i.toLong).as("slot"), col(s"_w$i").getField("k").as("k"))): _*)
+    one.select(col("orig_n"), col("pad_len"), explode(slotArr).as("_s"))
+      .select(col("_s.slot").as("slot"), col("_s.k").as("pick_key"),
+        col("orig_n"), col("pad_len"),
+        when(col("_s.slot") < col("pad_len"), 1L).otherwise(0L).as("used"))
+  }
+
+  /** The materialized form a trainer consumes: `df` plus one appended copy
+    * of each picked row per winning slot — `count % batch == 0` afterwards
+    * (whole-key rows, so a key picked twice appends twice, like
+    * `np.concatenate((X_train, X_train[random_indices]))`). The pick
+    * multiplicity table is ≤ batch rows — broadcast by construction. */
+  def batchPadResample(df: DataFrame, key: Column, batch: Int,
+                       salt: String = "pad"): DataFrame = {
+    val mult = batchPadSlots(df, key, batch, salt)
+      .where(col("used") === 1L)
+      .groupBy(col("pick_key"))
+      .agg(count(lit(1)).cast("int").as("_mult"))
+    val pads = df.join(broadcast(mult), key.cast("string") === col("pick_key"))
+      .withColumn("_rep", explode(sequence(lit(1), col("_mult"))))
+      .select(df.columns.map(col): _*)
+    df.unionByName(pads)
+  }
 }

@@ -706,4 +706,20 @@ class PlanShapeSpec extends SparkSpec {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 0, s"corpus re-scan beside the checkpointed fit:\n$plan")
   }
+
+  test("batch-pad resampling (q91): one distinct exchange + one 1-row " +
+      "aggregate — no sort, no window, no global index") {
+    // U3's scale shape: the 32 slot winners come from ONE pass of
+    // min(struct(hash, key)) partial aggregates. A row_number/zipWithIndex
+    // regression would show up as a rangepartitioning exchange or a Sort;
+    // the only allowed shuffles are the distinct's hash exchange and the
+    // single-partition gather of the 1-row aggregate.
+    val plan = finalPlanOf("q91_batch_pad")
+    val (h, r, sp) = exchangeCounts(plan)
+    assert(h == 1 && r == 0 && sp <= 1,
+      s"expected distinct + 1-row agg only: h=$h r=$r single=$sp\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one events scan:\n$plan")
+  }
 }

@@ -403,4 +403,53 @@ class SketchSampleSpec extends SparkSpec {
     assert(got("d")._2 == eff(16.39))
     assert(got("d")._4 < got("c")._4 && got("c")._4 < 1.0)
   }
+
+  test("batchPadSlots: uniform slot picks, mod arithmetic, determinism") {
+    val df = (1 to 45).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
+    val out = Sampling.batchPadSlots(df, col("k"), batch = 8)
+      .orderBy("slot").collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getAs[Long]("orig_n") == 45L))
+    assert(out.forall(_.getAs[Long]("pad_len") == 3L)) // (8 - 45 % 8) % 8
+    out.foreach { r =>
+      val expectedUsed = if (r.getAs[Long]("slot") < 3L) 1L else 0L
+      assert(r.getAs[Long]("used") == expectedUsed)
+    }
+    // every pick is a real key, and the draw is partitioning-independent
+    val keys = (1 to 45).map(_.toString).toSet
+    assert(out.forall(r => keys.contains(r.getAs[String]("pick_key"))))
+    val again = Sampling.batchPadSlots(df.repartition(7), col("k"), 8)
+      .orderBy("slot").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("batchPadSlots: exact multiple pads zero; empty input is benign") {
+    val df = (1 to 16).map(i => Tuple1(i.toLong)).toDF("k")
+    val out = Sampling.batchPadSlots(df, col("k"), batch = 8).collect()
+    assert(out.forall(_.getAs[Long]("pad_len") == 0L))
+    assert(out.forall(_.getAs[Long]("used") == 0L))
+    val empty = Sampling.batchPadSlots(df.where(lit(false)), col("k"), 8)
+      .collect()
+    assert(empty.length == 8)
+    assert(empty.forall(r => r.getAs[Long]("orig_n") == 0L
+      && r.getAs[Long]("pad_len") == 0L && r.getAs[Long]("used") == 0L))
+  }
+
+  test("batchPadResample: count becomes a multiple of batch, pads are " +
+      "whole-row copies with replacement multiplicity") {
+    val df = (1 to 45).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val padded = Sampling.batchPadResample(df, col("k"), batch = 8)
+    assert(padded.columns.toSeq == df.columns.toSeq)
+    val n = padded.count()
+    assert(n == 48L && n % 8 == 0)
+    // appended rows are exact copies: every (k, payload) pair in the
+    // padded frame exists in the original, and total multiplicity of the
+    // 3 picked keys is original + slot wins
+    val mult = padded.groupBy("k", "payload").count()
+      .where(col("count") > 1).collect()
+    assert(mult.map(_.getAs[Long]("count") - 1).sum == 3L)
+    mult.foreach { r =>
+      assert(r.getAs[String]("payload") == s"p${r.getAs[Long]("k")}")
+    }
+  }
 }
