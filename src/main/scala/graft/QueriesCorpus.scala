@@ -849,5 +849,64 @@ private[graft] object QueriesCorpus {
       |LEFT JOIN ss USING (doc_id) LEFT JOIN cl USING (doc_id)"""
       .stripMargin))
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98, d102)
+  // ---------------------------------------------- quantile sketch audit
+  // The fourth classic sketch beside KMV (d19), HLL (d43), CMS (d36):
+  // per-group p50/p90 from 64 content-addressed bootstrap draws
+  // (Sketches.slotSampleQuantiles — the q91 slot idiom: one group-keyed
+  // aggregate of 64 min(struct) partials, state 64 structs per group
+  // regardless of row count, no window over raw rows), audited against
+  // the exact interpolated quantile (the d19/q76 with-exact pattern —
+  // production drops the exact side). Unlike GK/KLL, whose compaction is
+  // merge-order-dependent, every draw here is replayable: the oracle
+  // re-derives each slot's argmin and affords the sorted-list lerp on
+  // both the 64-sample and the full column. err is signed -> roundNz.
+  private val d103: (String, QFn, Option[String]) = ("d103_quantile_sketch",
+    (s, d) => {
+      val evs = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val est = Sketches.slotSampleQuantiles(evs, col("event_type"),
+        col("event_id"), col("value"), Seq(0.5, 0.9), k = 64, salt = "qs")
+      val exact = Quantiles.exactGroupQuantiles(evs, col("event_type"),
+          col("value"), Seq(0.5, 0.9))
+        .select(col("grp"), col("frac"), col("q").as("_ex"))
+      est.join(exact, Seq("grp", "frac"))
+        .withColumn("_er", round(col("est_q"), 6))
+        .withColumn("_xr", round(col("_ex"), 6))
+        .select(col("grp").as("event_type"), col("frac"), col("n_rows"),
+          col("_er").as("est_q"), col("_xr").as("exact_q"),
+          CrossRound.roundNz(col("_er") - col("_xr"), 6).as("err"))
+    },
+    Some {
+      def interp(arr: String, cnt: String) =
+        Queries.interpSql("q.frac", arr, cnt)
+      s"""WITH base AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n_rows FROM base
+        |  GROUP BY 1),
+        |sl AS (SELECT unnest(range(0, 64))::BIGINT AS slot),
+        |h AS (SELECT b.event_type, s.slot, b.value,
+        |    ('0x'||substr(md5(b.event_id::VARCHAR||'#qs'
+        |      ||s.slot::VARCHAR),1,15))::BIGINT AS hv,
+        |    b.event_id::VARCHAR AS k
+        |  FROM base b CROSS JOIN sl s),
+        |w AS (SELECT event_type, slot, value, row_number() OVER (
+        |    PARTITION BY event_type, slot ORDER BY hv, k) AS rn FROM h),
+        |g AS (SELECT event_type, count(*) AS cnt,
+        |    list_sort(list(value)) AS arr FROM w WHERE rn = 1 GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS cnt,
+        |    list_sort(list(value)) AS arr FROM base GROUP BY 1),
+        |q AS (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS frac),
+        |est AS (SELECT g.event_type, q.frac,
+        |    ${interp("g.arr", "g.cnt")} AS ev FROM g CROSS JOIN q),
+        |exq AS (SELECT ex.event_type, q.frac,
+        |    ${interp("ex.arr", "ex.cnt")} AS xv FROM ex CROSS JOIN q)
+        |SELECT e.event_type, e.frac, n.n_rows,
+        | round(e.ev, 6) AS est_q, round(x.xv, 6) AS exact_q,
+        | round(round(e.ev, 6) - round(x.xv, 6), 6) + 0.0 AS err
+        |FROM est e JOIN exq x USING (event_type, frac)
+        |JOIN n USING (event_type)""".stripMargin
+    })
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d92, d98, d102, d103)
 }

@@ -202,4 +202,50 @@ object Sketches {
       .agg(min(col("cnt")).as("est"))
       .withColumn("overcount", col("est") - col("n_exact"))
   }
+
+  /** Per-group quantile sketch: the fourth classic mergeable sketch
+    * beside KMV/HLL/CMS, answering "p50/p90 of a 100 TB column" without
+    * the exact walk's distinct-value state. Production engines use GK or
+    * KLL; their compaction order is merge-order-dependent, so neither is
+    * replayable in an external oracle. This is the deterministic
+    * equivalent: k independent content-addressed bootstrap draws
+    * (sampling WITH replacement — the q91/E3 slot idiom). Slot i's pick
+    * is the row minimizing md5Hash(key, salt+i): hash-uniformity makes
+    * each slot uniform over the group's rows, independent salts make
+    * slots independent, and the exact interpolated quantile of the
+    * k-multiset estimates the group quantile with the usual bootstrap
+    * ~1/sqrt(k) error — same accuracy class as KLL at equal state.
+    *
+    * Scale shape: ONE exchange — a group-keyed aggregate of k
+    * min(struct(hash, key, v)) partials plus count, state k structs per
+    * group REGARDLESS of row count: no window over raw rows, no sort, no
+    * global index (contrast [[Quantiles.exactGroupQuantiles]], whose
+    * state is distinct-values-per-group — right for quantized columns,
+    * wrong for raw continuous ones; this sketch has no such caveat). The
+    * k-row-per-group sample then feeds the exact walk, whose state is
+    * trivially bounded by k. Ties on the 60-bit hash break by key string,
+    * so the sample is deterministic and partitioning-independent.
+    *
+    * Returns (grp, frac, n_rows, est_q) UNROUNDED — one row per group
+    * per fraction; callers apply the registry float policy. Null values
+    * must be filtered by the caller (so the oracle's WHERE clause can
+    * match). */
+  def slotSampleQuantiles(df: DataFrame, grp: Column, key: Column,
+                          v: Column, fracs: Seq[Double], k: Int,
+                          salt: String = "qs"): DataFrame = {
+    require(k >= 2, "slotSampleQuantiles: k must be >= 2")
+    require(fracs.nonEmpty, "slotSampleQuantiles: fracs must be non-empty")
+    val base = df.select(grp.as("grp"), key.cast("string").as("_k"),
+      v.cast("double").as("_v"))
+    val winners = (0 until k).map(i => min(struct(
+      Dedup.md5Hash(col("_k"), lit(s"$salt$i")).as("h"),
+      col("_k").as("k"), col("_v").as("v"))).as(s"_w$i"))
+    val agg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"), winners: _*)
+    val vals = array((0 until k).map(i => col(s"_w$i").getField("v")): _*)
+    val sample = agg.select(col("grp"), explode(vals).as("_sv"))
+    Quantiles.exactGroupQuantiles(sample, col("grp"), col("_sv"), fracs)
+      .join(broadcast(agg.select(col("grp"), col("n_rows"))), Seq("grp"))
+      .select(col("grp"), col("frac"), col("n_rows"), col("q").as("est_q"))
+  }
 }

@@ -707,6 +707,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 0, s"corpus re-scan beside the checkpointed fit:\n$plan")
   }
 
+  test("quantile sketch (d103): two scans (sketch + exact audit), no " +
+      "range exchange, no global sort") {
+    // the sketch side is one group-keyed aggregate of 64 min(struct)
+    // partials — a zipWithIndex/orderBy regression would surface as a
+    // rangepartitioning exchange; the only windows allowed are over the
+    // 64-row sample and the exact walk's distinct-value table, never a
+    // row-level sort of the raw events
+    val plan = finalPlanOf("d103_quantile_sketch")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"unexpected range exchange (global sort):\n$plan")
+    // 1 sketch-side scan + 2 from the exact audit (exactGroupQuantiles
+    // references its distinct-value table twice — the q64/q67-established
+    // shape; the production form drops the exact side -> 1 scan total)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 3, s"expected sketch + exact-audit scans only:\n$plan")
+  }
+
   test("batch-pad resampling (q91): one distinct exchange + one 1-row " +
       "aggregate — no sort, no window, no global index") {
     // U3's scale shape: the 32 slot winners come from ONE pass of

@@ -404,6 +404,40 @@ class SketchSampleSpec extends SparkSpec {
     assert(got("d")._4 < got("c")._4 && got("c")._4 < 1.0)
   }
 
+  test("slotSampleQuantiles: determinism, with-replacement degeneracy, " +
+      "bootstrap accuracy") {
+    // 1..1000 uniform: true p50 = 500.5, p90 = 900.1; a 64-draw bootstrap
+    // should land within a generous ~4 standard errors of truth
+    val df = (1 to 1000).map(i => (i % 3, i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val out = graft.ops.Sketches.slotSampleQuantiles(
+      df.where(col("g") === 0), lit("all"), col("id"), col("v"),
+      Seq(0.5, 0.9), k = 64).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("n_rows") == 333L))
+    val p50 = out.find(_.getAs[Double]("frac") == 0.5).get
+      .getAs[Double]("est_q")
+    val p90 = out.find(_.getAs[Double]("frac") == 0.9).get
+      .getAs[Double]("est_q")
+    // group is 3,6,...,999: true p50 ~ 501, p90 ~ 900; 4 SE ~ 250/90
+    assert(math.abs(p50 - 501.0) < 250, s"p50 estimate off: $p50")
+    assert(math.abs(p90 - 900.0) < 150, s"p90 estimate off: $p90")
+    // partitioning independence: same picks under a different layout
+    val again = graft.ops.Sketches.slotSampleQuantiles(
+      df.where(col("g") === 0).repartition(13), lit("all"), col("id"),
+      col("v"), Seq(0.5, 0.9), k = 64).collect()
+    assert(out.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+    // single-row group: every slot picks the one row (with replacement),
+    // so every quantile is exactly that value
+    val solo = graft.ops.Sketches.slotSampleQuantiles(
+      df.where(col("id") === 7), col("g"), col("id"), col("v"),
+      Seq(0.5, 0.9), k = 64).collect()
+    assert(solo.length == 2)
+    assert(solo.forall(_.getAs[Double]("est_q") == 7.0))
+    assert(solo.forall(_.getAs[Long]("n_rows") == 1L))
+  }
+
   test("batchPadSlots: uniform slot picks, mod arithmetic, determinism") {
     val df = (1 to 45).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
     val out = Sampling.batchPadSlots(df, col("k"), batch = 8)
