@@ -514,7 +514,48 @@ object QueriesStream {
     (s, d) => QueriesVectors.vadSegments(Tables.documents(s, d)),
     Some(QueriesVectors.vadSql))
 
+  // ---------------------------------- streaming quantile sketch (s20)
+  // d103's streaming twin, and the proof of the sketch's mergeability
+  // claim: Sketches.slotQuantileSnapshot is ONE keyed aggregate (count +
+  // 64 min-structs per group — the sketch state IS the streaming state,
+  // min merging associatively across micro-batches) plus a projection-
+  // only quantile extraction (sorted 64-array, constant-index lerp — no
+  // window, no join, no second aggregate), so the SAME call streams in
+  // complete mode and every snapshot is the correct sketch of all rows
+  // seen so far. Same salt as d103 → this row's q50/q90 equal d103's
+  // est side, one draw family across batch audit and live dashboard.
+  // EventStreamSpec proves stream ≡ batch including a mid-stream prefix
+  // snapshot; this registry row is the batch twin.
+  private val s20: (String, QFn, Option[String]) = ("s20_stream_quantiles",
+    (s, d) => graft.ops.Sketches.slotQuantileSnapshot(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        col("event_type"), col("event_id"), col("value"),
+        Seq(("q50", 0.5), ("q90", 0.9)), k = 64, salt = "qs")
+      .select(col("grp").as("event_type"), col("n_rows"),
+        col("q50"), col("q90")),
+    Some {
+      def interp(q: String) = Queries.interpSql(q, "arr", "64")
+      s"""WITH base AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n_rows FROM base
+        |  GROUP BY 1),
+        |sl AS (SELECT unnest(range(0, 64))::BIGINT AS slot),
+        |h AS (SELECT b.event_type, s.slot, b.value,
+        |    ('0x'||substr(md5(b.event_id::VARCHAR||'#qs'
+        |      ||s.slot::VARCHAR),1,15))::BIGINT AS hv,
+        |    b.event_id::VARCHAR AS k
+        |  FROM base b CROSS JOIN sl s),
+        |w AS (SELECT event_type, slot, value, row_number() OVER (
+        |    PARTITION BY event_type, slot ORDER BY hv, k) AS rn FROM h),
+        |g AS (SELECT event_type, list_sort(list(value)) AS arr
+        |  FROM w WHERE rn = 1 GROUP BY 1)
+        |SELECT g.event_type, n.n_rows,
+        | round(${interp("0.5")}, 6) AS q50,
+        | round(${interp("0.9")}, 6) AS q90
+        |FROM g JOIN n USING (event_type)""".stripMargin
+    })
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19)
+      s14, s15, s16, s17, s18, s19, s20)
 }

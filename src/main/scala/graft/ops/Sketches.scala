@@ -248,4 +248,48 @@ object Sketches {
       .join(broadcast(agg.select(col("grp"), col("n_rows"))), Seq("grp"))
       .select(col("grp"), col("frac"), col("n_rows"), col("q").as("est_q"))
   }
+
+  /** Projection-form snapshot of the slot-sample sketch: the SAME k
+    * bootstrap draws as [[slotSampleQuantiles]] (same salt → identical
+    * picks), but quantile extraction is a PURE projection of the k
+    * winner columns — sorted k-array + constant-index lerp, no window,
+    * no join, no second aggregate. The whole operator is therefore one
+    * keyed aggregate plus a map, which makes it a legal complete-mode
+    * STREAMING aggregation: the sketch state (count + k min-structs per
+    * group) IS the streaming state, min merges associatively across
+    * micro-batches, and every emitted snapshot is the correct sketch of
+    * all rows seen so far — the mergeability that makes the sketch
+    * 100 TB-safe, demonstrated live.
+    *
+    * Float parity: the lerp index f·(k−1), its floor, and the fractional
+    * weight are compile-time Scala doubles — IEEE-identical to an engine
+    * computing f·(k−1) at runtime — and the lerp tree mirrors
+    * `Queries.interpSql` (vlo + w·(vhi − vlo)), so a DuckDB oracle
+    * affording the sorted 64-list reproduces each value bit-for-bit.
+    * Output: (grp, n_rows, <name> per frac), each quantile rounded 6
+    * cross-engine. */
+  def slotQuantileSnapshot(df: DataFrame, grp: Column, key: Column,
+                           v: Column, fracs: Seq[(String, Double)], k: Int,
+                           salt: String = "qs"): DataFrame = {
+    require(k >= 2, "slotQuantileSnapshot: k must be >= 2")
+    require(fracs.nonEmpty, "slotQuantileSnapshot: fracs must be non-empty")
+    val base = df.select(grp.as("grp"), key.cast("string").as("_k"),
+      v.cast("double").as("_v"))
+    val winners = (0 until k).map(i => min(struct(
+      Dedup.md5Hash(col("_k"), lit(s"$salt$i")).as("h"),
+      col("_k").as("k"), col("_v").as("v"))).as(s"_w$i"))
+    val agg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"), winners: _*)
+    val arr = array_sort(
+      array((0 until k).map(i => col(s"_w$i").getField("v")): _*))
+    val qCols = fracs.map { case (name, f) =>
+      val idx = f * (k - 1)
+      val lo = math.floor(idx).toInt
+      val w = idx - lo
+      round(element_at(arr, lo + 1) + lit(w)
+        * (element_at(arr, math.ceil(idx).toInt + 1) - element_at(arr, lo + 1)),
+        6).as(name)
+    }
+    agg.select(col("grp") +: col("n_rows") +: qCols: _*)
+  }
 }

@@ -680,6 +680,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange, no range sort: h=$h r=$r\n$plan")
   }
 
+  test("streaming quantile sketch (s20): ONE group-key exchange, " +
+      "projection-only extraction — no window, no second aggregate") {
+    // the complete-mode contract: everything after the keyed aggregate
+    // must be a map, or the streaming twin stops being the same plan
+    val plan = finalPlanOf("s20_stream_quantiles")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange, no range sort: h=$h r=$r\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("calibration curve (d100): scores fold off the checkpointed fit " +
       "in ONE grid aggregation — no corpus re-scan, no range sort") {
     // the memoized d95 fit localCheckpoints the feature frame, so the

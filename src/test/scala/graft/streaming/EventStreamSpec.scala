@@ -865,4 +865,43 @@ class EventStreamSpec extends SparkSpec {
     // the noise moved the published values off the true integers
     assert(end.forall(r => r._4 != r._2.toDouble))
   }
+
+  test("slotQuantileSnapshot streams in complete mode: every snapshot is " +
+      "the correct sketch of the prefix seen so far (s20 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, event_type, value): two types, values chosen so the
+    // batch-1 prefix and the full stream have different quantiles
+    val b1 = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      i.toDouble))
+    val b2 = (41 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      i * 10.0))
+    val in = MemoryStream[(Long, String, Double)]
+    val sketch = graft.ops.Sketches.slotQuantileSnapshot(
+      in.toDF().toDF("event_id", "event_type", "value"),
+      col("event_type"), col("event_id"), col("value"),
+      Seq(("q50", 0.5), ("q90", 0.9)), k = 16)
+    val q = sketch.writeStream.format("memory").queryName("sqs")
+      .outputMode("complete").start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "n_rows", "q50", "q90")
+        .as[(String, Long, Double, Double)].collect().toSet
+    def batchOn(data: Seq[(Long, String, Double)]) =
+      rows(graft.ops.Sketches.slotQuantileSnapshot(
+        data.toDF("event_id", "event_type", "value"),
+        col("event_type"), col("event_id"), col("value"),
+        Seq(("q50", 0.5), ("q90", 0.9)), k = 16))
+    val mid = try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val m = rows(spark.table("sqs"))
+      in.addData(b2: _*); q.processAllAvailable()
+      m
+    } finally q.stop()
+    val end = rows(spark.table("sqs"))
+    // the mid-stream snapshot equals the batch sketch of the PREFIX —
+    // the min-per-slot state merged correctly, not just the final total
+    assert(mid == batchOn(b1))
+    assert(end == batchOn(b1 ++ b2))
+    assert(mid != end, "batch 2 must move the sketch")
+    assert(end.forall(_._2 == 50L))
+  }
 }
