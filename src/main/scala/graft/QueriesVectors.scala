@@ -1662,6 +1662,48 @@ private[graft] object QueriesVectors {
   private val m12: (String, QFn, Option[String]) = ("m12_audio_vad",
     (s, d) => vadSegments(docs(s, d)), Some(vadSql))
 
+  // ---------------------------- audio resample / decimation (m13)
+  // m03's resize move, audio edition — the rate-normalization stage
+  // every audio featurizer starts with (a corpus recorded at 8 kHz
+  // feeding a 4 kHz model): decode the m08 corpus's REAL RIFF bytes,
+  // integer-factor boxcar decimation (out(j) = floor-mean of each
+  // 2-block — the anti-alias averaging filter in exact-integer form;
+  // the trailing odd sample drops, n_out = n_in div 2), RE-ENCODE at
+  // 4000 Hz and decode AGAIN (the full codec roundtrip rides every
+  // row), then exact stats + a digest of the resampled samples. The
+  // oracle re-derives every source sample from the generation spec and
+  // replays the block means in integer SQL — any codec or filter
+  // regression hash-fails. Per-row codec work, no shuffle.
+  private val m13: (String, QFn, Option[String]) = ("m13_audio_resample",
+    (s, d) => {
+      val enc = Multimodal.encodeWavFromText(docs(s, d), "doc_id", "text",
+        lit(64L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("aud"))
+          % 192)
+      Multimodal.resampleWavBatched(enc, "doc_id", "payload", factor = 2)
+        .select(col("doc_id"), col("sample_rate"), col("n_in"),
+          col("n_out"), col("amp_sum"), col("amp_min"), col("amp_max"),
+          md5(col("samp_csv").cast("binary")).as("digest"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH clip AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (64 + ${md5HashSql("doc_id::VARCHAR || '#aud'")} % 192)::BIGINT
+        |      AS n
+        |  FROM documents),
+        |px AS (SELECT doc_id, i, $byte AS v
+        |  FROM (SELECT doc_id, t, unnest(range(n)) AS i FROM clip)),
+        |rs AS (SELECT doc_id, i // 2 AS j, (sum(v) // 2)::BIGINT AS w
+        |  FROM px GROUP BY doc_id, i // 2 HAVING count(*) = 2)
+        |SELECT c.doc_id, 4000::BIGINT AS sample_rate,
+        |  c.n AS n_in, (c.n // 2)::BIGINT AS n_out,
+        |  sum(w)::BIGINT AS amp_sum, min(w)::BIGINT AS amp_min,
+        |  max(w)::BIGINT AS amp_max,
+        |  md5(string_agg(w::VARCHAR, ',' ORDER BY j)) AS digest
+        |FROM rs JOIN clip c USING (doc_id)
+        |GROUP BY c.doc_id, c.n""".stripMargin
+    })
+
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many
   // assets pass the IMAGE gate (m07), the AUDIO gate (m08), and BOTH —
@@ -1743,5 +1785,5 @@ private[graft] object QueriesVectors {
         |FROM j GROUP BY source""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, c04)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, c04)
 }

@@ -413,6 +413,61 @@ object Multimodal {
     }.toDF(idCol, srcCol, "sample_rate", "n_samples", "amp_sum", "amp_sq")
   }
 
+  /** REAL sample-rate conversion — [[resizePgmBatched]]'s audio twin:
+    * decode → integer-factor boxcar decimation (out(j) = floor-mean of
+    * the factor-block — the anti-alias averaging filter in its
+    * exact-integer form; the trailing partial block is dropped, so
+    * n_out = n_in div factor) → RE-ENCODE at sampleRate/factor → decode
+    * AGAIN (the full codec roundtrip rides every row, the m03
+    * discipline) → exact integer stats plus the sample CSV for
+    * digesting. Rate normalization is the first stage of any audio
+    * featurizer (a 16 kHz corpus feeding an 8 kHz model); per-row
+    * codec work, no shuffle. Output: (id, sample_rate, n_in, n_out,
+    * amp_sum, amp_min, amp_max, samp_csv). */
+  def resampleWavBatched(df: DataFrame, idCol: String, payloadCol: String,
+                         factor: Int): DataFrame = {
+    require(factor >= 1, s"resampleWavBatched: bad factor $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val in = Wav.decode(bytes)
+        require(in.sampleRate % factor == 0,
+          s"resampleWavBatched: rate ${in.sampleRate} not divisible " +
+            s"by $factor (clip $id)")
+        val nOut = in.samples.length / factor
+        require(nOut >= 1,
+          s"resampleWavBatched: clip $id shorter than factor $factor")
+        val out = new Array[Byte](nOut)
+        var j = 0
+        while (j < nOut) {
+          var s = 0
+          var i = j * factor
+          val end = i + factor
+          while (i < end) { s += in.samples(i) & 0xff; i += 1 }
+          out(j) = (s / factor).toByte
+          j += 1
+        }
+        val rs = Wav.decode(Wav.encode(
+          Wav.Clip(in.sampleRate / factor, out)))
+        val (su, _) = byteMoments(rs.samples)
+        var mn = 255L
+        var mx = 0L
+        rs.samples.foreach { b =>
+          val v = (b & 0xff).toLong
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        (id, rs.sampleRate.toLong, in.samples.length.toLong,
+          rs.samples.length.toLong, su, mn, mx,
+          rs.samples.map(b => (b & 0xff).toString).mkString(","))
+      }
+    }.toDF(idCol, "sample_rate", "n_in", "n_out", "amp_sum", "amp_min",
+      "amp_max", "samp_csv")
+  }
+
   /** REAL silence-padding stage: decode → append `pCol` trailing
     * silence samples (128 = 8-bit PCM silence) → RE-ENCODE — the audio
     * analogue of [[halfPayload]]'s variant construction (the full codec

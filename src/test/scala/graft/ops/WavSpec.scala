@@ -188,4 +188,36 @@ class WavSpec extends SparkSpec {
       assert(r.getAs[Long]("n_samples") < 96L)
     }
   }
+
+  test("resampleWavBatched: exact block floor-means, odd tail dropped, " +
+      "rate halves through a real re-encode") {
+    // 5 samples at factor 2: blocks (10,21)->15, (40,41)->40; tail 99 drops
+    val smp = Array[Byte](10, 21, 40, 41, 99)
+    val df = Seq((1L, Wav.encode(Wav.Clip(8000, smp))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resampleWavBatched(df, "doc_id", "payload", 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("sample_rate") == 4000L)
+    assert(r.getAs[Long]("n_in") == 5L && r.getAs[Long]("n_out") == 2L)
+    assert(r.getAs[String]("samp_csv") == "15,40")
+    assert(r.getAs[Long]("amp_sum") == 55L)
+    assert(r.getAs[Long]("amp_min") == 15L && r.getAs[Long]("amp_max") == 40L)
+    // high-byte samples: unsigned arithmetic, not signed-byte wraparound
+    val hi = Array[Byte](-1, -3) // unsigned 255, 253 -> floor-mean 254
+    val out2 = Multimodal.resampleWavBatched(
+      Seq((2L, Wav.encode(Wav.Clip(8000, hi)))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 2).collect().head
+    assert(out2.getAs[String]("samp_csv") == "254")
+    // shorter-than-factor clip fails loudly, never emits an empty clip
+    val bad = Seq((3L, Wav.encode(Wav.Clip(8000, Array[Byte](7)))))
+      .toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleWavBatched(bad, "doc_id", "payload", 2).collect()
+    }
+    assert(ex.getMessage.contains("shorter than factor")
+      || Option(ex.getCause).exists(
+        _.getMessage.contains("shorter than factor")))
+  }
 }
