@@ -886,8 +886,8 @@ private[graft] object QueriesCorpus {
         |  GROUP BY 1),
         |sl AS (SELECT unnest(range(0, 64))::BIGINT AS slot),
         |h AS (SELECT b.event_type, s.slot, b.value,
-        |    ('0x'||substr(md5(b.event_id::VARCHAR||'#qs'
-        |      ||s.slot::VARCHAR),1,15))::BIGINT AS hv,
+        |    ${QueriesText.md5HashSql(
+                "b.event_id::VARCHAR || '#qs' || s.slot::VARCHAR")} AS hv,
         |    b.event_id::VARCHAR AS k
         |  FROM base b CROSS JOIN sl s),
         |w AS (SELECT event_type, slot, value, row_number() OVER (

@@ -541,8 +541,8 @@ object QueriesStream {
         |  GROUP BY 1),
         |sl AS (SELECT unnest(range(0, 64))::BIGINT AS slot),
         |h AS (SELECT b.event_type, s.slot, b.value,
-        |    ('0x'||substr(md5(b.event_id::VARCHAR||'#qs'
-        |      ||s.slot::VARCHAR),1,15))::BIGINT AS hv,
+        |    ${QueriesText.md5HashSql(
+                "b.event_id::VARCHAR || '#qs' || s.slot::VARCHAR")} AS hv,
         |    b.event_id::VARCHAR AS k
         |  FROM base b CROSS JOIN sl s),
         |w AS (SELECT event_type, slot, value, row_number() OVER (
@@ -550,8 +550,8 @@ object QueriesStream {
         |g AS (SELECT event_type, list_sort(list(value)) AS arr
         |  FROM w WHERE rn = 1 GROUP BY 1)
         |SELECT g.event_type, n.n_rows,
-        | round(${interp("0.5")}, 6) AS q50,
-        | round(${interp("0.9")}, 6) AS q90
+        | round(${interp("0.5::DOUBLE")}, 6) AS q50,
+        | round(${interp("0.9::DOUBLE")}, 6) AS q90
         |FROM g JOIN n USING (event_type)""".stripMargin
     })
 

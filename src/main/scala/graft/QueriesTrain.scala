@@ -133,19 +133,25 @@ private[graft] object QueriesTrain {
       .select(col("slot"), col("pick_key").cast("long").as("user_id"),
         col("orig_n"), col("pad_len"), col("used")),
     Some(
+      // slots drive the final select (LEFT JOIN to the winners), so the
+      // empty-input shape matches batchPadSlots' published contract:
+      // 32 rows with null picks, orig_n = 0, pad_len = 0, used = 0
       s"""WITH users AS (SELECT DISTINCT user_id FROM events),
         |st AS (SELECT count(*)::BIGINT AS orig_n,
         |  ((32 - count(*) % 32) % 32)::BIGINT AS pad_len FROM users),
+        |sl AS (SELECT unnest(range(0, 32))::BIGINT AS slot),
         |h AS (SELECT s.slot, u.user_id,
-        |    ('0x'||substr(md5(u.user_id::VARCHAR||'#pad'||s.slot::VARCHAR),
-        |      1, 15))::BIGINT AS hv
-        |  FROM users u CROSS JOIN
-        |    (SELECT unnest(range(0, 32))::BIGINT AS slot) s),
+        |    ${QueriesText.md5HashSql(
+               "u.user_id::VARCHAR || '#pad' || s.slot::VARCHAR")} AS hv
+        |  FROM users u CROSS JOIN sl s),
         |w AS (SELECT slot, user_id, row_number() OVER (PARTITION BY slot
-        |    ORDER BY hv, user_id::VARCHAR) AS rn FROM h)
-        |SELECT w.slot, w.user_id, st.orig_n, st.pad_len,
-        |  (CASE WHEN w.slot < st.pad_len THEN 1 ELSE 0 END)::BIGINT AS used
-        |FROM w CROSS JOIN st WHERE w.rn = 1""".stripMargin))
+        |    ORDER BY hv, user_id::VARCHAR) AS rn FROM h),
+        |win AS (SELECT slot, user_id FROM w WHERE rn = 1)
+        |SELECT sl.slot, win.user_id, st.orig_n, st.pad_len,
+        |  (CASE WHEN sl.slot < st.pad_len THEN 1 ELSE 0 END)::BIGINT
+        |    AS used
+        |FROM sl CROSS JOIN st LEFT JOIN win ON win.slot = sl.slot"""
+        .stripMargin))
 
   lazy val defs: Seq[(String, QFn, Option[String])] = Seq(q88, q89, q90, q91)
 }

@@ -230,18 +230,29 @@ object Sketches {
     * per fraction; callers apply the registry float policy. Null values
     * must be filtered by the caller (so the oracle's WHERE clause can
     * match). */
-  def slotSampleQuantiles(df: DataFrame, grp: Column, key: Column,
-                          v: Column, fracs: Seq[Double], k: Int,
-                          salt: String = "qs"): DataFrame = {
-    require(k >= 2, "slotSampleQuantiles: k must be >= 2")
-    require(fracs.nonEmpty, "slotSampleQuantiles: fracs must be non-empty")
+  /** The ONE definition of the slot-sketch state both quantile forms
+    * consume — (grp, n_rows, _w0.._w{k-1}) where _wi =
+    * min(struct(md5Hash(key, salt+i), key, v)). [[slotSampleQuantiles]]
+    * and [[slotQuantileSnapshot]] share it so the "same salt → identical
+    * picks" guarantee (d103's est side ≡ s20's snapshot) holds by
+    * construction, not by two copies staying in sync. */
+  private def slotWinnersAgg(df: DataFrame, grp: Column, key: Column,
+                             v: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 2, "slot quantile sketch: k must be >= 2")
     val base = df.select(grp.as("grp"), key.cast("string").as("_k"),
       v.cast("double").as("_v"))
     val winners = (0 until k).map(i => min(struct(
       Dedup.md5Hash(col("_k"), lit(s"$salt$i")).as("h"),
       col("_k").as("k"), col("_v").as("v"))).as(s"_w$i"))
-    val agg = base.groupBy(col("grp"))
+    base.groupBy(col("grp"))
       .agg(count(lit(1)).cast("long").as("n_rows"), winners: _*)
+  }
+
+  def slotSampleQuantiles(df: DataFrame, grp: Column, key: Column,
+                          v: Column, fracs: Seq[Double], k: Int,
+                          salt: String = "qs"): DataFrame = {
+    require(fracs.nonEmpty, "slotSampleQuantiles: fracs must be non-empty")
+    val agg = slotWinnersAgg(df, grp, key, v, k, salt)
     val vals = array((0 until k).map(i => col(s"_w$i").getField("v")): _*)
     val sample = agg.select(col("grp"), explode(vals).as("_sv"))
     Quantiles.exactGroupQuantiles(sample, col("grp"), col("_sv"), fracs)
@@ -271,15 +282,8 @@ object Sketches {
   def slotQuantileSnapshot(df: DataFrame, grp: Column, key: Column,
                            v: Column, fracs: Seq[(String, Double)], k: Int,
                            salt: String = "qs"): DataFrame = {
-    require(k >= 2, "slotQuantileSnapshot: k must be >= 2")
     require(fracs.nonEmpty, "slotQuantileSnapshot: fracs must be non-empty")
-    val base = df.select(grp.as("grp"), key.cast("string").as("_k"),
-      v.cast("double").as("_v"))
-    val winners = (0 until k).map(i => min(struct(
-      Dedup.md5Hash(col("_k"), lit(s"$salt$i")).as("h"),
-      col("_k").as("k"), col("_v").as("v"))).as(s"_w$i"))
-    val agg = base.groupBy(col("grp"))
-      .agg(count(lit(1)).cast("long").as("n_rows"), winners: _*)
+    val agg = slotWinnersAgg(df, grp, key, v, k, salt)
     val arr = array_sort(
       array((0 until k).map(i => col(s"_w$i").getField("v")): _*))
     val qCols = fracs.map { case (name, f) =>
