@@ -555,7 +555,44 @@ object QueriesStream {
         |FROM g JOIN n USING (event_type)""".stripMargin
     })
 
+  // ------------------------------- windowed quantile sketch (s21)
+  // s20's event-time-windowed sibling and the s05/s07 sketch-window
+  // family's quantile member: per hour, q50/q90 of value from the same
+  // 64 content-addressed draws (state per open window = count + 64
+  // min-structs, watermark-evicted — never the value list). One
+  // definition (EventStream.windowedQuantiles composes
+  // slotQuantileSnapshot with a watermarked window group), two
+  // execution modes; EventStreamSpec proves stream ≡ batch per window
+  // across micro-batches. This row is the batch twin; the oracle
+  // replays every window's slot argmins and the sorted-list lerp.
+  private val s21: (String, QFn, Option[String]) = ("s21_windowed_quantiles",
+    (s, d) => EventStream.windowedQuantiles(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        col("event_id"), col("value"), Seq(("q50", 0.5), ("q90", 0.9)))
+      .select(unix_timestamp(col("grp.start")).as("hour_start"),
+        col("n_rows"), col("q50"), col("q90")),
+    Some {
+      def interp(q: String) = Queries.interpSql(q, "arr", "64")
+      s"""WITH base AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+        |    event_id, value FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT w, count(*)::BIGINT AS n_rows FROM base GROUP BY 1),
+        |sl AS (SELECT unnest(range(0, 64))::BIGINT AS slot),
+        |h AS (SELECT b.w, s.slot, b.value,
+        |    ${QueriesText.md5HashSql(
+                "b.event_id::VARCHAR || '#qs' || s.slot::VARCHAR")} AS hv,
+        |    b.event_id::VARCHAR AS k
+        |  FROM base b CROSS JOIN sl s),
+        |r AS (SELECT w, slot, value, row_number() OVER (
+        |    PARTITION BY w, slot ORDER BY hv, k) AS rn FROM h),
+        |g AS (SELECT w, list_sort(list(value)) AS arr
+        |  FROM r WHERE rn = 1 GROUP BY 1)
+        |SELECT epoch(g.w)::BIGINT AS hour_start, n.n_rows,
+        | round(${interp("0.5::DOUBLE")}, 6) AS q50,
+        | round(${interp("0.9::DOUBLE")}, 6) AS q90
+        |FROM g JOIN n USING (w)""".stripMargin
+    })
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20)
+      s14, s15, s16, s17, s18, s19, s20, s21)
 }

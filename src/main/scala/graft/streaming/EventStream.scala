@@ -118,6 +118,26 @@ object EventStream {
       events.withWatermark("ts", watermark),
       window(col("ts"), windowLen), valueCol, p)
 
+  /** Windowed quantile sketch over the stream — per event-time window
+    * percentiles (the "p90 latency per hour" dashboard) with CONSTANT
+    * per-window state: count + k min-structs, never the value list (a
+    * windowed exact percentile would buffer every row of every open
+    * window in the state store; Spark's percentile_approx is not
+    * replayable in an external oracle). The batch
+    * `Sketches.slotQuantileSnapshot` composes unchanged with a
+    * watermarked window group — the s05/hllRegisters move: one
+    * definition, two execution modes — because the whole operator is
+    * one keyed aggregate plus a projection. State evicts at the
+    * watermark; each window's emitted row is the correct sketch of
+    * every row that window has seen. */
+  def windowedQuantiles(events: DataFrame, keyCol: Column,
+                        valueCol: Column, fracs: Seq[(String, Double)],
+                        k: Int = 64, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    graft.ops.Sketches.slotQuantileSnapshot(
+      events.withWatermark("ts", watermark),
+      window(col("ts"), windowLen), keyCol, valueCol, fracs, k)
+
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks from the preceding `horizon` — streaming attribution
     * ("which click led to this purchase"). BOTH sides carry watermarks

@@ -691,6 +691,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("windowed quantile sketch (s21): ONE window-key exchange, " +
+      "projection-only extraction — the s20 contract per window") {
+    val plan = finalPlanOf("s21_windowed_quantiles")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange, no range sort: h=$h r=$r\n$plan")
+    assert(!plan.contains("Window "), s"unexpected window operator:\n$plan")
+  }
+
   test("calibration curve (d100): scores fold off the checkpointed fit " +
       "in ONE grid aggregation — no corpus re-scan, no range sort") {
     // the memoized d95 fit localCheckpoints the feature frame, so the

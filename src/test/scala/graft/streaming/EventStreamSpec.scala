@@ -904,4 +904,42 @@ class EventStreamSpec extends SparkSpec {
     assert(mid != end, "batch 2 must move the sketch")
     assert(end.forall(_._2 == 50L))
   }
+
+  test("windowedQuantiles: per-window sketches fold late rows into " +
+      "their window and equal the batch twin (s21)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = (m: String) => Timestamp.valueOf(s"2024-01-01 $m:00")
+    // window 10:00 gets rows in BOTH micro-batches (the late row must
+    // merge into the existing window state); window 11:00 opens late
+    val b1 = Seq((t("10:05"), 1L, 10.0), (t("10:20"), 2L, 30.0),
+      (t("10:40"), 3L, 50.0))
+    val b2 = Seq((t("10:55"), 4L, 70.0), (t("11:10"), 5L, 100.0))
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStream.windowedQuantiles(
+        in.toDF().toDF("ts", "event_id", "value"),
+        col("event_id"), col("value"), Seq(("q50", 0.5), ("q90", 0.9)),
+        k = 16, watermark = "2 hours")
+      .select(col("grp.start").as("ws"), col("n_rows"),
+        col("q50"), col("q90"))
+      .writeStream.format("memory").queryName("wq")
+      .outputMode("complete").start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Timestamp, Long, Double, Double)].collect().toSet
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(rows(spark.table("wq")).map(_._1) == Set(t("10:00")))
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val end = rows(spark.table("wq"))
+    val batch = rows(EventStream.windowedQuantiles(
+        (b1 ++ b2).toDF("ts", "event_id", "value"),
+        col("event_id"), col("value"), Seq(("q50", 0.5), ("q90", 0.9)),
+        k = 16)
+      .select(col("grp.start").as("ws"), col("n_rows"),
+        col("q50"), col("q90")))
+    assert(end == batch)
+    assert(end.map(_._1) == Set(t("10:00"), t("11:00")))
+    // the late 10:55 row reached the 10:00 window: 4 rows, not 3
+    assert(end.find(_._1 == t("10:00")).get._2 == 4L)
+  }
 }
