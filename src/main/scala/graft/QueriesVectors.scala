@@ -1704,6 +1704,51 @@ private[graft] object QueriesVectors {
         |GROUP BY c.doc_id, c.n""".stripMargin
     })
 
+  // ---------------------------- video thumbnail strip (m14)
+  // Resize across the modality matrix is now closed: m03 (image
+  // resize), m13 (audio resample), m14 (video thumbnails). Over m10's
+  // corpus (unique-content frames, the thumbnail-strip indices
+  // j·(nf−1) div 3): decode the real YUV4MPEG2 bytes, nearest-neighbor
+  // resize each sampled 16×8 frame to 4×4 with m03's integer
+  // arithmetic (dst(x,y) = src(4x, 2y)), re-encode the strip as a REAL
+  // 4×4 Y4M and decode it back (codec roundtrip on every row), exact
+  // stats + plane digest per thumbnail. The oracle composes m10's
+  // pixel derivation with m03's modular resize filter — both already
+  // hash-locked — so a regression in either stage fails here too.
+  private val m14: (String, QFn, Option[String]) = ("m14_video_thumbnails",
+    (s, d) => {
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid"))
+          % 12).as("nf"))
+      Multimodal.videoThumbnailsBatched(
+          Multimodal.encodeY4mFromText(lens, "doc_id", "text", col("nf"),
+            segLen = 1),
+          "doc_id", "payload", k = 4, tw = 4, th = 4)
+        .select(col("doc_id"), col("n_frames"), col("j"),
+          col("frame_idx"), col("px_sum"), col("px_min"), col("px_max"),
+          md5(col("px_csv")).as("digest"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (idx * 8 + g // 16)" +
+        "::VARCHAR), ((g % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH vid AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#vid'")} % 12)::BIGINT
+        |      AS nf
+        |  FROM documents),
+        |sj AS (SELECT doc_id, t, nf, j, (j * (nf - 1)) // 3 AS idx
+        |  FROM (SELECT *, unnest(range(4)) AS j FROM vid)),
+        |px AS (SELECT doc_id, nf, j, idx, g, $byte AS v
+        |  FROM (SELECT *, unnest(range(128)) AS g FROM sj)),
+        |rs AS (SELECT doc_id, nf, j, idx,
+        |    ((g // 16) // 2) * 4 + (g % 16) // 4 AS p, v
+        |  FROM px WHERE (g % 16) % 4 = 0 AND (g // 16) % 2 = 0)
+        |SELECT doc_id, nf AS n_frames, j::BIGINT AS j, idx AS frame_idx,
+        |  sum(v)::BIGINT AS px_sum, min(v)::BIGINT AS px_min,
+        |  max(v)::BIGINT AS px_max,
+        |  md5(string_agg(v::VARCHAR, ',' ORDER BY p)) AS digest
+        |FROM rs GROUP BY doc_id, nf, j, idx""".stripMargin
+    })
+
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many
   // assets pass the IMAGE gate (m07), the AUDIO gate (m08), and BOTH —
@@ -1785,5 +1830,5 @@ private[graft] object QueriesVectors {
         |FROM j GROUP BY source""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, c04)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, c04)
 }

@@ -621,6 +621,74 @@ object Multimodal {
       "px_sum", "px_min", "px_max", "px_csv")
   }
 
+  /** REAL thumbnail-strip generation — [[resizePgmBatched]]'s video
+    * member, completing resize across the modality matrix (m03 image
+    * resize, m13 audio resample, this for video): decode the actual
+    * YUV4MPEG2 bytes, sample the k standard strip frames
+    * (j·(F−1) div (k−1), first/last included — the
+    * [[videoFrameSampleBatched]] rule), nearest-neighbor resize each to
+    * tw×th (dst(x,y) = src(⌊x·W/tw⌋, ⌊y·H/th⌋) — the m03 arithmetic),
+    * RE-ENCODE the strip as a real tw×th Y4M and decode it back (the
+    * full codec roundtrip rides every row), then exact per-thumbnail
+    * integer stats plus the plane csv for a cross-engine digest. One
+    * input row fans out to k thumbnail rows; per-row codec work, no
+    * shuffle. */
+  def videoThumbnailsBatched(df: DataFrame, idCol: String,
+                             payloadCol: String, k: Int, tw: Int,
+                             th: Int): DataFrame = {
+    require(k >= 2, s"videoThumbnailsBatched: k=$k needs first+last")
+    require(tw >= 1 && th >= 1, s"videoThumbnailsBatched: bad $tw x $th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        val nf = v.frames.length
+        require(nf >= 1, s"videoThumbnailsBatched: zero frames (id=$id)")
+        require(tw <= v.width && th <= v.height,
+          s"videoThumbnailsBatched: upscale $tw x $th from " +
+            s"${v.width} x ${v.height} (id=$id)")
+        val idxs = (0 until k).map(j => j * (nf - 1) / (k - 1))
+        val thumbs = idxs.map { fi =>
+          val src = v.frames(fi)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) =
+                src((y * v.height / th) * v.width + (x * v.width / tw))
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val strip = Y4m.decode(Y4m.encode(
+          Y4m.Video(tw, th, v.fpsNum, v.fpsDen, thumbs.toArray)))
+        idxs.zipWithIndex.map { case (fi, j) =>
+          val fr = strip.frames(j)
+          var sum = 0L; var min = 255L; var max = 0L
+          val sb = new java.lang.StringBuilder(fr.length * 4)
+          var i = 0
+          while (i < fr.length) {
+            val p = (fr(i) & 0xff).toLong
+            sum += p
+            if (p < min) min = p
+            if (p > max) max = p
+            if (i > 0) sb.append(',')
+            sb.append(p)
+            i += 1
+          }
+          (id, nf.toLong, j.toLong, fi.toLong, sum, min, max, sb.toString)
+        }
+      }
+    }.toDF(idCol, "n_frames", "j", "frame_idx", "px_sum", "px_min",
+      "px_max", "px_csv")
+  }
+
   /** REAL scene-cut detection — the shot-segmentation stage of a video
     * pipeline: decode, then per consecutive frame pair the exact integer
     * SAD (sum of absolute luma differences, the classic cut metric).

@@ -79,6 +79,35 @@ class Y4mSpec extends SparkSpec {
       === Seq((1L, 0L), (2L, 8L)))
   }
 
+  test("videoThumbnailsBatched: exact nearest-neighbor picks through a " +
+      "real strip re-encode; upscale and zero-frame fail loudly") {
+    // 16x8 frames whose pixel (y,x) = y*16+x, so the 4x4 thumbnail's
+    // pixel (ty,tx) must be src(2ty, 4tx) = (2ty)*16 + 4tx exactly
+    val w = 16; val h = 8
+    val v = Y4m.Video(w, h, 25, 1, Array.tabulate(5)(f =>
+      Array.tabulate(w * h)(i => ((i + f) % 256).toByte)))
+    val df = Seq((1L, Y4m.encode(v))).toDF("doc_id", "payload")
+    val got = Multimodal.videoThumbnailsBatched(df, "doc_id", "payload",
+      k = 4, tw = 4, th = 4).orderBy("j").collect()
+    assert(got.map(_.getAs[Long]("frame_idx")).toSeq ===
+      Seq(0L, 1L, 2L, 4L)) // j*(5-1) div 3
+    got.foreach { r =>
+      val f = r.getAs[Long]("frame_idx").toInt
+      val want = for (ty <- 0 until 4; tx <- 0 until 4)
+        yield ((2 * ty) * 16 + 4 * tx + f) % 256
+      assert(r.getAs[String]("px_csv") === want.mkString(","))
+      assert(r.getAs[Long]("px_sum") === want.map(_.toLong).sum)
+    }
+    // upscale is a contract violation, not a silent stretch
+    val tiny = Seq((2L, Y4m.encode(mkVideo(2)))).toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoThumbnailsBatched(tiny, "doc_id", "payload",
+        k = 2, tw = 8, th = 8).collect()
+    }
+    assert(ex.getMessage.contains("upscale")
+      || Option(ex.getCause).exists(_.getMessage.contains("upscale")))
+  }
+
   test("m11 corpus invariant: cuts exactly at segment boundaries") {
     val out = graft.SparkEntry.queries("m11_video_scene_cuts")(
       spark, "/root/testdata/sf0.001").collect()
