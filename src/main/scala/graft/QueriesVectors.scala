@@ -1169,9 +1169,9 @@ private[graft] object QueriesVectors {
   // (dst(x,y) = src(⌊x·16/4⌋, ⌊y·8/4⌋) — integer arithmetic the oracle
   // replays as a modular filter over the derived pixel grid), RE-ENCODED
   // to P5 bytes and decoded AGAIN — the full codec roundtrip rides every
-  // row — then digested. Replaced the r1-r11 byte-budget resizeStub (which
-  // survives as a library fn + spec): dimensions here are real image
-  // dimensions, pixels real resampled pixels.
+  // row — then digested. Replaced the r1-r11 byte-budget resizeStub
+  // (deleted in r15 — this real codec path is the only resize):
+  // dimensions here are real image dimensions, pixels real resampled ones.
   private val m03: (String, QFn, Option[String]) = ("m03_resize_digest",
     (s, d) => {
       val enc = Multimodal.encodePgmFromText(docs(s, d), "doc_id", "text")

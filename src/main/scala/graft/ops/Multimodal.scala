@@ -27,15 +27,20 @@ object Multimodal {
     * copy here would silently hash-split the rows that share it. */
   private def md5Grid(md: java.security.MessageDigest, t: String,
                       n: Int): Array[Byte] = {
+    // block cursor walks by offset, never by b*16 (which wraps Int for
+    // n near Int.MaxValue and would loop wrongly instead of failing)
+    require(n >= 0 && n <= Int.MaxValue - 16, s"md5Grid: bad size $n")
     val out = new Array[Byte](n)
+    var off = 0
     var b = 0
-    while (b * 16 < n) {
+    while (off < n) {
       md.reset()
       val dig = md.digest((t + "#" + b)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var j = 0
-      while (j < 16 && b * 16 + j < n) { out(b * 16 + j) = dig(j); j += 1 }
+      while (j < 16 && off + j < n) { out(off + j) = dig(j); j += 1 }
       b += 1
+      off += 16
     }
     out
   }
@@ -90,19 +95,6 @@ object Multimodal {
       when(n > 0, crc32(payload.substr(off, lit(1))).cast("double"))
         .otherwise(lit(0.0))
     })
-  }
-
-  /** "Resize" stub over the opaque payload: normalize every payload to
-    * exactly `targetBytes` (truncate long, right-pad short with zeros) and
-    * refresh the byte-count metadata — the Spark-side shape of an image
-    * resize/transcode stage (fixed-size output cells keep downstream
-    * batches rectangular, which is what a real tensor pipeline needs).
-    * Declarative binary ops only; a real impl swaps in a codec with the
-    * same Column-in/Column-out signature. */
-  def resizeStub(payload: Column, targetBytes: Int): Column = {
-    val padded = concat(payload,
-      expr(s"repeat(cast(chr(0) as binary), $targetBytes)").cast("binary"))
-    substring(padded, 1, targetBytes)
   }
 
   /** Per-partition batched "decode" over a TYPED Dataset — the batch shape a

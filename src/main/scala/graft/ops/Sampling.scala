@@ -616,7 +616,14 @@ object Sampling {
     * of each picked row per winning slot — `count % batch == 0` afterwards
     * (whole-key rows, so a key picked twice appends twice, like
     * `np.concatenate((X_train, X_train[random_indices]))`). The pick
-    * multiplicity table is ≤ batch rows — broadcast by construction. */
+    * multiplicity table is ≤ batch rows — broadcast by construction.
+    *
+    * PRECONDITION: `key` must be UNIQUE per row (the reference resamples
+    * by row INDEX — `np.random.randint` picks rows, not key values). A
+    * duplicated key appends one copy per matching row × slot
+    * multiplicity, silently over-padding past the `% batch == 0`
+    * target; deduplicate or synthesize a unique key first
+    * (e.g. `monotonically_increasing_id` persisted once). */
   def batchPadResample(df: DataFrame, key: Column, batch: Int,
                        salt: String = "pad"): DataFrame = {
     val mult = batchPadSlots(df, key, batch, salt)

@@ -252,6 +252,9 @@ object Sketches {
                           v: Column, fracs: Seq[Double], k: Int,
                           salt: String = "qs"): DataFrame = {
     require(fracs.nonEmpty, "slotSampleQuantiles: fracs must be non-empty")
+    require(fracs.forall(f => f >= 0.0 && f <= 1.0),
+      s"slotSampleQuantiles: fracs must be in [0,1], got " +
+        fracs.mkString(","))
     val agg = slotWinnersAgg(df, grp, key, v, k, salt)
     val vals = array((0 until k).map(i => col(s"_w$i").getField("v")): _*)
     val sample = agg.select(col("grp"), explode(vals).as("_sv"))
@@ -283,6 +286,9 @@ object Sketches {
                            v: Column, fracs: Seq[(String, Double)], k: Int,
                            salt: String = "qs"): DataFrame = {
     require(fracs.nonEmpty, "slotQuantileSnapshot: fracs must be non-empty")
+    require(fracs.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      s"slotQuantileSnapshot: fracs must be in [0,1], got " +
+        fracs.map(_._2).mkString(","))
     val agg = slotWinnersAgg(df, grp, key, v, k, salt)
     val arr = array_sort(
       array((0 until k).map(i => col(s"_w$i").getField("v")): _*))

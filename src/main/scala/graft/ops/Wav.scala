@@ -102,7 +102,14 @@ object Wav {
       val sz = bb.getInt
       if (sz < 0 || sz > bb.remaining) fail(s"chunk $t size $sz overruns")
       if (t == "data") dataSize = sz
-      else bb.position(bb.position() + sz + (sz & 1)) // chunks pad to even
+      else {
+        // skip body + the RIFF pad byte; an odd chunk ending exactly at
+        // the buffer is missing its mandated pad — fail with the codec's
+        // label, not a raw ByteBuffer error
+        val skip = sz + (sz & 1)
+        if (skip > bb.remaining) fail(s"chunk $t size $sz missing pad byte")
+        bb.position(bb.position() + skip)
+      }
     }
     val samples = new Array[Byte](dataSize)
     bb.get(samples)

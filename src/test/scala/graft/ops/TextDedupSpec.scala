@@ -684,19 +684,6 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("resizeStub normalizes every payload to the target byte length") {
-    val df = Seq((1L, "abcdefghij"), (2L, "ab"), (3L, ""))
-      .toDF("doc_id", "text")
-      .withColumn("payload", $"text".cast("binary"))
-    val r = df.select($"doc_id",
-        Multimodal.resizeStub($"payload", 4).as("rz"))
-      .orderBy("doc_id").as[(Long, Array[Byte])].collect()
-    assert(r.forall(_._2.length == 4))
-    assert(new String(r(0)._2, "UTF-8") == "abcd") // truncated
-    assert(r(1)._2.toSeq == "ab".getBytes("UTF-8").toSeq ++ Seq(0.toByte, 0.toByte))
-    assert(r(2)._2.toSeq == Seq.fill(4)(0.toByte))
-  }
-
   test("frameSampleMd5 is deterministic, char-addressed, and 0.0 on empty") {
     val df = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
     val r = df.select(col("doc_id") +:

@@ -64,6 +64,31 @@ class WavSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decode(bad))
   }
 
+  test("odd unknown chunk ending at the buffer fails with the codec label") {
+    // JUNK(3, NO pad byte, nothing after) — the skip would run past the
+    // buffer; must fail as 'malformed WAV', not a raw ByteBuffer error
+    val fmt = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii("fmt ")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.array()
+    }
+    val junk = ascii("JUNK") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3) // no pad
+    val body = ascii("WAVE") ++ fmt ++ junk ++
+      ascii("data") ++ Array[Byte](2, 0, 0, 0, 10, 20)
+    // cut the stream right after the unpadded junk body (drop data chunk)
+    val trunc = body.take(body.length - 10)
+    val riff = {
+      val bb = java.nio.ByteBuffer.allocate(8 + trunc.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii("RIFF")).putInt(trunc.length).put(trunc)
+      bb.array()
+    }
+    val ex = intercept[IllegalArgumentException](Wav.decode(riff))
+    assert(ex.getMessage.contains("malformed WAV"))
+  }
+
   test("encode pads an odd data chunk per the RIFF spec; decode strips it") {
     val odd = Wav.encode(Wav.Clip(8000, Array[Byte](1, 2, 3)))
     assert(odd.length % 2 === 0)             // padded file
