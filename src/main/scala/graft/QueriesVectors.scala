@@ -1749,6 +1749,69 @@ private[graft] object QueriesVectors {
         |FROM rs GROUP BY doc_id, nf, j, idx""".stripMargin
     })
 
+  // ---------------------------- video perceptual-hash dedup (m15)
+  // The modality matrix's last dedup cell (image m06 aHash, audio m09
+  // trim-invariant fingerprint): a clip and its REAL frame-rate-doubled
+  // re-encode (decode → every frame shown twice at 2× fps → re-encode,
+  // wall-clock content identical) collapse to ONE fingerprint bucket.
+  // Composes m14's thumbnail strip with m06's aHash, with the sampling
+  // rule switched to j·F div k so floor arithmetic makes the collapse
+  // EXACT at any integer rate factor (floor(floor(j·rF/k)/r) =
+  // floor(j·F/k)); the oracle replays BOTH variants through their own
+  // frame counts, so the collapse emerges from independent arithmetic,
+  // not from asserting it. Scale shape: per-row codec work, and the only
+  // exchange is the 64-bit hash-bucket count — the d01 exact-dedup plan,
+  // video edition (never pairwise frames).
+  private val m15: (String, QFn, Option[String]) = ("m15_video_phash_dedup",
+    (s, d) => {
+      val lens = docs(s, d).select(col("doc_id"), col("text"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid"))
+          % 12).as("nf"))
+      val orig = Multimodal.encodeY4mFromText(lens, "doc_id", "text",
+        col("nf"), segLen = 1)
+      val dup = Multimodal.duplicateFramesBatched(orig, "doc_id",
+        "payload", r = 2)
+      val both = orig.withColumn("variant", lit("orig"))
+        .unionByName(dup.withColumn("variant", lit("dup2")))
+      Multimodal.videoFingerprintBatched(both, "doc_id", "variant",
+          "payload", k = 4, tw = 4, th = 4)
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ahash_hi"), col("ahash_lo"))))
+    },
+    Some(s"""WITH vid AS (SELECT doc_id, coalesce(text, '') AS t,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#vid'")} % 12)::BIGINT
+      |      AS nf
+      |  FROM documents),
+      |v AS (SELECT doc_id, t, 'orig' AS variant, nf AS vnf, 1::BIGINT AS r
+      |    FROM vid
+      |  UNION ALL
+      |  SELECT doc_id, t, 'dup2', 2 * nf, 2 FROM vid),
+      |sj AS (SELECT doc_id, t, variant, vnf, j,
+      |    ((j * vnf) // 4) // r AS idx
+      |  FROM (SELECT *, unnest(range(4)) AS j FROM v)),
+      |sp AS (SELECT doc_id, t, variant, vnf, j, idx, p,
+      |    (2 * (p // 4)) * 16 + 4 * (p % 4) AS g
+      |  FROM (SELECT *, unnest(range(16)) AS p FROM sj)),
+      |px AS (SELECT doc_id, variant, vnf, (j * 16 + p) AS k,
+      |    ('0x' || substr(md5(t || '#' || (idx * 8 + g // 16)::VARCHAR),
+      |      ((g % 16) * 2 + 1)::INT, 2))::BIGINT AS pv
+      |  FROM sp),
+      |tot AS (SELECT doc_id, variant, min(vnf)::BIGINT AS vnf,
+      |    sum(pv)::BIGINT AS s
+      |  FROM px GROUP BY 1, 2),
+      |bits AS (SELECT p.doc_id, p.variant,
+      |    sum(CASE WHEN p.k < 32 AND p.pv * 64 > t.s
+      |      THEN (1::BIGINT << p.k) ELSE 0 END)::BIGINT AS ahash_lo,
+      |    sum(CASE WHEN p.k >= 32 AND p.pv * 64 > t.s
+      |      THEN (1::BIGINT << (p.k - 32)) ELSE 0 END)::BIGINT AS ahash_hi
+      |  FROM px p JOIN tot t USING (doc_id, variant) GROUP BY 1, 2)
+      |SELECT b.doc_id, b.variant, t.vnf AS n_frames,
+      |  b.ahash_lo, b.ahash_hi,
+      |  count(*) OVER (PARTITION BY b.ahash_hi, b.ahash_lo)::BIGINT
+      |    AS bucket_n
+      |FROM bits b JOIN tot t USING (doc_id, variant)""".stripMargin))
+
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many
   // assets pass the IMAGE gate (m07), the AUDIO gate (m08), and BOTH —
@@ -1830,5 +1893,5 @@ private[graft] object QueriesVectors {
         |FROM j GROUP BY source""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, c04)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, c04)
 }

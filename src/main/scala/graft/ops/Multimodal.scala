@@ -681,6 +681,110 @@ object Multimodal {
       "px_max", "px_csv")
   }
 
+  /** REAL frame-rate shift: decode → show every frame `r` times at
+    * r× the declared rate → RE-ENCODE (full codec roundtrip rides the
+    * row). Wall-clock content is IDENTICAL — the canonical same-video
+    * near-dup class (a transcoder that resamples 25→50 fps), the video
+    * analogue of [[padSilence]]'s trailing-silence variant and
+    * [[halfPayload]]'s thumbnail. Exactly what
+    * [[videoFingerprintBatched]]'s rate-invariant fingerprint must
+    * collapse. */
+  def duplicateFramesBatched(df: DataFrame, idCol: String,
+                             payloadCol: String, r: Int): DataFrame = {
+    require(r >= 1, s"duplicateFramesBatched: bad factor $r")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        require(v.fpsNum <= Int.MaxValue / r,
+          s"duplicateFramesBatched: fps ${v.fpsNum}x$r overflows (id=$id)")
+        val frames = v.frames.flatMap(f => Array.fill(r)(f))
+        (id, Y4m.encode(Y4m.Video(v.width, v.height, v.fpsNum * r,
+          v.fpsDen, frames)))
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Frame-rate-invariant perceptual video fingerprint — the m06 aHash
+    * move, video edition, composing m14's thumbnail strip with m06's
+    * average hash: decode → sample k frames at `j·F div k` → nearest-
+    * neighbor resize each to tw×th (m03 arithmetic) → RE-ENCODE the
+    * strip as a real Y4M and decode it back (codec roundtrip) → ONE
+    * 64-bit aHash over the concatenated k·tw·th strip pixels (bit set
+    * iff pixel · (k·tw·th) > Σ strip pixels — strict integer compare).
+    *
+    * The sampling rule is `j·F div k` — NOT m14's thumbnail rule
+    * `j·(F−1) div (k−1)` — deliberately: floor(floor(j·rF/k)/r) =
+    * floor(j·F/k), so a clip and its r×-frame-duplicated re-encode
+    * ([[duplicateFramesBatched]]) sample pixel-identical frames at ANY
+    * integer rate factor and collapse to the SAME hash. The strip rule
+    * trades last-frame inclusion for that exact invariance (a
+    * fingerprint must be stable under transcode; a thumbnail strip must
+    * show the ending). Requires k·tw·th == 64 so the hash fills exactly
+    * one 64-bit word, published as two unsigned halves like
+    * [[aHash64Batched]]. Per-row codec work, no shuffle; callers bucket
+    * on (ahash_hi, ahash_lo) — the d01 exact-dedup plan, video edition.
+    * Output: (id, tag, n_frames, ahash_lo, ahash_hi). */
+  def videoFingerprintBatched(df: DataFrame, idCol: String, tagCol: String,
+                              payloadCol: String, k: Int, tw: Int,
+                              th: Int): DataFrame = {
+    require(k >= 1 && tw >= 1 && th >= 1 && k * tw * th == 64,
+      s"videoFingerprintBatched: k*tw*th must be 64, got $k*$tw*$th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(tagCol).cast("string"),
+      col(payloadCol).cast("binary")).as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, tag, bytes) =>
+        val v = Y4m.decode(bytes)
+        val nf = v.frames.length
+        require(nf >= 1, s"videoFingerprintBatched: zero frames (id=$id)")
+        require(tw <= v.width && th <= v.height,
+          s"videoFingerprintBatched: upscale $tw x $th from " +
+            s"${v.width} x ${v.height} (id=$id)")
+        val thumbs = Array.tabulate(k) { j =>
+          // Long index: j·nf is small, but the rule must match the
+          // oracle's BIGINT division exactly for any frame count
+          val src = v.frames((j.toLong * nf / k).toInt)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) =
+                src((y * v.height / th) * v.width + (x * v.width / tw))
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val strip = Y4m.decode(Y4m.encode(
+          Y4m.Video(tw, th, v.fpsNum, v.fpsDen, thumbs)))
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          sum += (strip.frames(i / (tw * th))(i % (tw * th)) & 0xff).toLong
+          i += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < 64) {
+          val p = (strip.frames(i / (tw * th))(i % (tw * th)) & 0xff).toLong
+          if (p * 64L > sum) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (id, tag, nf.toLong, lo, hi)
+      }
+    }.toDF(idCol, tagCol, "n_frames", "ahash_lo", "ahash_hi")
+  }
+
   /** REAL scene-cut detection — the shot-segmentation stage of a video
     * pipeline: decode, then per consecutive frame pair the exact integer
     * SAD (sum of absolute luma differences, the classic cut metric).

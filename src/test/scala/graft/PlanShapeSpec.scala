@@ -574,6 +574,13 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange (the bucket window), no range: h=$h r=$r")
   }
 
+  test("video phash dedup (m15): codec work is per-row; the only " +
+      "exchange is the hash-bucket count — never pairwise frames") {
+    val (h, r, _) = exchangeCounts(finalPlanOf("m15_video_phash_dedup"))
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange (the bucket window), no range: h=$h r=$r")
+  }
+
   test("RAG pack (d90): broadcast query bag + winner set; no range sort") {
     val plan = finalPlanOf("d90_rag_context")
     val (_, r, _) = exchangeCounts(plan)

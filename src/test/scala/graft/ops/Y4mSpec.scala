@@ -108,6 +108,59 @@ class Y4mSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("upscale")))
   }
 
+  test("videoFingerprintBatched collapses frame-rate-shifted re-encodes " +
+      "at any integer factor; distinct content differs") {
+    // 16x8 frames, distinct content per frame and per video
+    def vid(seed: Int, nf: Int): Y4m.Video =
+      Y4m.Video(16, 8, 25, 1, Array.tabulate(nf)(f =>
+        Array.tabulate(128)(i => ((i * 7 + f * 31 + seed) % 256).toByte)))
+    val base = Seq((1L, Y4m.encode(vid(0, 5))), (2L, Y4m.encode(vid(99, 5))))
+      .toDF("doc_id", "payload")
+    def fp(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Multimodal.videoFingerprintBatched(
+          df.withColumn("tag", lit("t")), "doc_id", "tag", "payload",
+          k = 4, tw = 4, th = 4)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("ahash_lo"), r.getAs[Long]("ahash_hi"))).toMap
+    val f1 = fp(base)
+    val f2 = fp(Multimodal.duplicateFramesBatched(base, "doc_id", "payload", 2))
+    val f3 = fp(Multimodal.duplicateFramesBatched(base, "doc_id", "payload", 3))
+    assert(f1(1L) === f2(1L) && f1(1L) === f3(1L)) // rate-invariant
+    assert(f1(2L) === f2(2L) && f1(2L) === f3(2L))
+    assert(f1(1L) !== f1(2L))                      // content-sensitive
+    // the hash must fill exactly one 64-bit word
+    intercept[IllegalArgumentException] {
+      Multimodal.videoFingerprintBatched(
+        base.withColumn("tag", lit("t")), "doc_id", "tag", "payload",
+        k = 3, tw = 4, th = 4)
+    }
+    // the duplicated re-encode is a REAL container at the doubled rate
+    val d = Y4m.decode(Multimodal.duplicateFramesBatched(
+        base, "doc_id", "payload", 2)
+      .collect().head.getAs[Array[Byte]]("payload"))
+    assert(d.fpsNum === 50 && d.frames.length === 10)
+  }
+
+  test("m15 corpus invariant: every clip and its 2x re-encode share one " +
+      "bucket; zero false merges at sf0.001") {
+    val out = graft.SparkEntry.queries("m15_video_phash_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length % 2 === 0)
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length === 2, s"doc $id: expected orig+dup2")
+      val hs = rows.map(r =>
+        (r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo"))).distinct
+      assert(hs.length === 1, s"doc $id: variants split buckets")
+      rows.foreach(r => assert(r.getAs[Long]("bucket_n") === 2L,
+        s"doc $id: bucket_n ${r.getAs[Long]("bucket_n")} != 2"))
+    }
+    // unique texts ⇒ unique content ⇒ exactly one bucket per doc
+    val buckets = out.map(r =>
+      (r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo"))).distinct
+    assert(buckets.length === byDoc.size)
+  }
+
   test("m11 corpus invariant: cuts exactly at segment boundaries") {
     val out = graft.SparkEntry.queries("m11_video_scene_cuts")(
       spark, "/root/testdata/sf0.001").collect()
