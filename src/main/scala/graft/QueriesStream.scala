@@ -592,7 +592,23 @@ object QueriesStream {
         |FROM g JOIN n USING (w)""".stripMargin
     })
 
+  // ------------------------- streaming cross-modal matcher (s22)
+  // c05's serving twin — the shape a live pair matcher runs in
+  // production: the TEXT tower is a stateless per-row map over the
+  // arriving document stream, the candidate join is STREAM-STATIC on
+  // the 64-value sign-pattern bucket key (the image tower is the
+  // indexed static corpus), and the per-source rollup is a keyed
+  // aggregate with state bounded by |sources| — complete mode. The
+  // published metric is the one a matching dashboard watches: pairs
+  // seen / kept and ALIGNED RECALL (0.0, not NaN, for a source with no
+  // aligned pair yet mid-stream). EventStreamSpec proves stream ≡ batch
+  // across micro-batches; this registry row is the batch twin.
+  private val s22: (String, QFn, Option[String]) = ("s22_stream_crossmodal",
+    (s, d) => QueriesVectors.crossModalServing(
+      Tables.documents(s, d), Tables.documents(s, d)),
+    Some(QueriesVectors.crossModalServingSql))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

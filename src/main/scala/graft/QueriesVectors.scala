@@ -1893,5 +1893,155 @@ private[graft] object QueriesVectors {
         |FROM j GROUP BY source""".stripMargin
     })
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, c04)
+  // ---------------------------- cross-modal pair curation (c05)
+  // The CLIP-score move (the LAION curation recipe): score every
+  // candidate (image, text) pair by a deterministic two-tower cosine in
+  // a shared 16-dim space, keep pairs above threshold, report per-source
+  // pair survival. The IMAGE tower is the real codec path (encode →
+  // Pgm.decode → resizeNearest 4×4 → re-encode roundtrip — m03's
+  // machinery); the TEXT tower re-derives the same coordinates from the
+  // generation spec with NO codec (Multimodal.textTowerBatched) — the
+  // deterministic stand-in for a learned encoder, and a live cross-check:
+  // aligned pairs score cosine 1 ONLY while both paths agree. Candidate
+  // generation is a 64-bucket sign-pattern (hyperplane-LSH) equi-join —
+  // NEVER a cross join over the corpus; at 100 TB the bucket key gains a
+  // content-addressed salt suffix and per-bucket posting caps (the
+  // Dedup.scala:45-60 move) to bound skew. Scoring is exact-integer dot
+  // and norms (16 centered byte terms, every partial sum exact in
+  // double) with one IEEE divide — both engines bit-identical.
+  private[graft] def towerBucket(vec: Column): Column =
+    (0 until 6).map(b =>
+      when(element_at(vec, b + 1) > 128L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private[graft] def towerNorm2(vec: Column): Column =
+    aggregate(vec, lit(0L), (acc, v) => acc + (v - 128L) * (v - 128L))
+
+  /** Image tower: (doc_id, source, ivec, ibucket, in2) through the REAL
+    * codec path. */
+  private[graft] def imageTower(docsDf: DataFrame): DataFrame = {
+    val dims = docsDf.select(col("doc_id"), col("text"),
+      (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
+        % 24).as("w"),
+      (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
+        % 12).as("h"))
+    val rs = Multimodal.resizePgmBatched(
+      Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
+        col("h")),
+      "doc_id", "payload", 4, 4)
+    val vec = transform(split(col("px_csv"), ","), x => x.cast("long"))
+    rs.select(col("doc_id"), vec.as("ivec"))
+      .withColumn("ibucket", towerBucket(col("ivec")))
+      .withColumn("in2", towerNorm2(col("ivec")))
+      .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
+  }
+
+  /** Text tower: (txt_id, tvec, tbucket, tn2) with NO codec — a
+    * stateless per-row map, so it runs unchanged on a document STREAM
+    * (the s22 serving shape). */
+  private[graft] def textTower(docsDf: DataFrame): DataFrame = {
+    val dims = docsDf.select(col("doc_id"), col("text"),
+      (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
+        % 24).as("w"),
+      (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
+        % 12).as("h"))
+    Multimodal.textTowerBatched(dims, "doc_id", "text", col("w"), col("h"))
+      .select(col("doc_id").as("txt_id"), col("tvec"))
+      .withColumn("tbucket", towerBucket(col("tvec")))
+      .withColumn("tn2", towerNorm2(col("tvec")))
+  }
+
+  /** Scored candidate pairs + per-source survival report. `textDocs` may
+    * be a STREAMING frame (text tower is a stateless map, the pair join
+    * is stream-static on the bucket key, the rollup is a keyed aggregate
+    * with state bounded by |sources| — complete mode). */
+  private[graft] def crossModalReport(textDocs: DataFrame,
+                                      imgDocs: DataFrame): DataFrame = {
+    val pairs = textTower(textDocs).join(imageTower(imgDocs),
+      col("tbucket") === col("ibucket"))
+    val dot = aggregate(
+      zip_with(col("ivec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
+      lit(0L), (acc, v) => acc + v)
+    val denom2 = (col("in2") * col("tn2")).cast("double")
+    val score = when(denom2 > 0.0, dot.cast("double") / sqrt(denom2))
+      .otherwise(lit(0.0))
+    pairs
+      .withColumn("_kept", (score >= 0.8).cast("long"))
+      .withColumn("_aligned", (col("doc_id") === col("txt_id")).cast("long"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("_kept")).as("n_kept"),
+        sum(col("_aligned")).as("n_aligned"),
+        sum(col("_aligned") * col("_kept")).as("n_aligned_kept"))
+      .withColumn("kept_rate", round(
+        col("n_kept").cast("double") / col("n_pairs").cast("double"), 6))
+  }
+
+  private[graft] val crossModalSql: String =
+    s"""WITH dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+      |      AS w,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+      |      AS h
+      |  FROM documents),
+      |smp AS (SELECT doc_id, source, t, k,
+      |    ((k // 4) * h // 4) * w + ((k % 4) * w // 4) AS pos
+      |  FROM (SELECT *, unnest(range(16)) AS k FROM dim)),
+      |vec AS (SELECT doc_id, source, k,
+      |    ('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
+      |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+      |  FROM smp),
+      |agg AS (SELECT doc_id, source,
+      |    sum(CASE WHEN k < 6 AND v > 128 THEN (1::BIGINT << k)
+      |      ELSE 0 END)::BIGINT AS bucket,
+      |    list((v - 128)::DOUBLE ORDER BY k) AS cv,
+      |    sum((v - 128) * (v - 128))::BIGINT AS n2
+      |  FROM vec GROUP BY 1, 2),
+      |p AS (SELECT i.source, i.doc_id AS img_id, t.doc_id AS txt_id,
+      |    CASE WHEN i.n2 * t.n2 > 0
+      |      THEN list_dot_product(i.cv, t.cv) / sqrt((i.n2 * t.n2)::DOUBLE)
+      |      ELSE 0.0 END AS score
+      |  FROM agg i JOIN agg t ON i.bucket = t.bucket)
+      |SELECT source, count(*)::BIGINT AS n_pairs,
+      |  sum((score >= 0.8)::BIGINT)::BIGINT AS n_kept,
+      |  sum((img_id = txt_id)::BIGINT)::BIGINT AS n_aligned,
+      |  sum(((img_id = txt_id) AND score >= 0.8)::BIGINT)::BIGINT
+      |    AS n_aligned_kept,
+      |  round(sum((score >= 0.8)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
+      |    AS kept_rate
+      |FROM p GROUP BY source""".stripMargin
+
+  private val c05: (String, QFn, Option[String]) = ("c05_crossmodal_pairs",
+    (s, d) => crossModalReport(docs(s, d), docs(s, d)),
+    Some(crossModalSql))
+
+  /** The SERVING surface of the pair matcher (s22): per image-source,
+    * pairs seen / kept and the ALIGNED RECALL — the metric a live
+    * matching dashboard watches (is the matcher still finding its
+    * aligned pairs as text flows in?). Mid-stream a source can have
+    * candidate pairs but no aligned one yet — recall publishes 0.0,
+    * not NaN. */
+  private[graft] def crossModalServing(textDocs: DataFrame,
+                                       imgDocs: DataFrame): DataFrame =
+    crossModalReport(textDocs, imgDocs)
+      .select(col("source"), col("n_pairs"), col("n_kept"),
+        when(col("n_aligned") > 0L, round(
+          col("n_aligned_kept").cast("double")
+            / col("n_aligned").cast("double"), 6))
+          .otherwise(lit(0.0)).as("aligned_recall"))
+
+  private[graft] val crossModalServingSql: String = {
+    // the c05 pipeline verbatim up to the final rollup; only the
+    // published projection differs (serving metric, not curation rate)
+    val base = crossModalSql.substring(0, crossModalSql.indexOf("SELECT source,"))
+    s"""${base}SELECT source, count(*)::BIGINT AS n_pairs,
+      |  sum((score >= 0.8)::BIGINT)::BIGINT AS n_kept,
+      |  CASE WHEN sum((img_id = txt_id)::BIGINT) > 0
+      |    THEN round(sum(((img_id = txt_id) AND score >= 0.8)::BIGINT)
+      |      ::DOUBLE / sum((img_id = txt_id)::BIGINT)::DOUBLE, 6)
+      |    ELSE 0.0 END AS aligned_recall
+      |FROM p GROUP BY source""".stripMargin
+  }
+
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, c04, c05)
 }

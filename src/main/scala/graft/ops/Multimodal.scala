@@ -917,6 +917,45 @@ object Multimodal {
     }.toDF(idCol, "seg", "seg_start", "seg_len", "energy")
   }
 
+  /** The TEXT tower of the cross-modal pair scorer (c05) — the
+    * deterministic stand-in for a learned text encoder: maps a document's
+    * text into the SAME 16-dim shared space the image tower lands in, by
+    * re-deriving the 4×4-thumbnail sample coordinates of the image the
+    * generation spec associates with this text (md5(text#block) bytes at
+    * positions ((y·h) div 4)·w + (x·w) div 4) — DIRECTLY, with no codec.
+    * Deliberately a separate code path from the image tower
+    * (encodePgmSized → Pgm.decode → resizeNearest → re-encode): an
+    * aligned (image, text) pair scores cosine 1 ONLY while both paths
+    * agree, so a codec regression desynchronizes the towers and fails
+    * the pair gate instead of hiding. Stateless per-row map (runs
+    * unchanged on a document STREAM — the s22 serving shape). Output:
+    * (id, tvec: array<long> of 16 unsigned bytes). */
+  def textTowerBatched(df: DataFrame, idCol: String, textCol: String,
+                       wCol: Column, hCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      wCol.cast("int"), hCol.cast("int")).as[(Long, String, Int, Int)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, t, w, h) =>
+        require(w >= 4 && h >= 4, s"textTowerBatched: dims ${w}x$h < 4x4")
+        val vec = new Array[Long](16)
+        var k = 0
+        while (k < 16) {
+          val pos = ((k / 4) * h / 4) * w + ((k % 4) * w / 4)
+          md.reset()
+          val dig = md.digest((t + "#" + (pos / 16))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          vec(k) = (dig(pos % 16) & 0xff).toLong
+          k += 1
+        }
+        (id, vec)
+      }
+    }.toDF(idCol, "tvec")
+  }
+
   /** Executor-side export of one FILE per row — the write half of a media
     * repository: each partition writes its own rows' payloads directly
     * (no driver collect, no shuffle), the layout a real corpus of

@@ -581,6 +581,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange (the bucket window), no range: h=$h r=$r")
   }
 
+  test("cross-modal pairs (c05): candidates ride the bucket equi-join — " +
+      "never a cartesian over the corpus") {
+    val plan = finalPlanOf("c05_crossmodal_pairs")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the bucket equi-join, not all-pairs:\n$plan")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"unexpected range exchange in the pair matcher: r=$r")
+  }
+
   test("RAG pack (d90): broadcast query bag + winner set; no range sort") {
     val plan = finalPlanOf("d90_rag_context")
     val (_, r, _) = exchangeCounts(plan)

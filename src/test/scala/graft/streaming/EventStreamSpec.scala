@@ -798,6 +798,44 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._4).size > 1)
   }
 
+  test("crossModalServing streams: text tower over a stream joined to " +
+      "the static image index equals the batch matcher") {
+    // the s22 contract: the text tower is a stateless per-row map, the
+    // candidate join is stream-static on the bucket key, the rollup is
+    // a keyed aggregate — so the SAME crossModalServing call runs with
+    // (a) a MemoryStream of text documents across two micro-batches in
+    // complete mode against the static image corpus and (b) both sides
+    // static; per-source pairs/kept/aligned-recall must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a a a a a a a a"),
+      (3L, "code", "def main print hello world"),
+      (4L, "web", "lorem ipsum dolor sit amet consectetur"),
+      (5L, "code", "x y z"))
+    val static = docs.toDF("doc_id", "source", "text")
+    def serve(txt: org.apache.spark.sql.DataFrame) =
+      graft.QueriesVectors.crossModalServing(txt, static)
+    val in = MemoryStream[(Long, String, String)]
+    val q = serve(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("xmodal")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_pairs", "n_kept", "aligned_recall")
+        .as[(String, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("xmodal"))
+    val batch = rows(serve(static))
+    assert(streamed == batch)
+    // every aligned pair is a candidate (identical vectors share the
+    // bucket) and scores cosine 1 — recall must be 1.0 once all text
+    // has arrived
+    assert(streamed.nonEmpty && streamed.forall(_._4 == 1.0))
+  }
+
   test("vadSegments streams in APPEND mode: segments emitted per clip " +
       "equal the batch segments") {
     // the s19 contract: encode + VAD are stateless per-row maps, so an
