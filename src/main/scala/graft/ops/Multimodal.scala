@@ -435,7 +435,8 @@ object Multimodal {
         val out = new Array[Byte](nOut)
         var j = 0
         while (j < nOut) {
-          var s = 0
+          // Long accumulator: a block sum wraps Int past factor ~2^23
+          var s = 0L
           var i = j * factor
           val end = i + factor
           while (i < end) { s += in.samples(i) & 0xff; i += 1 }
@@ -478,6 +479,8 @@ object Multimodal {
       it.map { case (id, bytes, p) =>
         require(p >= 0, s"padSilence: negative pad $p")
         val clip = Wav.decode(bytes)
+        require(clip.samples.length.toLong + p <= Int.MaxValue - 45,
+          s"padSilence: padded clip overflows RIFF (id=$id)")
         val out = new Array[Byte](clip.samples.length + p)
         System.arraycopy(clip.samples, 0, out, 0, clip.samples.length)
         java.util.Arrays.fill(out, clip.samples.length, out.length,
@@ -556,7 +559,10 @@ object Multimodal {
           var b = 0
           while (b < blocksPerFrame) {
             md.reset()
-            val dig = md.digest((t + "#" + (key * blocksPerFrame + b))
+            // Long block address: key·blocks wraps Int past ~2^28
+            // frames; the rendered string (and so the pixels) is
+            // unchanged for every in-range value
+            val dig = md.digest((t + "#" + (key.toLong * blocksPerFrame + b))
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             System.arraycopy(dig, 0, px, b * 16, 16)
             b += 1
@@ -591,7 +597,8 @@ object Multimodal {
         require(nf >= 1, s"videoFrameSampleBatched: zero frames (id=$id)")
         val durMs = nf.toLong * 1000L * v.fpsDen / v.fpsNum
         (0 until k).map { j =>
-          val idx = j * (nf - 1) / (k - 1)
+          // Long product: j·(nf−1) wraps Int for ~2^28-frame streams
+          val idx = (j.toLong * (nf - 1) / (k - 1)).toInt
           val fr = v.frames(idx)
           var sum = 0L; var min = 255L; var max = 0L
           val sb = new java.lang.StringBuilder(fr.length * 4)
@@ -642,16 +649,20 @@ object Multimodal {
         require(tw <= v.width && th <= v.height,
           s"videoThumbnailsBatched: upscale $tw x $th from " +
             s"${v.width} x ${v.height} (id=$id)")
-        val idxs = (0 until k).map(j => j * (nf - 1) / (k - 1))
+        val idxs = (0 until k).map(j => (j.toLong * (nf - 1) / (k - 1)).toInt)
         val thumbs = idxs.map { fi =>
           val src = v.frames(fi)
           val out = new Array[Byte](tw * th)
           var y = 0
           while (y < th) {
+            // Long index arithmetic (the Pgm.resizeNearest rule): y·H
+            // wraps Int for tall-and-narrow planes; the final offset is
+            // always a valid Int (< W·H <= Int.MaxValue)
+            val sy = (y.toLong * v.height / th) * v.width
             var x = 0
             while (x < tw) {
               out(y * tw + x) =
-                src((y * v.height / th) * v.width + (x * v.width / tw))
+                src((sy + x.toLong * v.width / tw).toInt)
               x += 1
             }
             y += 1
@@ -752,10 +763,11 @@ object Multimodal {
           val out = new Array[Byte](tw * th)
           var y = 0
           while (y < th) {
+            val sy = (y.toLong * v.height / th) * v.width
             var x = 0
             while (x < tw) {
               out(y * tw + x) =
-                src((y * v.height / th) * v.width + (x * v.width / tw))
+                src((sy + x.toLong * v.width / tw).toInt)
               x += 1
             }
             y += 1
@@ -834,7 +846,11 @@ object Multimodal {
       it.map { case (id, t, lens) =>
         require(lens.nonEmpty && lens.forall(_ >= 1),
           s"encodeWavSegmented: bad segment lengths $lens")
-        val total = lens.sum + gap * (lens.size - 1)
+        // Long total: segment sums wrap Int before the RIFF bound bites
+        val totalL = lens.map(_.toLong).sum + gap.toLong * (lens.size - 1)
+        require(totalL <= Int.MaxValue - 45,
+          s"encodeWavSegmented: $totalL samples overflow RIFF")
+        val total = totalL.toInt
         val smp = new Array[Byte](total)
         java.util.Arrays.fill(smp, 128.toByte)
         var pos = 0

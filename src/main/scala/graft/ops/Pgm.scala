@@ -35,7 +35,11 @@ object Pgm {
   def encode(img: Image): Array[Byte] = {
     require(img.maxVal > 0 && img.maxVal <= 255,
       s"P5 single-byte form requires 0 < maxval <= 255, got ${img.maxVal}")
-    require(img.pixels.length == img.width * img.height,
+    require(img.width > 0 && img.height > 0,
+      s"non-positive dimensions ${img.width}x${img.height}")
+    // Long product: 65536x65536 wraps the Int product to 0 and an EMPTY
+    // buffer would pass — the decode-side guard, encode edition
+    require(img.pixels.length.toLong == img.width.toLong * img.height,
       s"pixel buffer ${img.pixels.length} != ${img.width}x${img.height}")
     val header = s"P5\n${img.width} ${img.height}\n${img.maxVal}\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -107,13 +111,19 @@ object Pgm {
     * division. Pure pixel-grid arithmetic on the DECODED image. */
   def resizeNearest(img: Image, tw: Int, th: Int): Image = {
     require(tw > 0 && th > 0, s"non-positive target ${tw}x$th")
+    require(tw.toLong * th <= Int.MaxValue,
+      s"target ${tw}x$th overflows the byte-array bound")
     val out = new Array[Byte](tw * th)
     var y = 0
     while (y < th) {
-      val sy = y * img.height / th
+      // Long index arithmetic: y·sh (and x·sw) wrap Int when both
+      // factors exceed ~2^15.5 — e.g. downscaling a 1x2^20 strip; the
+      // quotient is always a valid Int pixel coordinate
+      val sy = (y.toLong * img.height / th).toInt
       var x = 0
       while (x < tw) {
-        out(y * tw + x) = img.pixels(sy * img.width + x * img.width / tw)
+        out(y * tw + x) = img.pixels(
+          (sy.toLong * img.width + x.toLong * img.width / tw).toInt)
         x += 1
       }
       y += 1

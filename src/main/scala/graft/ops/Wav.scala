@@ -38,6 +38,9 @@ object Wav {
   def encode(clip: Clip): Array[Byte] = {
     require(clip.sampleRate > 0, s"bad sample rate ${clip.sampleRate}")
     val n = clip.samples.length
+    // header + pad must fit the byte-array bound (44 + n + pad would
+    // otherwise wrap to a negative allocation, an unlabeled crash)
+    require(n <= Int.MaxValue - 45, s"clip of $n samples overflows RIFF")
     val pad = n & 1
     val out = new Array[Byte](44 + n + pad)
     val bb = java.nio.ByteBuffer.wrap(out)

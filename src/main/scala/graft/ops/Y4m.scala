@@ -45,7 +45,14 @@ object Y4m {
       s"F${v.fpsNum}:${v.fpsDen} Ip A1:1 Cmono\n")
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val fm = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val out = new Array[Byte](header.length + v.frames.length * (fm.length + n))
+    // Long total: frames·(marker+plane) wraps Int for ~2^20 frames of a
+    // 4 KB plane — fail loudly instead of a negative/short allocation
+    val totalL = header.length.toLong +
+      v.frames.length.toLong * (fm.length + n)
+    require(totalL <= Int.MaxValue,
+      s"${v.frames.length} frames of ${v.width}x${v.height} " +
+        s"($totalL bytes) overflow the byte-array bound")
+    val out = new Array[Byte](totalL.toInt)
     var pos = 0
     System.arraycopy(header, 0, out, pos, header.length); pos += header.length
     v.frames.foreach { f =>
@@ -104,7 +111,9 @@ object Y4m {
       val fl = line()
       if (fl != "FRAME" && !fl.startsWith("FRAME "))
         fail(s"expected FRAME marker, got '${fl.take(16)}'")
-      if (pos + n > bytes.length)
+      // Long compare: pos + n wraps Int when a crafted header claims a
+      // near-2^31 plane, sailing past this check into a raw copy error
+      if (pos.toLong + n > bytes.length)
         fail(s"truncated frame ${frames.size}: ${bytes.length - pos} of $n bytes")
       frames += java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
