@@ -61,12 +61,33 @@ object HashBench {
     // from expression form
     val md5Generic = best { run(generic(graft.ops.Dedup.md5Hash)) }
 
+    // d103/q91 slot-draw path: 64 hash evaluations per row folded into
+    // ONE keyed aggregate of min(struct(hash, key, v)) — the quantile
+    // sketch's production-swap claim (SCALE.md: "swap md5 → xxhash64")
+    // measured in the sketch's own shape, not the signature pass's
+    def slotRun(fam: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+      val base = docs.select(($"doc_id" % 64).as("grp"),
+        $"doc_id".cast("string").as("_k"),
+        length($"text").cast("double").as("_v"))
+      val winners = (0 until 64).map(i => min(struct(
+        fam($"_k", lit(s"qs$i")).as("h"),
+        $"_k".as("k"), $"_v".as("v"))).as(s"_w$i"))
+      base.groupBy($"grp")
+        .agg(count(lit(1)).as("n_rows"), winners: _*)
+    }
+    run(slotRun(graft.ops.Dedup.md5Hash).limit(1)) // warmup
+    val slotMd5 = best { run(slotRun(graft.ops.Dedup.md5Hash)) }
+    val slotXxh = best { run(slotRun(graft.ops.Dedup.xxhashFamily)) }
+
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"docs":$n,"k":$k,"md5_native_sec":${f(md5Native)},""" +
       s""""xxhash64_sec":${f(xxh)},"md5_generic_sec":${f(md5Generic)},""" +
       s""""speedup_vs_native":${f(md5Native / xxh)},""" +
-      s""""speedup_same_shape":${f(md5Generic / xxh)}}""")
+      s""""speedup_same_shape":${f(md5Generic / xxh)},""" +
+      s""""slot_md5_sec":${f(slotMd5)},"slot_xxh_sec":${f(slotXxh)},""" +
+      s""""slot_speedup":${f(slotMd5 / slotXxh)}}""")
     spark.stop()
   }
 }
