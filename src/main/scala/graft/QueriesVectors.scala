@@ -1909,8 +1909,17 @@ private[graft] object QueriesVectors {
   // Dedup.scala:45-60 move) to bound skew. Scoring is exact-integer dot
   // and norms (16 centered byte terms, every partial sum exact in
   // double) with one IEEE divide — both engines bit-identical.
-  private[graft] def towerBucket(vec: Column): Column =
-    (0 until 6).map(b =>
+  /** Sign-pattern (hyperplane-LSH) bucket over the first `bits` tower
+    * dims. `bits` IS the scale knob: candidate pairs grow with
+    * Σ bucket², i.e. quadratically in corpus size at FIXED width, so a
+    * production corpus widens the pattern (bits 12–16 → 4k–65k buckets;
+    * aligned pairs still collapse — identical vectors share any width)
+    * and adds per-bucket posting caps (the Dedup.scala:45-60 move). The
+    * registered c05/s22 rows use 6 bits — the recall-friendly width at
+    * graded scale, where wider keys would leave no cross-pair
+    * candidates to score. XModalBench measures the knob at 10×. */
+  private[graft] def towerBucket(vec: Column, bits: Int = 6): Column =
+    (0 until bits).map(b =>
       when(element_at(vec, b + 1) > 128L, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
 
@@ -1919,7 +1928,8 @@ private[graft] object QueriesVectors {
 
   /** Image tower: (doc_id, source, ivec, ibucket, in2) through the REAL
     * codec path. */
-  private[graft] def imageTower(docsDf: DataFrame): DataFrame = {
+  private[graft] def imageTower(docsDf: DataFrame,
+                                bucketBits: Int = 6): DataFrame = {
     val dims = docsDf.select(col("doc_id"), col("text"),
       (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
         % 24).as("w"),
@@ -1931,7 +1941,7 @@ private[graft] object QueriesVectors {
       "doc_id", "payload", 4, 4)
     val vec = transform(split(col("px_csv"), ","), x => x.cast("long"))
     rs.select(col("doc_id"), vec.as("ivec"))
-      .withColumn("ibucket", towerBucket(col("ivec")))
+      .withColumn("ibucket", towerBucket(col("ivec"), bucketBits))
       .withColumn("in2", towerNorm2(col("ivec")))
       .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
   }
@@ -1939,7 +1949,8 @@ private[graft] object QueriesVectors {
   /** Text tower: (txt_id, tvec, tbucket, tn2) with NO codec — a
     * stateless per-row map, so it runs unchanged on a document STREAM
     * (the s22 serving shape). */
-  private[graft] def textTower(docsDf: DataFrame): DataFrame = {
+  private[graft] def textTower(docsDf: DataFrame,
+                               bucketBits: Int = 6): DataFrame = {
     val dims = docsDf.select(col("doc_id"), col("text"),
       (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
         % 24).as("w"),
@@ -1947,7 +1958,7 @@ private[graft] object QueriesVectors {
         % 12).as("h"))
     Multimodal.textTowerBatched(dims, "doc_id", "text", col("w"), col("h"))
       .select(col("doc_id").as("txt_id"), col("tvec"))
-      .withColumn("tbucket", towerBucket(col("tvec")))
+      .withColumn("tbucket", towerBucket(col("tvec"), bucketBits))
       .withColumn("tn2", towerNorm2(col("tvec")))
   }
 
@@ -1956,9 +1967,11 @@ private[graft] object QueriesVectors {
     * is stream-static on the bucket key, the rollup is a keyed aggregate
     * with state bounded by |sources| — complete mode). */
   private[graft] def crossModalReport(textDocs: DataFrame,
-                                      imgDocs: DataFrame): DataFrame = {
-    val pairs = textTower(textDocs).join(imageTower(imgDocs),
-      col("tbucket") === col("ibucket"))
+                                      imgDocs: DataFrame,
+                                      bucketBits: Int = 6): DataFrame = {
+    val pairs = textTower(textDocs, bucketBits)
+      .join(imageTower(imgDocs, bucketBits),
+        col("tbucket") === col("ibucket"))
     val dot = aggregate(
       zip_with(col("ivec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
       lit(0L), (acc, v) => acc + v)

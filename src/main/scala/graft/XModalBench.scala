@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated cross-modal matcher bench: the bucket-WIDTH scale knob
+  * measured (c05/s22's `towerBucket(vec, bits)`). Candidate pairs grow
+  * with Σ bucket² — quadratic in corpus size at FIXED width — so the
+  * production path widens the sign pattern; this main times the
+  * registered width (6 bits = 64 buckets) against a production width
+  * (default 12 bits = 4096 buckets) on the same corpus and reports the
+  * candidate-pair counts beside the runtimes. Prints one JSON line.
+  *
+  * Usage: sbt "runMain graft.XModalBench [sfDir] [wideBits]" */
+object XModalBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val wideBits = args.lift(1).map(_.toInt).getOrElse(12)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = graft.schema.Tables.documents(spark, sfDir)
+    def run(bits: Int): (Double, Long) = {
+      def once(): Double = {
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        QueriesVectors.crossModalReport(docs, docs, bits)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val best = (0 until 3).map(_ => once()).min
+      val pairs = QueriesVectors.crossModalReport(docs, docs, bits)
+        .agg(org.apache.spark.sql.functions.sum("n_pairs"))
+        .collect()(0).getLong(0)
+      (best, pairs)
+    }
+    val (tNarrow, pNarrow) = run(6)
+    val (tWide, pWide) = run(wideBits)
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"sf":"$sfDir","narrow_bits":6,"narrow_sec":${f(tNarrow)},""" +
+      s""""narrow_pairs":$pNarrow,"wide_bits":$wideBits,""" +
+      s""""wide_sec":${f(tWide)},"wide_pairs":$pWide,""" +
+      s""""speedup":${f(tNarrow / tWide)}}""")
+    spark.stop()
+  }
+}
