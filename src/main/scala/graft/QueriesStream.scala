@@ -608,7 +608,28 @@ object QueriesStream {
       Tables.documents(s, d), Tables.documents(s, d)),
     Some(QueriesVectors.crossModalServingSql))
 
+  // ------------------------- streaming video gate (s23)
+  // m16's streaming twin (the s18 move, video edition — one definition,
+  // two execution modes, one oracle family): the gate's per-clip path is
+  // a pure per-row map (fused encode/decode/moments/motion carrying
+  // source and variant — QueriesVectors.videoGateScored), so the SAME
+  // call runs on a document STREAM; the per-source rollup is a keyed
+  // count/sum with state bounded by |sources|, complete mode.
+  // mean_motion is the exact-decimal mean of the published 6-dp
+  // per-clip motions. EventStreamSpec proves stream ≡ batch across
+  // micro-batches; this row is the batch twin.
+  private val s23: (String, QFn, Option[String]) = ("s23_stream_video_gate",
+    (s, d) => QueriesVectors.videoGateStats(Tables.documents(s, d)),
+    Some(s"""${QueriesVectors.videoGateSqlBody}
+      |SELECT source, count(*)::BIGINT AS n_clips,
+      |  sum((nf >= 6 AND mean >= 32.0 AND mean <= 224.0 AND sd >= 8.0
+      |    AND motion >= 8.0)::BIGINT)::BIGINT AS n_pass,
+      |  sum(duration_ms)::BIGINT AS total_ms,
+      |  round(CAST(sum(CAST(round(motion, 6) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / count(*), 6) AS mean_motion
+      |FROM m GROUP BY source""".stripMargin))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

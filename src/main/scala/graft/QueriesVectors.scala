@@ -1812,6 +1812,96 @@ private[graft] object QueriesVectors {
       |    AS bucket_n
       |FROM bits b JOIN tot t USING (doc_id, variant)""".stripMargin))
 
+  // ---------------------------- video quality gate (m16)
+  // Closes the quality-gate cell across the modality matrix (image m07,
+  // audio m08, video m16): fused encode/decode/moments in ONE
+  // mapPartitions pass carrying source AND variant (the m08 move, video
+  // edition — projection-only, zero exchanges), with the gate term only
+  // video has: exact inter-frame MOTION (Σ SAD over consecutive pairs).
+  // The corpus is BIMODAL by construction — half the clips are fully
+  // static (one segment spans every frame: the frozen-feed/test-pattern
+  // class a real gate must reject), half per-frame unique — and the
+  // motion term genuinely separates them (static SAD is exactly 0).
+  // Rules: too-short (< 6 frames = 240 ms), luma range, flatness, and
+  // motion ≥ 8 per pixel-pair. Oracle replays every pixel from the
+  // generation spec and the SAD via a lag window.
+  private[graft] def videoGateScored(docsDf: DataFrame): DataFrame = {
+    val isStatic =
+      Dedup.md5Hash(col("doc_id").cast("string"), lit("vid.m")) % 2 === 0L
+    val base = docsDf.select(col("doc_id"), col("source"), col("text"),
+      (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid"))
+        % 12).as("nf"),
+      when(isStatic, lit(16L)).otherwise(lit(1L)).as("seg"),
+      when(isStatic, lit("static")).otherwise(lit("dynamic")).as("variant"))
+    val st = Multimodal.videoGateRows(base, "doc_id", "source", "variant",
+      "text", col("nf"), col("seg"))
+    val n = (col("n_frames") * 128L).cast("double")
+    val mean = col("px_sum").cast("double") / n
+    val sd = sqrt(greatest(col("px_sq").cast("double") / n - mean * mean,
+      lit(0.0)))
+    val motion = col("sad_sum").cast("double") /
+      ((col("n_frames") - 1L) * 128L).cast("double")
+    st.select(col("doc_id"), col("source"), col("variant"),
+      col("n_frames"), col("duration_ms"),
+      round(mean, 6).as("px_mean"), round(sd, 6).as("px_std"),
+      round(motion, 6).as("motion"),
+      (col("n_frames") >= 6L && mean >= 32.0 && mean <= 224.0
+        && sd >= 8.0 && motion >= 8.0).cast("long").as("keep"))
+  }
+
+  /** s23's per-source rollup over [[videoGateScored]] — keyed count/sum
+    * with state bounded by |sources|, so the SAME call runs in complete
+    * mode on a stream or on the static table. mean_motion is the
+    * exact-decimal mean of the published 6-dp per-clip motions (the
+    * s16/s18 discipline). */
+  private[graft] def videoGateStats(docsDf: DataFrame): DataFrame =
+    videoGateScored(docsDf).groupBy(col("source")).agg(
+      count(lit(1)).as("n_clips"),
+      sum(col("keep")).as("n_pass"),
+      sum(col("duration_ms")).as("total_ms"),
+      round(sum(col("motion").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("mean_motion"))
+
+  private[graft] val videoGateSqlBody: String =
+    s"""WITH vid AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#vid'")} % 12)::BIGINT
+      |      AS nf,
+      |    CASE WHEN ${md5HashSql("doc_id::VARCHAR || '#vid.m'")} % 2 = 0
+      |      THEN 16 ELSE 1 END::BIGINT AS seg,
+      |    CASE WHEN ${md5HashSql("doc_id::VARCHAR || '#vid.m'")} % 2 = 0
+      |      THEN 'static' ELSE 'dynamic' END AS variant
+      |  FROM documents),
+      |px AS (SELECT doc_id, f, g,
+      |    ('0x' || substr(md5(t || '#' || ((f // seg) * 8 + g // 16)
+      |      ::VARCHAR), ((g % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+      |  FROM (SELECT *, unnest(range(128)) AS g
+      |        FROM (SELECT *, unnest(range(nf)) AS f FROM vid))),
+      |d AS (SELECT doc_id, f, g, v,
+      |    lag(v) OVER (PARTITION BY doc_id, g ORDER BY f) AS pv
+      |  FROM px),
+      |a AS (SELECT doc_id, sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS sq,
+      |    sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END)::BIGINT
+      |      AS sad
+      |  FROM d GROUP BY 1),
+      |m AS (SELECT vd.doc_id, vd.source, vd.variant, vd.nf,
+      |    (vd.nf * 40)::BIGINT AS duration_ms,
+      |    a.s::DOUBLE / (vd.nf * 128)::DOUBLE AS mean,
+      |    sqrt(greatest(a.sq::DOUBLE / (vd.nf * 128)::DOUBLE
+      |      - (a.s::DOUBLE / (vd.nf * 128)::DOUBLE)
+      |        * (a.s::DOUBLE / (vd.nf * 128)::DOUBLE), 0.0)) AS sd,
+      |    a.sad::DOUBLE / ((vd.nf - 1) * 128)::DOUBLE AS motion
+      |  FROM vid vd JOIN a USING (doc_id))""".stripMargin
+
+  private val m16: (String, QFn, Option[String]) = ("m16_video_quality_gate",
+    (s, d) => videoGateScored(docs(s, d)),
+    Some(s"""$videoGateSqlBody
+      |SELECT doc_id, source, variant, nf AS n_frames, duration_ms,
+      |  round(mean, 6) AS px_mean, round(sd, 6) AS px_std,
+      |  round(motion, 6) AS motion,
+      |  (nf >= 6 AND mean >= 32.0 AND mean <= 224.0 AND sd >= 8.0
+      |    AND motion >= 8.0)::BIGINT AS keep
+      |FROM m""".stripMargin))
+
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many
   // assets pass the IMAGE gate (m07), the AUDIO gate (m08), and BOTH —
@@ -2056,5 +2146,5 @@ private[graft] object QueriesVectors {
       |FROM p GROUP BY source""".stripMargin
   }
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, c04, c05)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05)
 }

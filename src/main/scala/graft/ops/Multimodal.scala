@@ -797,6 +797,73 @@ object Multimodal {
     }.toDF(idCol, tagCol, "n_frames", "ahash_lo", "ahash_hi")
   }
 
+  /** [[encodeY4mFromText]] + decode + gate moments fused into ONE
+    * per-partition pass that CARRIES the source and variant keys — the
+    * [[audioGateRows]] move, video edition: encode the clip's actual
+    * YUV4MPEG2 bytes (segment length per ROW, so one corpus can mix
+    * fully-static and per-frame-unique clips), decode them back (the
+    * full container roundtrip rides every row), then the exact integer
+    * moments a video-quality gate needs — Σv and Σv² over ALL frames'
+    * luma, plus the exact inter-frame MOTION term Σ SAD over
+    * consecutive frame pairs (a static clip's SAD is exactly 0: the
+    * frozen-feed reject every real video gate carries). Fusing keeps
+    * the gate projection-only (no join to recover source) and lets the
+    * SAME call run on a document STREAM — the s23 gate is this function
+    * + a keyed aggregate in complete mode. Output: (id, src, tag,
+    * n_frames, duration_ms, px_sum, px_sq, sad_sum). */
+  def videoGateRows(df: DataFrame, idCol: String, srcCol: String,
+                    tagCol: String, textCol: String, fCol: Column,
+                    segCol: Column, w: Int = 16, h: Int = 8): DataFrame = {
+    require((w * h) % 16 == 0, "plane size must be a whole md5-block count")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(srcCol).cast("string"),
+      col(tagCol).cast("string"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      fCol.cast("int"), segCol.cast("int"))
+      .as[(Long, String, String, String, Int, Int)]
+    val blocksPerFrame = (w * h) / 16
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, src, tag, t, nf, seg) =>
+        require(nf >= 1 && seg >= 1,
+          s"videoGateRows: bad frames/segLen $nf/$seg (id=$id)")
+        val frames = Array.tabulate(nf) { f =>
+          val px = new Array[Byte](w * h)
+          val key = f / seg
+          var b = 0
+          while (b < blocksPerFrame) {
+            md.reset()
+            val dig = md.digest((t + "#" + (key.toLong * blocksPerFrame + b))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            System.arraycopy(dig, 0, px, b * 16, 16)
+            b += 1
+          }
+          px
+        }
+        val v = Y4m.decode(Y4m.encode(Y4m.Video(w, h, 25, 1, frames)))
+        var s = 0L; var sq = 0L; var sad = 0L
+        var f = 0
+        while (f < v.frames.length) {
+          val fr = v.frames(f)
+          val prev = if (f > 0) v.frames(f - 1) else null
+          var i = 0
+          while (i < fr.length) {
+            val p = (fr(i) & 0xff).toLong
+            s += p; sq += p * p
+            if (prev != null)
+              sad += math.abs((fr(i) & 0xff) - (prev(i) & 0xff)).toLong
+            i += 1
+          }
+          f += 1
+        }
+        val durMs = v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum
+        (id, src, tag, v.frames.length.toLong, durMs, s, sq, sad)
+      }
+    }.toDF(idCol, srcCol, tagCol, "n_frames", "duration_ms",
+      "px_sum", "px_sq", "sad_sum")
+  }
+
   /** REAL scene-cut detection — the shot-segmentation stage of a video
     * pipeline: decode, then per consecutive frame pair the exact integer
     * SAD (sum of absolute luma differences, the classic cut metric).

@@ -581,6 +581,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange (the bucket window), no range: h=$h r=$r")
   }
 
+  test("video gate (m16): fused codec pass is projection-only — ZERO " +
+      "exchanges, one corpus scan, no join") {
+    // encode/decode/moments/motion ride one mapPartitions carrying
+    // source AND variant; any exchange means the fusion regressed
+    val plan = finalPlanOf("m16_video_quality_gate")
+    val (h, r, sp) = exchangeCounts(plan)
+    assert(h == 0 && r == 0 && sp == 0,
+      s"expected a projection-only plan: h=$h r=$r single=$sp\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan:\n$plan")
+  }
+
+  test("streaming video gate (s23): ONE source-key exchange over the " +
+      "fused gate rows") {
+    val plan = finalPlanOf("s23_stream_video_gate")
+    val (h, r, _) = exchangeCounts(plan)
+    assert(h == 1 && r == 0,
+      s"expected one hash exchange (the source rollup), no range: h=$h r=$r")
+  }
+
   test("cross-modal pairs (c05): candidates ride the bucket equi-join — " +
       "never a cartesian over the corpus") {
     val plan = finalPlanOf("c05_crossmodal_pairs")

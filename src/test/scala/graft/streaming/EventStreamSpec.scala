@@ -798,6 +798,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._4).size > 1)
   }
 
+  test("videoGateStats streams: the decoded-clip motion gate equals the " +
+      "batch gate") {
+    // the s23 contract (the s18 move, video edition): the per-clip path
+    // is a pure per-row map — content-addressed frame count and
+    // static/dynamic split, fused REAL encode/decode/moments/motion —
+    // so the SAME videoGateStats call runs on (a) a MemoryStream of
+    // documents across two micro-batches in complete mode and (b) the
+    // static table; per-source clips/pass/total-ms/mean-motion must be
+    // identical.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a a a a a a a a"),
+      (3L, "code", "def main print hello world"),
+      (4L, "web", "lorem ipsum dolor sit amet consectetur"),
+      (5L, "code", "x y z"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.QueriesVectors.videoGateStats(df)
+    val in = MemoryStream[(Long, String, String)]
+    val q = gate(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("vgate")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_clips", "n_pass", "total_ms", "mean_motion")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("vgate"))
+    val batch = rows(gate(docs.toDF("doc_id", "source", "text")))
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum == 5L)
+  }
+
   test("crossModalServing streams: text tower over a stream joined to " +
       "the static image index equals the batch matcher") {
     // the s22 contract: the text tower is a stateless per-row map, the
