@@ -1983,6 +1983,87 @@ private[graft] object QueriesVectors {
         |FROM j GROUP BY source""".stripMargin
     })
 
+  // ---------------------------- trimodal curation report (c06)
+  // c04 extended across the FULL gate matrix (image m07, audio m08,
+  // video m16): per source — docs, keeps per modality, ALL-THREE keeps
+  // and the survival rate. The table a trimodal-corpus review reads: a
+  // source can ship fine images and audio with frozen video feeds, and
+  // per-modality rates alone hide that. Same-fit discipline throughout
+  // (consumes the SAME scored frames m07/m08/m16 verify), three
+  // doc-keyed joins + one source rollup; oracle replays all three gates
+  // from the generation specs.
+  private val c06: (String, QFn, Option[String]) = ("c06_trimodal_report",
+    (s, d) => {
+      val base = docs(s, d)
+      val img = imageGateScored(base)
+        .select(col("doc_id"), col("source"), col("keep").as("_ik"))
+      val aud = audioGateScored(base)
+        .select(col("doc_id"), col("keep").as("_ak"))
+      val vid = videoGateScored(base)
+        .select(col("doc_id"), col("keep").as("_vk"))
+      img.join(aud, Seq("doc_id")).join(vid, Seq("doc_id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_ik")).as("img_keep"),
+          sum(col("_ak")).as("aud_keep"),
+          sum(col("_vk")).as("vid_keep"),
+          sum(col("_ik") * col("_ak") * col("_vk")).as("all_keep"))
+        .withColumn("all_rate", round(
+          col("all_keep").cast("double") / col("n_docs").cast("double"), 6))
+    },
+    Some {
+      val ibyte = "('0x' || substr(md5(t || '#' || (i // 16)::VARCHAR)," +
+        " ((i % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""$videoGateSqlBody,
+        |v AS (SELECT doc_id, (nf >= 6 AND mean >= 32.0 AND mean <= 224.0
+        |    AND sd >= 8.0 AND motion >= 8.0)::BIGINT AS vk FROM m),
+        |dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+        |      AS w,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+        |      AS h
+        |  FROM documents),
+        |ipx AS (SELECT doc_id, sum($ibyte)::BIGINT AS s,
+        |    sum($ibyte * $ibyte)::BIGINT AS sq
+        |  FROM (SELECT doc_id, t, unnest(range(w * h)) AS i FROM dim)
+        |  GROUP BY doc_id),
+        |im AS (SELECT dd.doc_id, dd.source,
+        |    CASE WHEN dd.w * dd.h >= 256
+        |      AND s::DOUBLE / (dd.w * dd.h)::DOUBLE >= 32.0
+        |      AND s::DOUBLE / (dd.w * dd.h)::DOUBLE <= 224.0
+        |      AND sqrt(greatest(sq::DOUBLE / (dd.w * dd.h)::DOUBLE
+        |        - (s::DOUBLE / (dd.w * dd.h)::DOUBLE)
+        |          * (s::DOUBLE / (dd.w * dd.h)::DOUBLE), 0.0)) >= 8.0
+        |      THEN 1 ELSE 0 END::BIGINT AS ik
+        |  FROM dim dd JOIN ipx USING (doc_id)),
+        |clip AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    (64 + ${md5HashSql("doc_id::VARCHAR || '#aud'")} % 192)::BIGINT
+        |      AS n
+        |  FROM documents),
+        |apx AS (SELECT doc_id, sum($ibyte)::BIGINT AS s,
+        |    sum($ibyte * $ibyte)::BIGINT AS sq
+        |  FROM (SELECT doc_id, t, unnest(range(n)) AS i FROM clip)
+        |  GROUP BY doc_id),
+        |am AS (SELECT c.doc_id,
+        |    CASE WHEN c.n >= 96
+        |      AND s::DOUBLE / c.n::DOUBLE >= 96.0
+        |      AND s::DOUBLE / c.n::DOUBLE <= 160.0
+        |      AND sqrt(greatest(sq::DOUBLE / c.n::DOUBLE
+        |        - (s::DOUBLE / c.n::DOUBLE) * (s::DOUBLE / c.n::DOUBLE),
+        |        0.0)) >= 16.0
+        |      THEN 1 ELSE 0 END::BIGINT AS ak
+        |  FROM clip c JOIN apx USING (doc_id)),
+        |j AS (SELECT im.source, im.ik, am.ak, v.vk FROM im
+        |  JOIN am USING (doc_id) JOIN v USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(ik)::BIGINT AS img_keep, sum(ak)::BIGINT AS aud_keep,
+        |  sum(vk)::BIGINT AS vid_keep,
+        |  sum(ik * ak * vk)::BIGINT AS all_keep,
+        |  round(sum(ik * ak * vk)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS all_rate
+        |FROM j GROUP BY source""".stripMargin
+    })
+
   // ---------------------------- cross-modal pair curation (c05)
   // The CLIP-score move (the LAION curation recipe): score every
   // candidate (image, text) pair by a deterministic two-tower cosine in
@@ -2146,5 +2227,5 @@ private[graft] object QueriesVectors {
       |FROM p GROUP BY source""".stripMargin
   }
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05, c06)
 }
