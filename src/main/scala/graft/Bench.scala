@@ -76,6 +76,22 @@ object Bench {
     // side artifact so a future reader can see the noise amplitude
     // directly instead of re-deriving the counter-measurement protocol.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // machine-noise calibration probe: a fixed CPU-bound workload (no
+    // IO, no shuffle variance — one range aggregate) timed best-of-3 at
+    // suite START and END. Identical code + identical probe ⇒ any drift
+    // between the two numbers (or vs a prior round's probe) is the
+    // MACHINE, not a plan regression — the r15 environment showed 40-80s
+    // single-iteration stalls on identical code, and this pins how much
+    // of a round-over-round total delta is environmental.
+    def probeOnce(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 3 % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probe(): Double = { probeOnce(); (0 until 3).map(_ => probeOnce()).min }
+    val probeStart = probe()
     // SPARK_GRAFT_BENCH_METRICS=1: additionally attribute shuffle
     // read/write and spill bytes to each query via a stage listener —
     // the "is this operator actually shuffle-light" evidence that
@@ -233,7 +249,9 @@ object Bench {
           s""""n_queries":${minsSorted.size},""" +
           s""""floor_est_sec":${fmt(floorEst, 3)},""" +
           s""""floor_total_sec":${fmt(floorTotal, 1)},""" +
-          s""""work_total_sec":${fmt(workTotal, 1)},"queries":{""",
+          s""""work_total_sec":${fmt(workTotal, 1)},""" +
+          s""""probe_start_sec":${fmt(probeStart, 3)},""" +
+          s""""probe_end_sec":${fmt(probe(), 3)},"queries":{""",
         ",", "}}")
       for (p <- Seq("/tmp/graft_bench_iters.json", "bench_iters_last.json"))
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
