@@ -186,4 +186,43 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("c06 funnel monotonicity: all-three keeps never exceed any " +
+      "single modality's keeps; counts conserve per source") {
+    val rows = graft.SparkEntry.queries("c06_trimodal_report")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val all3 = r.getAs[Long]("all_keep")
+      Seq("img_keep", "aud_keep", "vid_keep").foreach { c =>
+        val k = r.getAs[Long](c)
+        assert(k >= 0 && k <= n, s"$c out of [0, n_docs]")
+        assert(all3 <= k, s"all_keep $all3 > $c $k")
+      }
+    }
+  }
+
+  test("c07 retrieval bounds: recall@1 <= mrr <= 1, every text ranked, " +
+      "and exact towers retrieve perfectly") {
+    val rows = graft.SparkEntry.queries("c07_crossmodal_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_txt")
+      val top1 = r.getAs[Long]("n_top1")
+      val mrr = r.getAs[Double]("mrr")
+      val rec = r.getAs[Double]("recall_at_1")
+      total += n
+      assert(top1 <= n)
+      assert(rec <= mrr + 1e-9 && mrr <= 1.0 + 1e-9,
+        s"bounds violated: recall $rec mrr $mrr")
+      // the parity pin: exact towers ⇒ the aligned image wins every rank
+      assert(rec == 1.0 && mrr == 1.0,
+        s"tower parity broken: recall $rec mrr $mrr")
+    }
+    // every document's text got a rank (aligned pair always a candidate)
+    assert(total == 500L, s"expected all 500 texts ranked, got $total")
+  }
 }
