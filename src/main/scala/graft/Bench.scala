@@ -279,7 +279,10 @@ object Bench {
       val elidedPart =
         if (include == null) ""
         else s""","elided":${results.count(kv => kv._2.nonEmpty && !include(kv._1))}"""
+      // "probe": the fixed CPU-calibration time (see probeOnce above) —
+      // in-band noise context for a reader of the stdout line alone
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec"""" +
+        s""","probe":${fmt(probeStart, 2)}""" +
         s""","queries":$qs$failedPart$elidedPart,"sf":"$sfDir"}"""
     }
     // stdout arrives through sbt with an "[info] " prefix that breaks a
