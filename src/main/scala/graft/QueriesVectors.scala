@@ -1825,6 +1825,15 @@ private[graft] object QueriesVectors {
   // Rules: too-short (< 6 frames = 240 ms), luma range, flatness, and
   // motion ≥ 8 per pixel-pair. Oracle replays every pixel from the
   // generation spec and the SAD via a lag window.
+  /** m16/s23's pinned clip geometry. The divisors here AND the oracle's
+    * constants ([[videoGateSqlBody]]) all interpolate these values, so
+    * a caller changing the geometry moves both engines together instead
+    * of silently desyncing Spark from the oracle (ADVICE r15). 25 fps →
+    * 40 ms per frame. */
+  private val GATE_W = 16
+  private val GATE_H = 8
+  private val GATE_PX = (GATE_W * GATE_H).toLong
+
   private[graft] def videoGateScored(docsDf: DataFrame): DataFrame = {
     val isStatic =
       Dedup.md5Hash(col("doc_id").cast("string"), lit("vid.m")) % 2 === 0L
@@ -1834,13 +1843,13 @@ private[graft] object QueriesVectors {
       when(isStatic, lit(16L)).otherwise(lit(1L)).as("seg"),
       when(isStatic, lit("static")).otherwise(lit("dynamic")).as("variant"))
     val st = Multimodal.videoGateRows(base, "doc_id", "source", "variant",
-      "text", col("nf"), col("seg"))
-    val n = (col("n_frames") * 128L).cast("double")
+      "text", col("nf"), col("seg"), w = GATE_W, h = GATE_H)
+    val n = (col("n_frames") * GATE_PX).cast("double")
     val mean = col("px_sum").cast("double") / n
     val sd = sqrt(greatest(col("px_sq").cast("double") / n - mean * mean,
       lit(0.0)))
     val motion = col("sad_sum").cast("double") /
-      ((col("n_frames") - 1L) * 128L).cast("double")
+      ((col("n_frames") - 1L) * GATE_PX).cast("double")
     st.select(col("doc_id"), col("source"), col("variant"),
       col("n_frames"), col("duration_ms"),
       round(mean, 6).as("px_mean"), round(sd, 6).as("px_std"),
@@ -1872,9 +1881,10 @@ private[graft] object QueriesVectors {
       |      THEN 'static' ELSE 'dynamic' END AS variant
       |  FROM documents),
       |px AS (SELECT doc_id, f, g,
-      |    ('0x' || substr(md5(t || '#' || ((f // seg) * 8 + g // 16)
+      |    ('0x' || substr(md5(t || '#' || ((f // seg) * ${GATE_PX / 16}
+      |      + g // 16)
       |      ::VARCHAR), ((g % 16) * 2 + 1)::INT, 2))::BIGINT AS v
-      |  FROM (SELECT *, unnest(range(128)) AS g
+      |  FROM (SELECT *, unnest(range($GATE_PX)) AS g
       |        FROM (SELECT *, unnest(range(nf)) AS f FROM vid))),
       |d AS (SELECT doc_id, f, g, v,
       |    lag(v) OVER (PARTITION BY doc_id, g ORDER BY f) AS pv
@@ -1885,11 +1895,11 @@ private[graft] object QueriesVectors {
       |  FROM d GROUP BY 1),
       |m AS (SELECT vd.doc_id, vd.source, vd.variant, vd.nf,
       |    (vd.nf * 40)::BIGINT AS duration_ms,
-      |    a.s::DOUBLE / (vd.nf * 128)::DOUBLE AS mean,
-      |    sqrt(greatest(a.sq::DOUBLE / (vd.nf * 128)::DOUBLE
-      |      - (a.s::DOUBLE / (vd.nf * 128)::DOUBLE)
-      |        * (a.s::DOUBLE / (vd.nf * 128)::DOUBLE), 0.0)) AS sd,
-      |    a.sad::DOUBLE / ((vd.nf - 1) * 128)::DOUBLE AS motion
+      |    a.s::DOUBLE / (vd.nf * $GATE_PX)::DOUBLE AS mean,
+      |    sqrt(greatest(a.sq::DOUBLE / (vd.nf * $GATE_PX)::DOUBLE
+      |      - (a.s::DOUBLE / (vd.nf * $GATE_PX)::DOUBLE)
+      |        * (a.s::DOUBLE / (vd.nf * $GATE_PX)::DOUBLE), 0.0)) AS sd,
+      |    a.sad::DOUBLE / ((vd.nf - 1) * $GATE_PX)::DOUBLE AS motion
       |  FROM vid vd JOIN a USING (doc_id))""".stripMargin
 
   private val m16: (String, QFn, Option[String]) = ("m16_video_quality_gate",
@@ -1901,6 +1911,81 @@ private[graft] object QueriesVectors {
       |  (nf >= 6 AND mean >= 32.0 AND mean <= 224.0 AND sd >= 8.0
       |    AND motion >= 8.0)::BIGINT AS keep
       |FROM m""".stripMargin))
+
+  // ---------------------------- video VLM packing (m17)
+  // m05's token-budget packing, video edition — the cell a
+  // video-capable VLM data pipeline hits first after dedup/gating:
+  // every clip's context cost is its FRAME budget (nf × the ViT
+  // patchify of the 16×8 source geometry: ⌈16/4⌉·⌈8/4⌉ = 8 patch
+  // tokens per frame, + 2 boundary specials) plus its caption tokens,
+  // and clips pack greedily into 512-token windows per (source, shard)
+  // with overflow running into the next pack — the m05 contract
+  // verbatim (first_chunk / chunk_offset / last_chunk). The budget's
+  // n_frames comes from the REAL decoded Y4M header via m14's
+  // thumbnail strip machinery ([[Multimodal.videoStripSummaryBatched]]
+  // — full decode → sample → resize → re-encode roundtrip, summarized
+  // to ONE row per clip inside the partition), and the strip pixel sum
+  // rides along as the codec pin — so a codec regression moves the
+  // budget or the pin and hash-fails the row. Scale shape: per-row
+  // codec work, one doc-keyed join (broadcastable: the summary is one
+  // row per clip), one pack-assignment window exchange — never a
+  // per-frame or per-thumbnail shuffle (PlanShapeSpec pins it).
+  private val m17: (String, QFn, Option[String]) = ("m17_video_vlm_pack",
+    (s, d) => {
+      val base = docs(s, d)
+      val lens = base.select(col("doc_id"), col("text"),
+        (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("vid"))
+          % 12).as("nf"))
+      val strip = Multimodal.videoStripSummaryBatched(
+          Multimodal.encodeY4mFromText(lens, "doc_id", "text", col("nf"),
+            segLen = 1),
+          "doc_id", "payload", k = 4, tw = 4, th = 4)
+        .select(col("doc_id"), col("n_frames"),
+          col("px_sum").as("strip_px_sum"))
+      val budget = base.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("txt_tokens"))
+        .join(strip, Seq("doc_id"))
+        .withColumn("vid_tokens", col("n_frames") * 8L + 2L)
+      Sampling.packSequences(budget, col("doc_id"), col("source"),
+          col("txt_tokens") + col("vid_tokens"), capacity = 512,
+          shards = 4, salt = "vvlm")
+        .select(col("doc_id"), col("source"), col("n_frames"),
+          col("strip_px_sum"), col("vid_tokens"), col("txt_tokens"),
+          col("n_tokens"), col("first_chunk"), col("chunk_offset"),
+          col("last_chunk"))
+    },
+    Some {
+      val byte = "('0x' || substr(md5(t || '#' || (idx * 8 + g // 16)" +
+        "::VARCHAR), ((g % 16) * 2 + 1)::INT, 2))::BIGINT"
+      s"""WITH vid AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#vid'")} % 12)::BIGINT
+        |      AS nf,
+        |    len($tokSql)::BIGINT AS txt
+        |  FROM documents),
+        |sj AS (SELECT doc_id, t, j, (j * (nf - 1)) // 3 AS idx
+        |  FROM (SELECT *, unnest(range(4)) AS j FROM vid)),
+        |px AS (SELECT doc_id, $byte AS v
+        |  FROM (SELECT *, unnest(range(128)) AS g FROM sj)
+        |  WHERE (g % 16) % 4 = 0 AND (g // 16) % 2 = 0),
+        |st AS (SELECT doc_id, sum(v)::BIGINT AS strip_px_sum FROM px
+        |  GROUP BY doc_id),
+        |tk AS (SELECT v.doc_id, v.source, v.nf, v.txt, s.strip_px_sum,
+        |    (v.nf * 8 + 2)::BIGINT AS vid,
+        |    (v.txt + v.nf * 8 + 2)::BIGINT AS n_tokens,
+        |    ${md5HashSql("v.doc_id::VARCHAR || '#vvlm.s'")} % 4 AS shard
+        |  FROM vid v JOIN st s USING (doc_id)),
+        |pko AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS st0
+        |  FROM tk)
+        |SELECT doc_id, source, nf AS n_frames, strip_px_sum,
+        |  vid AS vid_tokens, txt AS txt_tokens, n_tokens,
+        |  (st0 // 512)::BIGINT AS first_chunk,
+        |  (st0 % 512)::BIGINT AS chunk_offset,
+        |  ((st0 + n_tokens - 1) // 512)::BIGINT AS last_chunk
+        |FROM pko""".stripMargin
+    })
 
   // ---------------------------- cross-modal curation report (c04)
   // The c01 funnel move for the multimodal gates: per source, how many
@@ -2082,30 +2167,78 @@ private[graft] object QueriesVectors {
   // double) with one IEEE divide — both engines bit-identical.
   /** Sign-pattern (hyperplane-LSH) bucket over the first `bits` tower
     * dims. `bits` IS the scale knob: candidate pairs grow with
-    * Σ bucket², i.e. quadratically in corpus size at FIXED width, so a
-    * production corpus widens the pattern (bits 12–16 → 4k–65k buckets;
-    * aligned pairs still collapse — identical vectors share any width)
-    * and adds per-bucket posting caps (the Dedup.scala:45-60 move). The
-    * registered c05/s22 rows use 6 bits — the recall-friendly width at
-    * graded scale, where wider keys would leave no cross-pair
-    * candidates to score. XModalBench measures the knob at 10×. */
+    * Σ bucket², i.e. quadratically in corpus size at FIXED width — so
+    * the registered operators do NOT fix it: they derive it from the
+    * indexed corpus via [[adaptiveTowerBits]] (the d73 self-tuning
+    * move) and add a per-bucket posting cap (the Dedup.docShingles
+    * hot-key move). Identical vectors share any width, so aligned
+    * pairs always stay candidates. XModalBench measures the knob. */
   private[graft] def towerBucket(vec: Column, bits: Int = 6): Column =
     (0 until bits).map(b =>
       when(element_at(vec, b + 1) > 128L, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Docs-per-bucket the adaptive width targets (2^bits ≈ n / this). */
+  private[graft] val TOWER_TARGET_BUCKET = 16L
+
+  /** Skew backstop: buckets holding more than this many IMAGES (4× the
+    * width's target) are dropped from the candidate join entirely — the
+    * Dedup.docShingles df-cutoff move. A bucket that hot means the
+    * content is degenerate there (one sign pattern swallowing the
+    * corpus); at the adaptive width it never bites on healthy data
+    * (verified at both graded scales), and the oracle replays the cap
+    * so a bite still hash-matches. */
+  private[graft] val TOWER_MAX_POSTINGS = 64L
+
+  /** Corpus-derived tower-bucket width — the self-tuned knob r15 left
+    * as a bench parameter: the smallest `bits` with
+    * 2^bits · TOWER_TARGET_BUCKET ≥ n (i.e. ⌈log₂⌈n/16⌉⌉), clamped to
+    * [6, 16] (6 = the recall-friendly floor at tiny corpora; 16 = the
+    * tower's dimension count, the widest sign pattern it can hash).
+    * Pure integer arithmetic so the DuckDB oracle's
+    * `ceil(log2(...))` form provably agrees at every n (both compute
+    * ⌈log₂ m⌉ of the same integer m). One cheap count() derives it —
+    * the d73 one-scalar-pull precedent. 500 docs → 6 bits (the r15
+    * registered width, so graded-scale results are unchanged); 50k
+    * docs → 12 bits, the width XModalBench measured at 59× fewer
+    * candidates / 6.3× faster. */
+  private[graft] def adaptiveTowerBits(n: Long): Int = {
+    // ceil(n / target) in the overflow-free (n-1)/t + 1 form: counts up
+    // to Long.MaxValue clamp to 16 instead of wrapping negative
+    val m =
+      if (n <= 1L) 1L else (n - 1L) / TOWER_TARGET_BUCKET + 1L
+    val b =
+      if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(6, math.min(16, b))
+  }
+
+  /** The SQL twin of [[adaptiveTowerBits]], as a one-row CTE body over
+    * the image-dims CTE `src`. */
+  private def adaptiveBitsSql(src: String): String =
+    s"""SELECT greatest(6, least(16, ceil(log2(greatest(
+       |    (count(*) + ${TOWER_TARGET_BUCKET - 1}) // $TOWER_TARGET_BUCKET,
+       |    1)))::BIGINT)) AS b FROM $src""".stripMargin
+
   private[graft] def towerNorm2(vec: Column): Column =
     aggregate(vec, lit(0L), (acc, v) => acc + (v - 128L) * (v - 128L))
 
-  /** Image tower: (doc_id, source, ivec, ibucket, in2) through the REAL
-    * codec path. */
-  private[graft] def imageTower(docsDf: DataFrame,
-                                bucketBits: Int = 6): DataFrame = {
-    val dims = docsDf.select(col("doc_id"), col("text"),
+  /** The tower geometry spec: (doc_id, source, text, w, h) with the
+    * content-addressed dims every tower row derives its coordinates
+    * from. Factored so c07/c08 can inject RE-ID'd rows (same spec,
+    * new id — the duplicate-image distractor class) without touching
+    * the tower code paths. */
+  private[graft] def towerDims(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), col("source"), col("text"),
       (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
         % 24).as("w"),
       (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
         % 12).as("h"))
+
+  /** Image tower over a dims frame: (doc_id, source, ivec, ibucket,
+    * in2) through the REAL codec path. */
+  private[graft] def imageTowerFromDims(dims: DataFrame,
+                                        bucketBits: Int): DataFrame = {
     val rs = Multimodal.resizePgmBatched(
       Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
         col("h")),
@@ -2114,51 +2247,77 @@ private[graft] object QueriesVectors {
     rs.select(col("doc_id"), vec.as("ivec"))
       .withColumn("ibucket", towerBucket(col("ivec"), bucketBits))
       .withColumn("in2", towerNorm2(col("ivec")))
-      .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(dims.select(col("doc_id"), col("source")), Seq("doc_id"))
   }
 
-  /** Text tower: (txt_id, tvec, tbucket, tn2) with NO codec — a
-    * stateless per-row map, so it runs unchanged on a document STREAM
-    * (the s22 serving shape). */
-  private[graft] def textTower(docsDf: DataFrame,
-                               bucketBits: Int = 6): DataFrame = {
-    val dims = docsDf.select(col("doc_id"), col("text"),
-      (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
-        % 24).as("w"),
-      (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
-        % 12).as("h"))
+  private[graft] def imageTower(docsDf: DataFrame,
+                                bucketBits: Int = 6): DataFrame =
+    imageTowerFromDims(towerDims(docsDf), bucketBits)
+
+  /** Text tower over a dims frame: (txt_id, tvec, tbucket, tn2) with NO
+    * codec — a stateless per-row map, so it runs unchanged on a
+    * document STREAM (the s22 serving shape). */
+  private[graft] def textTowerFromDims(dims: DataFrame,
+                                       bucketBits: Int): DataFrame =
     Multimodal.textTowerBatched(dims, "doc_id", "text", col("w"), col("h"))
       .select(col("doc_id").as("txt_id"), col("tvec"))
       .withColumn("tbucket", towerBucket(col("tvec"), bucketBits))
       .withColumn("tn2", towerNorm2(col("tvec")))
-  }
 
-  /** Scored candidate pairs + per-source survival report. `textDocs` may
-    * be a STREAMING frame (text tower is a stateless map, the pair join
-    * is stream-static on the bucket key, the rollup is a keyed aggregate
-    * with state bounded by |sources| — complete mode). */
+  private[graft] def textTower(docsDf: DataFrame,
+                               bucketBits: Int = 6): DataFrame =
+    textTowerFromDims(towerDims(docsDf), bucketBits)
+
   /** Scored candidate pairs — the shared core of the curation report
-    * (c05/s22) and the retrieval eval (c07): (txt_id, doc_id = image,
-    * source, _score) with the exact-integer-dot / one-IEEE-divide
-    * cosine. */
-  private[graft] def crossModalScored(textDocs: DataFrame,
-                                      imgDocs: DataFrame,
-                                      bucketBits: Int = 6): DataFrame = {
-    val pairs = textTower(textDocs, bucketBits)
-      .join(imageTower(imgDocs, bucketBits),
-        col("tbucket") === col("ibucket"))
+    * (c05/s22), the retrieval eval (c07) and the cross-modal dedup
+    * (c08): (txt_id, doc_id = image, source, _score) with the
+    * exact-integer-dot / one-IEEE-divide cosine, plus the exact integer
+    * terms (_dot, _in2, _tn2) c08's parallel test reads. Candidates
+    * ride the bucket equi-join with the hot-bucket cap applied on the
+    * image (index) side — a dropped bucket starves its text rows of
+    * partners, which is exactly the Dedup.docShingles drop-the-key
+    * semantics. `textDims` may come from a STREAMING frame. */
+  private[graft] def crossModalScoredDims(
+      textDims: DataFrame, imgDims: DataFrame, bucketBits: Int,
+      maxPostings: Long = TOWER_MAX_POSTINGS): DataFrame = {
+    val img = imageTowerFromDims(imgDims, bucketBits)
+    val imgOk =
+      if (maxPostings <= 0L) img
+      else {
+        val hot = img.groupBy(col("ibucket")).count()
+          .filter(col("count") > maxPostings).select(col("ibucket"))
+        img.join(hot, Seq("ibucket"), "left_anti")
+      }
+    val pairs = textTowerFromDims(textDims, bucketBits)
+      .join(imgOk, col("tbucket") === col("ibucket"))
     val dot = aggregate(
       zip_with(col("ivec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
       lit(0L), (acc, v) => acc + v)
     val denom2 = (col("in2") * col("tn2")).cast("double")
-    pairs.withColumn("_score",
-      when(denom2 > 0.0, dot.cast("double") / sqrt(denom2))
-        .otherwise(lit(0.0)))
+    pairs.withColumn("_dot", dot)
+      .withColumn("_score",
+        when(denom2 > 0.0, col("_dot").cast("double") / sqrt(denom2))
+          .otherwise(lit(0.0)))
+      .withColumnRenamed("in2", "_in2").withColumnRenamed("tn2", "_tn2")
   }
+
+  private[graft] def crossModalScored(textDocs: DataFrame,
+                                      imgDocs: DataFrame,
+                                      bucketBits: Int): DataFrame =
+    crossModalScoredDims(towerDims(textDocs), towerDims(imgDocs),
+      bucketBits)
+
+  /** Adaptive-width entry point — the registered c05/s22 behavior: ONE
+    * cheap count of the indexed image corpus picks the bucket width
+    * ([[adaptiveTowerBits]]); works when `textDocs` streams because the
+    * image side is the static index. */
+  private[graft] def crossModalScored(textDocs: DataFrame,
+                                      imgDocs: DataFrame): DataFrame =
+    crossModalScored(textDocs, imgDocs, adaptiveTowerBits(imgDocs.count()))
 
   private[graft] def crossModalReport(textDocs: DataFrame,
                                       imgDocs: DataFrame,
-                                      bucketBits: Int = 6): DataFrame = {
+                                      bucketBits: Int): DataFrame = {
     val score = col("_score")
     crossModalScored(textDocs, imgDocs, bucketBits)
       .withColumn("_kept", (score >= 0.8).cast("long"))
@@ -2172,31 +2331,73 @@ private[graft] object QueriesVectors {
         col("n_kept").cast("double") / col("n_pairs").cast("double"), 6))
   }
 
-  private[graft] val crossModalSql: String =
-    s"""WITH dim AS (SELECT doc_id, source, coalesce(text, '') AS t,
-      |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
-      |      AS w,
-      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
-      |      AS h
-      |  FROM documents),
+  private[graft] def crossModalReport(textDocs: DataFrame,
+                                      imgDocs: DataFrame): DataFrame =
+    crossModalReport(textDocs, imgDocs, adaptiveTowerBits(imgDocs.count()))
+
+  /** The tower-candidate CTE chain ending at `p` (scored pairs),
+    * shared by c05/s22/c07/c08 — adaptive width (`bits` CTE over the
+    * image corpus), hot-bucket cap (`okb`, the d73 oracle idiom), exact
+    * centered-integer vectors. With `withDistractors` the image corpus
+    * gains the RE-ID'd duplicate rows the retrieval eval (c07) and the
+    * cross-modal dedup (c08) grade against: ~25% of docs re-enter with
+    * the SAME generation spec under a new id — half at -(id+1) (sorts
+    * BEFORE the aligned image: the tie-beating confuser), half at
+    * id+10⁹ (sorts after: the rank-2 near-miss) — the "same image,
+    * re-uploaded" class a real corpus is full of. Texts stay the
+    * originals (`tagg`). */
+  private[graft] def crossModalCandCtes(withDistractors: Boolean): String = {
+    val dim0 =
+      s"""dim0 AS (SELECT doc_id, source, coalesce(text, '') AS t,
+        |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+        |      AS w,
+        |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+        |      AS h
+        |  FROM documents)""".stripMargin
+    val idim =
+      if (!withDistractors) "idim AS (SELECT * FROM dim0)"
+      else
+        s"""idim AS (SELECT doc_id, source, t, w, h FROM dim0
+          |  UNION ALL
+          |  SELECT -(doc_id + 1), source, t, w, h FROM dim0
+          |   WHERE ${md5HashSql("doc_id::VARCHAR || '#dx'")} % 4 = 0
+          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000000, source, t, w, h FROM dim0
+          |   WHERE ${md5HashSql("doc_id::VARCHAR || '#dx'")} % 4 = 0
+          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 2 = 1)"""
+          .stripMargin
+    s"""$dim0,
+      |$idim,
+      |bits AS (${adaptiveBitsSql("idim")}),
       |smp AS (SELECT doc_id, source, t, k,
       |    ((k // 4) * h // 4) * w + ((k % 4) * w // 4) AS pos
-      |  FROM (SELECT *, unnest(range(16)) AS k FROM dim)),
+      |  FROM (SELECT *, unnest(range(16)) AS k FROM idim)),
       |vec AS (SELECT doc_id, source, k,
       |    ('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
       |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT AS v
       |  FROM smp),
       |agg AS (SELECT doc_id, source,
-      |    sum(CASE WHEN k < 6 AND v > 128 THEN (1::BIGINT << k)
+      |    sum(CASE WHEN k < b AND v > 128 THEN (1::BIGINT << k)
       |      ELSE 0 END)::BIGINT AS bucket,
       |    list((v - 128)::DOUBLE ORDER BY k) AS cv,
       |    sum((v - 128) * (v - 128))::BIGINT AS n2
-      |  FROM vec GROUP BY 1, 2),
+      |  FROM vec, bits GROUP BY 1, 2),
+      |okb AS (SELECT bucket FROM agg GROUP BY bucket
+      |  HAVING count(*) <= $TOWER_MAX_POSTINGS),
+      |tagg AS (SELECT * FROM agg WHERE doc_id BETWEEN 0 AND 999999999),
       |p AS (SELECT i.source, i.doc_id AS img_id, t.doc_id AS txt_id,
+      |    i.cv AS icv, t.cv AS tcv, i.n2 AS in2, t.n2 AS tn2,
       |    CASE WHEN i.n2 * t.n2 > 0
       |      THEN list_dot_product(i.cv, t.cv) / sqrt((i.n2 * t.n2)::DOUBLE)
       |      ELSE 0.0 END AS score
-      |  FROM agg i JOIN agg t ON i.bucket = t.bucket)
+      |  FROM agg i JOIN okb USING (bucket)
+      |   JOIN tagg t ON i.bucket = t.bucket)""".stripMargin
+  }
+
+  private val c05: (String, QFn, Option[String]) = ("c05_crossmodal_pairs",
+    (s, d) => crossModalReport(docs(s, d), docs(s, d)),
+    Some(s"""WITH ${crossModalCandCtes(withDistractors = false)}
       |SELECT source, count(*)::BIGINT AS n_pairs,
       |  sum((score >= 0.8)::BIGINT)::BIGINT AS n_kept,
       |  sum((img_id = txt_id)::BIGINT)::BIGINT AS n_aligned,
@@ -2204,35 +2405,38 @@ private[graft] object QueriesVectors {
       |    AS n_aligned_kept,
       |  round(sum((score >= 0.8)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
       |    AS kept_rate
-      |FROM p GROUP BY source""".stripMargin
-
-  private val c05: (String, QFn, Option[String]) = ("c05_crossmodal_pairs",
-    (s, d) => crossModalReport(docs(s, d), docs(s, d)),
-    Some(crossModalSql))
+      |FROM p GROUP BY source""".stripMargin))
 
   // ---------------------------- cross-modal retrieval eval (c07)
   // The metric every CLIP-style matcher is actually quoted by:
   // text-to-image retrieval recall@1 and MRR over the SAME scored
-  // candidate pairs c05 curates (the e09 recall-audit move, cross-modal
-  // edition). Per text: rank its bucket's candidate images by score
+  // candidate substrate c05 curates (the e09 recall-audit move,
+  // cross-modal edition) — now DISCRIMINATIVE (the r15 verdict ask):
+  // the image corpus carries [[crossModalEvalDims]]'s re-ID'd
+  // duplicate distractors, which score cosine EXACTLY 1 (same spec →
+  // same tower vector through the real codec path), so the aligned
+  // image no longer wins by construction: a -(id+1) distractor beats
+  // it on the deterministic id tie-break and recall@1 measures < 1
+  // (the duplicate-confuser class every production retrieval eval
+  // fights), while the +10⁹ twin pins the tie-break direction at
+  // rank 2. Per text: rank its bucket's candidate images by score
   // (ties break by image id — both engines rank identical doubles
   // identically), find the ALIGNED image's rank, then per source:
   // recall@1 and MRR (per-text reciprocal ranks published on the 6-dp
   // grid and averaged as exact decimals — the s16 mean discipline, so
   // the mean is order-free). Aligned pairs are always candidates
   // (identical vectors share any bucket width), so every text has a
-  // rank — no null handling hides a retrieval miss.
-  //
-  // At the graded corpus recall@1 IS 1.0 by construction (the aligned
-  // pair's cosine-1 score strictly dominates; measured: even a 2-bit-
-  // quantized query tower loses no pair here) — published anyway
-  // because the row is the matcher's live PARITY PIN, the d48 move:
-  // any codec or tower drift drops a pair below rank 1 and fails both
-  // the hash gate and the semantic expectation, which is exactly what
-  // a retrieval eval in a production pipeline is for.
+  // rank — no null handling hides a retrieval miss. MRR ≥ recall@1
+  // always (1/rk ≥ [rk=1]); PropertiesSpec pins the bound AND keeps
+  // r15's parity behavior as an assertion: on the distractor-free
+  // corpus recall@1 is still exactly 1.0, so codec/tower drift fails
+  // the spec even if it somehow preserved the registered hash.
   private val c07: (String, QFn, Option[String]) = ("c07_crossmodal_recall",
     (s, d) => {
-      val ranked = crossModalScored(docs(s, d), docs(s, d))
+      val base = docs(s, d)
+      val idims = crossModalEvalDims(base)
+      val ranked = crossModalScoredDims(towerDims(base), idims,
+          adaptiveTowerBits(idims.count()))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("txt_id"))
@@ -2247,23 +2451,91 @@ private[graft] object QueriesVectors {
         .withColumn("recall_at_1", round(
           col("n_top1").cast("double") / col("n_txt").cast("double"), 6))
     },
-    Some {
-      val base = crossModalSql.substring(0,
-        crossModalSql.indexOf("SELECT source,"))
-      s"""${base.trim},
-        |r AS (SELECT source, img_id, txt_id,
-        |    row_number() OVER (PARTITION BY txt_id
-        |      ORDER BY score DESC, img_id) AS rk
-        |  FROM p),
-        |al AS (SELECT source, txt_id, rk FROM r WHERE img_id = txt_id)
-        |SELECT source, count(*)::BIGINT AS n_txt,
-        |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
-        |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
-        |    AS DOUBLE) / count(*), 6) AS mrr,
-        |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
-        |    AS recall_at_1
-        |FROM al GROUP BY source""".stripMargin
-    })
+    Some(s"""WITH ${crossModalCandCtes(withDistractors = true)},
+      |r AS (SELECT source, img_id, txt_id,
+      |    row_number() OVER (PARTITION BY txt_id
+      |      ORDER BY score DESC, img_id) AS rk
+      |  FROM p),
+      |al AS (SELECT source, txt_id, rk FROM r WHERE img_id = txt_id)
+      |SELECT source, count(*)::BIGINT AS n_txt,
+      |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
+      |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / count(*), 6) AS mrr,
+      |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
+      |    AS recall_at_1
+      |FROM al GROUP BY source""".stripMargin))
+
+  /** The retrieval-eval / dedup image corpus: every original image spec
+    * plus the RE-ID'd duplicate distractors — ~25% of docs re-enter
+    * with the SAME (text, w, h) generation spec under a new id, so the
+    * tower derives an IDENTICAL vector through the real codec path
+    * (the "same image, re-uploaded" duplicate class). Half take id
+    * -(origId + 1) — sorts BEFORE the aligned image, beating it on the
+    * score tie — half take origId + 10⁹ — sorts after, pinning the
+    * tie-break direction. Selection and split are content-addressed
+    * (md5 of the id under the `dx` / `dxs` seeds), replayed verbatim
+    * by the oracle's idim CTE. */
+  private[graft] def crossModalEvalDims(docsDf: DataFrame): DataFrame = {
+    val dims0 = towerDims(docsDf)
+    val sel =
+      Dedup.md5Hash(col("doc_id").cast("string"), lit("dx")) % 4 === 0L
+    val side = Dedup.md5Hash(col("doc_id").cast("string"), lit("dxs")) % 2
+    val beat = dims0.filter(sel && side === 0L)
+      .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+    val shadow = dims0.filter(sel && side === 1L)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    dims0.unionByName(beat).unionByName(shadow)
+  }
+
+  // ---------------------------- cross-modal cluster dedup (c08)
+  // The LAION-style dedup move the engine was missing: c05 SCORES
+  // pairs, d10 collapses text clusters — this collapses "same image,
+  // re-uploaded / re-captioned" clusters ACROSS modalities. Edges come
+  // from the SAME bucket equi-join substrate c05/c07 run on (never
+  // all-pairs — PlanShapeSpec pins it), but the merge test is stricter
+  // than c05's 0.8 curation keep: an edge exists only when the two
+  // tower vectors are EXACTLY positively parallel — dot² = |i|²·|t|²
+  // with dot > 0, the Cauchy–Schwarz equality case, tested in pure
+  // integer arithmetic (every term < 2⁵³, so both engines compute it
+  // exactly) — so only true duplicates merge, never near-threshold
+  // curation survivors (zero false merges, asserted at sf0.01 by
+  // PropertiesSpec). Components ride Dedup.labelComponents (d10's
+  // active-set + pointer-doubling engine); keep_id is the
+  // deterministic min id over the cluster. Output: one row per node
+  // (originals + re-IDs) with its component label and cluster size.
+  private val c08: (String, QFn, Option[String]) = ("c08_crossmodal_dedup",
+    (s, d) => {
+      val base = docs(s, d)
+      val idims = crossModalEvalDims(base)
+      val scored = crossModalScoredDims(towerDims(base), idims,
+        adaptiveTowerBits(idims.count()))
+      val e0 = scored.filter(col("_dot") > 0L
+          && col("_dot") * col("_dot") === col("_in2") * col("_tn2")
+          && col("txt_id") =!= col("doc_id"))
+        .select(col("txt_id").as("doc"), col("doc_id").as("peer"))
+      val edges = e0.unionByName(
+        e0.select(col("peer").as("doc"), col("doc").as("peer")))
+      Dedup.labelComponents(idims.select(col("doc_id").as("doc")), edges)
+        .withColumn("cluster_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("keep_id"))))
+    },
+    Some(s"""WITH RECURSIVE ${crossModalCandCtes(withDistractors = true)},
+      |e0 AS (SELECT txt_id AS doc, img_id AS peer FROM p
+      |  WHERE list_dot_product(icv, tcv) > 0
+      |    AND list_dot_product(icv, tcv) * list_dot_product(icv, tcv)
+      |      = (in2 * tn2)::DOUBLE
+      |    AND txt_id <> img_id),
+      |edges AS (SELECT doc, peer FROM e0
+      |  UNION SELECT peer, doc FROM e0),
+      |cc(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM idim
+      |  UNION
+      |  SELECT e.doc, c.label FROM edges e JOIN cc c ON c.doc = e.peer),
+      |lab AS (SELECT doc, min(label) AS keep_id FROM cc GROUP BY doc)
+      |SELECT doc, keep_id,
+      |  count(*) OVER (PARTITION BY keep_id)::BIGINT AS cluster_n
+      |FROM lab""".stripMargin))
 
   /** The SERVING surface of the pair matcher (s22): per image-source,
     * pairs seen / kept and the ALIGNED RECALL — the metric a live
@@ -2280,18 +2552,17 @@ private[graft] object QueriesVectors {
             / col("n_aligned").cast("double"), 6))
           .otherwise(lit(0.0)).as("aligned_recall"))
 
-  private[graft] val crossModalServingSql: String = {
-    // the c05 pipeline verbatim up to the final rollup; only the
-    // published projection differs (serving metric, not curation rate)
-    val base = crossModalSql.substring(0, crossModalSql.indexOf("SELECT source,"))
-    s"""${base}SELECT source, count(*)::BIGINT AS n_pairs,
+  // the c05 pipeline verbatim up to the final rollup; only the
+  // published projection differs (serving metric, not curation rate)
+  private[graft] val crossModalServingSql: String =
+    s"""WITH ${crossModalCandCtes(withDistractors = false)}
+      |SELECT source, count(*)::BIGINT AS n_pairs,
       |  sum((score >= 0.8)::BIGINT)::BIGINT AS n_kept,
       |  CASE WHEN sum((img_id = txt_id)::BIGINT) > 0
       |    THEN round(sum(((img_id = txt_id) AND score >= 0.8)::BIGINT)
       |      ::DOUBLE / sum((img_id = txt_id)::BIGINT)::DOUBLE, 6)
       |    ELSE 0.0 END AS aligned_recall
       |FROM p GROUP BY source""".stripMargin
-  }
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, c04, c05, c06, c07)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08)
 }

@@ -41,12 +41,22 @@ object XModalBench {
     }
     val (tNarrow, pNarrow) = run(6)
     val (tWide, pWide) = run(wideBits)
+    // the REGISTERED behavior since r16: the operator derives the width
+    // itself (adaptiveTowerBits over the image-corpus count). Measured
+    // here beside the manual widths so the round artifact can assert
+    // self-tuned ≡ hand-picked at the 10× corpus (50k docs → 12 bits,
+    // the width r15 measured at 59× fewer candidates / 6.3× faster).
+    val aBits = QueriesVectors.adaptiveTowerBits(docs.count())
+    val (tAdaptive, pAdaptive) = run(aBits)
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"sf":"$sfDir","narrow_bits":6,"narrow_sec":${f(tNarrow)},""" +
       s""""narrow_pairs":$pNarrow,"wide_bits":$wideBits,""" +
       s""""wide_sec":${f(tWide)},"wide_pairs":$pWide,""" +
-      s""""speedup":${f(tNarrow / tWide)}}""")
+      s""""speedup":${f(tNarrow / tWide)},""" +
+      s""""adaptive_bits":$aBits,"adaptive_sec":${f(tAdaptive)},""" +
+      s""""adaptive_pairs":$pAdaptive,""" +
+      s""""adaptive_eq_wide":${aBits == wideBits && pAdaptive == pWide}}""")
     spark.stop()
   }
 }

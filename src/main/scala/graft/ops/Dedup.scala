@@ -840,7 +840,19 @@ object Dedup {
         col("doc").as("peer")))
       .unionByName(nearPairs.select(col("peer").as("doc"),
         col("doc").as("peer")))
-      .distinct().cache()
+    labelComponents(df.select(col(idCol).as("doc")), edges, maxRounds)
+  }
+
+  /** The connected-components engine [[dedupCorpus]] runs, factored so
+    * other edge substrates (c08's cross-modal duplicate pairs) reuse the
+    * identical active-set + pointer-doubling iteration: `nodes` is a
+    * one-column (`doc`) frame of every node, `edges0` a symmetric
+    * (`doc`, `peer`) pair list (both directions present; need not be
+    * distinct). Returns (doc, keep_id) with keep_id = min id reachable —
+    * identity rows for nodes touching no edge. */
+  def labelComponents(nodes: DataFrame, edges0: DataFrame,
+                      maxRounds: Int = 10): DataFrame = {
+    val edges = edges0.distinct().cache()
     // label propagation to fixpoint (bounded): label = min id reachable.
     // The first hop is folded into initialization: against the identity
     // label map it reduces to min(id, min(peer)) straight off the edge
@@ -896,7 +908,7 @@ object Dedup {
     edges.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
-        s"dedupCorpus: label propagation did not converge in $maxRounds " +
+        s"labelComponents: label propagation did not converge in $maxRounds " +
           "rounds — raise maxRounds (pointer doubling needs " +
           "O(log component-diameter) rounds)")
     // re-attach the passive majority as identity rows; hand the active
@@ -905,7 +917,7 @@ object Dedup {
     // (a returned .cache() would pin them in the CacheManager forever)
     val finalLabels = labels.localCheckpoint(true)
     prev.foreach(_.unpersist(blocking = false))
-    df.select(col(idCol).as("doc"))
+    nodes.select(col("doc"))
       .join(finalLabels, Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("label"), col("doc")).as("keep_id"))

@@ -692,6 +692,72 @@ object Multimodal {
       "px_max", "px_csv")
   }
 
+  /** [[videoThumbnailsBatched]] aggregated to ONE row per clip INSIDE
+    * the partition — the m17 packing substrate: the same full decode →
+    * sample k strip frames (j·(F−1) div (k−1)) → nearest-neighbor
+    * resize to tw×th → re-encode-as-Y4M roundtrip, but the published
+    * row is the per-clip summary (n_frames from the REAL decoded
+    * header, Σ strip pixels, the strip csv for a digest) rather than k
+    * thumbnail rows. A downstream token-budget pack therefore never
+    * sees — let alone shuffles — per-frame rows; its only exchange is
+    * the pack-assignment window. Output: (id, n_frames, px_sum,
+    * px_csv). */
+  def videoStripSummaryBatched(df: DataFrame, idCol: String,
+                               payloadCol: String, k: Int, tw: Int,
+                               th: Int): DataFrame = {
+    require(k >= 2, s"videoStripSummaryBatched: k=$k needs first+last")
+    require(tw >= 1 && th >= 1, s"videoStripSummaryBatched: bad $tw x $th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"),
+      col(payloadCol).cast("binary")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        val nf = v.frames.length
+        require(nf >= 1, s"videoStripSummaryBatched: zero frames (id=$id)")
+        require(tw <= v.width && th <= v.height,
+          s"videoStripSummaryBatched: upscale $tw x $th from " +
+            s"${v.width} x ${v.height} (id=$id)")
+        val idxs = (0 until k).map(j => (j.toLong * (nf - 1) / (k - 1)).toInt)
+        val thumbs = idxs.map { fi =>
+          val src = v.frames(fi)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * v.height / th) * v.width
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) =
+                src((sy + x.toLong * v.width / tw).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val strip = Y4m.decode(Y4m.encode(
+          Y4m.Video(tw, th, v.fpsNum, v.fpsDen, thumbs.toArray)))
+        var sum = 0L
+        val sb = new java.lang.StringBuilder(k * tw * th * 4)
+        var j = 0
+        while (j < k) {
+          val fr = strip.frames(j)
+          var i = 0
+          while (i < fr.length) {
+            val p = (fr(i) & 0xff).toLong
+            sum += p
+            if (j > 0 || i > 0) sb.append(',')
+            sb.append(p)
+            i += 1
+          }
+          j += 1
+        }
+        (id, nf.toLong, sum, sb.toString)
+      }
+    }.toDF(idCol, "n_frames", "px_sum", "px_csv")
+  }
+
   /** REAL frame-rate shift: decode → show every frame `r` times at
     * r× the declared rate → RE-ENCODE (full codec roundtrip rides the
     * row). Wall-clock content is IDENTICAL — the canonical same-video
@@ -826,8 +892,13 @@ object Multimodal {
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, src, tag, t, nf, seg) =>
-        require(nf >= 1 && seg >= 1,
-          s"videoGateRows: bad frames/segLen $nf/$seg (id=$id)")
+        // nf >= 2, not 1: the gate's motion term divides by (nf - 1)
+        // pixel-pairs, so a 1-frame clip would score 0/0 = NaN and
+        // silently fail the keep instead of failing loudly here
+        // (ADVICE r15)
+        require(nf >= 2 && seg >= 1,
+          s"videoGateRows: bad frames/segLen $nf/$seg — motion needs " +
+            s"a frame pair (id=$id)")
         val frames = Array.tabulate(nf) { f =>
           val px = new Array[Byte](w * h)
           val key = f / seg

@@ -601,14 +601,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one hash exchange (the source rollup), no range: h=$h r=$r")
   }
 
-  test("cross-modal pairs (c05): candidates ride the bucket equi-join — " +
-      "never a cartesian over the corpus") {
-    val plan = finalPlanOf("c05_crossmodal_pairs")
+  test("cross-modal family (c05/c07/c08): candidates ride the bucket " +
+      "equi-join — never a cartesian, even with the distractor corpus") {
+    // c08's additional claim rides the same pin: its edges are FILTERED
+    // candidates from this join (the exact-parallel test), so no
+    // cartesian here means no all-pairs edge generation anywhere
+    Seq("c05_crossmodal_pairs", "c07_crossmodal_recall",
+        "c08_crossmodal_dedup").foreach { q =>
+      val plan = finalPlanOf(q)
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: pair generation must be the bucket equi-join, not " +
+          s"all-pairs:\n$plan")
+      val (_, r, _) = exchangeCounts(plan)
+      assert(r == 0, s"$q: unexpected range exchange: r=$r")
+    }
+  }
+
+  test("video VLM pack (m17): per-clip codec summary — frame rows never " +
+      "exist, the pack window is the only required exchange") {
+    val plan = finalPlanOf("m17_video_vlm_pack")
     assert(!plan.contains("CartesianProduct")
-        && !plan.contains("BroadcastNestedLoopJoin"),
-      s"pair generation must be the bucket equi-join, not all-pairs:\n$plan")
-    val (_, r, _) = exchangeCounts(plan)
-    assert(r == 0, s"unexpected range exchange in the pair matcher: r=$r")
+        && !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs:\n$plan")
+    val (h, r, _) = exchangeCounts(plan)
+    // the strip summary is fused to one row per clip inside
+    // mapPartitions, so every exchanged row is clip-grain: the pack
+    // window's (source, shard) exchange, plus at most the doc-keyed
+    // join's pair when AQE doesn't broadcast the summary side
+    assert(r == 0, s"unexpected range exchange: r=$r\n$plan")
+    assert(h <= 3, s"more exchanges than the pack shape needs: h=$h\n$plan")
   }
 
   test("RAG pack (d90): broadcast query bag + winner set; no range sort") {

@@ -108,6 +108,41 @@ class Y4mSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("upscale")))
   }
 
+  test("videoStripSummaryBatched equals videoThumbnailsBatched folded " +
+      "to one row per clip (same decode/sample/resize/roundtrip)") {
+    val w = 16; val h = 8
+    val df = Seq(
+      (1L, Y4m.encode(Y4m.Video(w, h, 25, 1, Array.tabulate(5)(f =>
+        Array.tabulate(w * h)(i => ((i + f) % 256).toByte))))),
+      (2L, Y4m.encode(Y4m.Video(w, h, 25, 1, Array.tabulate(9)(f =>
+        Array.tabulate(w * h)(i => ((i * 3 + f * 17) % 256).toByte))))))
+      .toDF("doc_id", "payload")
+    val thumbs = Multimodal.videoThumbnailsBatched(df, "doc_id", "payload",
+        k = 4, tw = 4, th = 4)
+      .orderBy("doc_id", "j").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val summary = Multimodal.videoStripSummaryBatched(df, "doc_id",
+        "payload", k = 4, tw = 4, th = 4).collect()
+    assert(summary.length == 2) // ONE row per clip, no fanout
+    summary.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = thumbs(id)
+      assert(r.getAs[Long]("n_frames") === t.head.getAs[Long]("n_frames"))
+      assert(r.getAs[Long]("px_sum") ===
+        t.map(_.getAs[Long]("px_sum")).sum)
+      assert(r.getAs[String]("px_csv") ===
+        t.map(_.getAs[String]("px_csv")).mkString(","))
+    }
+    // contract violations fail loudly, like the thumbnail strip's
+    val tiny = Seq((3L, Y4m.encode(mkVideo(2)))).toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoStripSummaryBatched(tiny, "doc_id", "payload",
+        k = 2, tw = 8, th = 8).collect()
+    }
+    assert(ex.getMessage.contains("upscale")
+      || Option(ex.getCause).exists(_.getMessage.contains("upscale")))
+  }
+
   test("videoFingerprintBatched collapses frame-rate-shifted re-encodes " +
       "at any integer factor; distinct content differs") {
     // 16x8 frames, distinct content per frame and per video

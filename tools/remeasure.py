@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Isolated re-measure protocol as a TOOL (r15 verdict ask #7): the manual
+counter-measurement rounds 5/6/15 ran by hand, automated end to end.
+
+Diffs two bench JSONs (driver BENCH_r{N}.json wrappers or raw
+bench_last.json lines both work), picks the top-N movers (new/old ratio
+above --ratio with the new min above --min-sec), re-runs exactly those
+queries in ONE isolated Bench invocation (SPARK_GRAFT_BENCH_ONLY —
+best-of-K per query with clearCache+GC between runs, away from the full
+suite's cache/GC churn), and emits a verdict artifact: per mover, the old
+min, the suite min, the ISOLATED min, the machine-noise probes, and
+  "noise"      isolated min collapses back to <= old * --ratio-ok
+  "regression" isolated min stays above it (every run slow = real)
+The suite-level probes (probe_start/probe_end of the isolated run vs the
+"probe" field of each input line, when present) ride along so a reader can
+see environment drift without trusting the verdict blindly.
+
+Usage:
+    python3 tools/remeasure.py OLD.json NEW.json \
+        [--top 8] [--ratio 1.5] [--ratio-ok 1.3] [--min-sec 0.5] \
+        [--iters 3] [--sf-dir /root/testdata/sf0.1] \
+        [--out remeasure_verdict.json] [--dry-run]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+
+def load(path):
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]  # driver BENCH_r{N}.json wrapper
+    qs = {k: float(v) for k, v in doc.get("queries", {}).items()}
+    # short-id key (q26b, d35 — verified unique in Bench) for matching
+    # across files that archive different name tiers
+    return {k.split("_")[0]: (k, v) for k, v in qs.items()}, doc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--top", type=int, default=8)
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--ratio-ok", type=float, default=1.3)
+    ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="remeasure_verdict.json")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="report the mover list without re-running")
+    args = ap.parse_args()
+
+    old, old_doc = load(args.old)
+    new, new_doc = load(args.new)
+    movers = []
+    for sid in sorted(set(old) & set(new)):
+        oname, ov = old[sid]
+        nname, nv = new[sid]
+        if nv >= args.min_sec and ov > 0 and nv / ov >= args.ratio:
+            movers.append({"query": nname, "short": sid,
+                           "old_sec": ov, "suite_sec": nv,
+                           "suite_ratio": round(nv / ov, 3)})
+    movers.sort(key=lambda m: -(m["suite_sec"] - m["old_sec"]))
+    movers = movers[:args.top]
+    if not movers:
+        print("no movers above threshold — nothing to re-measure")
+        out = {"old": args.old, "new": args.new, "movers": [],
+               "old_probe": old_doc.get("probe"),
+               "new_probe": new_doc.get("probe")}
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        return
+    print(f"{len(movers)} movers:")
+    for m in movers:
+        print(f"  {m['query']}: {m['old_sec']:.2f}s -> "
+              f"{m['suite_sec']:.2f}s ({m['suite_ratio']}x)")
+    if args.dry_run:
+        return
+
+    # one isolated Bench run over exactly the movers: best-of-iters per
+    # query, clearCache+GC between runs, probes at both ends
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(m["query"] for m in movers)
+    env["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    env["SPARK_GRAFT_BENCH_ITERS"] = str(args.iters)
+    print("re-running isolated (one sbt invocation)...", flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   check=True, stdout=subprocess.DEVNULL)
+    with open("/tmp/graft_bench.json") as fh:
+        iso = json.load(fh)
+    with open("/tmp/graft_bench_iters.json") as fh:
+        iso_iters = json.load(fh)
+
+    for m in movers:
+        iv = iso.get("queries", {}).get(m["query"])
+        m["isolated_sec"] = iv
+        m["isolated_times"] = (iso_iters.get("queries", {})
+                               .get(m["query"], {}).get("times"))
+        if iv is None:
+            m["verdict"] = "failed"
+        elif iv <= m["old_sec"] * args.ratio_ok:
+            m["verdict"] = "noise"
+        else:
+            m["verdict"] = "regression"
+        print(f"  {m['query']}: isolated {iv}s -> {m['verdict']}")
+
+    out = {"old": args.old, "new": args.new,
+           "ratio": args.ratio, "ratio_ok": args.ratio_ok,
+           "iters": args.iters, "sf_dir": args.sf_dir,
+           "old_probe": old_doc.get("probe"),
+           "new_probe": new_doc.get("probe"),
+           "isolated_probe_start": iso_iters.get("probe_start_sec"),
+           "isolated_probe_end": iso_iters.get("probe_end_sec"),
+           "movers": movers,
+           "n_regressions": sum(1 for m in movers
+                                if m["verdict"] == "regression")}
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out}: {out['n_regressions']} regression(s), "
+          f"{sum(1 for m in movers if m['verdict'] == 'noise')} noise")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
