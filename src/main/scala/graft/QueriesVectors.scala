@@ -146,8 +146,9 @@ private[graft] object QueriesVectors {
   /** e03's banded-candidates + exact-cosine CTE chain (e, sigs, banded,
     * cand, scored — threshold left to the consumer), factored so e24's
     * semantic decontamination replays the SAME pair substrate e03's own
-    * row verifies. */
-  private val lshScoredCtesSql: String = {
+    * row verifies, and parameterized by the hot-bucket posting cap e26
+    * registers (cap <= 0 = uncapped — the e03/e24 baseline). */
+  private def lshScoredCtes(cap: Int): String = {
     val rows = LSH_PLANES / LSH_BANDS
     val mask = (1L << rows) - 1
     val sigExpr = (0 until LSH_PLANES).map { p =>
@@ -155,22 +156,46 @@ private[graft] object QueriesVectors {
         .map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+    // the salt-split twin (see Similarity.lshNearDupPairs): buckets
+    // deeper than the cap subdivide by a content-addressed salt, pairs
+    // form within (band, bits, salt) — at or under the cap every salt
+    // is 0 and the capped pipeline is identical to the baseline
+    val capCtes =
+      if (cap <= 0) ""
+      else
+        s"""dep AS (SELECT band, bits, count(*)::BIGINT AS depth
+          |  FROM banded GROUP BY 1, 2),
+          |bs AS (SELECT banded.*,
+          |    (${md5HashSql("vec_id::VARCHAR || '#esalt'")}
+          |      % ((dep.depth + ${cap - 1}) // $cap)) AS salt
+          |  FROM banded JOIN dep USING (band, bits)),
+          |""".stripMargin
+    val (candFrom, candOn) =
+      if (cap <= 0)
+        ("FROM banded x JOIN banded y",
+          "ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id")
+      else
+        ("FROM bs x JOIN bs y",
+          "ON x.band = y.band AND x.bits = y.bits AND x.salt = y.salt " +
+            "AND x.vec_id < y.vec_id")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
       |  FROM embeddings),
       |sigs AS (SELECT vec_id, v, ($sigExpr)::BIGINT AS sig FROM e),
       |banded AS (SELECT vec_id, v, band,
       |   (sig >> (band * $rows)) & $mask AS bits
       |  FROM sigs, (SELECT unnest(range(0, $LSH_BANDS)) AS band) b),
-      |cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
+      |${capCtes}cand AS (SELECT DISTINCT x.vec_id AS a, x.v AS va,
       |   y.vec_id AS b, y.v AS vb
-      |  FROM banded x JOIN banded y
-      |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+      |  $candFrom
+      |   $candOn),
       |scored AS (SELECT a, b,
       |   round(list_dot_product(va, vb)
       |     / (sqrt(list_dot_product(va, va))
       |        * sqrt(list_dot_product(vb, vb))), 6) AS sim FROM cand)"""
       .stripMargin
   }
+
+  private val lshScoredCtesSql: String = lshScoredCtes(0)
 
   private val e03: (String, QFn, Option[String]) = ("e03_cosine_neardup",
     (s, d) => Similarity.lshNearDupPairs(
@@ -230,6 +255,34 @@ private[graft] object QueriesVectors {
       |  FROM te)
       |SELECT vec_id, n_eval_hits, eval_id AS best_eval, sim AS best_sim
       |FROM rk WHERE rn = 1""".stripMargin))
+
+  // -------------------------- salted cosine near-dup (e26)
+  // e03's scale twin, the d05→d06 pattern for the embedding side: the
+  // r16 fixed-width audit measured e03's decade at 6.6× (a fixed
+  // 16-value band keyspace makes bucket depth grow ~n/16, so candidate
+  // pairs grow ~quadratically), and NEITHER standard fix preserves the
+  // operator's meaning — widening rows decays near-dup recall as
+  // p^rows (it silently loses the θ>0 pairs the operator exists to
+  // find), and the d68 drop-the-hot-key cap returns NOTHING once the
+  // corpus makes every key hot (measured: 0 pairs at the 10× fixture).
+  // The scale-true move is the SALT-SPLIT: a band bucket deeper than
+  // the cap subdivides into ceil(depth/cap) sub-buckets by a content-
+  // addressed salt, pairs form within sub-buckets only — candidates
+  // bounded by ~cap·n per band (linear), recall degrades gracefully
+  // (each vector still meets ~cap dense-region neighbors; salt-split
+  // pairs can resurface through the other 3 bands), and at or under
+  // the cap the pipeline is IDENTICAL to e03's. e03 stays registered
+  // as the recall-faithful baseline (cross-checked against exact
+  // all-pairs by SimilarityNearDupSpec); this row is the plan a 100 TB
+  // run ships.
+  private val E26_CAP = 64
+  private val e26: (String, QFn, Option[String]) = ("e26_salted_neardup",
+    (s, d) => Similarity.lshNearDupPairs(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      0.5, dims = LSH_DIMS, planes = LSH_PLANES, bands = LSH_BANDS,
+      maxBandPostings = E26_CAP),
+    Some(s"""WITH ${lshScoredCtes(E26_CAP)}
+      |SELECT a, b, sim FROM scored WHERE sim >= 0.5""".stripMargin))
 
   // ------------------------------------------------- multimodal plumbing
   private val m01: (String, QFn, Option[String]) = ("m01_binary_meta",
@@ -2301,11 +2354,11 @@ private[graft] object QueriesVectors {
       .withColumnRenamed("in2", "_in2").withColumnRenamed("tn2", "_tn2")
   }
 
-  private[graft] def crossModalScored(textDocs: DataFrame,
-                                      imgDocs: DataFrame,
-                                      bucketBits: Int): DataFrame =
+  private[graft] def crossModalScored(
+      textDocs: DataFrame, imgDocs: DataFrame, bucketBits: Int,
+      maxPostings: Long = TOWER_MAX_POSTINGS): DataFrame =
     crossModalScoredDims(towerDims(textDocs), towerDims(imgDocs),
-      bucketBits)
+      bucketBits, maxPostings)
 
   /** Adaptive-width entry point — the registered c05/s22 behavior: ONE
     * cheap count of the indexed image corpus picks the bucket width
@@ -2315,11 +2368,11 @@ private[graft] object QueriesVectors {
                                       imgDocs: DataFrame): DataFrame =
     crossModalScored(textDocs, imgDocs, adaptiveTowerBits(imgDocs.count()))
 
-  private[graft] def crossModalReport(textDocs: DataFrame,
-                                      imgDocs: DataFrame,
-                                      bucketBits: Int): DataFrame = {
+  private[graft] def crossModalReport(
+      textDocs: DataFrame, imgDocs: DataFrame, bucketBits: Int,
+      maxPostings: Long = TOWER_MAX_POSTINGS): DataFrame = {
     val score = col("_score")
-    crossModalScored(textDocs, imgDocs, bucketBits)
+    crossModalScored(textDocs, imgDocs, bucketBits, maxPostings)
       .withColumn("_kept", (score >= 0.8).cast("long"))
       .withColumn("_aligned", (col("doc_id") === col("txt_id")).cast("long"))
       .groupBy(col("source")).agg(
@@ -2564,5 +2617,5 @@ private[graft] object QueriesVectors {
       |    ELSE 0.0 END AS aligned_recall
       |FROM p GROUP BY source""".stripMargin
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08)
 }

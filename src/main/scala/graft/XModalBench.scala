@@ -24,30 +24,38 @@ object XModalBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def docs = graft.schema.Tables.documents(spark, sfDir)
-    def run(bits: Int): (Double, Long) = {
+    // manual widths run UNCAPPED (cap = 0) so the bench isolates the
+    // width knob: at a mis-fit narrow width on a big corpus the
+    // registered hot-bucket cap would (correctly) drop every bucket
+    // and leave nothing to time. The adaptive run keeps the registered
+    // behavior (cap on) — at the self-tuned width the cap never bites.
+    def run(bits: Int, cap: Long): (Double, Long) = {
+      def report = QueriesVectors.crossModalReport(docs, docs, bits, cap)
       def once(): Double = {
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        QueriesVectors.crossModalReport(docs, docs, bits)
-          .write.format("noop").mode("overwrite").save()
+        report.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup
       val best = (0 until 3).map(_ => once()).min
-      val pairs = QueriesVectors.crossModalReport(docs, docs, bits)
-        .agg(org.apache.spark.sql.functions.sum("n_pairs"))
+      val pairs = report
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_pairs"),
+          org.apache.spark.sql.functions.lit(0L)))
         .collect()(0).getLong(0)
       (best, pairs)
     }
-    val (tNarrow, pNarrow) = run(6)
-    val (tWide, pWide) = run(wideBits)
+    val (tNarrow, pNarrow) = run(6, 0L)
+    val (tWide, pWide) = run(wideBits, 0L)
     // the REGISTERED behavior since r16: the operator derives the width
     // itself (adaptiveTowerBits over the image-corpus count). Measured
     // here beside the manual widths so the round artifact can assert
     // self-tuned ≡ hand-picked at the 10× corpus (50k docs → 12 bits,
     // the width r15 measured at 59× fewer candidates / 6.3× faster).
     val aBits = QueriesVectors.adaptiveTowerBits(docs.count())
-    val (tAdaptive, pAdaptive) = run(aBits)
+    val (tAdaptive, pAdaptive) =
+      run(aBits, QueriesVectors.TOWER_MAX_POSTINGS)
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"sf":"$sfDir","narrow_bits":6,"narrow_sec":${f(tNarrow)},""" +

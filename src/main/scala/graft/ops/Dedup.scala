@@ -859,11 +859,21 @@ object Dedup {
     // list, and its convergence check could never pass (any edge lowers
     // some label) — so don't pay a checked round for it. The groupBy's
     // key set IS the active set, so no join against the corpus here.
+    // each round's label table is localCheckpoint(eager)'d, NOT cache()'d:
+    // a cache truncates only the PHYSICAL plan — the logical lineage keeps
+    // compounding, and with the doubling join referencing `labels` several
+    // times per round the logical tree grows ~4x per round, so Catalyst
+    // re-canonicalizes an exponentially growing plan on every convergence
+    // count (measured: the 10x fixture drove the c08 driver into minutes
+    // of pure plan canonicalization before any executor work). The
+    // checkpoint truncates the LOGICAL plan to a scan of the materialized
+    // blocks — planning cost is constant per round at any scale. Blocks
+    // are weakly referenced; the ContextCleaner reclaims each round's
+    // table once the next round's plan no longer reaches it.
     var labels: DataFrame = edges.groupBy(col("doc"))
       .agg(min(col("peer")).as("_p"))
       .select(col("doc"), least(col("doc"), col("_p")).as("label"))
-      .cache()
-    var prev: Option[DataFrame] = Some(labels)
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -895,12 +905,8 @@ object Dedup {
       val next = hopped
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .join(labels.select(col("doc"), col("label").as("_old")), Seq("doc"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("_old")).limit(1).count()
-      // free the round-(n-1) cache now that round n is materialized —
-      // a bounded working set regardless of round count
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(next)
       labels = next.select(col("doc"), col("label"))
       converged = changed == 0
       round += 1
@@ -911,14 +917,13 @@ object Dedup {
         s"labelComponents: label propagation did not converge in $maxRounds " +
           "rounds — raise maxRounds (pointer doubling needs " +
           "O(log component-diameter) rounds)")
-    // re-attach the passive majority as identity rows; hand the active
-    // labels to the caller through a weakly-referenced checkpoint so the
-    // ContextCleaner can reclaim them once the result plan is unreachable
-    // (a returned .cache() would pin them in the CacheManager forever)
-    val finalLabels = labels.localCheckpoint(true)
-    prev.foreach(_.unpersist(blocking = false))
+    // re-attach the passive majority as identity rows; `labels` is
+    // already a projection over the last round's weakly-referenced
+    // checkpoint, so the ContextCleaner can reclaim the round tables
+    // once the result plan is unreachable (a returned .cache() would pin
+    // them in the CacheManager forever)
     nodes.select(col("doc"))
-      .join(finalLabels, Seq("doc"), "left")
+      .join(labels, Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("label"), col("doc")).as("keep_id"))
   }

@@ -147,7 +147,8 @@ object Similarity {
     * candidates). The exact O(N²) form exists as [[cosineNearDupExact]]
     * for small-N recall cross-checks only. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, dims: Int = 64,
-                      planes: Int = 16, bands: Int = 4): DataFrame = {
+                      planes: Int = 16, bands: Int = 4,
+                      maxBandPostings: Int = 0): DataFrame = {
     require(planes % bands == 0,
       s"planes=$planes must be divisible by bands=$bands")
     val rows = planes / bands
@@ -163,8 +164,40 @@ object Similarity {
                 .as("bits"))): _*)).as("bb"))
         .select(col(idAs), col(vecAs), col(normAs),
           col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val cand = banded("a", "va", "_na")
-      .join(banded("b", "vb", "_nb"), Seq("band", "bits"))
+    // hot-bucket SALT-SPLIT (maxBandPostings > 0): with a fixed sign-
+    // pattern keyspace a band bucket's depth grows ~n/2^rows, so pair
+    // volume is quadratic in corpus size — and simply DROPPING hot keys
+    // (the d68 minhash move) is wrong here, because at a large-enough
+    // corpus EVERY key is hot and the operator would return nothing.
+    // Instead a bucket deeper than the cap is subdivided into
+    // ceil(depth/cap) sub-buckets by a content-addressed salt
+    // (md5 of the vector id — deterministic, oracle-replayable): pairs
+    // form only within a sub-bucket, so candidates are bounded by
+    // ~cap·n per band (LINEAR in corpus) while recall degrades
+    // gracefully — each vector still meets ~cap dense-region neighbors,
+    // and pairs split by the salt can still surface through the other
+    // bands. A bucket at or under the cap gets salt 0 everywhere —
+    // below the cap the capped operator is IDENTICAL to the baseline.
+    // 0 = unsalted: the recall-faithful e03 baseline, cross-checked
+    // against exact all-pairs.
+    val ba = banded("a", "va", "_na")
+    val bb = banded("b", "vb", "_nb")
+    val (baK, bbK, keys) =
+      if (maxBandPostings <= 0) (ba, bb, Seq("band", "bits"))
+      else {
+        val dep = ba.groupBy(col("band"), col("bits"))
+          .agg(count(lit(1)).as("_depth"))
+        val nSalts =
+          expr(s"(_depth + ${maxBandPostings - 1}) div $maxBandPostings")
+        def salted(df: DataFrame, idc: String): DataFrame =
+          df.join(dep, Seq("band", "bits"))
+            .withColumn("_salt",
+              Dedup.md5Hash(col(idc).cast("string"), lit("esalt")) % nSalts)
+            .drop("_depth")
+        (salted(ba, "a"), salted(bb, "b"), Seq("band", "bits", "_salt"))
+      }
+    val cand = baK
+      .join(bbK, keys)
       .filter(col("a") < col("b"))
       .select(col("a"), col("va"), col("_na"),
         col("b"), col("vb"), col("_nb")).distinct()

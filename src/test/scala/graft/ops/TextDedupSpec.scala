@@ -269,6 +269,28 @@ class TextDedupSpec extends SparkSpec {
     assert(labels(6L) == 6L)
   }
 
+  test("labelComponents: a diameter-63 chain converges to one component " +
+      "in bounded rounds with per-round constant planning cost") {
+    // the factored CC engine (d10/c08): a path graph 0-1-2-...-63 needs
+    // pointer doubling (plain propagation would exhaust maxRounds), and
+    // it is the MANY-ROUND case that used to compound logical lineage
+    // ~4x per round until the driver spent minutes re-canonicalizing
+    // plans (caught by the 10x c08 fixture) — the per-round
+    // localCheckpoint keeps this test fast at any diameter
+    val nodes = spark.range(64).select($"id".as("doc"))
+    val e0 = spark.range(63).select($"id".as("doc"), ($"id" + 1).as("peer"))
+    val edges = e0.unionByName(e0.select($"peer".as("doc"), $"doc".as("peer")))
+    val labels = Dedup.labelComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L), "chain must collapse to min id 0")
+    // isolated nodes stay identity rows
+    val lone = Dedup.labelComponents(
+      spark.range(3).select($"id".as("doc")),
+      e0.limit(0)).as[(Long, Long)].collect().toMap
+    assert(lone == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("bruteKnn ranks by cosine with deterministic tiebreak") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
@@ -586,6 +608,41 @@ class TextDedupSpec extends SparkSpec {
       s"banded plan fell back to a nested loop:\n$bandedPlan")
     assert(exact.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lshNearDupPairs salt-split: identical below the cap, bounded " +
+      "sub-buckets above it, never empty on a hot corpus") {
+    // e26's contract: at or under the cap every salt is 0, so the salted
+    // pipeline equals the baseline bit for bit
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.5f, 0.1f, -0.7f, 0.4f, 0.9f)),
+      (1L, Seq(2.0f, 0.41f, -0.6f, 1.0f, 0.2f, -1.4f, 0.8f, 1.8f)),
+      (2L, Seq(-0.5f, 0.8f, 0.8f, -0.2f, 0.6f, 0.3f, -0.9f, 0.1f)),
+      (3L, Seq(-0.49f, 0.81f, 0.79f, -0.2f, 0.61f, 0.3f, -0.9f, 0.1f)))
+      .toDF("id", "vec")
+    val base = Similarity.lshNearDupPairs(vecs, 0.95, dims = 8,
+      planes = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val salted = Similarity.lshNearDupPairs(vecs, 0.95, dims = 8,
+      planes = 16, bands = 4, maxBandPostings = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(salted == base && base == Set((0L, 1L), (2L, 3L)))
+    // a HOT corpus — many scaled copies of one direction, every band
+    // bucket far over the cap: the drop-the-key move would return zero
+    // pairs; the salt-split must keep finding pairs inside sub-buckets
+    // while generating far fewer candidates than all-pairs
+    val hot = (0L until 64L).map(i =>
+      (i, Seq(1.0f + i * 0.001f, 0.5f, -0.3f, 0.2f,
+        0.1f, -0.7f, 0.4f, 0.9f))).toDF("id", "vec")
+    val hotPairs = Similarity.lshNearDupPairs(hot, 0.99, dims = 8,
+      planes = 16, bands = 4, maxBandPostings = 8)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(hotPairs.nonEmpty,
+      "salt-split must degrade gracefully, not to an empty result")
+    // bounded: 64 vectors over ceil(64/8)=8 salts per band -> each pair
+    // count well under the 2016 all-pairs
+    assert(hotPairs.length < 2016 / 2,
+      s"salting should prune the dense region: ${hotPairs.length}")
   }
 
   test("hashFamilyAudit: healthy family agrees, broken family is caught") {
