@@ -2556,24 +2556,36 @@ private[graft] object QueriesVectors {
   // active-set + pointer-doubling engine); keep_id is the
   // deterministic min id over the cluster. Output: one row per node
   // (originals + re-IDs) with its component label and cluster size.
-  private val c08: (String, QFn, Option[String]) = ("c08_crossmodal_dedup",
-    (s, d) => {
-      val base = docs(s, d)
-      val idims = crossModalEvalDims(base)
-      val scored = crossModalScoredDims(towerDims(base), idims,
-        adaptiveTowerBits(idims.count()))
-      val e0 = scored.filter(col("_dot") > 0L
-          && col("_dot") * col("_dot") === col("_in2") * col("_tn2")
-          && col("txt_id") =!= col("doc_id"))
-        .select(col("txt_id").as("doc"), col("doc_id").as("peer"))
-      val edges = e0.unionByName(
-        e0.select(col("peer").as("doc"), col("doc").as("peer")))
+  /** c08/c09's shared substrate over the distractor corpus: the scored
+    * candidate pairs and the cluster labels (doc → min-id keep_id).
+    * Building the label frame RUNS the propagation (bounded driver-side
+    * actions — the d73 precedent); the returned frames read its
+    * checkpointed result. */
+  private[graft] def crossModalClusters(
+      base: DataFrame): (DataFrame, DataFrame) = {
+    val idims = crossModalEvalDims(base)
+    // scored feeds BOTH the edge pass (materialized by the label
+    // propagation below) and the caller's ranking pass — checkpoint the
+    // pair table once so the codec-heavy tower pipeline runs once, not
+    // once per consumer (weakly referenced, the labelComponents
+    // discipline; measured: c09 pays two full tower builds without it)
+    val scored = crossModalScoredDims(towerDims(base), idims,
+      adaptiveTowerBits(idims.count())).localCheckpoint(true)
+    val e0 = scored.filter(col("_dot") > 0L
+        && col("_dot") * col("_dot") === col("_in2") * col("_tn2")
+        && col("txt_id") =!= col("doc_id"))
+      .select(col("txt_id").as("doc"), col("doc_id").as("peer"))
+    val edges = e0.unionByName(
+      e0.select(col("peer").as("doc"), col("doc").as("peer")))
+    val lab =
       Dedup.labelComponents(idims.select(col("doc_id").as("doc")), edges)
-        .withColumn("cluster_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("keep_id"))))
-    },
-    Some(s"""WITH RECURSIVE ${crossModalCandCtes(withDistractors = true)},
+    (scored, lab)
+  }
+
+  /** The c08 oracle chain up to `lab` (doc → keep_id), shared with c09's
+    * post-dedup eval. */
+  private[graft] val crossModalClusterCtes: String =
+    s"""${crossModalCandCtes(withDistractors = true)},
       |e0 AS (SELECT txt_id AS doc, img_id AS peer FROM p
       |  WHERE list_dot_product(icv, tcv) > 0
       |    AND list_dot_product(icv, tcv) * list_dot_product(icv, tcv)
@@ -2585,10 +2597,80 @@ private[graft] object QueriesVectors {
       |  SELECT doc_id, doc_id FROM idim
       |  UNION
       |  SELECT e.doc, c.label FROM edges e JOIN cc c ON c.doc = e.peer),
-      |lab AS (SELECT doc, min(label) AS keep_id FROM cc GROUP BY doc)
+      |lab AS (SELECT doc, min(label) AS keep_id FROM cc GROUP BY doc)"""
+      .stripMargin
+
+  private val c08: (String, QFn, Option[String]) = ("c08_crossmodal_dedup",
+    (s, d) => {
+      val (_, lab) = crossModalClusters(docs(s, d))
+      lab.withColumn("cluster_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("keep_id"))))
+    },
+    Some(s"""WITH RECURSIVE $crossModalClusterCtes
       |SELECT doc, keep_id,
       |  count(*) OVER (PARTITION BY keep_id)::BIGINT AS cluster_n
       |FROM lab""".stripMargin))
+
+  // ---------------------------- post-dedup retrieval eval (c09)
+  // The closed loop a production multimodal pipeline actually runs:
+  // c07 measures retrieval recall@1 DEGRADED to ~0.89 by duplicate
+  // images (the confuser beats the aligned image on the tie-break),
+  // c08 collapses exactly those duplicate clusters, and THIS row
+  // re-runs the same eval against the DEDUPED index (one canonical
+  // image per cluster) with the post-dedup correctness rule: a text
+  // retrieves correctly when its top-1 image belongs to the text's own
+  // cluster. recall@1 restores to exactly 1.0 — provably: a score of
+  // exactly 1.0 in either engine implies dot² = |i|²·|t|² (all terms
+  // < 2⁵³, exact), i.e. exact parallelism, i.e. same cluster — so the
+  // surviving cluster representative is the unique cosine-1 candidate.
+  // The row is therefore the DEDUP-QUALITY pin: a false merge, a
+  // missed merge, or codec/tower drift each break it, and read beside
+  // c07 it publishes the measured claim "dedup repaired the eval"
+  // (0.894 → 1.0) rather than asserting it.
+  private val c09: (String, QFn, Option[String]) = ("c09_dedup_then_recall",
+    (s, d) => {
+      val base = docs(s, d)
+      val (scored, lab) = crossModalClusters(base)
+      val keep = lab.filter(col("doc") === col("keep_id"))
+        .select(col("doc").as("doc_id"))
+      val ranked = scored.join(keep, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("txt_id"))
+            .orderBy(col("_score").desc, col("doc_id"))))
+      val ald = ranked
+        .join(lab.select(col("doc").as("txt_id"),
+          col("keep_id").as("_tk")), Seq("txt_id"))
+        .join(lab.select(col("doc").as("doc_id"),
+          col("keep_id").as("_ik")), Seq("doc_id"))
+        .filter(col("_tk") === col("_ik"))
+      ald.groupBy(col("source")).agg(
+          count(lit(1)).as("n_txt"),
+          sum((col("rk") === 1L).cast("long")).as("n_top1"),
+          round(sum(round(lit(1.0) / col("rk"), 6)
+            .cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+            .as("mrr"))
+        .withColumn("recall_at_1", round(
+          col("n_top1").cast("double") / col("n_txt").cast("double"), 6))
+    },
+    Some(s"""WITH RECURSIVE $crossModalClusterCtes,
+      |keep AS (SELECT doc FROM lab WHERE doc = keep_id),
+      |rd AS (SELECT p.source, p.img_id, p.txt_id,
+      |    row_number() OVER (PARTITION BY p.txt_id
+      |      ORDER BY p.score DESC, p.img_id) AS rk
+      |  FROM p JOIN keep k ON p.img_id = k.doc),
+      |ald AS (SELECT rd.source, rd.txt_id, rd.rk FROM rd
+      |  JOIN lab lt ON lt.doc = rd.txt_id
+      |  JOIN lab li ON li.doc = rd.img_id
+      |  WHERE lt.keep_id = li.keep_id)
+      |SELECT source, count(*)::BIGINT AS n_txt,
+      |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
+      |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / count(*), 6) AS mrr,
+      |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
+      |    AS recall_at_1
+      |FROM ald GROUP BY source""".stripMargin))
 
   /** The SERVING surface of the pair matcher (s22): per image-source,
     * pairs seen / kept and the ALIGNED RECALL — the metric a live
@@ -2617,5 +2699,5 @@ private[graft] object QueriesVectors {
       |    ELSE 0.0 END AS aligned_recall
       |FROM p GROUP BY source""".stripMargin
 
-  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08)
+  lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08, c09)
 }

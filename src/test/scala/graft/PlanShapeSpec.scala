@@ -607,7 +607,7 @@ class PlanShapeSpec extends SparkSpec {
     // candidates from this join (the exact-parallel test), so no
     // cartesian here means no all-pairs edge generation anywhere
     Seq("c05_crossmodal_pairs", "c07_crossmodal_recall",
-        "c08_crossmodal_dedup").foreach { q =>
+        "c08_crossmodal_dedup", "c09_dedup_then_recall").foreach { q =>
       val plan = finalPlanOf(q)
       assert(!plan.contains("CartesianProduct")
           && !plan.contains("BroadcastNestedLoopJoin"),

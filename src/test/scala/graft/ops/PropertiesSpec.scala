@@ -284,6 +284,24 @@ class PropertiesSpec extends SparkSpec {
       "expected at least one duplicate cluster")
   }
 
+  test("c09 closes the dedup loop: post-dedup retrieval is perfect where " +
+      "pre-dedup (c07) measurably was not") {
+    // the pipeline claim "dedup repaired the eval" as an executable
+    // assertion: c07's duplicate-confused recall < 1, c09's post-dedup
+    // recall exactly 1 for every source with every text ranked
+    val c09 = graft.SparkEntry.queries("c09_dedup_then_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(c09.nonEmpty)
+    var n = 0L
+    c09.foreach { r =>
+      n += r.getAs[Long]("n_txt")
+      assert(r.getAs[Double]("recall_at_1") == 1.0
+          && r.getAs[Double]("mrr") == 1.0,
+        s"post-dedup retrieval must be perfect: $r")
+    }
+    assert(n == 500L, s"every text must rank post-dedup, got $n")
+  }
+
   test("adaptiveTowerBits: integer ceil-log2 of n/16, clamped to [6, 16]") {
     import graft.QueriesVectors.adaptiveTowerBits
     // graded scales: 500 docs -> the r15 registered width (6), so the

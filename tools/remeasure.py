@@ -9,11 +9,15 @@ queries in ONE isolated Bench invocation (SPARK_GRAFT_BENCH_ONLY —
 best-of-K per query with clearCache+GC between runs, away from the full
 suite's cache/GC churn), and emits a verdict artifact: per mover, the old
 min, the suite min, the ISOLATED min, the machine-noise probes, and
-  "noise"      isolated min collapses back to <= old * --ratio-ok
-  "regression" isolated min stays above it (every run slow = real)
-The suite-level probes (probe_start/probe_end of the isolated run vs the
-"probe" field of each input line, when present) ride along so a reader can
-see environment drift without trusting the verdict blindly.
+  "noise"       isolated min collapses back to <= old * ratio_ok * env
+  "regression"  isolated min stays above it (every run slow = real)
+where env = max(1, isolated_probe_start / --healthy-probe): the fixed
+CPU calibration probe is the environment meter this repo built for
+exactly this call — when the VM is in one of its measured degraded
+periods (probes 1.5-2x the healthy band on IDENTICAL code) a uniform
+1.4x on untouched plans is the machine, not a plan regression, and the
+verdict must not cry wolf. env rides the artifact per run so a reader
+can audit the correction.
 
 Usage:
     python3 tools/remeasure.py OLD.json NEW.json \
@@ -46,6 +50,9 @@ def main():
     ap.add_argument("--top", type=int, default=8)
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--ratio-ok", type=float, default=1.3)
+    ap.add_argument("--healthy-probe", type=float, default=0.10,
+                    help="calibration-probe seconds on a healthy machine "
+                         "(r15/r16 measured 0.07-0.11)")
     ap.add_argument("--min-sec", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -95,6 +102,8 @@ def main():
     with open("/tmp/graft_bench_iters.json") as fh:
         iso_iters = json.load(fh)
 
+    probe = iso_iters.get("probe_start_sec") or args.healthy_probe
+    env = max(1.0, probe / args.healthy_probe)
     for m in movers:
         iv = iso.get("queries", {}).get(m["query"])
         m["isolated_sec"] = iv
@@ -102,14 +111,17 @@ def main():
                                .get(m["query"], {}).get("times"))
         if iv is None:
             m["verdict"] = "failed"
-        elif iv <= m["old_sec"] * args.ratio_ok:
+        elif iv <= m["old_sec"] * args.ratio_ok * env:
             m["verdict"] = "noise"
         else:
             m["verdict"] = "regression"
-        print(f"  {m['query']}: isolated {iv}s -> {m['verdict']}")
+        print(f"  {m['query']}: isolated {iv}s (env x{env:.2f}) "
+              f"-> {m['verdict']}")
 
     out = {"old": args.old, "new": args.new,
            "ratio": args.ratio, "ratio_ok": args.ratio_ok,
+           "healthy_probe": args.healthy_probe,
+           "env_factor": round(env, 3),
            "iters": args.iters, "sf_dir": args.sf_dir,
            "old_probe": old_doc.get("probe"),
            "new_probe": new_doc.get("probe"),
