@@ -629,7 +629,23 @@ object QueriesStream {
       |    AS DOUBLE) / count(*), 6) AS mean_motion
       |FROM m GROUP BY source""".stripMargin))
 
+  // ------------------------- streaming ingest dedup gate (s24)
+  // The media-upload door: ARRIVING images (a mix of re-uploads that
+  // must be rejected and genuinely new content that must be admitted —
+  // QueriesVectors.ingestArrivalDims) go through the REAL codec tower
+  // as a stateless per-row map, the dup check is a stream-static LEFT
+  // SEMI join on the self-tuned bucket key with c08's exact-parallel
+  // integer test, and the per-source rollup is ONE aggregation in
+  // complete mode (raw arrivals unioned with semi matches — no second
+  // stateful op). EventStreamSpec proves stream ≡ batch; this registry
+  // row is the batch twin.
+  private val s24: (String, QFn, Option[String]) = ("s24_stream_ingest_dedup",
+    (s, d) => QueriesVectors.ingestDedupServing(
+      QueriesVectors.ingestArrivalDims(Tables.documents(s, d)),
+      Tables.documents(s, d)),
+    Some(QueriesVectors.ingestDedupSql))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }

@@ -2289,18 +2289,19 @@ private[graft] object QueriesVectors {
         % 12).as("h"))
 
   /** Image tower over a dims frame: (doc_id, source, ivec, ibucket,
-    * in2) through the REAL codec path. */
+    * in2) through the REAL codec path — ONE fused per-row pass
+    * (Multimodal.imageTowerRows, which carries source through the codec
+    * so no back-join recovers it; identical arithmetic to the r15
+    * encodePgmSized→resizePgmBatched chain, and stream-safe: the s24
+    * ingest gate runs this same tower on an ARRIVING image stream). */
   private[graft] def imageTowerFromDims(dims: DataFrame,
                                         bucketBits: Int): DataFrame = {
-    val rs = Multimodal.resizePgmBatched(
-      Multimodal.encodePgmSized(dims, "doc_id", "text", col("w"),
-        col("h")),
-      "doc_id", "payload", 4, 4)
+    val rs = Multimodal.imageTowerRows(dims, "doc_id", "source", "text",
+      col("w"), col("h"), 4, 4)
     val vec = transform(split(col("px_csv"), ","), x => x.cast("long"))
-    rs.select(col("doc_id"), vec.as("ivec"))
+    rs.select(col("doc_id"), col("source"), vec.as("ivec"))
       .withColumn("ibucket", towerBucket(col("ivec"), bucketBits))
       .withColumn("in2", towerNorm2(col("ivec")))
-      .join(dims.select(col("doc_id"), col("source")), Seq("doc_id"))
   }
 
   private[graft] def imageTower(docsDf: DataFrame,
@@ -2686,6 +2687,108 @@ private[graft] object QueriesVectors {
           col("n_aligned_kept").cast("double")
             / col("n_aligned").cast("double"), 6))
           .otherwise(lit(0.0)).as("aligned_recall"))
+
+  // ---------------------------- streaming ingest dedup (s24)
+  // The media-upload gate a production corpus runs at the door (d22's
+  // incremental-dedup idiom, image edition): ARRIVING images go through
+  // the REAL codec tower (a stateless per-row map — imageTowerRows
+  // carries source, so the same call runs on a stream), candidates come
+  // from the stream-static bucket equi-join against the indexed corpus
+  // at the corpus-derived width, and an arrival is REJECTED as a dup
+  // exactly when some indexed image is exact-parallel to it (c08's
+  // integer Cauchy–Schwarz test — the dedup decision, not the 0.8
+  // curation score). The rollup stays ONE aggregation (complete mode,
+  // state bounded by |sources|) by unioning the raw arrival stream
+  // (arr=1) with the LEFT-SEMI dup matches (dup=1) instead of a
+  // per-arrival dedup that would need a second stateful aggregate.
+  // Scale shape: per-arrival candidates ≈ the width's target bucket
+  // depth (16) — linear in arrivals AND in corpus.
+  /** Arrival mix: ~25% of docs re-enter as RE-UPLOADS (same generation
+    * spec, id + 2·10⁹ — must be rejected) and ~25% as genuinely NEW
+    * content (text + " [v2]", id + 3·10⁹ — must be admitted).
+    * Content-addressed selection, replayed by the oracle. */
+  private[graft] def ingestArrivalDims(docsDf: DataFrame): DataFrame = {
+    val dims0 = towerDims(docsDf)
+    val h = Dedup.md5Hash(col("doc_id").cast("string"), lit("ing")) % 4
+    val reup = dims0.filter(h === 0L)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    val fresh = dims0.filter(h === 1L)
+      .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+      .withColumn("text",
+        concat(coalesce(col("text"), lit("")), lit(" [v2]")))
+    reup.unionByName(fresh)
+  }
+
+  /** s24's serving surface: per arrival-source, arrivals seen, dups
+    * rejected, new content admitted. `arrDims` may be a STREAMING
+    * frame; the index side is static (width self-tunes from its
+    * count). */
+  private[graft] def ingestDedupServing(arrDims: DataFrame,
+                                        corpusDocs: DataFrame): DataFrame = {
+    val bits = adaptiveTowerBits(corpusDocs.count())
+    val idx = imageTowerFromDims(towerDims(corpusDocs), bits)
+      .select(col("ibucket").as("cbucket"), col("ivec").as("cvec"),
+        col("in2").as("cn2"))
+    val arr = imageTowerFromDims(arrDims, bits)
+    val dot = aggregate(
+      zip_with(col("ivec"), col("cvec"), (a, b) => (a - 128L) * (b - 128L)),
+      lit(0L), (acc, v) => acc + v)
+    val cond = col("ibucket") === col("cbucket") && dot > 0L &&
+      dot * dot === col("in2") * col("cn2")
+    val dup = arr.join(idx, cond, "left_semi")
+      .select(col("source"), lit(0L).as("_arr"), lit(1L).as("_dup"))
+    val all = arr.select(col("source"), lit(1L).as("_arr"),
+      lit(0L).as("_dup"))
+    all.unionByName(dup).groupBy(col("source")).agg(
+        sum(col("_arr")).as("n_arrivals"),
+        sum(col("_dup")).as("n_dup"))
+      .withColumn("n_admitted", col("n_arrivals") - col("n_dup"))
+  }
+
+  private[graft] val ingestDedupSql: String = {
+    // corpus tower (suffix c) and arrival tower (suffix a) share the
+    // vec derivation; bits comes from the INDEX corpus (dim0), exactly
+    // like the Scala side's count on the static side
+    def tower(src: String, sfx: String): String =
+      s"""smp$sfx AS (SELECT doc_id, source, t, k,
+        |    ((k // 4) * h // 4) * w + ((k % 4) * w // 4) AS pos
+        |  FROM (SELECT *, unnest(range(16)) AS k FROM $src)),
+        |vec$sfx AS (SELECT doc_id, source, k,
+        |    ('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
+        |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+        |  FROM smp$sfx),
+        |agg$sfx AS (SELECT doc_id, source,
+        |    sum(CASE WHEN k < b AND v > 128 THEN (1::BIGINT << k)
+        |      ELSE 0 END)::BIGINT AS bucket,
+        |    list((v - 128)::DOUBLE ORDER BY k) AS cv,
+        |    sum((v - 128) * (v - 128))::BIGINT AS n2
+        |  FROM vec$sfx, bits GROUP BY 1, 2)""".stripMargin
+    s"""WITH dim0 AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+      |      AS w,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+      |      AS h
+      |  FROM documents),
+      |arr AS (SELECT doc_id + 2000000000 AS doc_id, source, t, w, h
+      |    FROM dim0 WHERE ${md5HashSql("doc_id::VARCHAR || '#ing'")} % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000000, source, t || ' [v2]', w, h
+      |    FROM dim0 WHERE ${md5HashSql("doc_id::VARCHAR || '#ing'")} % 4 = 1),
+      |bits AS (${adaptiveBitsSql("dim0")}),
+      |${tower("dim0", "c")},
+      |${tower("arr", "a")},
+      |dup AS (SELECT DISTINCT a.doc_id FROM agga a JOIN aggc c
+      |  ON a.bucket = c.bucket
+      |  AND list_dot_product(a.cv, c.cv) > 0
+      |  AND list_dot_product(a.cv, c.cv) * list_dot_product(a.cv, c.cv)
+      |    = (a.n2 * c.n2)::DOUBLE)
+      |SELECT a.source, count(*)::BIGINT AS n_arrivals,
+      |  sum((a.doc_id IN (SELECT doc_id FROM dup))::BIGINT)::BIGINT
+      |    AS n_dup,
+      |  (count(*) - sum((a.doc_id IN (SELECT doc_id FROM dup))::BIGINT))
+      |    ::BIGINT AS n_admitted
+      |FROM agga a GROUP BY a.source""".stripMargin
+  }
 
   // the c05 pipeline verbatim up to the final rollup; only the
   // published projection differs (serving metric, not curation rate)

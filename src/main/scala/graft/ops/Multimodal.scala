@@ -226,6 +226,45 @@ object Multimodal {
       "px_csv")
   }
 
+  /** The cross-modal IMAGE TOWER fused into ONE per-partition pass that
+    * CARRIES the source key (the [[videoGateRows]] move, image-tower
+    * edition): encode the row's actual PGM bytes at its (w, h) spec,
+    * decode them, nearest-neighbor resize to tw×th, re-encode and decode
+    * AGAIN (the full codec roundtrip rides every row — identical
+    * arithmetic to [[encodePgmSized]] → [[resizePgmBatched]]), then emit
+    * the resized grid as csv. Carrying source makes the tower a pure
+    * stateless per-row map, so the SAME call runs on a document STREAM
+    * (the s24 ingest gate) and the batch tower needs no back-join to
+    * recover source. Output: (id, src, px_csv). */
+  def imageTowerRows(df: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, wCol: Column, hCol: Column,
+                     tw: Int, th: Int): DataFrame = {
+    require(tw >= 1 && th >= 1, s"imageTowerRows: bad target $tw x $th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(srcCol).cast("string"),
+      coalesce(col(textCol), lit("")).cast("string"),
+      wCol.cast("int"), hCol.cast("int"))
+      .as[(Long, String, String, Int, Int)]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, src, t, w, h) =>
+        require(w >= 1 && h >= 1, s"imageTowerRows: bad dims ${w}x$h")
+        val enc = Pgm.encode(Pgm.Image(w, h, 255, md5Grid(md, t, w * h)))
+        val rs = Pgm.decode(Pgm.encode(
+          Pgm.resizeNearest(Pgm.decode(enc), tw, th)))
+        val sb = new java.lang.StringBuilder(rs.pixels.length * 4)
+        var i = 0
+        while (i < rs.pixels.length) {
+          if (i > 0) sb.append(',')
+          sb.append(rs.pixels(i) & 0xff)
+          i += 1
+        }
+        (id, src, sb.toString)
+      }
+    }.toDF(idCol, srcCol, "px_csv")
+  }
+
   /** REAL half-resolution thumbnail per row: decode → nearest-neighbor
     * resize to (w/2, h/2) → re-encode. The classic perceptual near-dup
     * (same content, different resolution) built through the actual

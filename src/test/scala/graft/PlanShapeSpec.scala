@@ -618,6 +618,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest dedup (s24): candidates ride the bucket " +
+      "equi-join (semi), never a cartesian; one rollup exchange family") {
+    val plan = finalPlanOf("s24_stream_ingest_dedup")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup check must be the bucket equi-join:\n$plan")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"unexpected range exchange in the ingest gate: r=$r")
+  }
+
   test("video VLM pack (m17): per-clip codec summary — frame rows never " +
       "exist, the pack window is the only required exchange") {
     val plan = finalPlanOf("m17_video_vlm_pack")

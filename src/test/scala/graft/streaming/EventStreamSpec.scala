@@ -871,6 +871,48 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.forall(_._4 == 1.0))
   }
 
+  test("ingestDedupServing streams: the codec tower maps arriving " +
+      "images per-row, the dup check is stream-static, stream == batch") {
+    // the s24 contract: arrivals (dims rows) flow through the fused
+    // image tower (stateless), LEFT SEMI against the static index on
+    // the bucket key + exact-parallel test, ONE complete-mode rollup.
+    // Arrival 101 duplicates doc 1's spec (must be rejected), 102 is
+    // new content (admitted), 103 duplicates doc 3 (rejected), 104 new.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a a a a a a a a"),
+      (3L, "code", "def main print hello world")).toDF(
+      "doc_id", "source", "text")
+    val corpusDims = graft.QueriesVectors.towerDims(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    def dimOf(id: Long) = corpusDims.find(_._1 == id).get
+    val arrivals = Seq(
+      (101L, "web", dimOf(1L)._3, dimOf(1L)._4, dimOf(1L)._5),
+      (102L, "web", "completely new content here", 9L, 5L),
+      (103L, "code", dimOf(3L)._3, dimOf(3L)._4, dimOf(3L)._5),
+      (104L, "code", "another brand new document", 11L, 7L))
+    def serve(arr: org.apache.spark.sql.DataFrame) =
+      graft.QueriesVectors.ingestDedupServing(arr, corpus)
+    val in = MemoryStream[(Long, String, String, Long, Long)]
+    val q = serve(in.toDF().toDF("doc_id", "source", "text", "w", "h"))
+      .writeStream.format("memory").queryName("ingestgate")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals.take(2): _*); q.processAllAvailable()
+      in.addData(arrivals.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_arrivals", "n_dup", "n_admitted")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val streamed = rows(spark.table("ingestgate"))
+    val batch = rows(serve(
+      arrivals.toDF("doc_id", "source", "text", "w", "h")))
+    assert(streamed == batch)
+    assert(streamed == Set(("web", 2L, 1L, 1L), ("code", 2L, 1L, 1L)))
+  }
+
   test("vadSegments streams in APPEND mode: segments emitted per clip " +
       "equal the batch segments") {
     // the s19 contract: encode + VAD are stateless per-row maps, so an
