@@ -279,9 +279,22 @@ object Bench {
       val total = results.values.collect {
         case ts if ts.nonEmpty => ts.min
       }.sum
+      // elision is slowest-first retention (maximal given the window):
+      // ALSO publish the largest elided time so a reader can audit that
+      // everything dropped sits at/under it — with the ~0.4s fixed
+      // overhead floor, rows under it are overhead-dominated anyway.
+      // The full map at 3 decimals always lands in bench_last.json /
+      // /tmp/graft_bench.json; a round's committed bench_r{N}_local.json
+      // is the durable full-map artifact (273 rows × ~10 chars cannot
+      // fit the harness's ~2KB stdout tail in valid JSON).
       val elidedPart =
         if (include == null) ""
-        else s""","elided":${results.count(kv => kv._2.nonEmpty && !include(kv._1))}"""
+        else {
+          val el = results.collect {
+            case (k, ts) if ts.nonEmpty && !include(k) => ts.min }
+          if (el.isEmpty) ""","elided":0"""
+          else s""","elided":${el.size},"elided_max_sec":${fmt(el.max, 2)}"""
+        }
       // "probe": the fixed CPU-calibration time (see probeOnce above);
       // "floor_est"/"work_total": the fixed-overhead decomposition —
       // in-band noise + overhead context for a reader of the stdout

@@ -157,16 +157,22 @@ private[graft] object QueriesVectors {
       s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
     // the salt-split twin (see Similarity.lshNearDupPairs): buckets
-    // deeper than the cap subdivide by a content-addressed salt, pairs
-    // form within (band, bits, salt) — at or under the cap every salt
-    // is 0 and the capped pipeline is identical to the baseline
+    // deeper than the cap subdivide by a content-addressed salt
+    // seeded with (vec_id, band) — folding the band in decorrelates
+    // the splits across bands, so a pair split in one band keeps an
+    // independent chance of meeting in each other band — pairs form
+    // within (band, bits, salt); at or under the cap every salt is 0
+    // and the capped pipeline is identical to the baseline. The seed
+    // literal is Similarity.SALT_SEED, interpolated here so the two
+    // engines share one constant.
     val capCtes =
       if (cap <= 0) ""
       else
         s"""dep AS (SELECT band, bits, count(*)::BIGINT AS depth
           |  FROM banded GROUP BY 1, 2),
           |bs AS (SELECT banded.*,
-          |    (${md5HashSql("vec_id::VARCHAR || '#esalt'")}
+          |    (${md5HashSql("vec_id::VARCHAR || '#' || band::VARCHAR" +
+             s" || '#${Similarity.SALT_SEED}'")}
           |      % ((dep.depth + ${cap - 1}) // $cap)) AS salt
           |  FROM banded JOIN dep USING (band, bits)),
           |""".stripMargin
@@ -2286,7 +2292,10 @@ private[graft] object QueriesVectors {
       (lit(8L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim"))
         % 24).as("w"),
       (lit(4L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dim.h"))
-        % 12).as("h"))
+        % 12).as("h"),
+      // PGM maxval: 255 (identity clamp) for every organic image; the
+      // near-duplicate distractor class lowers it (crossModalEvalDims)
+      lit(255L).as("mv"))
 
   /** Image tower over a dims frame: (doc_id, source, ivec, ibucket,
     * in2) through the REAL codec path — ONE fused per-row pass
@@ -2297,7 +2306,7 @@ private[graft] object QueriesVectors {
   private[graft] def imageTowerFromDims(dims: DataFrame,
                                         bucketBits: Int): DataFrame = {
     val rs = Multimodal.imageTowerRows(dims, "doc_id", "source", "text",
-      col("w"), col("h"), 4, 4)
+      col("w"), col("h"), col("mv"), 4, 4)
     val vec = transform(split(col("px_csv"), ","), x => x.cast("long"))
     rs.select(col("doc_id"), col("source"), vec.as("ivec"))
       .withColumn("ibucket", towerBucket(col("ivec"), bucketBits))
@@ -2393,43 +2402,51 @@ private[graft] object QueriesVectors {
     * shared by c05/s22/c07/c08 — adaptive width (`bits` CTE over the
     * image corpus), hot-bucket cap (`okb`, the d73 oracle idiom), exact
     * centered-integer vectors. With `withDistractors` the image corpus
-    * gains the RE-ID'd duplicate rows the retrieval eval (c07) and the
-    * cross-modal dedup (c08) grade against: ~25% of docs re-enter with
-    * the SAME generation spec under a new id — half at -(id+1) (sorts
-    * BEFORE the aligned image: the tie-beating confuser), half at
-    * id+10⁹ (sorts after: the rank-2 near-miss) — the "same image,
-    * re-uploaded" class a real corpus is full of. Texts stay the
-    * originals (`tagg`). */
+    * gains the re-entered rows the retrieval eval (c07) and the
+    * cross-modal dedup (c08) grade against — the three classes of
+    * [[crossModalEvalDims]]: tie-beating exact dup at -(id+1), rank-2
+    * exact dup at id+10⁹, and the maxval-clamped NEAR dup at id+4·10⁹
+    * (same spec, lowered PGM maxval → cosine 1−ε through the real
+    * codec). Texts stay the originals (`tagg`); pixel values clamp at
+    * the row's maxval (`least(v, mv)` — identity at mv = 255). */
   private[graft] def crossModalCandCtes(withDistractors: Boolean): String = {
     val dim0 =
       s"""dim0 AS (SELECT doc_id, source, coalesce(text, '') AS t,
         |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
         |      AS w,
         |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
-        |      AS h
+        |      AS h,
+        |    255::BIGINT AS mv
         |  FROM documents)""".stripMargin
     val idim =
       if (!withDistractors) "idim AS (SELECT * FROM dim0)"
       else
-        s"""idim AS (SELECT doc_id, source, t, w, h FROM dim0
+        s"""idim AS (SELECT doc_id, source, t, w, h, mv FROM dim0
           |  UNION ALL
-          |  SELECT -(doc_id + 1), source, t, w, h FROM dim0
+          |  SELECT -(doc_id + 1), source, t, w, h, mv FROM dim0
           |   WHERE ${md5HashSql("doc_id::VARCHAR || '#dx'")} % 4 = 0
-          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 2 = 0
+          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 4 = 0
           |  UNION ALL
-          |  SELECT doc_id + 1000000000, source, t, w, h FROM dim0
+          |  SELECT doc_id + 1000000000, source, t, w, h, mv FROM dim0
           |   WHERE ${md5HashSql("doc_id::VARCHAR || '#dx'")} % 4 = 0
-          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 2 = 1)"""
+          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 4000000000, source, t, w, h,
+          |     (140 + ${md5HashSql("doc_id::VARCHAR || '#dnm'")} % 100)
+          |       ::BIGINT
+          |   FROM dim0
+          |   WHERE ${md5HashSql("doc_id::VARCHAR || '#dx'")} % 4 = 0
+          |     AND ${md5HashSql("doc_id::VARCHAR || '#dxs'")} % 4 >= 2)"""
           .stripMargin
     s"""$dim0,
       |$idim,
       |bits AS (${adaptiveBitsSql("idim")}),
-      |smp AS (SELECT doc_id, source, t, k,
+      |smp AS (SELECT doc_id, source, t, mv, k,
       |    ((k // 4) * h // 4) * w + ((k % 4) * w // 4) AS pos
       |  FROM (SELECT *, unnest(range(16)) AS k FROM idim)),
       |vec AS (SELECT doc_id, source, k,
-      |    ('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
-      |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+      |    least(('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
+      |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT, mv) AS v
       |  FROM smp),
       |agg AS (SELECT doc_id, source,
       |    sum(CASE WHEN k < b AND v > 128 THEN (1::BIGINT << k)
@@ -2478,9 +2495,12 @@ private[graft] object QueriesVectors {
   // identically), find the ALIGNED image's rank, then per source:
   // recall@1 and MRR (per-text reciprocal ranks published on the 6-dp
   // grid and averaged as exact decimals — the s16 mean discipline, so
-  // the mean is order-free). Aligned pairs are always candidates
-  // (identical vectors share any bucket width), so every text has a
-  // rank — no null handling hides a retrieval miss. MRR ≥ recall@1
+  // the mean is order-free). The denominator is the TEXT CORPUS, not
+  // the rank table: texts left-join their aligned rank, and a text
+  // starved of candidates by the hot-bucket posting cap counts as a
+  // retrieval MISS (rk null → 0 toward top1/MRR) and lands in
+  // n_starved — the cap degrades the metric honestly instead of
+  // shrinking the denominator. MRR ≥ recall@1
   // always (1/rk ≥ [rk=1]); PropertiesSpec pins the bound AND keeps
   // r15's parity behavior as an assertion: on the distractor-free
   // corpus recall@1 is still exactly 1.0, so codec/tower drift fails
@@ -2489,17 +2509,29 @@ private[graft] object QueriesVectors {
     (s, d) => {
       val base = docs(s, d)
       val idims = crossModalEvalDims(base)
-      val ranked = crossModalScoredDims(towerDims(base), idims,
+      val aligned = crossModalScoredDims(towerDims(base), idims,
           adaptiveTowerBits(idims.count()))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("txt_id"))
             .orderBy(col("_score").desc, col("doc_id"))))
         .filter(col("doc_id") === col("txt_id"))
-      ranked.groupBy(col("source")).agg(
+        .select(col("txt_id"), col("rk"))
+      // EVERY text anchors the denominator (left join from the text
+      // corpus): a text whose candidates were all removed by the
+      // hot-bucket posting cap surfaces as rk = null — counted as a
+      // retrieval MISS (0 toward top1 and MRR) and published in
+      // n_starved, so when the cap bites on real data recall@1/MRR
+      // degrade honestly instead of silently shrinking the denominator.
+      val texts = towerDims(base)
+        .select(col("doc_id").as("txt_id"), col("source"))
+      texts.join(aligned, Seq("txt_id"), "left")
+        .groupBy(col("source")).agg(
           count(lit(1)).as("n_txt"),
-          sum((col("rk") === 1L).cast("long")).as("n_top1"),
-          round(sum(round(lit(1.0) / col("rk"), 6)
+          sum(coalesce((col("rk") === 1L).cast("long"), lit(0L)))
+            .as("n_top1"),
+          sum(col("rk").isNull.cast("long")).as("n_starved"),
+          round(sum(coalesce(round(lit(1.0) / col("rk"), 6), lit(0.0))
             .cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
             .as("mrr"))
         .withColumn("recall_at_1", round(
@@ -2510,14 +2542,17 @@ private[graft] object QueriesVectors {
       |    row_number() OVER (PARTITION BY txt_id
       |      ORDER BY score DESC, img_id) AS rk
       |  FROM p),
-      |al AS (SELECT source, txt_id, rk FROM r WHERE img_id = txt_id)
-      |SELECT source, count(*)::BIGINT AS n_txt,
-      |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
-      |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
-      |    AS DOUBLE) / count(*), 6) AS mrr,
-      |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
-      |    AS recall_at_1
-      |FROM al GROUP BY source""".stripMargin))
+      |al AS (SELECT txt_id, rk FROM r WHERE img_id = txt_id),
+      |tx AS (SELECT doc_id AS txt_id, source FROM dim0)
+      |SELECT tx.source, count(*)::BIGINT AS n_txt,
+      |  sum(coalesce((rk = 1)::BIGINT, 0))::BIGINT AS n_top1,
+      |  sum((rk IS NULL)::BIGINT)::BIGINT AS n_starved,
+      |  round(CAST(sum(coalesce(CAST(round(1.0 / rk, 6)
+      |      AS DECIMAL(18,9)), 0)) AS DOUBLE) / count(*), 6) AS mrr,
+      |  round(sum(coalesce((rk = 1)::BIGINT, 0))::DOUBLE
+      |    / count(*)::DOUBLE, 6) AS recall_at_1
+      |FROM tx LEFT JOIN al USING (txt_id) GROUP BY tx.source"""
+      .stripMargin))
 
   /** The retrieval-eval / dedup image corpus: every original image spec
     * plus the RE-ID'd duplicate distractors — ~25% of docs re-enter
@@ -2529,16 +2564,49 @@ private[graft] object QueriesVectors {
     * tie-break direction. Selection and split are content-addressed
     * (md5 of the id under the `dx` / `dxs` seeds), replayed verbatim
     * by the oracle's idim CTE. */
+  /** Re-ID domain guard: the eval/ingest corpora re-ID rows at
+    * -(id+1) / id+10⁹ / id+2·10⁹ / id+3·10⁹ and decode originals back
+    * with `BETWEEN 0 AND 999999999` filters (both engines) — an input
+    * doc_id outside [0, 10⁹) would collide with or vanish into a
+    * distractor class and silently desync Spark from the oracle. This
+    * wraps doc_id in an in-plan assertion (assert_true rides the
+    * projected column, so column pruning can't drop it): an
+    * out-of-domain corpus fails LOUDLY at run time instead. */
+  private def requireReIdDomain(id: Column): Column =
+    when(assert_true(id.between(0L, 999999999L),
+      concat(lit("doc_id outside the re-ID domain [0, 1e9): "),
+        id.cast("string"))).isNull, id)
+
   private[graft] def crossModalEvalDims(docsDf: DataFrame): DataFrame = {
     val dims0 = towerDims(docsDf)
+      .withColumn("doc_id", requireReIdDomain(col("doc_id")))
     val sel =
       Dedup.md5Hash(col("doc_id").cast("string"), lit("dx")) % 4 === 0L
-    val side = Dedup.md5Hash(col("doc_id").cast("string"), lit("dxs")) % 2
+    // dxs%4 class split (was %2 through r16): 0 = tie-beating exact dup
+    // at -(id+1); 1 = rank-2 exact dup at id+10⁹; 2,3 = NEAR dup at
+    // id+4·10⁹ — the same (text, w, h) spec with a LOWERED PGM maxval
+    // (content-addressed in [140, 239] under the `dnm` seed), so the
+    // codec clamps the bright pixels and the tower vector lands at
+    // cosine 1−ε: close enough to exercise score resolution and the
+    // 0.8 curation boundary from both sides, but NOT exactly parallel,
+    // so c08's integer Cauchy–Schwarz merge test rejects it (the
+    // near-threshold-survivor-from-ABOVE case). When no SAMPLED pixel
+    // exceeds the clamp the near-dup is identical at tower resolution —
+    // a legitimate exact duplicate, deterministically so in BOTH
+    // engines. Halving the tie-beating class (12.5% → 6.25% of docs)
+    // puts c07's recall@1 strictly between the r16 duplicate-only
+    // floor and 1.0.
+    val side = Dedup.md5Hash(col("doc_id").cast("string"), lit("dxs")) % 4
     val beat = dims0.filter(sel && side === 0L)
       .withColumn("doc_id", -(col("doc_id") + lit(1L)))
     val shadow = dims0.filter(sel && side === 1L)
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
-    dims0.unionByName(beat).unionByName(shadow)
+    val near = dims0.filter(sel && side >= 2L)
+      .withColumn("mv",
+        lit(140L) + Dedup.md5Hash(col("doc_id").cast("string"), lit("dnm"))
+          % 100)
+      .withColumn("doc_id", col("doc_id") + lit(4000000000L))
+    dims0.unionByName(beat).unionByName(shadow).unionByName(near)
   }
 
   // ---------------------------- cross-modal cluster dedup (c08)
@@ -2646,10 +2714,20 @@ private[graft] object QueriesVectors {
         .join(lab.select(col("doc").as("doc_id"),
           col("keep_id").as("_ik")), Seq("doc_id"))
         .filter(col("_tk") === col("_ik"))
-      ald.groupBy(col("source")).agg(
+        .select(col("txt_id"), col("rk"))
+      // the c07 starvation discipline: every original text anchors the
+      // denominator; a text whose cluster representative never became
+      // a candidate (hot-bucket cap) is a MISS with rk = null, visible
+      // in n_starved
+      val texts = towerDims(base)
+        .select(col("doc_id").as("txt_id"), col("source"))
+      texts.join(ald, Seq("txt_id"), "left")
+        .groupBy(col("source")).agg(
           count(lit(1)).as("n_txt"),
-          sum((col("rk") === 1L).cast("long")).as("n_top1"),
-          round(sum(round(lit(1.0) / col("rk"), 6)
+          sum(coalesce((col("rk") === 1L).cast("long"), lit(0L)))
+            .as("n_top1"),
+          sum(col("rk").isNull.cast("long")).as("n_starved"),
+          round(sum(coalesce(round(lit(1.0) / col("rk"), 6), lit(0.0))
             .cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
             .as("mrr"))
         .withColumn("recall_at_1", round(
@@ -2661,17 +2739,20 @@ private[graft] object QueriesVectors {
       |    row_number() OVER (PARTITION BY p.txt_id
       |      ORDER BY p.score DESC, p.img_id) AS rk
       |  FROM p JOIN keep k ON p.img_id = k.doc),
-      |ald AS (SELECT rd.source, rd.txt_id, rd.rk FROM rd
+      |ald AS (SELECT rd.txt_id, rd.rk FROM rd
       |  JOIN lab lt ON lt.doc = rd.txt_id
       |  JOIN lab li ON li.doc = rd.img_id
-      |  WHERE lt.keep_id = li.keep_id)
-      |SELECT source, count(*)::BIGINT AS n_txt,
-      |  sum((rk = 1)::BIGINT)::BIGINT AS n_top1,
-      |  round(CAST(sum(CAST(round(1.0 / rk, 6) AS DECIMAL(18,9)))
-      |    AS DOUBLE) / count(*), 6) AS mrr,
-      |  round(sum((rk = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
-      |    AS recall_at_1
-      |FROM ald GROUP BY source""".stripMargin))
+      |  WHERE lt.keep_id = li.keep_id),
+      |tx AS (SELECT doc_id AS txt_id, source FROM dim0)
+      |SELECT tx.source, count(*)::BIGINT AS n_txt,
+      |  sum(coalesce((rk = 1)::BIGINT, 0))::BIGINT AS n_top1,
+      |  sum((rk IS NULL)::BIGINT)::BIGINT AS n_starved,
+      |  round(CAST(sum(coalesce(CAST(round(1.0 / rk, 6)
+      |      AS DECIMAL(18,9)), 0)) AS DOUBLE) / count(*), 6) AS mrr,
+      |  round(sum(coalesce((rk = 1)::BIGINT, 0))::DOUBLE
+      |    / count(*)::DOUBLE, 6) AS recall_at_1
+      |FROM tx LEFT JOIN ald USING (txt_id) GROUP BY tx.source"""
+      .stripMargin))
 
   /** The SERVING surface of the pair matcher (s22): per image-source,
     * pairs seen / kept and the ALIGNED RECALL — the metric a live
@@ -2680,13 +2761,37 @@ private[graft] object QueriesVectors {
     * candidate pairs but no aligned one yet — recall publishes 0.0,
     * not NaN. */
   private[graft] def crossModalServing(textDocs: DataFrame,
-                                       imgDocs: DataFrame): DataFrame =
-    crossModalReport(textDocs, imgDocs)
-      .select(col("source"), col("n_pairs"), col("n_kept"),
-        when(col("n_aligned") > 0L, round(
-          col("n_aligned_kept").cast("double")
-            / col("n_aligned").cast("double"), 6))
+                                       imgDocs: DataFrame): DataFrame = {
+    // ONE complete-mode aggregation (the s24 union move): raw text
+    // arrivals (txt = 1) union the scored pairs, so the dashboard also
+    // publishes n_txt (arrivals seen, by the TEXT's source) and
+    // n_txt_dropped = texts whose ALIGNED pair never surfaced — i.e.
+    // texts the hot-bucket posting cap starved (their aligned image
+    // always shares their bucket, so a missing aligned pair means the
+    // bucket was dropped). aligned_recall's denominator shrink is then
+    // visible instead of silent.
+    val score = col("_score")
+    val pairRows = crossModalScored(textDocs, imgDocs)
+      .select(col("source"), lit(0L).as("_txt"), lit(1L).as("_pair"),
+        (score >= 0.8).cast("long").as("_kept"),
+        (col("doc_id") === col("txt_id")).cast("long").as("_al"),
+        ((col("doc_id") === col("txt_id")) && score >= 0.8).cast("long")
+          .as("_alk"))
+    val txtRows = towerDims(textDocs)
+      .select(col("source"), lit(1L).as("_txt"), lit(0L).as("_pair"),
+        lit(0L).as("_kept"), lit(0L).as("_al"), lit(0L).as("_alk"))
+    txtRows.unionByName(pairRows).groupBy(col("source")).agg(
+        sum(col("_pair")).as("n_pairs"),
+        sum(col("_kept")).as("n_kept"),
+        sum(col("_txt")).as("n_txt"),
+        sum(col("_al")).as("_n_al"),
+        sum(col("_alk")).as("_n_alk"))
+      .select(col("source"), col("n_pairs"), col("n_kept"), col("n_txt"),
+        (col("n_txt") - col("_n_al")).as("n_txt_dropped"),
+        when(col("_n_al") > 0L, round(
+          col("_n_alk").cast("double") / col("_n_al").cast("double"), 6))
           .otherwise(lit(0.0)).as("aligned_recall"))
+  }
 
   // ---------------------------- streaming ingest dedup (s24)
   // The media-upload gate a production corpus runs at the door (d22's
@@ -2709,6 +2814,7 @@ private[graft] object QueriesVectors {
     * Content-addressed selection, replayed by the oracle. */
   private[graft] def ingestArrivalDims(docsDf: DataFrame): DataFrame = {
     val dims0 = towerDims(docsDf)
+      .withColumn("doc_id", requireReIdDomain(col("doc_id")))
     val h = Dedup.md5Hash(col("doc_id").cast("string"), lit("ing")) % 4
     val reup = dims0.filter(h === 0L)
       .withColumn("doc_id", col("doc_id") + lit(2000000000L))
@@ -2793,14 +2899,23 @@ private[graft] object QueriesVectors {
   // the c05 pipeline verbatim up to the final rollup; only the
   // published projection differs (serving metric, not curation rate)
   private[graft] val crossModalServingSql: String =
-    s"""WITH ${crossModalCandCtes(withDistractors = false)}
-      |SELECT source, count(*)::BIGINT AS n_pairs,
-      |  sum((score >= 0.8)::BIGINT)::BIGINT AS n_kept,
-      |  CASE WHEN sum((img_id = txt_id)::BIGINT) > 0
-      |    THEN round(sum(((img_id = txt_id) AND score >= 0.8)::BIGINT)
-      |      ::DOUBLE / sum((img_id = txt_id)::BIGINT)::DOUBLE, 6)
+    s"""WITH ${crossModalCandCtes(withDistractors = false)},
+      |u AS (SELECT source, 1::BIGINT AS txt, 0::BIGINT AS pair,
+      |    0::BIGINT AS kept, 0::BIGINT AS al, 0::BIGINT AS alk
+      |  FROM dim0
+      |  UNION ALL
+      |  SELECT source, 0, 1, (score >= 0.8)::BIGINT,
+      |    (img_id = txt_id)::BIGINT,
+      |    ((img_id = txt_id) AND score >= 0.8)::BIGINT
+      |  FROM p)
+      |SELECT source, sum(pair)::BIGINT AS n_pairs,
+      |  sum(kept)::BIGINT AS n_kept,
+      |  sum(txt)::BIGINT AS n_txt,
+      |  (sum(txt) - sum(al))::BIGINT AS n_txt_dropped,
+      |  CASE WHEN sum(al) > 0
+      |    THEN round(sum(alk)::DOUBLE / sum(al)::DOUBLE, 6)
       |    ELSE 0.0 END AS aligned_recall
-      |FROM p GROUP BY source""".stripMargin
+      |FROM u GROUP BY source""".stripMargin
 
   lazy val defs: Seq[(String, QFn, Option[String])] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15, m16, m17, c04, c05, c06, c07, c08, c09)
 }

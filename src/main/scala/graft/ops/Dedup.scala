@@ -853,6 +853,20 @@ object Dedup {
   def labelComponents(nodes: DataFrame, edges0: DataFrame,
                       maxRounds: Int = 10): DataFrame = {
     val edges = edges0.distinct().cache()
+    // FAULT-TOLERANCE TRADE (cluster runs): localCheckpoint truncates
+    // lineage into executor-local blocks — losing an executor
+    // mid-propagation makes that round's blocks unrecoverable and fails
+    // the job, where the old cache()-based rounds could recompute from
+    // lineage. Single-node (this harness) there is no such failure
+    // mode, so localCheckpoint's zero-copy materialization is the
+    // default; a cluster run sets spark.sparkContext.setCheckpointDir
+    // and each round then writes a RELIABLE checkpoint instead
+    // (HDFS/object-store backed, survives executor loss) at the cost
+    // of one distributed write per round.
+    val spark = nodes.sparkSession
+    def trunc(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // label propagation to fixpoint (bounded): label = min id reachable.
     // The first hop is folded into initialization: against the identity
     // label map it reduces to min(id, min(peer)) straight off the edge
@@ -870,10 +884,9 @@ object Dedup {
     // blocks — planning cost is constant per round at any scale. Blocks
     // are weakly referenced; the ContextCleaner reclaims each round's
     // table once the next round's plan no longer reaches it.
-    var labels: DataFrame = edges.groupBy(col("doc"))
+    var labels: DataFrame = trunc(edges.groupBy(col("doc"))
       .agg(min(col("peer")).as("_p"))
-      .select(col("doc"), least(col("doc"), col("_p")).as("label"))
-      .localCheckpoint(true)
+      .select(col("doc"), least(col("doc"), col("_p")).as("label")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -902,10 +915,9 @@ object Dedup {
       // the convergence check rides the same materialization as the new
       // label table (the _old column is dropped before the next round) —
       // no second join job against the previous round
-      val next = hopped
+      val next = trunc(hopped
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
-        .join(labels.select(col("doc"), col("label").as("_old")), Seq("doc"))
-        .localCheckpoint(true)
+        .join(labels.select(col("doc"), col("label").as("_old")), Seq("doc")))
       val changed = next.filter(col("label") =!= col("_old")).limit(1).count()
       labels = next.select(col("doc"), col("label"))
       converged = changed == 0

@@ -238,19 +238,43 @@ object Multimodal {
     * recover source. Output: (id, src, px_csv). */
   def imageTowerRows(df: DataFrame, idCol: String, srcCol: String,
                      textCol: String, wCol: Column, hCol: Column,
-                     tw: Int, th: Int): DataFrame = {
+                     tw: Int, th: Int): DataFrame =
+    imageTowerRows(df, idCol, srcCol, textCol, wCol, hCol, lit(255), tw, th)
+
+  /** [[imageTowerRows]] with a PER-ROW maxval column: the generator
+    * clamps every md5-grid pixel at the row's maxval before encoding
+    * (pixel values above maxval are illegal P5, so a real encoder
+    * clamps) and the PGM header carries that maxval through the full
+    * decode → resize → re-encode roundtrip. mv = 255 is the identity
+    * (md5 bytes are already ≤ 255) — every pre-existing consumer sits
+    * on that overload. A LOWER maxval is the near-duplicate generator
+    * the cross-modal evals use: same text seed + same geometry with
+    * only the clamped (bright) pixels moved slightly, so the tower
+    * vector lands at cosine 1−ε of the original's — a genuinely
+    * different image file whose difference is at score-resolution
+    * level. Oracle twin: least(pixel, mv). */
+  def imageTowerRows(df: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, wCol: Column, hCol: Column,
+                     mvCol: Column, tw: Int, th: Int): DataFrame = {
     require(tw >= 1 && th >= 1, s"imageTowerRows: bad target $tw x $th")
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(idCol).cast("long"), col(srcCol).cast("string"),
       coalesce(col(textCol), lit("")).cast("string"),
-      wCol.cast("int"), hCol.cast("int"))
-      .as[(Long, String, String, Int, Int)]
+      wCol.cast("int"), hCol.cast("int"), mvCol.cast("int"))
+      .as[(Long, String, String, Int, Int, Int)]
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, src, t, w, h) =>
+      it.map { case (id, src, t, w, h, mv) =>
         require(w >= 1 && h >= 1, s"imageTowerRows: bad dims ${w}x$h")
-        val enc = Pgm.encode(Pgm.Image(w, h, 255, md5Grid(md, t, w * h)))
+        require(mv >= 1 && mv <= 255, s"imageTowerRows: bad maxval $mv")
+        val px = md5Grid(md, t, w * h)
+        var j = 0
+        while (j < px.length) {
+          if ((px(j) & 0xff) > mv) px(j) = mv.toByte
+          j += 1
+        }
+        val enc = Pgm.encode(Pgm.Image(w, h, mv, px))
         val rs = Pgm.decode(Pgm.encode(
           Pgm.resizeNearest(Pgm.decode(enc), tw, th)))
         val sb = new java.lang.StringBuilder(rs.pixels.length * 4)

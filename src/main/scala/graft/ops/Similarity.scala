@@ -20,6 +20,12 @@ import graft.ops.CrossRound.round // shadows functions.round: cross-engine form
  */
 object Similarity {
 
+  /** Salt seed for the hot-bucket salt-split in [[lshNearDupPairs]].
+    * Shared with the e26 oracle CTE builder (QueriesVectors) so the two
+    * engines can never drift: the sub-bucket salt is
+    * md5(id || '#' || band || '#' || SALT_SEED) % nSalts on both sides. */
+  val SALT_SEED = "esalt"
+
   /** Strict left-fold dot product of two equal-length numeric arrays —
     * the codegen'd native expression (graft.functions.DotProduct), with
     * identical semantics to the `aggregate(zip_with(...))` composition it
@@ -171,15 +177,20 @@ object Similarity {
     // corpus EVERY key is hot and the operator would return nothing.
     // Instead a bucket deeper than the cap is subdivided into
     // ceil(depth/cap) sub-buckets by a content-addressed salt
-    // (md5 of the vector id — deterministic, oracle-replayable): pairs
-    // form only within a sub-bucket, so candidates are bounded by
-    // ~cap·n per band (LINEAR in corpus) while recall degrades
-    // gracefully — each vector still meets ~cap dense-region neighbors,
-    // and pairs split by the salt can still surface through the other
-    // bands. A bucket at or under the cap gets salt 0 everywhere —
-    // below the cap the capped operator is IDENTICAL to the baseline.
-    // 0 = unsalted: the recall-faithful e03 baseline, cross-checked
-    // against exact all-pairs.
+    // (md5 of the vector id AND the band index — deterministic,
+    // oracle-replayable): pairs form only within a sub-bucket, so
+    // candidates are bounded by ~cap·n per band (LINEAR in corpus)
+    // while recall degrades gracefully. The band index is folded into
+    // the salt seed so the splits DECORRELATE across bands: in the
+    // uniform-hot case (every band bucket equally deep) an id-only
+    // salt would split the same pair apart in every band at once,
+    // while the per-band salt gives a split pair an independent
+    // ~1/ceil(depth/cap) chance of colliding in each other band — the
+    // "can resurface through the other bands" recall story is then
+    // real rather than aspirational. A bucket at or under the cap gets
+    // salt 0 everywhere — below the cap the capped operator is
+    // IDENTICAL to the baseline. 0 = unsalted: the recall-faithful e03
+    // baseline, cross-checked against exact all-pairs.
     val ba = banded("a", "va", "_na")
     val bb = banded("b", "vb", "_nb")
     val (baK, bbK, keys) =
@@ -192,7 +203,10 @@ object Similarity {
         def salted(df: DataFrame, idc: String): DataFrame =
           df.join(dep, Seq("band", "bits"))
             .withColumn("_salt",
-              Dedup.md5Hash(col(idc).cast("string"), lit("esalt")) % nSalts)
+              Dedup.md5Hash(
+                concat(col(idc).cast("string"), lit("#"),
+                  col("band").cast("string")),
+                lit(SALT_SEED)) % nSalts)
             .drop("_depth")
         (salted(ba, "a"), salted(bb, "b"), Seq("band", "bits", "_salt"))
       }

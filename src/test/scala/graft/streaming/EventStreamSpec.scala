@@ -860,15 +860,17 @@ class EventStreamSpec extends SparkSpec {
       in.addData(docs.drop(2): _*); q.processAllAvailable()
     } finally q.stop()
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("source", "n_pairs", "n_kept", "aligned_recall")
-        .as[(String, Long, Long, Double)].collect().toSet
+      df.select("source", "n_pairs", "n_kept", "n_txt", "n_txt_dropped",
+          "aligned_recall")
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
     val streamed = rows(spark.table("xmodal"))
     val batch = rows(serve(static))
     assert(streamed == batch)
     // every aligned pair is a candidate (identical vectors share the
     // bucket) and scores cosine 1 — recall must be 1.0 once all text
-    // has arrived
-    assert(streamed.nonEmpty && streamed.forall(_._4 == 1.0))
+    // has arrived, and no text is candidate-starved (n_txt_dropped 0)
+    assert(streamed.nonEmpty && streamed.forall(_._6 == 1.0))
+    assert(streamed.forall(_._5 == 0L))
   }
 
   test("ingestDedupServing streams: the codec tower maps arriving " +
@@ -888,15 +890,16 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
     def dimOf(id: Long) = corpusDims.find(_._1 == id).get
+    // dims rows carry mv (PGM maxval; 255 = the identity clamp)
     val arrivals = Seq(
-      (101L, "web", dimOf(1L)._3, dimOf(1L)._4, dimOf(1L)._5),
-      (102L, "web", "completely new content here", 9L, 5L),
-      (103L, "code", dimOf(3L)._3, dimOf(3L)._4, dimOf(3L)._5),
-      (104L, "code", "another brand new document", 11L, 7L))
+      (101L, "web", dimOf(1L)._3, dimOf(1L)._4, dimOf(1L)._5, 255L),
+      (102L, "web", "completely new content here", 9L, 5L, 255L),
+      (103L, "code", dimOf(3L)._3, dimOf(3L)._4, dimOf(3L)._5, 255L),
+      (104L, "code", "another brand new document", 11L, 7L, 255L))
     def serve(arr: org.apache.spark.sql.DataFrame) =
       graft.QueriesVectors.ingestDedupServing(arr, corpus)
-    val in = MemoryStream[(Long, String, String, Long, Long)]
-    val q = serve(in.toDF().toDF("doc_id", "source", "text", "w", "h"))
+    val in = MemoryStream[(Long, String, String, Long, Long, Long)]
+    val q = serve(in.toDF().toDF("doc_id", "source", "text", "w", "h", "mv"))
       .writeStream.format("memory").queryName("ingestgate")
       .outputMode("complete").start()
     try {
@@ -908,7 +911,7 @@ class EventStreamSpec extends SparkSpec {
         .as[(String, Long, Long, Long)].collect().toSet
     val streamed = rows(spark.table("ingestgate"))
     val batch = rows(serve(
-      arrivals.toDF("doc_id", "source", "text", "w", "h")))
+      arrivals.toDF("doc_id", "source", "text", "w", "h", "mv")))
     assert(streamed == batch)
     assert(streamed == Set(("web", 2L, 1L, 1L), ("code", 2L, 1L, 1L)))
   }

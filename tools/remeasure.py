@@ -59,20 +59,35 @@ def main():
     ap.add_argument("--out", default="remeasure_verdict.json")
     ap.add_argument("--dry-run", action="store_true",
                     help="report the mover list without re-running")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated short-ids to re-measure, "
+                         "overriding automatic mover selection")
     args = ap.parse_args()
 
     old, old_doc = load(args.old)
     new, new_doc = load(args.new)
     movers = []
-    for sid in sorted(set(old) & set(new)):
-        oname, ov = old[sid]
-        nname, nv = new[sid]
-        if nv >= args.min_sec and ov > 0 and nv / ov >= args.ratio:
+    if args.queries:
+        for sid in args.queries.split(","):
+            sid = sid.strip()
+            if sid not in old or sid not in new:
+                print(f"  {sid}: not in both files — skipped")
+                continue
+            oname, ov = old[sid]
+            nname, nv = new[sid]
             movers.append({"query": nname, "short": sid,
                            "old_sec": ov, "suite_sec": nv,
                            "suite_ratio": round(nv / ov, 3)})
-    movers.sort(key=lambda m: -(m["suite_sec"] - m["old_sec"]))
-    movers = movers[:args.top]
+    else:
+        for sid in sorted(set(old) & set(new)):
+            oname, ov = old[sid]
+            nname, nv = new[sid]
+            if nv >= args.min_sec and ov > 0 and nv / ov >= args.ratio:
+                movers.append({"query": nname, "short": sid,
+                               "old_sec": ov, "suite_sec": nv,
+                               "suite_ratio": round(nv / ov, 3)})
+        movers.sort(key=lambda m: -(m["suite_sec"] - m["old_sec"]))
+        movers = movers[:args.top]
     if not movers:
         print("no movers above threshold — nothing to re-measure")
         out = {"old": args.old, "new": args.new, "movers": [],
@@ -102,8 +117,19 @@ def main():
     with open("/tmp/graft_bench_iters.json") as fh:
         iso_iters = json.load(fh)
 
-    probe = iso_iters.get("probe_start_sec") or args.healthy_probe
-    env = max(1.0, probe / args.healthy_probe)
+    # Explicit None check: a missing probe must NOT read as "healthy"
+    # (0.0-or-absent would previously fall back to healthy_probe and
+    # silently scale every verdict). And cap the environment correction
+    # at 2.0x: beyond that the machine is too degraded to adjudicate at
+    # all — stamp "inconclusive" rather than absorbing any slowdown.
+    probe = iso_iters.get("probe_start_sec")
+    ENV_CAP = 2.0
+    if probe is None or probe <= 0:
+        env = None  # untrusted window — no calibration available
+    else:
+        env = min(max(1.0, probe / args.healthy_probe), ENV_CAP)
+    probe_trusted = (probe is not None and probe > 0
+                     and probe / args.healthy_probe <= ENV_CAP)
     for m in movers:
         iv = iso.get("queries", {}).get(m["query"])
         m["isolated_sec"] = iv
@@ -111,17 +137,21 @@ def main():
                                .get(m["query"], {}).get("times"))
         if iv is None:
             m["verdict"] = "failed"
+        elif not probe_trusted:
+            m["verdict"] = "inconclusive"
         elif iv <= m["old_sec"] * args.ratio_ok * env:
             m["verdict"] = "noise"
         else:
             m["verdict"] = "regression"
-        print(f"  {m['query']}: isolated {iv}s (env x{env:.2f}) "
+        envs = f"x{env:.2f}" if env is not None else "UNTRUSTED"
+        print(f"  {m['query']}: isolated {iv}s (env {envs}) "
               f"-> {m['verdict']}")
 
     out = {"old": args.old, "new": args.new,
            "ratio": args.ratio, "ratio_ok": args.ratio_ok,
            "healthy_probe": args.healthy_probe,
-           "env_factor": round(env, 3),
+           "env_factor": round(env, 3) if env is not None else None,
+           "probe_trusted": probe_trusted,
            "iters": args.iters, "sf_dir": args.sf_dir,
            "old_probe": old_doc.get("probe"),
            "new_probe": new_doc.get("probe"),
