@@ -645,7 +645,27 @@ object QueriesStream {
       Tables.documents(s, d)),
     Some(QueriesVectors.ingestDedupSql))
 
+  // ------------------------- streaming index maintenance (s25)
+  // What happens AFTER the s24 door says yes: admitted arrivals APPEND
+  // to the served image index, the adaptive bucket width re-derives on
+  // the grown corpus (the d73 self-tuning knob, now moving with the
+  // index), and every admitted arrival's text must retrieve its own
+  // image at top-1 over the NEW index — so a dropped append, a stale
+  // width, or a capped bucket shows up as recall_admitted < 1 /
+  // n_starved > 0 rather than silently serving a stale index. ONE
+  // codec pass per row: re-indexing at the new width re-buckets the
+  // persisted tower vectors (a map), never re-runs the codec. The
+  // streaming twin appends per micro-batch inside foreachBatch (the
+  // production served-index idiom); EventStreamSpec proves the
+  // foreachBatch-accumulated index equals this batch operator. This
+  // registry row is the batch twin.
+  private val s25: (String, QFn, Option[String]) = ("s25_index_maintenance",
+    (s, d) => QueriesVectors.ingestIndexUpdateServing(
+      QueriesVectors.ingestArrivalDims(Tables.documents(s, d)),
+      Tables.documents(s, d)),
+    Some(QueriesVectors.ingestIndexUpdateSql))
+
   lazy val defs: Seq[(String, QFn, Option[String])] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 }

@@ -2851,6 +2851,197 @@ private[graft] object QueriesVectors {
       .withColumn("n_admitted", col("n_arrivals") - col("n_dup"))
   }
 
+  /** s25 — index MAINTENANCE behind the s24 door (the r16 verdict ask):
+    * arrivals that pass the dedup gate are APPENDED to the served image
+    * index, the adaptive bucket width RE-DERIVES on the grown corpus,
+    * and the row proves the post-ingest index actually serves the
+    * admitted content — each admitted arrival's text must retrieve its
+    * own image at top-1 over the NEW index (a dropped append or a stale
+    * width shows up as recall_admitted < 1).
+    *
+    * Scale shape: ONE codec pass per row (gate towers are reused — the
+    * e22 persisted-index idiom: tower VECTORS are width-independent, so
+    * re-indexing at the new width is a per-row re-bucket map, never a
+    * codec re-run); the dup gate is a bucket equi-join at the OLD width
+    * (what the gate served while the batch arrived); the serving join
+    * is a bucket equi-join at the NEW width with the same hot-bucket
+    * posting cap; two driver-side scalar counts pick the widths (the
+    * d73 precedent). Admitted rows are found with a batch anti-join —
+    * the STREAMING twin runs the same decision per micro-batch inside
+    * foreachBatch (the production append-to-served-index idiom;
+    * EventStreamSpec proves foreachBatch-accumulated index ≡ this batch
+    * operator). Output per arrival source: index sizes, widths, and the
+    * admitted-retrieval recall with c07's starvation discipline
+    * (rk null = miss, published in n_starved). */
+  /** The s25 gate: arrival dims → gate-width tower → anti-join against
+    * the corpus tower on (bucket, exact-parallel). Per-row + static
+    * corpus only, so admitted(b1 ∪ b2) = admitted(b1) ∪ admitted(b2) —
+    * the property that lets the streaming twin run this per micro-batch
+    * inside foreachBatch and accumulate an identical index. */
+  private[graft] def admittedArrivalTower(
+      arrDims: DataFrame, corpusTower: DataFrame, bits0: Int): DataFrame = {
+    val arrTower = imageTowerFromDims(arrDims, bits0)
+    val idx0 = corpusTower.select(col("ibucket").as("cbucket"),
+      col("ivec").as("cvec"), col("in2").as("cn2"))
+    val dot = aggregate(
+      zip_with(col("ivec"), col("cvec"), (a, b) => (a - 128L) * (b - 128L)),
+      lit(0L), (acc, v) => acc + v)
+    val isDup = col("ibucket") === col("cbucket") && dot > 0L &&
+      dot * dot === col("in2") * col("cn2")
+    arrTower.join(idx0, isDup, "left_anti")
+  }
+
+  private[graft] def ingestIndexUpdateServing(
+      arrDims: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    val nBefore = corpusDocs.count()
+    val bits0 = adaptiveTowerBits(nBefore)
+    val cdims = towerDims(corpusDocs)
+    // gate-width towers (codec runs HERE, once per row; checkpointed so
+    // the gate join, the width count, and the serving join all reuse
+    // the same materialization)
+    val corpusTower = imageTowerFromDims(cdims, bits0).localCheckpoint(true)
+    val admitted = admittedArrivalTower(arrDims, corpusTower, bits0)
+      .localCheckpoint(true)
+    val nAdmitted = admitted.count()
+    val bits1 = adaptiveTowerBits(nBefore + nAdmitted)
+    // re-bucket the SAME vectors at the new width — a stateless map
+    def rebucket(t: DataFrame): DataFrame =
+      t.withColumn("ibucket", towerBucket(col("ivec"), bits1))
+    val newIdx = rebucket(corpusTower.unionByName(admitted))
+    val hot = newIdx.groupBy(col("ibucket")).count()
+      .filter(col("count") > TOWER_MAX_POSTINGS).select(col("ibucket"))
+    val idxOk = newIdx.join(hot, Seq("ibucket"), "left_anti")
+      .select(col("doc_id").as("img_id"), col("ibucket"),
+        col("ivec").as("nvec"), col("in2").as("nn2"))
+    // admitted TEXT tower: at mv = 255 the text tower vector equals the
+    // image tower vector by the aligned-parity contract (pinned by
+    // PropertiesSpec's parity test), so the gate tower doubles as the
+    // query side — no second tower pass
+    val texts = rebucket(admitted)
+      .select(col("doc_id").as("txt_id"), col("source"),
+        col("ibucket").as("tbucket"), col("ivec").as("tvec"),
+        col("in2").as("tn2"))
+    val sdot = aggregate(
+      zip_with(col("nvec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
+      lit(0L), (acc, v) => acc + v)
+    val denom2 = (col("nn2") * col("tn2")).cast("double")
+    val ranked = texts.join(idxOk, col("tbucket") === col("ibucket"))
+      .withColumn("_dot", sdot)
+      .withColumn("_score",
+        when(denom2 > 0.0, col("_dot").cast("double") / sqrt(denom2))
+          .otherwise(lit(0.0)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("txt_id"))
+          .orderBy(col("_score").desc, col("img_id"))))
+      .filter(col("img_id") === col("txt_id"))
+      .select(col("txt_id"), col("rk"))
+    val evalStats = texts.select(col("txt_id"), col("source"))
+      .join(ranked, Seq("txt_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_admitted"),
+        sum(coalesce((col("rk") === 1L).cast("long"), lit(0L)))
+          .as("_n_top1"),
+        sum(col("rk").isNull.cast("long")).as("n_starved"))
+    val idxStats = cdims.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_index_before"))
+    val arrStats = arrDims.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_arrivals"))
+    idxStats.join(arrStats, Seq("source"))
+      .join(evalStats, Seq("source"))
+      .select(col("source"), col("n_index_before"), col("n_arrivals"),
+        col("n_admitted"),
+        (col("n_index_before") + col("n_admitted")).as("n_index_after"),
+        lit(bits0.toLong).as("bits_before"),
+        lit(bits1.toLong).as("bits_after"),
+        col("n_starved"),
+        round(col("_n_top1").cast("double")
+          / col("n_admitted").cast("double"), 6).as("recall_admitted"))
+  }
+
+  private[graft] val ingestIndexUpdateSql: String = {
+    // vec CTEs run once per side; the two widths (bits = gate width
+    // from the pre-ingest corpus, bits2 = re-derived width from the
+    // grown corpus) only enter at the AGG stage — mirroring the Scala
+    // side's re-bucket-not-re-encode structure
+    def vecOf(src: String, sfx: String): String =
+      s"""smp$sfx AS (SELECT doc_id, source, t, k,
+        |    ((k // 4) * h // 4) * w + ((k % 4) * w // 4) AS pos
+        |  FROM (SELECT *, unnest(range(16)) AS k FROM $src)),
+        |vec$sfx AS (SELECT doc_id, source, k,
+        |    ('0x' || substr(md5(t || '#' || (pos // 16)::VARCHAR),
+        |      ((pos % 16) * 2 + 1)::INT, 2))::BIGINT AS v
+        |  FROM smp$sfx)""".stripMargin
+    def aggOf(vecSfx: String, sfx: String, bitsCte: String,
+              bitsCol: String): String =
+      s"""agg$sfx AS (SELECT doc_id, source,
+        |    sum(CASE WHEN k < $bitsCol AND v > 128 THEN (1::BIGINT << k)
+        |      ELSE 0 END)::BIGINT AS bucket,
+        |    list((v - 128)::DOUBLE ORDER BY k) AS cv,
+        |    sum((v - 128) * (v - 128))::BIGINT AS n2
+        |  FROM vec$vecSfx, $bitsCte GROUP BY 1, 2)""".stripMargin
+    s"""WITH dim0 AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |    (8 + ${md5HashSql("doc_id::VARCHAR || '#dim'")} % 24)::BIGINT
+      |      AS w,
+      |    (4 + ${md5HashSql("doc_id::VARCHAR || '#dim.h'")} % 12)::BIGINT
+      |      AS h
+      |  FROM documents),
+      |arr AS (SELECT doc_id + 2000000000 AS doc_id, source, t, w, h
+      |    FROM dim0 WHERE ${md5HashSql("doc_id::VARCHAR || '#ing'")} % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000000, source, t || ' [v2]', w, h
+      |    FROM dim0 WHERE ${md5HashSql("doc_id::VARCHAR || '#ing'")} % 4 = 1),
+      |bits AS (${adaptiveBitsSql("dim0")}),
+      |${vecOf("dim0", "c")},
+      |${vecOf("arr", "a")},
+      |${aggOf("c", "c", "bits", "b")},
+      |${aggOf("a", "a", "bits", "b")},
+      |dup AS (SELECT DISTINCT a.doc_id FROM agga a JOIN aggc c
+      |  ON a.bucket = c.bucket
+      |  AND list_dot_product(a.cv, c.cv) > 0
+      |  AND list_dot_product(a.cv, c.cv) * list_dot_product(a.cv, c.cv)
+      |    = (a.n2 * c.n2)::DOUBLE),
+      |adm AS (SELECT * FROM agga
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      |bits2 AS (SELECT greatest(6, least(16, ceil(log2(greatest(
+      |    ((SELECT count(*) FROM dim0) + (SELECT count(*) FROM adm)
+      |      + ${TOWER_TARGET_BUCKET - 1}) // $TOWER_TARGET_BUCKET,
+      |    1)))::BIGINT)) AS b2),
+      |${aggOf("c", "c2", "bits2", "b2")},
+      |${aggOf("a", "a2", "bits2", "b2")},
+      |adm2 AS (SELECT g.* FROM agga2 g JOIN adm USING (doc_id)),
+      |newidx AS (SELECT * FROM aggc2 UNION ALL SELECT * FROM adm2),
+      |okb AS (SELECT bucket FROM newidx GROUP BY bucket
+      |  HAVING count(*) <= $TOWER_MAX_POSTINGS),
+      |r AS (SELECT t.doc_id AS txt_id, i.doc_id AS img_id,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY
+      |      (CASE WHEN i.n2 * t.n2 > 0
+      |        THEN list_dot_product(i.cv, t.cv)
+      |          / sqrt((i.n2 * t.n2)::DOUBLE)
+      |        ELSE 0.0 END) DESC, i.doc_id) AS rk
+      |  FROM adm2 t JOIN newidx i ON t.bucket = i.bucket
+      |   JOIN okb o ON i.bucket = o.bucket),
+      |al AS (SELECT txt_id, rk FROM r WHERE img_id = txt_id),
+      |ev AS (SELECT a.source, count(*)::BIGINT AS n_admitted,
+      |    sum(coalesce((al.rk = 1)::BIGINT, 0))::BIGINT AS n_top1,
+      |    sum((al.rk IS NULL)::BIGINT)::BIGINT AS n_starved
+      |  FROM adm a LEFT JOIN al ON a.doc_id = al.txt_id
+      |  GROUP BY a.source),
+      |ix AS (SELECT source, count(*)::BIGINT AS n_index_before
+      |  FROM dim0 GROUP BY source),
+      |ar AS (SELECT source, count(*)::BIGINT AS n_arrivals
+      |  FROM arr GROUP BY source)
+      |SELECT ix.source, ix.n_index_before, ar.n_arrivals, ev.n_admitted,
+      |  (ix.n_index_before + ev.n_admitted)::BIGINT AS n_index_after,
+      |  (SELECT b FROM bits)::BIGINT AS bits_before,
+      |  (SELECT b2 FROM bits2)::BIGINT AS bits_after,
+      |  ev.n_starved,
+      |  round(ev.n_top1::DOUBLE / ev.n_admitted::DOUBLE, 6)
+      |    AS recall_admitted
+      |FROM ix JOIN ar USING (source) JOIN ev USING (source)"""
+      .stripMargin
+  }
+
   private[graft] val ingestDedupSql: String = {
     // corpus tower (suffix c) and arrival tower (suffix a) share the
     // vec derivation; bits comes from the INDEX corpus (dim0), exactly

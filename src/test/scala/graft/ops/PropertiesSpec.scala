@@ -374,6 +374,34 @@ class PropertiesSpec extends SparkSpec {
     assert(n == 500L, s"every text must rank post-dedup, got $n")
   }
 
+  test("s25 re-derives the serving width when ingest grows the index " +
+      "across a width boundary, and still serves admitted content") {
+    // corpus of 1010 images: gate width 6 (ceil(1010/16) = 64 -> 2^6);
+    // the registered arrival mix admits ~25%, pushing the index past
+    // 1024 — the re-derived width must move to 7 and the admitted
+    // retrieval must be perfect AT THE NEW WIDTH (a stale width or a
+    // dropped append would break it)
+    val corpus = spark.range(1L, 1011L)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+        concat(lit("synthetic doc body "), col("id").cast("string"),
+          lit(" for the width boundary fixture")).as("text"))
+    val rows = graft.QueriesVectors.ingestIndexUpdateServing(
+      graft.QueriesVectors.ingestArrivalDims(corpus), corpus).collect()
+    assert(rows.nonEmpty)
+    val totalAfter = rows.map(_.getAs[Long]("n_index_after")).sum
+    assert(totalAfter > 1024L,
+      s"fixture must cross the 1024 boundary, got $totalAfter")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bits_before") == 6L, s"gate width: $r")
+      assert(r.getAs[Long]("bits_after") == 7L,
+        s"the self-tuned width must move with the index: $r")
+      assert(r.getAs[Double]("recall_admitted") == 1.0
+          && r.getAs[Long]("n_starved") == 0L,
+        s"the re-indexed width must serve admitted content: $r")
+    }
+  }
+
   test("adaptiveTowerBits: integer ceil-log2 of n/16, clamped to [6, 16]") {
     import graft.QueriesVectors.adaptiveTowerBits
     // graded scales: 500 docs -> the r15 registered width (6), so the

@@ -916,6 +916,73 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == Set(("web", 2L, 1L, 1L), ("code", 2L, 1L, 1L)))
   }
 
+  test("s25 index maintenance streams: foreachBatch-admitted tower rows " +
+      "accumulate to the batch operator's served index") {
+    // the production shape: each micro-batch of arrivals runs the gate
+    // (per-row tower + anti-join vs the STATIC corpus tower) inside
+    // foreachBatch and appends admitted rows to the served index store
+    // through the exactly-once idempotent sink; because the admit
+    // decision is per-row against a static corpus,
+    // admitted(b1 UNION b2) = admitted(b1) UNION admitted(b2), so the
+    // accumulated index is bit-identical to the batch operator's — and
+    // the whole serving row (widths, sizes, recall) matches too.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_s25_ix")
+    rmTree(dir)
+    val corpus = (1L to 30L).map(i =>
+      (i, s"src${i % 3}", s"document body number $i with words"))
+      .toDF("doc_id", "source", "text")
+    val nBefore = corpus.count()
+    val bits0 = graft.QueriesVectors.adaptiveTowerBits(nBefore)
+    val corpusTower = graft.QueriesVectors.imageTowerFromDims(
+      graft.QueriesVectors.towerDims(corpus), bits0).localCheckpoint(true)
+    // arrivals: the registered mix (re-uploads + fresh), streamed in 2
+    // micro-batches as raw dims rows
+    val arrAll = graft.QueriesVectors.ingestArrivalDims(corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(arrAll.length >= 4, "fixture must produce arrivals")
+    val in = MemoryStream[(Long, String, String, Long, Long, Long)]
+    val q = in.toDF().toDF("doc_id", "source", "text", "w", "h", "mv")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EventStream.idempotentBatchWriter(dir.getPath)(
+          graft.QueriesVectors.admittedArrivalTower(
+            batch, corpusTower, bits0), bid)
+      }.start()
+    try {
+      in.addData(arrAll.take(arrAll.length / 2): _*); q.processAllAvailable()
+      in.addData(arrAll.drop(arrAll.length / 2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dir.getPath)
+    val arrDf = arrAll.toSeq
+      .toDF("doc_id", "source", "text", "w", "h", "mv")
+    val batchAdmitted = graft.QueriesVectors.admittedArrivalTower(
+      arrDf, corpusTower, bits0)
+    def ixRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("source"), col("ibucket"), col("in2"),
+          concat_ws(",", col("ivec")))
+        .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(ixRows(streamed) == ixRows(batchAdmitted),
+      "foreachBatch-accumulated admitted index != batch gate output")
+    assert(ixRows(streamed).nonEmpty)
+    // and the batch operator's full serving row (re-derived width,
+    // index sizes, admitted retrieval) is what the accumulated index
+    // serves — the decision per row matched, so the report must too
+    val report = graft.QueriesVectors.ingestIndexUpdateServing(
+      arrDf, corpus).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Double]("recall_admitted") == 1.0,
+        s"admitted content must be served at top-1: $r")
+      assert(r.getAs[Long]("n_starved") == 0L)
+      assert(r.getAs[Long]("n_index_after") ==
+        r.getAs[Long]("n_index_before") + r.getAs[Long]("n_admitted"))
+    }
+    rmTree(dir)
+  }
+
   test("vadSegments streams in APPEND mode: segments emitted per clip " +
       "equal the batch segments") {
     // the s19 contract: encode + VAD are stateless per-row maps, so an
