@@ -33,10 +33,22 @@ object ScaleData {
 
   private val Stride = 1000000000L
 
+  /** documents use a SMALLER per-copy stride (10⁷): the cross-modal
+    * eval/ingest rows re-ID docs at -(id+1) / id+10⁹ / ... and GUARD
+    * their input domain to [0, 10⁹) — with the fact-table stride the
+    * copies would land on the re-ID offsets and the guard (correctly)
+    * refuses to run. 10⁷ keeps up to 100 copies (the two-decades 100×
+    * fixture) inside the domain while staying far above any per-copy
+    * doc count. */
+  private val DocStride = 10000000L
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scale/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (e.g.
+    // "documents,embeddings" for the cheap 100x cross-modal fixture)
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,33 +57,36 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, src, out, copies)
+    build(spark, src, out, copies, tables)
     spark.stop()
   }
 
   def build(spark: SparkSession, src: String, out: String,
-            copies: Int): Unit = {
+            copies: Int, tables: Option[Set[String]] = None): Unit = {
+    def wanted(name: String): Boolean = tables.forall(_.contains(name))
     def rep(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
       (0 until copies).map(i => shift(df, i.toLong * Stride))
         .reduce(_ unionByName _)
-    def write(df: DataFrame, name: String): Unit =
-      df.repartition(32).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
+    def write(df: => DataFrame, name: String): Unit =
+      if (wanted(name))
+        df.repartition(32).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
 
     write(rep(Tables.events(spark, src)) { (d, s) =>
       d.withColumn("user_id", col("user_id") + s)
         .withColumn("event_id", col("event_id") + s)
     }, "events")
 
-    write(rep(Tables.documents(spark, src)) { (d, s) =>
-      val suffixed = if (s == 0L) d.withColumn("_t", col("text"))
+    write((0 until copies).map { i =>
+      val d = Tables.documents(spark, src)
+      val suffixed = if (i == 0) d.withColumn("_t", col("text"))
         else d.withColumn("_t", regexp_replace(col("text"),
-          "(\\S+)", "$1x" + (s / Stride)))
-      suffixed.withColumn("doc_id", col("doc_id") + s)
+          "(\\S+)", "$1x" + i))
+      suffixed.withColumn("doc_id", col("doc_id") + i.toLong * DocStride)
         .withColumn("n_chars", length(col("_t")).cast("long"))
         .drop("text").withColumnRenamed("_t", "text")
         .select("doc_id", "text", "lang", "source", "n_chars")
-    }, "documents")
+    }.reduce(_ unionByName _), "documents")
 
     write(rep(Tables.embeddings(spark, src)) { (d, s) =>
       d.withColumn("vec_id", col("vec_id") + s)

@@ -76,9 +76,12 @@ def bench(sf_dir, names):
 
 
 def insert_rows(text, rows):
-    """Place `rows` right after the LAST table row of the appendix table —
-    never at EOF, which corrupts the table as soon as any prose follows it
-    (this script once clobbered exactly such a note)."""
+    """Place `rows` right after the last CONTIGUOUS row of the appendix's
+    OWN table (anchored on its literal header line) — never after
+    whatever table happens to be last in the section: any later table
+    added under the same heading (the two-decades table was) would
+    otherwise swallow the new rows. Never at EOF either, which corrupts
+    the table as soon as any prose follows it."""
     if HEADING not in text:
         return (text.rstrip("\n") + f"\n\n{HEADING}\n\n"
                 "Per-query isolated best-of-N (graft.Bench, one query per\n"
@@ -87,11 +90,15 @@ def insert_rows(text, rows):
                 + TABLE_HDR + rows + "\n")
     head, section = text.split(HEADING, 1)
     lines = section.split("\n")
-    table_rows = [i for i, l in enumerate(lines) if l.startswith("| ")]
-    if not table_rows:  # heading present but table gone — rebuild it
+    hdr_line = TABLE_HDR.splitlines()[0]
+    try:
+        hdr = lines.index(hdr_line)
+    except ValueError:  # heading present but table gone — rebuild it
         return (head + HEADING + section.rstrip("\n") + "\n\n"
                 + TABLE_HDR + rows)
-    last_row = table_rows[-1]
+    last_row = hdr
+    while last_row + 1 < len(lines) and lines[last_row + 1].startswith("|"):
+        last_row += 1
     lines[last_row] = lines[last_row] + "\n" + rows.rstrip("\n")
     return head + HEADING + "\n".join(lines)
 
