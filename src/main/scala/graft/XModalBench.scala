@@ -15,6 +15,10 @@ object XModalBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val wideBits = args.lift(1).map(_.toInt).getOrElse(12)
+    // optional 3rd arg: narrow baseline width; 0 skips it — at the 100x
+    // fixture the 6-bit uncapped baseline is a deliberate ~10^9-pair
+    // quadratic and timing it teaches nothing new
+    val narrowBits = args.lift(2).map(_.toInt).getOrElse(6)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +50,8 @@ object XModalBench {
         .collect()(0).getLong(0)
       (best, pairs)
     }
-    val (tNarrow, pNarrow) = run(6, 0L)
+    val (tNarrow, pNarrow) =
+      if (narrowBits > 0) run(narrowBits, 0L) else (Double.NaN, -1L)
     val (tWide, pWide) = run(wideBits, 0L)
     // the REGISTERED behavior since r16: the operator derives the width
     // itself (adaptiveTowerBits over the image-corpus count). Measured
@@ -58,10 +63,13 @@ object XModalBench {
       run(aBits, QueriesVectors.TOWER_MAX_POSTINGS)
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"sf":"$sfDir","narrow_bits":6,"narrow_sec":${f(tNarrow)},""" +
-      s""""narrow_pairs":$pNarrow,"wide_bits":$wideBits,""" +
+    val narrowPart =
+      if (narrowBits > 0)
+        s""""narrow_bits":$narrowBits,"narrow_sec":${f(tNarrow)},""" +
+          s""""narrow_pairs":$pNarrow,"speedup":${f(tNarrow / tWide)},"""
+      else """"narrow_bits":0,"""
+    println(s"""{"sf":"$sfDir",$narrowPart"wide_bits":$wideBits,""" +
       s""""wide_sec":${f(tWide)},"wide_pairs":$pWide,""" +
-      s""""speedup":${f(tNarrow / tWide)},""" +
       s""""adaptive_bits":$aBits,"adaptive_sec":${f(tAdaptive)},""" +
       s""""adaptive_pairs":$pAdaptive,""" +
       s""""adaptive_eq_wide":${aBits == wideBits && pAdaptive == pWide}}""")
