@@ -628,6 +628,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(r == 0, s"unexpected range exchange in the ingest gate: r=$r")
   }
 
+  test("index maintenance (s25): gate anti-join and serving join both " +
+      "ride the bucket equi-key, never a cartesian") {
+    // the compound join conditions (bucket equality AND the
+    // exact-parallel integer test) must plan as equi-joins on the
+    // bucket key with the parallel test as a post-join filter — a
+    // planner regression to a nested loop would be the 100 TB killer
+    val plan = finalPlanOf("s25_index_maintenance")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gate/serving must be bucket equi-joins:\n$plan")
+    val (_, r, _) = exchangeCounts(plan)
+    assert(r == 0, s"unexpected range exchange in index maintenance: r=$r")
+  }
+
   test("video VLM pack (m17): per-clip codec summary — frame rows never " +
       "exist, the pack window is the only required exchange") {
     val plan = finalPlanOf("m17_video_vlm_pack")
