@@ -122,14 +122,24 @@ def main():
     # silently scale every verdict). And cap the environment correction
     # at 2.0x: beyond that the machine is too degraded to adjudicate at
     # all — stamp "inconclusive" rather than absorbing any slowdown.
+    # BOTH probes must sit in a trusted band: a window that degrades
+    # mid-run (r17 measured 0.107 -> 0.22 across one 6-query isolated
+    # pass) inflates the later iterations and the best-of-K with them —
+    # the r17 evidence is isolated minima EXCEEDING the same query's
+    # same-day full-suite time, which a real plan regression cannot do
+    # (suite contention only adds time).
     probe = iso_iters.get("probe_start_sec")
+    probe_end = iso_iters.get("probe_end_sec")
     ENV_CAP = 2.0
-    if probe is None or probe <= 0:
+    def in_band(p):
+        return p is not None and p > 0 and p / args.healthy_probe <= ENV_CAP
+    if not in_band(probe):
         env = None  # untrusted window — no calibration available
     else:
         env = min(max(1.0, probe / args.healthy_probe), ENV_CAP)
-    probe_trusted = (probe is not None and probe > 0
-                     and probe / args.healthy_probe <= ENV_CAP)
+    probe_trusted = (in_band(probe) and in_band(probe_end)
+                     and (probe_end is None or probe_end
+                          <= args.healthy_probe * 1.5))
     for m in movers:
         iv = iso.get("queries", {}).get(m["query"])
         m["isolated_sec"] = iv
