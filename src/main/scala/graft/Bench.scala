@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune the projections we mean to measure. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // wall-clock anchor for the deadline degrade below — taken before the
+    // SparkSession is built so JVM+session startup counts against the cap
+    val wallStart = System.nanoTime()
+    def elapsedWall: Double = (System.nanoTime() - wallStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -18,7 +22,35 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bounded single-partition windows (top-V vocab,
+    // distinct-score histograms, …) are scale-safe by design but Spark
+    // emits a "WindowExec: No Partition Defined" WARN per execution —
+    // BENCH_r17 recorded 2000 chars of that spam as its tail and the
+    // stdout JSON line never parsed. Nothing the suite legitimately
+    // warns about is actionable here; errors still surface.
+    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_BENCH_FORCE_NOISE=1: adversarial self-test for the tail
+    // contract — a daemon thread spams the exact WARN that broke r17 (plus
+    // direct stderr writes) for the whole run; tools/check_bench_tail.sh
+    // asserts the final 2000 stdout chars still parse as the JSON line.
+    @volatile var noiseOn = true
+    val noiseThread: Option[Thread] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_FORCE_NOISE").contains("1")) None
+      else Some {
+        val t = new Thread(() => {
+          val log = org.apache.logging.log4j.LogManager
+            .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+          while (noiseOn) {
+            log.error("No Partition Defined for Window operation! (forced noise)")
+            System.err.println("[forced-noise] WARN WindowExec: No Partition " +
+              "Defined for Window operation! Moving all data to a single partition")
+            Thread.sleep(5)
+          }
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
     // warmup pass at the smallest SF: JIT + codegen compilation dominate a
     // cold first execution (~10x on sub-second queries); the timed pass
     // below measures data processing, not JVM warmup
@@ -30,11 +62,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // wall-clock budget for the WHOLE run (JVM start → final JSON line).
+    // The driver enforces an external cap (BENCH_r17 died at rc 124 on a
+    // degraded-VM day); this soft deadline guarantees the suite finishes
+    // inside it by shedding repeat iterations, never queries — the total
+    // must still cover every row. Thresholds: past 25% → stop warming up,
+    // past 70% → no adaptive extras, past 85% → single timed iteration.
+    val deadline =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1380").toDouble
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        if (elapsedWall < deadline * 0.25)
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
     // SPARK_GRAFT_BENCH_COLDFIT=1: time the d95 logistic fit WITHOUT the
     // memo, after warmup (JIT hot) but before the timed loop (memo still
@@ -66,16 +107,19 @@ object Bench {
         System.err.println(s"[bench] cold fit failed: ${e.getMessage}")
       }
     }
-    // best-of-N per query (default 3): a single timed pass conflates the
-    // query's cost with one-off JIT/codegen/GC events that land on whichever
-    // query runs when they fire (round-1 profile showed 2.8s vs 0.6s for
-    // near-identical pivot plans; rounds 5 AND 6 each produced ~2x phantom
-    // "regressions" that an isolated re-measurement dissolved). The min of
-    // three runs is the steady-state cost — the number that predicts
-    // cluster behavior — and the per-iteration times are published as a
+    // best-of-N per query (default 2 + adaptive escalation): a single timed
+    // pass conflates the query's cost with one-off JIT/codegen/GC events
+    // that land on whichever query runs when they fire (round-1 profile
+    // showed 2.8s vs 0.6s for near-identical pivot plans; rounds 5 AND 6
+    // each produced ~2x phantom "regressions" that an isolated
+    // re-measurement dissolved). Two base runs + the adaptive loop below
+    // (which keeps re-running any heavy row whose two best runs disagree
+    // >30%) give the same steady-state min as the old flat best-of-3 at
+    // ~2/3 the wall cost — the r17 driver-cap timeout made wall time a
+    // budget, not a free variable. Per-iteration times are published as a
     // side artifact so a future reader can see the noise amplitude
     // directly instead of re-deriving the counter-measurement protocol.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // machine-noise calibration probe: a fixed CPU-bound workload (no
     // IO, no shuffle variance — one range aggregate) timed best-of-3 at
     // suite START and END. Identical code + identical probe ⇒ any drift
@@ -132,6 +176,10 @@ object Bench {
     def best2RelGap(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 0.0
       else { val s = ts.sorted; (s(1) - s(0)) / s(0) }
+    // rows that ran fewer than the configured iterations because the
+    // deadline degrade fired — published so a reader of the artifact can
+    // tell a deliberately-shed run from a healthy one
+    var degradedRows = 0
     val results = selected.map { case (name, fn) =>
       if (withMetrics) {
         // deliver any straggler events from the PREVIOUS query before
@@ -156,10 +204,15 @@ object Bench {
           None // a failure must never become the reported min
         }
       }
-      var times = (0 until iters).flatMap(_ => runOnce())
+      // metrics mode never degrades: shuffle bytes are summed over exactly
+      // `iters` runs and a variable count would corrupt the attribution
+      val itersEff =
+        if (!withMetrics && elapsedWall > deadline * 0.85) { degradedRows += 1; 1 }
+        else iters
+      var times = (0 until itersEff).flatMap(_ => runOnce())
       var extra = 0
-      while (extra < extraCap && times.size >= 2 && times.min > 0.3 &&
-             best2RelGap(times) > 0.3) {
+      while (elapsedWall < deadline * 0.7 && extra < extraCap &&
+             times.size >= 2 && times.min > 0.3 && best2RelGap(times) > 0.3) {
         times = times ++ runOnce()
         extra += 1
       }
@@ -299,10 +352,16 @@ object Bench {
       // "floor_est"/"work_total": the fixed-overhead decomposition —
       // in-band noise + overhead context for a reader of the stdout
       // line alone (BENCH_r{N}.json archives exactly this line)
+      // "wall_sec": JVM start → now, the number the driver's external cap
+      // actually meters (rc 124 in r17 was a wall-time kill with no wall
+      // time on record); "degraded":N rows shed to 1 iteration by the
+      // deadline degrade (0 on a healthy run)
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec"""" +
         s""","probe":${fmt(probeStart, 2)}""" +
         s""","floor_est":${fmt(floorEst, 2)}""" +
         s""","work_total":${fmt(workTotal, 1)}""" +
+        s""","wall_sec":${fmt(elapsedWall, 0)}""" +
+        s""","degraded":$degradedRows""" +
         s""","queries":$qs$failedPart$elidedPart,"sf":"$sfDir"}"""
     }
     // stdout arrives through sbt with an "[info] " prefix that breaks a
@@ -314,6 +373,16 @@ object Bench {
     // final tier keys the stdout map by SHORT query id ("q26b", "d35";
     // verified unique) so every per-query time still lands in the window.
     // The side files always carry full names at 3 decimals.
+    // tail-contract hardening (r17 ask #5): the JSON line must be the LAST
+    // thing on either stream. Silence every logger, stop the forced-noise
+    // thread if one is running, and stop Spark BEFORE printing — a merged
+    // 2>&1 capture (which the driver demonstrably uses: BENCH_r17's tail
+    // was log4j stderr output) would otherwise let shutdown logging or a
+    // straggler WARN displace the line out of the 2KB tail window.
+    spark.sparkContext.setLogLevel("OFF")
+    noiseOn = false
+    noiseThread.foreach(_.join(1000))
+    spark.stop()
     val shortId: String => String = _.takeWhile(_ != '_')
     val shortIdsUnique =
       results.map { case (k, _) => shortId(k) }.toSet.size == results.size
@@ -367,12 +436,14 @@ object Bench {
         }
       }
     }
-    println(stdoutLine)
-    System.err.println(stdoutLine)
+    // side files first (they never log), then the stdout line dead last
     for (p <- Seq("/tmp/graft_bench.json", "bench_last.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         jsonLine(3))
       catch { case _: Throwable => () }
-    spark.stop()
+    println(stdoutLine)
+    System.out.flush()
+    System.err.println(stdoutLine)
+    System.err.flush()
   }
 }
