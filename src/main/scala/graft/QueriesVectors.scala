@@ -2947,16 +2947,22 @@ private[graft] object QueriesVectors {
       .agg(count(lit(1)).as("n_index_before"))
     val arrStats = arrDims.groupBy(col("source"))
       .agg(count(lit(1)).as("n_arrivals"))
+    // LEFT join evalStats: a source whose arrivals were ALL deduped has
+    // no admitted row, but its n_arrivals must stay visible in the
+    // serving dashboard (r17 ADVICE) — counts coalesce to 0 and
+    // recall_admitted publishes null (no admitted content to serve ≠
+    // recall 0; the SQL twin mirrors both choices)
+    val nAdm = coalesce(col("n_admitted"), lit(0L))
     idxStats.join(arrStats, Seq("source"))
-      .join(evalStats, Seq("source"))
+      .join(evalStats, Seq("source"), "left")
       .select(col("source"), col("n_index_before"), col("n_arrivals"),
-        col("n_admitted"),
-        (col("n_index_before") + col("n_admitted")).as("n_index_after"),
+        nAdm.as("n_admitted"),
+        (col("n_index_before") + nAdm).as("n_index_after"),
         lit(bits0.toLong).as("bits_before"),
         lit(bits1.toLong).as("bits_after"),
-        col("n_starved"),
-        round(col("_n_top1").cast("double")
-          / col("n_admitted").cast("double"), 6).as("recall_admitted"))
+        coalesce(col("n_starved"), lit(0L)).as("n_starved"),
+        when(nAdm > 0L, round(col("_n_top1").cast("double")
+          / col("n_admitted").cast("double"), 6)).as("recall_admitted"))
   }
 
   private[graft] val ingestIndexUpdateSql: String = {
@@ -3031,14 +3037,17 @@ private[graft] object QueriesVectors {
       |  FROM dim0 GROUP BY source),
       |ar AS (SELECT source, count(*)::BIGINT AS n_arrivals
       |  FROM arr GROUP BY source)
-      |SELECT ix.source, ix.n_index_before, ar.n_arrivals, ev.n_admitted,
-      |  (ix.n_index_before + ev.n_admitted)::BIGINT AS n_index_after,
+      |SELECT ix.source, ix.n_index_before, ar.n_arrivals,
+      |  coalesce(ev.n_admitted, 0)::BIGINT AS n_admitted,
+      |  (ix.n_index_before + coalesce(ev.n_admitted, 0))::BIGINT
+      |    AS n_index_after,
       |  (SELECT b FROM bits)::BIGINT AS bits_before,
       |  (SELECT b2 FROM bits2)::BIGINT AS bits_after,
-      |  ev.n_starved,
-      |  round(ev.n_top1::DOUBLE / ev.n_admitted::DOUBLE, 6)
-      |    AS recall_admitted
-      |FROM ix JOIN ar USING (source) JOIN ev USING (source)"""
+      |  coalesce(ev.n_starved, 0)::BIGINT AS n_starved,
+      |  CASE WHEN coalesce(ev.n_admitted, 0) > 0
+      |    THEN round(ev.n_top1::DOUBLE / ev.n_admitted::DOUBLE, 6)
+      |  END AS recall_admitted
+      |FROM ix JOIN ar USING (source) LEFT JOIN ev USING (source)"""
       .stripMargin
   }
 

@@ -64,6 +64,22 @@ object ScaleData {
   def build(spark: SparkSession, src: String, out: String,
             copies: Int, tables: Option[Set[String]] = None): Unit = {
     def wanted(name: String): Boolean = tables.forall(_.contains(name))
+    // fail fast on the two silent ways DocStride can betray its domain
+    // contract (doc_id ∈ [0, 10⁹), see DocStride scaladoc): more copies
+    // than the stride can host, or a source corpus whose ids already
+    // exceed one stride (e.g. rescaling an already-scaled dir) — either
+    // would produce colliding/out-of-domain doc_ids that only surface
+    // later inside the cross-modal queries' assert_true guard.
+    require(copies.toLong * DocStride <= Stride,
+      s"copies=$copies overflows the doc_id domain [0, $Stride): " +
+        s"max ${Stride / DocStride} copies at stride $DocStride")
+    if (wanted("documents")) {
+      val maxId = Tables.documents(spark, src)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < DocStride,
+        s"source max doc_id $maxId >= stride $DocStride — is $src " +
+          "already a scaled fixture? Rescale from the original testdata.")
+    }
     def rep(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
       (0 until copies).map(i => shift(df, i.toLong * Stride))
         .reduce(_ unionByName _)

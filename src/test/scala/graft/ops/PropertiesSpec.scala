@@ -402,6 +402,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ingestIndexUpdateServing: an all-deduped source stays visible") {
+    // r17 ADVICE: a source whose arrivals are ALL rejected by the dup
+    // gate must still publish its n_arrivals in the serving row —
+    // n_admitted/n_starved coalesce to 0, recall_admitted is null (no
+    // admitted content ≠ recall 0), and the index is unchanged for it
+    val corpus = spark.range(1L, 41L)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "sa").otherwise("sb").as("source"),
+        concat(lit("serving fixture body "), col("id").cast("string"))
+          .as("text"))
+    val cd = graft.QueriesVectors.towerDims(corpus)
+    // source sa: exact re-uploads (same content/dims, new id) → all dup
+    val arrDup = cd.filter(col("source") === "sa")
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    // source sb: genuinely new content → all admitted
+    val arrNew = cd.filter(col("source") === "sb")
+      .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+      .withColumn("text", concat(col("text"), lit(" [new]")))
+    val rows = graft.QueriesVectors.ingestIndexUpdateServing(
+      arrDup.unionByName(arrNew), corpus).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("sa", "sb"))
+    val sa = rows("sa")
+    assert(sa.getAs[Long]("n_arrivals") == 20L)
+    assert(sa.getAs[Long]("n_admitted") == 0L)
+    assert(sa.getAs[Long]("n_starved") == 0L)
+    assert(sa.isNullAt(sa.fieldIndex("recall_admitted")),
+      s"zero-admitted recall must be null, got $sa")
+    assert(sa.getAs[Long]("n_index_after") ==
+      sa.getAs[Long]("n_index_before"))
+    val sb = rows("sb")
+    assert(sb.getAs[Long]("n_admitted") == 20L)
+    assert(sb.getAs[Double]("recall_admitted") == 1.0, s"sb row: $sb")
+  }
+
   test("adaptiveTowerBits: integer ceil-log2 of n/16, clamped to [6, 16]") {
     import graft.QueriesVectors.adaptiveTowerBits
     // graded scales: 500 docs -> the r15 registered width (6), so the

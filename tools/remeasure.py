@@ -75,6 +75,11 @@ def main():
                 continue
             oname, ov = old[sid]
             nname, nv = new[sid]
+            if ov <= 0:
+                # same guard the automatic path has: a 0.0 old time has no
+                # meaningful ratio and would crash the division
+                print(f"  {sid}: old time is 0 — skipped")
+                continue
             movers.append({"query": nname, "short": sid,
                            "old_sec": ov, "suite_sec": nv,
                            "suite_ratio": round(nv / ov, 3)})
@@ -137,9 +142,12 @@ def main():
         env = None  # untrusted window — no calibration available
     else:
         env = min(max(1.0, probe / args.healthy_probe), ENV_CAP)
+    # trust bands, stated once: start probe within 2.0x of healthy
+    # (in_band), end probe within the TIGHTER 1.5x — a window that is
+    # merely acceptable at the start but degrading by the end inflates
+    # the later iterations. in_band already rejects None/<=0.
     probe_trusted = (in_band(probe) and in_band(probe_end)
-                     and (probe_end is None or probe_end
-                          <= args.healthy_probe * 1.5))
+                     and probe_end <= args.healthy_probe * 1.5)
     for m in movers:
         iv = iso.get("queries", {}).get(m["query"])
         m["isolated_sec"] = iv
