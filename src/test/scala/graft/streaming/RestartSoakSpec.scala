@@ -159,4 +159,43 @@ class RestartSoakSpec extends SparkSpec {
         s"late event must be dropped, on-time session flushed: $got")
     } finally q.stop()
   }
+
+  test("labelComponents: reliable-checkpoint branch — identical labels " +
+    "with a checkpoint dir set, and blocks actually on disk") {
+    // cluster-mode smoke (r17 verdict ask #7): when setCheckpointDir is
+    // defined, each propagation round writes a RELIABLE checkpoint
+    // (survives executor loss) instead of localCheckpoint's
+    // executor-local blocks. Same labels, and the dir must be non-empty
+    // proof the branch ran — a silent fallback to localCheckpoint
+    // would leave it bare.
+    import org.apache.spark.sql.functions.col
+    val ckpt = tmp("graft_cc_ckpt")
+    val nodes = (1L to 12L).toDF("doc")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (10L, 10L)).toDF("doc", "peer")
+    val sym = pairs.unionByName(
+      pairs.select(col("peer").as("doc"), col("doc").as("peer")))
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "precondition: suite session runs the local-checkpoint branch")
+    sc.setCheckpointDir(ckpt)
+    try {
+      assert(sc.getCheckpointDir.isDefined)
+      val got = graft.ops.Dedup.labelComponents(nodes, sym)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+        (5L, 5L), (6L, 5L), (7L, 7L), (8L, 7L), (9L, 7L),
+        (10L, 10L), (11L, 11L), (12L, 12L)), s"labels: $got")
+      val wrote = new java.io.File(ckpt).listFiles
+      assert(wrote != null && wrote.nonEmpty,
+        "reliable-checkpoint branch wrote nothing to the checkpoint dir")
+    } finally {
+      // the shared SparkContext must leave this suite as it entered —
+      // there is no public unset, so restore None reflectively
+      val setter = sc.getClass.getMethods
+        .find(_.getName == "checkpointDir_$eq").get
+      setter.invoke(sc, None)
+      rmTree(new java.io.File(ckpt))
+    }
+  }
 }
