@@ -1048,10 +1048,11 @@ private[graft] object QueriesVectors {
         col("embedding").as("vec"))
       val q = e.filter(col("id") < 20)
       val ex = Similarity.bruteKnn(q, e, 5).select(col("qid"), col("nid"))
-      val probes = Seq(1, 2, 4).map(p =>
-        Similarity.ivfKnn(q, e, 5, nCentroids = 16, nProbe = p)
-          .select(lit(p.toLong).as("nprobe"), col("qid"), col("nid")))
-        .reduce(_ unionByName _)
+      // one shared corpus assignment for all three probe levels
+      // (ivfProbeSweep ≡ per-level ivfKnn, pinned by IvfSweepSpec)
+      val probes = Similarity
+        .ivfProbeSweep(q, e, 5, nCentroids = 16, probes = Seq(1, 2, 4))
+        .select(col("nprobe"), col("qid"), col("nid"))
       val total = ex.agg(count(lit(1)).as("total"))
       val hits = probes.join(ex, Seq("qid", "nid"))
         .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
@@ -2279,8 +2280,11 @@ private[graft] object QueriesVectors {
        |    (count(*) + ${TOWER_TARGET_BUCKET - 1}) // $TOWER_TARGET_BUCKET,
        |    1)))::BIGINT)) AS b FROM $src""".stripMargin
 
+  // native codegen'd centered dot (r18: the HOF form — aggregate over
+  // zip_with — ran interpreted per candidate pair, ~22 µs/pair in the
+  // bench profile; same exact long arithmetic, same null semantics)
   private[graft] def towerNorm2(vec: Column): Column =
-    aggregate(vec, lit(0L), (acc, v) => acc + (v - 128L) * (v - 128L))
+    graft.functions.CenteredDotLong(vec, vec, 128L)
 
   /** The tower geometry spec: (doc_id, source, text, w, h) with the
     * content-addressed dims every tower row derives its coordinates
@@ -2353,9 +2357,7 @@ private[graft] object QueriesVectors {
       }
     val pairs = textTowerFromDims(textDims, bucketBits)
       .join(imgOk, col("tbucket") === col("ibucket"))
-    val dot = aggregate(
-      zip_with(col("ivec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.CenteredDotLong(col("ivec"), col("tvec"), 128L)
     val denom2 = (col("in2") * col("tn2")).cast("double")
     pairs.withColumn("_dot", dot)
       .withColumn("_score",
@@ -2638,8 +2640,15 @@ private[graft] object QueriesVectors {
     // pair table once so the codec-heavy tower pipeline runs once, not
     // once per consumer (weakly referenced, the labelComponents
     // discipline; measured: c09 pays two full tower builds without it)
+    // project BEFORE the checkpoint (guide §2.3): the two consumers read
+    // only ids/source/score and the exact integer terms — materializing
+    // the 16-element tower vectors through the checkpoint would move
+    // ~32 longs per pair for nothing
     val scored = crossModalScoredDims(towerDims(base), idims,
-      adaptiveTowerBits(idims.count())).localCheckpoint(true)
+        adaptiveTowerBits(idims.count()))
+      .select(col("txt_id"), col("doc_id"), col("source"), col("_score"),
+        col("_dot"), col("_in2"), col("_tn2"))
+      .localCheckpoint(true)
     val e0 = scored.filter(col("_dot") > 0L
         && col("_dot") * col("_dot") === col("_in2") * col("_tn2")
         && col("txt_id") =!= col("doc_id"))
@@ -2836,9 +2845,7 @@ private[graft] object QueriesVectors {
       .select(col("ibucket").as("cbucket"), col("ivec").as("cvec"),
         col("in2").as("cn2"))
     val arr = imageTowerFromDims(arrDims, bits)
-    val dot = aggregate(
-      zip_with(col("ivec"), col("cvec"), (a, b) => (a - 128L) * (b - 128L)),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.CenteredDotLong(col("ivec"), col("cvec"), 128L)
     val cond = col("ibucket") === col("cbucket") && dot > 0L &&
       dot * dot === col("in2") * col("cn2")
     val dup = arr.join(idx, cond, "left_semi")
@@ -2883,9 +2890,7 @@ private[graft] object QueriesVectors {
     val arrTower = imageTowerFromDims(arrDims, bits0)
     val idx0 = corpusTower.select(col("ibucket").as("cbucket"),
       col("ivec").as("cvec"), col("in2").as("cn2"))
-    val dot = aggregate(
-      zip_with(col("ivec"), col("cvec"), (a, b) => (a - 128L) * (b - 128L)),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.CenteredDotLong(col("ivec"), col("cvec"), 128L)
     val isDup = col("ibucket") === col("cbucket") && dot > 0L &&
       dot * dot === col("in2") * col("cn2")
     arrTower.join(idx0, isDup, "left_anti")
@@ -2921,9 +2926,7 @@ private[graft] object QueriesVectors {
       .select(col("doc_id").as("txt_id"), col("source"),
         col("ibucket").as("tbucket"), col("ivec").as("tvec"),
         col("in2").as("tn2"))
-    val sdot = aggregate(
-      zip_with(col("nvec"), col("tvec"), (a, b) => (a - 128L) * (b - 128L)),
-      lit(0L), (acc, v) => acc + v)
+    val sdot = graft.functions.CenteredDotLong(col("nvec"), col("tvec"), 128L)
     val denom2 = (col("nn2") * col("tn2")).cast("double")
     val ranked = texts.join(idxOk, col("tbucket") === col("ibucket"))
       .withColumn("_dot", sdot)

@@ -143,6 +143,55 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** [[ivfKnn]] at several probe levels in ONE pass (the e19 audit
+    * surface): the corpus-side centroid assignment is probe-independent,
+    * so running ivfKnn once per level re-derived it each time (measured
+    * r18: 3 identical corpus crossJoin×centroids + window passes). Here
+    * it materializes once (weak-ref checkpoint) and the query side is
+    * assigned once at keep = max(probes); level p is then the `_r <= p`
+    * prefix — identical rows to `ivfKnn(..., nProbe = p)` for every p
+    * (assignment ranks on rounded similarity with centroid-id tiebreak,
+    * so prefixes are deterministic). Returns (nprobe, qid, nid, rank,
+    * sim); IvfSweepSpec pins level-for-level equality to ivfKnn. */
+  def ivfProbeSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nCentroids: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1))
+    val cents = broadcast(corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cv"),
+        norm(col("vec")).as("_cn")))
+    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String,
+               keep: Int): DataFrame = {
+      val scored = df.select(col("id").as(idAs), col("vec").as(vecAs),
+          norm(col("vec")).as(normAs))
+        .crossJoin(cents)
+        .withColumn("_cs", round(cosinePrenormed(col(vecAs), col("cv"),
+          col(normAs), col("_cn")), 6))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("_cs").desc, col("cid").asc)
+      scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= keep)
+        .select(col(idAs), col(vecAs), col(normAs), col("cid"), col("_r"))
+    }
+    val corpusBuckets = assign(corpus, "nid", "nv", "_nn", keep = 1)
+      .drop("_r").localCheckpoint(true)
+    val queryProbes = assign(queries, "qid", "qv", "_qn", keep = probes.max)
+      .localCheckpoint(true)
+    probes.map { p =>
+      val cand = queryProbes.filter(col("_r") <= p).drop("_r")
+        .join(corpusBuckets, Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("qv"), col("_qn"),
+          col("nid"), col("nv"), col("_nn")).distinct()
+      val scored = cand.withColumn("sim", round(cosinePrenormed(col("qv"),
+        col("nv"), col("_qn"), col("_nn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(lit(p.toLong).as("nprobe"), col("qid"), col("nid"),
+          col("rank"), col("sim"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Corpus-wide cosine near-duplicate pairs (a < b, cosine >= threshold),
     * the SCALE form: candidates come from an LSH band equi-join of the
     * corpus with itself (pairs agreeing on all `planes/bands` sign bits of
