@@ -27,8 +27,11 @@ object Dedup {
   /** 60-bit positive int from the first 15 hex chars of md5(s + "#" + seed).
     * Reproducible in DuckDB as ('0x'||substr(md5(s||'#'||seed),1,15))::BIGINT. */
   def md5Hash(s: Column, seed: Column): Column =
-    conv(substring(md5(concat(s, lit("#"), seed.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    // native digest→long (r18): bit-identical to
+    // conv(substring(md5(.), 1, 15), 16, 10)::long — the form the DuckDB
+    // oracles replay — without materializing the hex string and paying
+    // the base-16 conv parse per call (Md5LongSpec pins the equality)
+    graft.functions.Md5Long(concat(s, lit("#"), seed.cast("string")))
 
   /** Production hash family: Spark's codegen'd xxhash64 with per-index seed.
     * NOT oracle-reproducible (DuckDB has no xxhash64) — use for real runs. */

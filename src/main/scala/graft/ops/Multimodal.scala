@@ -1239,8 +1239,7 @@ object Multimodal {
         .cast("int") + 1
       val ch = textCol.substr(off, lit(1))
       when(n > 0,
-        (conv(substring(md5(ch.cast("binary")), 1, 15), 16, 10).cast("long")
-          % 251L).cast("double"))
+        (graft.functions.Md5Long(ch.cast("binary")) % 251L).cast("double"))
         .otherwise(lit(0.0)).as(s"fr$i")
     }
   }

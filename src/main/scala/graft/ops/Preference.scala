@@ -191,7 +191,7 @@ object Preference {
       .agg(sum(col("n")).as("n_games"), sum(col("_w")).as("n_wins"))
       .coalesce(1).localCheckpoint(true)
     var str = stats.select(col("item"), lit(1.0).as("s"))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val withS = p
         .join(str.select(col("item").as("i"), col("s").as("_si")),
           Seq("i"))
@@ -212,6 +212,15 @@ object Preference {
         .select(col("item"),
           round((col("n_wins") + 1).cast("double")
             / (col("_d") + lit(2.0) / (col("s") + lit(1.0))), 6).as("s"))
+      // truncate the loop state's LOGICAL plan each round except the
+      // last (the d10 labelComponents discipline, MM edition): `str`
+      // feeds four joins per iteration, so the lazy tree grows ~4x per
+      // round and the r18 job profile measured d78/d80 spending 1.5-2.9s
+      // of pure driver time analyzing the compounded plan. Each round's
+      // strengths are exact materialized rows (already rounded to 6 dp),
+      // so the checkpointed values are bit-identical to the lazy form;
+      // the final round stays lazy for the caller's one action.
+      if (it < iters - 1) str = str.coalesce(1).localCheckpoint(true)
     }
     stats.join(str, Seq("item"))
       .select(col("item"), col("n_games"), col("n_wins"),
