@@ -11,6 +11,10 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SCRATCH_SMJ", "true"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SCRATCH_SHJ_THRESH", "0"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.1")
