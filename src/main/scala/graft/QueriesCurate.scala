@@ -734,7 +734,17 @@ private[graft] object QueriesCurate {
           "doc_id", "text", n = 3, k = MINHASH_K, bands = MINHASH_BANDS)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
+      // stage(3) AND the release stage both consume s3, and the physical
+      // plan duplicated the ENTIRE minhash-prune subtree per consumer
+      // (measured r18: plan nodes 28-73 re-execute verbatim as 87-132,
+      // zero ReusedExchange across the union branches). Checkpoint the
+      // NARROW survivor projection — just the columns the stage
+      // aggregates and the release filter read — so the band join and
+      // est-jaccard scoring run once (guide §2.3/§2.4; survivor-count
+      // rows × 3 columns, tiny).
       val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("_eval"))
+        .localCheckpoint(true)
       val contam = Dedup.decontaminate(docs(s, d), "doc_id", "text", n = 4,
           isEval = col("doc_id") % 25 === 0)
         .filter(col("contaminated") === 1)
@@ -1569,14 +1579,21 @@ private[graft] object QueriesCurate {
 
   private val d73: (String, QFn, Option[String]) = ("d73_self_tuned_lsh",
     (s, d) => {
+      // ONE signature pass (r18): the cap-policy histogram and the capped
+      // run both consume the same wide signature table (minhashWideSigs
+      // checkpoints it), instead of hashing the corpus k·|shingles| times
+      // once per phase — the band keys derived from it are a cheap
+      // projection per consumer
+      val sigs = Dedup.minhashWideSigs(docs(s, d), "doc_id", "text",
+        n = 3, k = MINHASH_K)
+      val bk = Dedup.lshBandKeys(sigs, MINHASH_K, MINHASH_BANDS)
       // bounded one-row pull: the policy's histogram is <= max_depth rows
-      val cap = Dedup.recommendBandCap(docs(s, d), "doc_id", "text", n = 3,
-          k = MINHASH_K, bands = MINHASH_BANDS,
+      val cap = Dedup.recommendBandCapFromBandKeys(bk,
           maxRemovedPct = capBudgetPct)
         .filter(col("recommended") === 1L)
         .select(col("cap")).head().getLong(0).toInt
-      Dedup.minhashLsh(docs(s, d), "doc_id", "text", n = 3,
-        k = MINHASH_K, bands = MINHASH_BANDS, maxBandPostings = cap)
+      Dedup.minhashLshFromSigs(sigs, MINHASH_K, MINHASH_BANDS,
+        maxBandPostings = cap)
     },
     Some(s"""WITH $bandCtesSql,
       |$capPolicyCtesSql,

@@ -2347,10 +2347,19 @@ private[graft] object QueriesVectors {
   private[graft] def crossModalScoredDims(
       textDims: DataFrame, imgDims: DataFrame, bucketBits: Int,
       maxPostings: Long = TOWER_MAX_POSTINGS): DataFrame = {
-    val img = imageTowerFromDims(imgDims, bucketBits)
+    val img0 = imageTowerFromDims(imgDims, bucketBits)
     val imgOk =
-      if (maxPostings <= 0L) img
+      if (maxPostings <= 0L) img0
       else {
+        // the hot-bucket cap consumes the tower TWICE — once under the
+        // depth histogram, once as the join's index side — and nothing
+        // between them is an exchange, so the codec mapPartitions pass
+        // re-executed per consumer (measured r18: two full tower builds
+        // inside every scored materialization). The image side is always
+        // the STATIC index (only textDims may stream — s22), so an eager
+        // weak-ref checkpoint materializes the codec once (the s25
+        // corpusTower idiom); tiny: n_img rows × (16 longs + ids).
+        val img = img0.localCheckpoint(true)
         val hot = img.groupBy(col("ibucket")).count()
           .filter(col("count") > maxPostings).select(col("ibucket"))
         img.join(hot, Seq("ibucket"), "left_anti")
@@ -2844,7 +2853,13 @@ private[graft] object QueriesVectors {
     val idx = imageTowerFromDims(towerDims(corpusDocs), bits)
       .select(col("ibucket").as("cbucket"), col("ivec").as("cvec"),
         col("in2").as("cn2"))
-    val arr = imageTowerFromDims(arrDims, bits)
+    // the arrival tower feeds BOTH the dup semi-join and the arrivals
+    // count — in batch mode checkpoint it so the codec runs once per
+    // arrival (r18; the streaming twin keeps the lazy form: a streaming
+    // frame cannot checkpoint, and per micro-batch the double pass is
+    // over one batch, not the corpus)
+    val arr0 = imageTowerFromDims(arrDims, bits)
+    val arr = if (arrDims.isStreaming) arr0 else arr0.localCheckpoint(true)
     val dot = graft.functions.CenteredDotLong(col("ivec"), col("cvec"), 128L)
     val cond = col("ibucket") === col("cbucket") && dot > 0L &&
       dot * dot === col("in2") * col("cn2")

@@ -34,8 +34,13 @@ object Dedup {
     graft.functions.Md5Long(concat(s, lit("#"), seed.cast("string")))
 
   /** Production hash family: Spark's codegen'd xxhash64 with per-index seed.
-    * NOT oracle-reproducible (DuckDB has no xxhash64) — use for real runs. */
-  def xxhashFamily(s: Column, seed: Column): Column = xxhash64(s, seed)
+    * NOT oracle-reproducible (DuckDB has no xxhash64) — use for real runs.
+    * A stable val (not a def) so [[minhashWideSigs]] can recognize THIS
+    * family by reference and take the one-pass native
+    * [[graft.functions.XxMinHashSigs]] signature path (r18: the generic
+    * transform+array_min fold ran k interpreted lambda walks per doc). */
+  val xxhashFamily: (Column, Column) => Column =
+    (s: Column, seed: Column) => xxhash64(s, seed)
 
   /** Exact dedup: canonical fingerprint → one group per digest, keep the
     * smallest id, count duplicates (`TextOps.fingerprint` for the robust
@@ -545,6 +550,14 @@ object Dedup {
       if (hashFamily == null)
         df.select(col(idCol).as("doc"),
           graft.functions.MinHashSigs.minhashSigs(shArr, k).as("_sig"))
+      else if (hashFamily eq xxhashFamily)
+        // the production family gets the same native one-pass treatment
+        // as md5 (r18): one codegen call per doc — string hash once per
+        // shingle, k hashLong folds — instead of k interpreted
+        // transform+array_min lambda walks (XxMinHashSigsSpec pins
+        // bit-for-bit parity with the generic form below)
+        df.select(col(idCol).as("doc"),
+          graft.functions.XxMinHashSigs.xxMinhashSigs(shArr, k).as("_sig"))
       else {
         // same projection shape as the native path, hash swapped:
         // sig_j = min over shingles of hashFamily(s, j). The shingle
@@ -604,6 +617,18 @@ object Dedup {
         k, fam)
         .localCheckpoint(true)
     })
+    minhashLshFromSigs(sigs, k, bands, maxBandPostings)
+  }
+
+  /** [[minhashLsh]] from a PRE-BUILT wide signature table (doc,
+    * sig0..sig{k-1}) — the band join + hot-band cap + scoring stages
+    * only. Lets a caller that ALSO needs the signatures for something
+    * else (d73: the cap-policy histogram) compute them once instead of
+    * paying the k·|shingles| hash pass per consumer. `sigs` must already
+    * be materialized (both [[minhashWideSigs]] paths checkpoint). */
+  def minhashLshFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                         maxBandPostings: Int = 0): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val bk0 = lshBandKeys(sigs, k, bands)
     // HOT-BAND cap (the docShingles df-cutoff applied to the index side):
     // a band key shared by more than `maxBandPostings` docs is a
@@ -697,9 +722,17 @@ object Dedup {
   def recommendBandCap(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int, bands: Int, maxRemovedPct: Int,
                        hashFamily: (Column, Column) => Column = null)
+  : DataFrame =
+    recommendBandCapFromBandKeys(lshBandKeys(
+      minhashWideSigs(df, idCol, textCol, n, k, hashFamily), k, bands),
+      maxRemovedPct)
+
+  /** [[recommendBandCap]] from a pre-built band-key table — so a caller
+    * that then RUNS the capped index (d73) shares one signature pass
+    * between the policy read and the run instead of hashing the corpus
+    * twice. */
+  def recommendBandCapFromBandKeys(bk: DataFrame, maxRemovedPct: Int)
   : DataFrame = {
-    val bk = lshBandKeys(
-      minhashWideSigs(df, idCol, textCol, n, k, hashFamily), k, bands)
     // C(depth,2) as exact long BEFORE the histogram multiply: depth and
     // n_keys are each far below 2^31, their long product never overflows
     val hist = bk.groupBy(col("band"), col("bkey"))

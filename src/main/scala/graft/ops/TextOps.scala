@@ -29,10 +29,16 @@ object TextOps {
     * per-shingle posting lists short, which is what bounds the dedup
     * shingle-join at scale. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass expression (r18): the transform+slice+concat_ws
+    // relational form ran interpreted per shingle — measured 3.9 s for
+    // one corpus pass at sf0.1 against 0.15 s for the whole tokenize —
+    // and shingling fronts every shingle-join operator family.
+    // WordShinglesSpec pins bit-for-bit parity with the old form,
+    // including the short-doc, null-token and null-array edges; the
+    // coalesce restores the legacy null-array → empty-array semantics
+    // (the old when-guard's otherwise branch).
+    coalesce(graft.functions.WordShingles.wordShingles(toks, n),
+      array().cast("array<string>"))
 
   /** Canonical-form fingerprint: lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed, then md5 — robust to whitespace/punctuation
