@@ -2664,8 +2664,14 @@ private[graft] object QueriesVectors {
       .select(col("txt_id").as("doc"), col("doc_id").as("peer"))
     val edges = e0.unionByName(
       e0.select(col("peer").as("doc"), col("doc").as("peer")))
+    // lab is consumed up to three times downstream (c09: keep filter +
+    // text-side + image-side cluster joins; c08: the window) and each
+    // consumer re-derived the idims union scan behind the
+    // labelComponents identity join — checkpoint the tiny (node, keep)
+    // table once (r18; nodes ≈ 1.25 · corpus, two longs per row)
     val lab =
       Dedup.labelComponents(idims.select(col("doc_id").as("doc")), edges)
+        .localCheckpoint(true)
     (scored, lab)
   }
 

@@ -3,8 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary phase-timing scratchpad for the r18 optimization round —
-  * not part of the driver contract; deleted before round end. */
+/** Isolated warm-timing harness for optimization rounds: per named
+  * query, one warmup pass then two timed noop-sink runs with
+  * clearCache+GC between them — the quick per-row counterpart of the
+  * full Bench (which carries the driver contract; this is local
+  * tooling only, like PlanDump/JobProfile). SCRATCH_SMJ /
+  * SCRATCH_SHJ_THRESH expose the join-strategy A/B the r18 round used
+  * to evaluate preferSortMergeJoin=false (declined: no win at sf0.1,
+  * see OPTIMIZATION_r18.md). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
