@@ -47,25 +47,89 @@ object Repair {
 
   /** Per-(user, code) stats frame: cnt, lo, hi, med (A6/A7).
     *
-    * `exact = true` (default, oracle parity) buffers each group's sorted
-    * amounts — memory bound = the largest single (user, code) group, fine
-    * for per-entity event data. For corpora with monster heavy-hitter
-    * groups set `exact = false`: `approx_percentile` keeps a bounded
-    * sketch per group instead of the full array (np.percentile parity is
-    * then approximate — do NOT use on oracle-checked paths, SURVEY §4.3). */
+    * `exact = true` (default, oracle parity) computes the exact
+    * np.percentile interpolation WITHOUT buffering groups (r18 verdict
+    * ask #3): through r18 this path was `array_sort(collect_list)` per
+    * (user, code) — memory bound = the largest single group, the one
+    * remaining 100 TB hazard on the pipeline spine, because a
+    * collect_list buffer cannot spill mid-group. Now it is the
+    * [[Quantiles]] distinct-value rank walk generalized to the
+    * per-group fraction p = min(1, nAmt/cnt): one aggregation to
+    * (user, code, value, multiplicity), a spillable window over THAT,
+    * and a co-partitioned rank-interval join — state per task is
+    * (value, count) rows, never an in-memory array. Bit-identical to
+    * the sorted-array form: the k-th sorted element (duplicates
+    * counted) is the distinct value whose cumulative interval covers
+    * rank k, and the final lerp is the same expression tree over the
+    * same doubles (RepairSpec pins equality against the legacy form).
+    * For corpora with monster heavy-hitter groups set `exact = false`:
+    * `approx_percentile` keeps a bounded sketch per group instead
+    * (np.percentile parity is then approximate — do NOT use on
+    * oracle-checked paths, SURVEY §4.3). */
   def groupBounds(df: DataFrame, user: String, code: String, amt: String,
                   nAmt: Int, exact: Boolean = true): DataFrame = {
     val cnt = count(lit(1))
     val base = df.groupBy(col(user), col(code))
     if (exact) {
-      val sorted = array_sort(collect_list(col(amt).cast("double")))
-      base.agg(cnt.as("_cnt"), sorted.as("_sorted"))
-        .withColumn("_p", least(lit(1.0), lit(nAmt.toDouble) / col("_cnt")))
-        .withColumn("_lo", interpPercentile(col("_sorted"), col("_p")))
-        .withColumn("_hi",
-          interpPercentile(col("_sorted"), lit(1.0) - col("_p")))
-        .withColumn("_med", interpPercentile(col("_sorted"), lit(0.5)))
-        .drop("_sorted", "_p")
+      import org.apache.spark.sql.expressions.Window
+      val v = col(amt).cast("double")
+      // ONE exchange on (user, code) — the same count as the old
+      // collect_list aggregate — feeding a WindowExec pair: the
+      // unordered spec carries the group sizes, the ordered spec the
+      // within-group sort rank. WindowExec buffers spill; collect_list
+      // could not. _cnt counts ALL rows (the A6 frequency denominator,
+      // as count(lit(1)) did); _nn counts non-null amounts (the sorted
+      // array length the interpolation ranks against — collect_list
+      // dropped nulls). row_number sorts nulls FIRST, so the rank
+      // within the sorted non-null multiset is row_number − #nulls;
+      // null-amount rows land at ranks ≤ 0 and never match a target.
+      val wp = Window.partitionBy(col(user), col(code))
+      val wo = wp.orderBy(col("_v"))
+      val ranked = df.select(col(user), col(code), v.as("_v"))
+        .withColumn("_cnt", count(lit(1)).over(wp))
+        .withColumn("_nn", count(col("_v")).over(wp))
+        .withColumn("_rk",
+          row_number().over(wo) - (col("_cnt") - col("_nn")))
+      // per-row target positions for the three fractions (p, 1-p, 0.5):
+      // idx = frac * (n - 1) exactly as interpPercentile computed it;
+      // floor/ceil + 1 are the two 1-based sorted positions to fetch.
+      // All group-constant arithmetic — cheap codegen per row.
+      val n1 = col("_nn").cast("double") - 1
+      val p = least(lit(1.0), lit(nAmt.toDouble) / col("_cnt"))
+      val idxs = Seq("L" -> (p * n1), "H" -> ((lit(1.0) - p) * n1),
+        "M" -> (lit(0.5) * n1))
+      def hit(tag: String) =
+        col("_rk") === floor(col(s"_i$tag")) + 1 ||
+          col("_rk") === ceil(col(s"_i$tag")) + 1
+      val picked = idxs.foldLeft(ranked) { case (d, (tag, idx)) =>
+        d.withColumn(s"_i$tag", idx) }
+        // ≤ 6 rows/group survive; the sentinel keeps one row for a
+        // group whose amounts are ALL null (its when-guards below all
+        // miss, so the stats come out null — the old n === 0 branch)
+        .filter((col("_v").isNotNull &&
+            (hit("L") || hit("H") || hit("M"))) ||
+          (col("_nn") === 0 && col("_rk") === 0))
+      // partitioning is already (user, code) — no second exchange
+      def pickAgg(tag: String): Seq[Column] = Seq(
+        max(when(col("_v").isNotNull &&
+          col("_rk") === floor(col(s"_i$tag")) + 1, col("_v")))
+          .as(s"_vf$tag"),
+        max(when(col("_v").isNotNull &&
+          col("_rk") === ceil(col(s"_i$tag")) + 1, col("_v")))
+          .as(s"_vc$tag"),
+        first(col(s"_i$tag")).as(s"_i$tag"))
+      val aggCols = first(col("_cnt")).as("_cnt") +:
+        idxs.flatMap { case (tag, _) => pickAgg(tag) }
+      // same lerp expression tree as interpPercentile: vLo +
+      // (idx - floor(idx)) * (vHi - vLo) on the same doubles
+      def lerp(tag: String): Column =
+        col(s"_vf$tag") + (col(s"_i$tag")
+          - floor(col(s"_i$tag")).cast("double")) *
+          (col(s"_vc$tag") - col(s"_vf$tag"))
+      picked.groupBy(col(user), col(code))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col(user), col(code), col("_cnt"),
+          lerp("L").as("_lo"), lerp("H").as("_hi"), lerp("M").as("_med"))
     } else {
       // approx_percentile needs a foldable fraction; the per-group p is
       // data-dependent, so bound it by the worst case (p <= nAmt/(nMcc+1)
@@ -104,7 +168,14 @@ object Repair {
     * percentile stage to bounded-memory sketches (see groupBounds). */
   def apply(df: DataFrame, user: String, code: String, amt: String,
             nAmt: Int = 10, nMcc: Int = 10, exact: Boolean = true): DataFrame = {
+    // bounds feeds BOTH the join-back and the modal derivation — without
+    // a materialization barrier the physical plan re-derived the whole
+    // percentile subtree per consumer (the r18 q27 dump shows two
+    // complete aggregate towers over two parquet scans, zero
+    // ReusedExchange). (user, code)-count-sized, four numerics per row —
+    // the d78/d80 discipline; weak-ref, rebuilt on every invocation.
     val bounds = groupBounds(df, user, code, amt, nAmt, exact)
+      .localCheckpoint(true)
     val modals = modal(bounds, user, code)
     val passthrough = df.columns.filterNot(c => c == code || c == amt).map(col).toSeq
     df.join(bounds, Seq(user, code), "left")
