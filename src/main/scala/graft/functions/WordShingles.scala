@@ -63,14 +63,17 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
 
   private val SPACE = UTF8String.fromString(" ")
-  private val EMPTY = new GenericArrayData(new Array[Any](0))
 
   /** One row's shingles; empty array when the row has fewer than n
     * tokens. Called from generated code — keep the signature
-    * Java-friendly. */
+    * Java-friendly. The short-doc branch allocates a FRESH empty
+    * GenericArrayData per call (r18 ADVICE): sharing one mutable
+    * ArrayData instance across rows is a latent aliasing hazard if a
+    * consumer ever mutates or retains it, and the allocation is
+    * negligible on this rare path. */
   def compute(arr: ArrayData, n: Int): GenericArrayData = {
     val m = arr.numElements()
-    if (m < n) return EMPTY
+    if (m < n) return new GenericArrayData(new Array[Any](0))
     // materialize the token refs once; windows then reuse them instead
     // of slicing a fresh array per shingle
     val toks = new Array[UTF8String](m)

@@ -534,7 +534,15 @@ object Dedup {
     * the DuckDB oracles replay; a custom `hashFamily` (e.g.
     * [[xxhashFamily]], the production form) folds through `transform` +
     * `array_min` in the same projection shape. Shared by [[minhashLsh]]'s
-    * no-cutoff path and the d62 k-sensitivity audit. */
+    * no-cutoff path and the d62 k-sensitivity audit.
+    *
+    * DISPATCH IS BY REFERENCE IDENTITY (r18 ADVICE, documented
+    * contract): the native one-pass xxhash path is selected by
+    * `hashFamily eq xxhashFamily` — pass the [[xxhashFamily]] VAL
+    * itself, never a structurally identical lambda or an eta-expanded
+    * copy, or the call silently falls back to the k-lambda interpreted
+    * fold (bit-identical results, ~2× the CPU). Any other custom family
+    * intentionally takes the generic fold. */
   def minhashWideSigs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int,
                       hashFamily: (Column, Column) => Column = null)
@@ -625,9 +633,14 @@ object Dedup {
     * only. Lets a caller that ALSO needs the signatures for something
     * else (d73: the cap-policy histogram) compute them once instead of
     * paying the k·|shingles| hash pass per consumer. `sigs` must already
-    * be materialized (both [[minhashWideSigs]] paths checkpoint). */
-  def minhashLshFromSigs(sigs: DataFrame, k: Int, bands: Int,
-                         maxBandPostings: Int = 0): DataFrame = {
+    * be materialized (both [[minhashWideSigs]] paths checkpoint) — the
+    * band join and BOTH scoring sides consume it, so a lazy input would
+    * silently recompute the k·|shingles| signature pass up to 3×.
+    * private[graft] (r18 ADVICE): in-repo callers all pass checkpointed
+    * frames; external callers go through [[minhashLsh]], which owns the
+    * materialization. */
+  private[graft] def minhashLshFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                                        maxBandPostings: Int = 0): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val bk0 = lshBandKeys(sigs, k, bands)
     // HOT-BAND cap (the docShingles df-cutoff applied to the index side):
