@@ -83,11 +83,18 @@ object Repair {
       // dropped nulls). row_number sorts nulls FIRST, so the rank
       // within the sorted non-null multiset is row_number − #nulls;
       // null-amount rows land at ranks ≤ 0 and never match a target.
-      val wp = Window.partitionBy(col(user), col(code))
-      val wo = wp.orderBy(col("_v"))
+      val wo = Window.partitionBy(col(user), col(code)).orderBy(col("_v"))
+      // the counts ride the ORDERED spec with an explicit
+      // whole-partition frame so all three functions share ONE
+      // WindowExec (one sort, one spillable buffer pass) — a separate
+      // unordered spec would plan a second Window operator and cost a
+      // second pass over every partition (measured +20% on the spine
+      // rows at sf1)
+      val whole = wo.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       val ranked = df.select(col(user), col(code), v.as("_v"))
-        .withColumn("_cnt", count(lit(1)).over(wp))
-        .withColumn("_nn", count(col("_v")).over(wp))
+        .withColumn("_cnt", count(lit(1)).over(whole))
+        .withColumn("_nn", count(col("_v")).over(whole))
         .withColumn("_rk",
           row_number().over(wo) - (col("_cnt") - col("_nn")))
       // per-row target positions for the three fractions (p, 1-p, 0.5):
