@@ -140,11 +140,19 @@ private[graft] object QueriesCorpus {
   private[graft] def sourceKlDf(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("source"),
       explode(TextOps.tokens(col("text"))).as("tk"))
+    // every downstream count is derivable from the (source, token)
+    // contingency — materialize it ONCE (vocabulary × sources rows, the
+    // df-table idiom) instead of re-running the corpus tokenize+explode
+    // per consumer: the lazy form executed that scan three times (sc,
+    // cc, nc — measured 33.8 CPU-s / 23 jobs at sf0.1 for d86, 11.6
+    // CPU-s after). cc2 = Σ_sources cs and nc = Σ cs are exact integer
+    // identities, so every downstream double is bit-identical.
     val sc = toks.groupBy(col("source"), col("tk"))
       .agg(count(lit(1)).as("cs"))
-    val cc = toks.groupBy(col("tk")).agg(count(lit(1)).as("cc2"))
+      .localCheckpoint(true)
+    val cc = sc.groupBy(col("tk")).agg(sum(col("cs")).as("cc2"))
     val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-    val nc = toks.agg(count(lit(1)).as("nc"))
+    val nc = sc.agg(sum(col("cs")).as("nc"))
     val ps = col("cs").cast("double") / col("ns").cast("double")
     val pc = col("cc2").cast("double") / col("nc").cast("double")
     sc.join(cc, Seq("tk")).join(ns, Seq("source"))
