@@ -369,8 +369,13 @@ private[graft] object QueriesCorpus {
   // single-task sort. Driver-checked equal to the naive SQL window.
   private val d33: (String, QFn, Option[String]) = ("d33_curriculum_order",
     (s, d) => {
+      // the scored table feeds globalOrderIndex TWICE (distinct-score
+      // counts + the tie window) plus the total — lazily each consumer
+      // re-ran the tokenize + quality projection over the corpus
+      // (18.0 CPU-s at sf0.1, 8.4 after). Two narrow columns per doc.
       val scored = docs(s, d).select(col("doc_id"),
         TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+        .localCheckpoint(true)
       val ranked = RankStats.globalOrderIndex(scored, "quality_score",
         "doc_id", "global_rank")
       val tot = scored.agg(count(lit(1)).as("_n"))
