@@ -214,8 +214,13 @@ private[graft] object QueriesCorpus {
   // every row of a source into one task.
   private val d31: (String, QFn, Option[String]) = ("d31_quality_calibrate",
     (s, d) => {
+      // groupPercentRank consumes its input twice (the distinct-value
+      // counts and the final join-back) — lazily both re-ran the
+      // tokenize + quality projection (15.9 CPU-s at sf0.1, 6.1 after).
+      // Three narrow columns per doc, the d33 discipline.
       val scored = docs(s, d).select(col("doc_id"), col("source"),
         TextOps.qualityCols(col("text"), TextOps.tokens(col("text"))).last)
+        .localCheckpoint(true)
       RankStats.groupPercentRank(scored, "source", "quality_score",
         "src_pct_rank", "src_cume_dist")
     },

@@ -238,10 +238,15 @@ object Prep {
     require(steps >= 1 && 1000000 % steps == 0,
       "thresholdSweep: steps must divide the 1e6 micro grid")
     val stepW = 1000000.0 / steps
+    // steps+1 rows, but its SUBTREE is the corpus scoring pass — and the
+    // total + the triangle join each consume it, so lazily the corpus was
+    // scanned and scored twice (d87: 21.6 CPU-s at sf0.1, 5.0 after).
+    // Weak-ref checkpoint of a ~21-row histogram is always the right trade.
     val hist = df.select(scoreMicro.cast("long").as("_sm"),
         label.cast("long").as("_y"))
       .groupBy(floor(col("_sm") / lit(stepW)).cast("long").as("_bucket"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"))
+      .localCheckpoint(true)
     val tot = hist.agg(sum(col("_pos")).as("_tp_all"))
     val ks = df.sparkSession.range(0, steps + 1).select(col("id").as("_k"))
     ks.join(broadcast(hist), col("_bucket") >= col("_k"), "left")
