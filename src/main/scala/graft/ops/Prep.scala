@@ -68,7 +68,11 @@ object Prep {
   def temporalSplitByTs(df: DataFrame, tsCol: String,
                         bounds: Seq[(Double, String)],
                         last: String): DataFrame = {
+    // distinct-ts-sized, but its subtree is the corpus count pass and
+    // BOTH the cumsum and the total consume it — checkpoint so the
+    // events scan+aggregate runs once (d64: 22.8 -> 7.0 CPU-s at sf0.1)
     val tc = df.groupBy(tsCol).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val cum = Sequences.globalCumsum(tc, tsCol, col("cnt"), "cum")
     val total = tc.agg(sum("cnt").as("n"))
     val split = bounds.foldRight(lit(last)) { case ((frac, name), acc) =>
