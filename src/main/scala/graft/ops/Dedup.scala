@@ -316,10 +316,15 @@ object Dedup {
     * or token-less docs — ONE copy of the rebuild contract. */
   private def rebuildWithoutSpans(toks: DataFrame, cutStarts: DataFrame,
                                   n: Int, cutCountName: String): DataFrame = {
+    // cut-position-sized, but its subtree is the whole shingle explode +
+    // hot-set join; the survivor anti-join AND the removed-count both
+    // consume it — checkpoint so that pipeline runs once (d44
+    // 21.2 -> 10.3 CPU-s, d102 17.0 -> 14.4 at sf0.1)
     val covered = cutStarts
       .select(col("doc"),
         explode(sequence(col("spos"), col("spos") + n - 1)).as("pos"))
       .distinct()
+      .localCheckpoint(true)
     val tok = toks.select(col("doc"), posexplode(col("w")).as(Seq("pos", "t")))
     val rebuilt = tok.join(covered, Seq("doc", "pos"), "left_anti")
       .groupBy(col("doc"))
