@@ -1175,8 +1175,12 @@ private[graft] object QueriesVectors {
 
   private val e23: (String, QFn, Option[String]) = ("e23_semdedup_kmeans",
     (s, d) => {
+      // materialized once: the fit scans it per iteration + the seed
+      // read, and the dedup pass scans it twice more (the kmeans-entry
+      // discipline, r19)
       val e = emb(s, d).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
+        .localCheckpoint(true)
       Similarity.semanticDedupKmeans(e, SEM_TAU,
           Similarity.kmeansFit(e, KM_K, KM_ITERS, dims = LSH_DIMS))
         .select(col("id").as("vec_id"), col("cid").cast("long").as("cid"),
